@@ -1,0 +1,76 @@
+"""Grouped descriptive statistics (A1/A2/A4/A5/A6/A7).
+
+Reference semantics:
+- per-cycle count/median (Requirements/ExamplePipelineCode.md:183-186)
+- order-dependent "first" per cycle (:438-441) -> deterministic
+  min(timeStamp) + min_by(value, timeStamp)
+- distinct cycle count (:353)
+- weekly per-(week, stage) count/mean/median/std(ddof=0), each rounded to int
+  (Requirements/ExampleAiCode.md:229-241) — population stddev, NOT sample.
+
+All exact: median is the exact interpolated percentile (matches pandas and
+DuckDB quantile_cont). ``approx_percentile`` is reserved for the 100 TB tier
+and never used in correctness paths (SURVEY §4 trap 4).
+
+Scale: single hash-aggregate per call, partial+final (map-side combine) from
+Catalyst automatically. median/percentile requires full value collection per
+group — at 100 TB prefer pre-capping (recent_n) or sketch-based quantiles
+where the workload tolerates it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.weekly import sunday_week_start
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    ts_col: str | None = None,
+    first_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group count / median(value) / earliest ts / value-at-earliest-ts.
+
+    ``first_cols`` values are taken at the earliest ``ts_col`` row
+    (deterministic replacement for the reference's order-dependent 'first').
+    """
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("count"),
+        F.median(value_col).alias(f"median_{value_col}"),
+    ]
+    if ts_col is not None:
+        aggs.append(F.min(ts_col).alias(f"first_{ts_col}"))
+        for c in first_cols:
+            aggs.append(F.min_by(c, F.col(ts_col)).alias(f"first_{c}"))
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def distinct_count(df: DataFrame, group_by: Sequence[str], key_col: str, out_col: str = "n_distinct") -> DataFrame:
+    """Exact distinct count per group (A5). approx_count_distinct is the
+    100 TB alternative, never the correctness path."""
+    return df.groupBy(*group_by).agg(F.countDistinct(key_col).alias(out_col))
+
+
+def weekly_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    extra_group_by: Sequence[str] = (),
+    sunday_weeks: bool = True,
+) -> DataFrame:
+    """Per-(week, group) count / mean / median / stddev_pop, rounded to whole
+    numbers as longs (ExampleAiCode.md:238-241 ``int(round(., 0))``)."""
+    wk = sunday_week_start(ts_col) if sunday_weeks else F.date_trunc("week", F.col(ts_col))
+    grouped = df.groupBy(wk.alias("week_start"), *extra_group_by)
+    return grouped.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(value_col), 0).cast("long").alias("mean_v"),
+        F.round(F.median(value_col), 0).cast("long").alias("median_v"),
+        F.round(F.stddev_pop(value_col), 0).cast("long").alias("std_dev"),
+    )

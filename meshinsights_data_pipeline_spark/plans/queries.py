@@ -1,0 +1,446 @@
+"""Declared query set (SURVEY.md §2.14, Q01-Q25) + extension queries.
+
+Each entry pairs a Spark DataFrame builder with the equivalent ANSI SQL for
+the DuckDB oracle. Column names are aliased identically on both sides (the
+driver's compare sorts columns by name before hashing). Every query ends
+with ORDER BY on a unique key for stable display; the hash itself is
+order-insensitive.
+
+Cross-engine type notes (semantic traps, SURVEY §4):
+- running SUM of ints: DuckDB -> HUGEINT, Spark -> BIGINT; both sides cast
+  to BIGINT explicitly.
+- median: exact interpolated percentile in both engines (never approx).
+- stddev: population (stddev_pop), not sample.
+- mode: deterministic rewrite (count desc, value asc) — never engine mode().
+- weeks: date_trunc('week') is Monday-start in both engines (used in Q14);
+  the reference's Sunday weeks are exercised via next_day arithmetic in unit
+  tests and the weekly_stats operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.session import read_table
+
+from meshinsights_data_pipeline_spark.functions.scalars import string_tail_lower
+from meshinsights_data_pipeline_spark.operators.mode import grouped_mode
+from meshinsights_data_pipeline_spark.operators.recent_n import recent_n
+from meshinsights_data_pipeline_spark.operators.rcv import robust_cv
+from meshinsights_data_pipeline_spark.operators.sessionize import sessionize
+from meshinsights_data_pipeline_spark.operators.valid_cycles import filter_valid_cycles
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, state_col="event_type", order_by=["ts", "event_id"], partition_by=["user_id"]
+    ).withColumn("cycle", F.col("cycle").cast("long"))
+
+
+# SQL fragment shared by Q15/Q25: per-user sessionization of events.
+_SESS_SQL = """
+    SELECT user_id, ts, event_id, event_type, value,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cycle
+    FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM events
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q01-Q25 builders
+# ---------------------------------------------------------------------------
+
+def q01(spark, sf_dir):
+    """P1 projection (EPC:141-147 'retain minimal columns')."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q02(spark, sf_dir):
+    """P2 equality filter (EPC:244)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+def q03(spark, sf_dir):
+    """P3 membership filter (EPC:218)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def q04(spark, sf_dir):
+    """P4 range predicate (mysql_plugin.py:236 BETWEEN)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").between("2024-01-08 00:00:00", "2024-01-14 23:59:59"))
+        .select("event_id", "ts")
+        .orderBy("event_id")
+    )
+
+
+def q05(spark, sf_dir):
+    """P5 conjunctive HAVING over aggregates (EPC:211-215)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.median("value").alias("med"))
+        .filter((F.col("c") >= 4) & (F.col("med") > 0))
+        .orderBy("user_id")
+    )
+
+
+def q06(spark, sf_dir):
+    """J1 equi-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q07(spark, sf_dir):
+    """J3 semi-join (valid-set membership, EPC:211-218)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q08(spark, sf_dir):
+    """J4 anti-join (EPC:27 'remove obviously bad cycles' complement).
+
+    Filtered to o_totalprice > 200000 so the result is non-empty at every sf
+    (an all-customers-have-orders dataset would make the bare anti-join a
+    degenerate 0-row check)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q09(spark, sf_dir):
+    """A1/A2 grouped count + exact median (EPC:183-186)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.median("value").alias("med"))
+        .orderBy("user_id")
+    )
+
+
+def q10(spark, sf_dir):
+    """A3 deterministic mode, ties -> smallest value (EPC:188-202)."""
+    return grouped_mode(_t(spark, sf_dir, "events"), ["user_id"], "value").orderBy("user_id")
+
+
+def q11(spark, sf_dir):
+    """A4 first-by-time via min/min_by (EPC:438-441, made deterministic)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min_by("event_type", F.col("ts")).alias("first_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q12(spark, sf_dir):
+    """A5 exact distinct count (EPC:353)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .orderBy("event_type")
+    )
+
+
+def q13(spark, sf_dir):
+    """A6/F3 rounded global median (EPC:482 baseline threshold idiom)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.round(F.median("l_extendedprice"), 0).alias("m"))
+
+
+def q14(spark, sf_dir):
+    """A7 weekly descriptive stats, population stddev (EAC:229-241)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("wk"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 0).alias("mean_v"),
+            F.round(F.median("value"), 0).alias("med_v"),
+            F.round(F.stddev_pop("value"), 0).alias("sd"),
+        )
+        .orderBy("wk", "event_type")
+    )
+
+
+def q15(spark, sf_dir):
+    """W1 cycle sessionization (EPC:26,421-422; EAC:131)."""
+    return _sessionized_events(spark, sf_dir).select("event_id", "cycle").orderBy("event_id")
+
+
+def q16(spark, sf_dir):
+    """W2 recent-N cap per group (EPC:246-247)."""
+    return (
+        recent_n(_t(spark, sf_dir, "events"), 100, ["event_type"], "ts", tiebreak=["event_id"])
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def q17(spark, sf_dir):
+    """W5 floor-to-second on ingest (adx_plugin.py:259-262)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.date_trunc("second", F.col("ts")).alias("ts_s"))
+        .orderBy("event_id")
+    )
+
+
+def q18(spark, sf_dir):
+    """F1 string tail lower (adx_plugin.py:278-286)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", string_tail_lower("p_name", 5).alias("tail"))
+        .orderBy("p_partkey")
+    )
+
+
+def q19(spark, sf_dir):
+    """F2/F4 casts (adx_plugin.py:246-269)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q20(spark, sf_dir):
+    """J2 aggregate join (EPC:196-202 join stats back on the group key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("order_total"))
+    return (
+        li.join(totals, "l_orderkey")
+        .select("l_orderkey", "l_linenumber", "order_total")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q21(spark, sf_dir):
+    """M1 robust CV = MAD/median per group (EAC:295-306)."""
+    return robust_cv(_t(spark, sf_dir, "events"), ["event_type"], "value").orderBy("event_type")
+
+
+def q22(spark, sf_dir):
+    """M6 low-cycle-count guard (EPC:347-354)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg((F.countDistinct("user_id") < 10).alias("low_count"))
+        .orderBy("event_type")
+    )
+
+
+def q23(spark, sf_dir):
+    """P6 null drop + P5 threshold (EPC:210-215)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .na.drop(subset=["value"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 4)
+        .orderBy("user_id")
+    )
+
+
+def q24(spark, sf_dir):
+    """O2/O3 ordered limit (OPS:633)."""
+    return _t(spark, sf_dir, "events").orderBy("ts", "event_id").select("event_id").limit(100)
+
+
+def q25(spark, sf_dir):
+    """E2E workload slice: sessionize -> valid-cycle filter -> per-cycle
+    medians (mirrors EPC:156-218 + EPC:418-441)."""
+    sess = _sessionized_events(spark, sf_dir)
+    valid_rows = filter_valid_cycles(
+        sess, ["user_id", "cycle"], "value", min_cycle_length=4, min_median=0.0, min_mode=0.0
+    )
+    return (
+        valid_rows.groupBy("user_id", "cycle")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.median("value").alias("median_value_cycle"),
+        )
+        .orderBy("user_id", "cycle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {
+    "q01": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02": "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+    "q03": "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','O') ORDER BY o_orderkey",
+    "q04": (
+        "SELECT event_id, ts FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' "
+        "AND TIMESTAMP '2024-01-14 23:59:59' ORDER BY event_id"
+    ),
+    "q05": (
+        "SELECT user_id, COUNT(*) AS c, MEDIAN(value) AS med FROM events GROUP BY user_id "
+        "HAVING COUNT(*) >= 4 AND MEDIAN(value) > 0 ORDER BY user_id"
+    ),
+    "q06": (
+        "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"
+    ),
+    "q07": (
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000) ORDER BY c_custkey"
+    ),
+    "q08": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000) ORDER BY c_custkey"
+    ),
+    "q09": (
+        "SELECT user_id, COUNT(*) AS cnt, MEDIAN(value) AS med FROM events "
+        "GROUP BY user_id ORDER BY user_id"
+    ),
+    "q10": (
+        "WITH pc AS (SELECT user_id, value, COUNT(*) AS n FROM events GROUP BY user_id, value) "
+        "SELECT user_id, value AS mode_value FROM "
+        "(SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, value ASC) AS rn FROM pc) t "
+        "WHERE rn = 1 ORDER BY user_id"
+    ),
+    "q11": (
+        "SELECT user_id, MIN(ts) AS first_ts, ARG_MIN(event_type, ts) AS first_type "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    "q12": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "q13": "SELECT ROUND(MEDIAN(l_extendedprice), 0) AS m FROM lineitem",
+    "q14": (
+        "SELECT DATE_TRUNC('week', ts) AS wk, event_type, COUNT(*) AS cnt, "
+        "ROUND(AVG(value),0) AS mean_v, ROUND(MEDIAN(value),0) AS med_v, "
+        "ROUND(STDDEV_POP(value),0) AS sd FROM events GROUP BY 1,2 ORDER BY 1,2"
+    ),
+    "q15": f"SELECT event_id, cycle FROM ({_SESS_SQL}) ORDER BY event_id",
+    "q16": (
+        "SELECT event_id FROM (SELECT event_id, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "WHERE rn <= 100 ORDER BY event_id"
+    ),
+    "q17": "SELECT event_id, DATE_TRUNC('second', ts) AS ts_s FROM events ORDER BY event_id",
+    "q18": "SELECT p_partkey, LOWER(RIGHT(p_name, 5)) AS tail FROM part ORDER BY p_partkey",
+    "q19": (
+        "SELECT l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q, "
+        "CAST(l_shipdate AS DATE) AS d FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ),
+    "q20": (
+        "SELECT l.l_orderkey, l.l_linenumber, s.order_total FROM lineitem l JOIN "
+        "(SELECT l_orderkey, SUM(l_extendedprice) AS order_total FROM lineitem GROUP BY l_orderkey) s "
+        "ON l.l_orderkey = s.l_orderkey ORDER BY l.l_orderkey, l.l_linenumber"
+    ),
+    "q21": (
+        "WITH med AS (SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type) "
+        "SELECT e.event_type, MEDIAN(ABS(e.value - med.m)) / ANY_VALUE(med.m) AS rcv "
+        "FROM events e JOIN med USING (event_type) GROUP BY e.event_type ORDER BY e.event_type"
+    ),
+    "q22": (
+        "SELECT event_type, COUNT(DISTINCT user_id) < 10 AS low_count FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "q23": (
+        "SELECT user_id, COUNT(*) AS c FROM events WHERE value IS NOT NULL "
+        "GROUP BY user_id HAVING COUNT(*) >= 4 ORDER BY user_id"
+    ),
+    "q24": "SELECT event_id FROM (SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100) t ORDER BY event_id",
+    "q25": f"""
+        WITH sess AS ({_SESS_SQL}),
+        stats AS (
+            SELECT user_id, cycle, COUNT(*) AS cnt, MEDIAN(value) AS med
+            FROM sess GROUP BY user_id, cycle
+        ),
+        modes AS (
+            SELECT user_id, cycle, value AS mode_v FROM (
+                SELECT user_id, cycle, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, cycle
+                                          ORDER BY COUNT(*) DESC, value ASC) AS rn
+                FROM sess GROUP BY user_id, cycle, value
+            ) WHERE rn = 1
+        ),
+        valid AS (
+            SELECT s.user_id, s.cycle FROM stats s
+            JOIN modes m ON s.user_id = m.user_id AND s.cycle = m.cycle
+            WHERE s.cnt >= 4 AND s.med > 0 AND m.mode_v > 0
+        )
+        SELECT e.user_id, e.cycle, MIN(e.ts) AS first_ts, MEDIAN(e.value) AS median_value_cycle
+        FROM sess e JOIN valid v ON e.user_id = v.user_id AND e.cycle = v.cycle
+        GROUP BY e.user_id, e.cycle
+        ORDER BY e.user_id, e.cycle
+    """,
+}
+
+_BUILDERS = {
+    "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
+    "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
+    "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
+    "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
+    "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
+}
+
+QUERIES: dict[str, Query] = {
+    name: Query(name=name, spark=fn, oracle=_ORACLES.get(name), doc=fn.__doc__ or "")
+    for name, fn in _BUILDERS.items()
+}

@@ -1,0 +1,26 @@
+"""t2-style correctness: every declared query hash-matches its DuckDB oracle.
+
+Runs at sf0.001 by default for speed (the driver runs sf0.01); set
+SPARK_GRAFT_T2_DIR=/root/testdata/sf0.01 to replicate the driver's tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+from tests.oracle_harness import compare
+
+ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
+T2_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    q = QUERIES[name]
+    report = compare(q.spark(spark, T2_DIR), q.oracle, T2_DIR)
+    assert report["cols_match"], report
+    assert report["rowcount_match"], report
+    assert report["values_match"], report
