@@ -64,6 +64,34 @@ def get_spark(app_name: str = "meshinsights-spark", shuffle_partitions: int | No
 NS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Any operator whose UDF closure references package modules (the
+    applyInPandas paths: variance classification, dedup, text analysis)
+    must call this first — cloudpickle serializes module functions by
+    reference, so workers need the package importable regardless of the
+    caller's working directory.
+    """
+    marker = "meshinsights.pyfile.shipped"
+    try:
+        if spark.conf.get(marker, None) == "1":
+            return
+    except Exception:
+        pass
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="mesh_pkg_")
+    zip_base = os.path.join(tmp, "meshinsights_data_pipeline_spark")
+    # zip with the package as the top-level directory inside the archive
+    shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                        os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    spark.conf.set(marker, "1")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with type normalization (ns-timestamp decode).
 

@@ -1,0 +1,10 @@
+from meshinsights_data_pipeline_spark.sources.base import Source  # noqa: F401
+from meshinsights_data_pipeline_spark.sources.registry import SourceRegistry  # noqa: F401
+from meshinsights_data_pipeline_spark.sources.factories import (  # noqa: F401
+    CsvSource,
+    JdbcSource,
+    MemorySource,
+    ParquetSource,
+    SqlSource,
+)
+from meshinsights_data_pipeline_spark.sources.kusto_types import normalize_kusto_frame  # noqa: F401

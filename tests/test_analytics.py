@@ -1,0 +1,173 @@
+"""Analytics workload tests (M1-M8): GMM determinism, rCV, the decision
+surface from FIXTURES.md F1 generation requirements, and the E2E pipeline."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from meshinsights_data_pipeline_spark.analytics.gmm import fit_best_gmm
+from meshinsights_data_pipeline_spark.analytics.power_pipeline import Columns, run_power_analysis
+from meshinsights_data_pipeline_spark.analytics.variance import VarianceParams, classify_variance
+
+
+def test_gmm_bimodal_detection():
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(100, 3, 300), rng.normal(160, 3, 300)])
+    fit = fit_best_gmm(x, 3)
+    assert fit.n_components >= 2
+    sig = [m for m, w in zip(fit.means, fit.weights) if w >= 0.10]
+    assert len(sig) >= 2
+    assert max(sig) - min(sig) == pytest.approx(60, abs=8)
+
+
+def test_gmm_unimodal():
+    rng = np.random.default_rng(7)
+    x = rng.normal(100, 2, 500)
+    assert fit_best_gmm(x, 3).n_components == 1
+
+
+def test_gmm_deterministic():
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.normal(50, 2, 200), rng.normal(90, 2, 200)])
+    a, b = fit_best_gmm(x, 3), fit_best_gmm(x, 3)
+    assert a.means == b.means and a.weights == b.weights and a.bic == b.bic
+
+
+def test_classify_min_samples_guard():
+    res = classify_variance(np.full(10, 100.0))
+    assert res["variance"] == "Low" and "insufficient" in res["reason"]
+
+
+def test_classify_rcv_high():
+    # Uniform spread: rCV large, no clusters — the GMM-misses-this case the
+    # rCV safety net exists for (EAC:300-306).
+    rng = np.random.default_rng(5)
+    x = rng.uniform(10, 1000, 500)
+    res = classify_variance(x)
+    assert res["variance"] == "High" and "dispersion" in res["reason"]
+    assert res["rcv"] > 0.35
+
+
+def test_classify_bimodal_high():
+    rng = np.random.default_rng(11)
+    # Two tight modes, separation 50% of median, balanced weights, low rCV.
+    x = np.concatenate([rng.normal(100, 2, 250), rng.normal(150, 2, 250)])
+    res = classify_variance(x)
+    assert res["variance"] == "High" and "multi-modal" in res["reason"]
+
+
+def test_classify_low_weight_mode_ignored():
+    rng = np.random.default_rng(13)
+    # Second mode only 5% of data -> below MIN_SIGNIFICANT_WEIGHT -> Low.
+    x = np.concatenate([rng.normal(100, 2, 950), rng.normal(150, 2, 50)])
+    res = classify_variance(x)
+    assert res["variance"] == "Low"
+
+
+def test_classify_close_modes_low():
+    rng = np.random.default_rng(17)
+    # Two modes separated by 10% of median < SEPARATION_THRESHOLD 20% -> Low.
+    x = np.concatenate([rng.normal(100, 1, 250), rng.normal(110, 1, 250)])
+    res = classify_variance(x)
+    assert res["variance"] == "Low"
+
+
+def _hvac_fixture(spark):
+    """FIXTURES.md F1: stage 1 low-variance, stage 2 bimodal-high, stage 3
+    low-cycle-count, plus invalid cycles (short / zero-median)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    base = datetime(2024, 1, 1)
+    t = 0
+
+    def add_cycle(stage, cycle_id, n, values):
+        nonlocal t
+        for v in values[:n]:
+            rows.append((base + timedelta(minutes=t), stage, float(v), cycle_id))
+            t += 1
+
+    cyc = 0
+    # stage 1: 15 healthy cycles of 12 rows, tight around 500 W -> Low
+    for _ in range(15):
+        cyc += 1
+        add_cycle(1, cyc, 12, rng.normal(500, 5, 12))
+    # stage 2: 16 cycles alternating between 300 W and 600 W modes -> High
+    for i in range(16):
+        cyc += 1
+        mean = 300 if i % 2 == 0 else 600
+        add_cycle(2, cyc, 12, rng.normal(mean, 5, 12))
+    # stage 3: only 3 cycles -> low_cycle_count
+    for _ in range(3):
+        cyc += 1
+        add_cycle(3, cyc, 12, rng.normal(400, 5, 12))
+    # invalid cycles: too short (2 rows), zero-median
+    cyc += 1
+    add_cycle(1, cyc, 2, [500, 505])
+    cyc += 1
+    add_cycle(2, cyc, 12, np.zeros(12))
+    return spark.createDataFrame(
+        rows, "timeStamp timestamp, tstate int, energy double, cycle long"
+    )
+
+
+def test_power_pipeline_end_to_end(spark):
+    df = _hvac_fixture(spark)
+    # Relax min_samples so the 12-rows-per-cycle fixture is classifiable.
+    from meshinsights_data_pipeline_spark.analytics.power_pipeline import build_power_pipeline
+    from meshinsights_data_pipeline_spark.core.context import PipelineContext
+
+    params = VarianceParams(min_samples_for_test=50)
+    ctx = PipelineContext(pipeline_name="t", correlation_id="c", raw_data=df)
+    out = build_power_pipeline(Columns(), params).run(ctx)
+
+    va = out.variance_analysis
+    assert va[1]["variance"] == "Low", va[1]
+    assert va[2]["variance"] == "High", va[2]
+    assert va[3]["variance"] == "Low" and "insufficient" in va[3]["reason"]  # 36 rows < 50
+
+    assert out.issues[3] == ["low_cycle_count"]
+    assert out.issues[1] == []
+
+    # curated contains only stage 1 (stage 2 High, stage 3 has issues)
+    curated = out.processed_data["power.curated"]
+    stages_in_curated = {r["tstate"] for r in curated.select("tstate").distinct().collect()}
+    assert stages_in_curated == {1}
+
+    # thresholds: stage 1 ~500, stage 2 None (High), stage 3 None (issues->no curated rows)
+    assert out.thresholds[1] == pytest.approx(500, abs=10)
+    assert out.thresholds[2] is None
+    assert out.thresholds[3] is None
+
+    # execution log covers all six steps
+    names = [e["processor"] for e in out.execution_log]
+    assert names.count("filter_valid_cycles") == 1
+    assert "calculate_thresholds" in names
+
+
+def test_curated_recheck_upgrade_only(spark):
+    """A stage whose raw samples look unimodal but whose per-cycle medians
+    are bimodal must be upgraded to High by the curated re-check
+    (EPC:275-332), and High stages are never downgraded."""
+    rng = np.random.default_rng(1)
+    rows = []
+    base = datetime(2024, 1, 1)
+    t = 0
+    cyc = 0
+    # 30 cycles; per-cycle means alternate 430/570 (bimodal medians), but
+    # within-cycle spread 60 makes the raw pool look like one wide blob with
+    # rCV below 0.35 (MAD/median ~ 50/500 = 0.1 -> passes safety net).
+    for i in range(30):
+        cyc += 1
+        mean = 430 if i % 2 == 0 else 570
+        for v in rng.normal(mean, 5, 10):
+            rows.append((base + timedelta(minutes=t), 1, float(v), cyc))
+            t += 1
+    df = spark.createDataFrame(rows, "timeStamp timestamp, tstate int, energy double, cycle long")
+    out = run_power_analysis(df)
+    # raw pass: 430/570 separation is 140/500=28% of median — above the 20%
+    # SEPARATION_THRESHOLD; the curated medians are unambiguously bimodal, so
+    # the stage must end High regardless of which pass catches it.
+    assert out.variance_analysis[1]["variance"] == "High"
