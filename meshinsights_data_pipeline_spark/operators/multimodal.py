@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star extension. Image/audio/video payloads are opaque ``binary``
+columns with a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages. The decode step
+itself is STUBBED (no image/audio libraries in this container — marked
+clearly below); everything Spark-side is real and tested: schemas,
+batch iteration, partition sizing, UDF signatures.
+
+Scale notes: binary payloads dominate row size, so
+- partition by (modality, shard) at write time to keep scan parallelism;
+- set spark.sql.files.maxPartitionBytes low (64-128 MB) for payload tables
+  so one task never holds too many blobs;
+- mapInPandas streams batches (Arrow) — peak worker memory is one batch,
+  controlled by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, modality string, n_bytes bigint, "
+    "payload_hash string, feature array<double>"
+)
+
+
+def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap, real metadata computed JVM-side: byte length + content hash.
+
+    These are the columns exact-dedup and integrity checks shuffle on; no
+    Python involved."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("bigint")).withColumn(
+        "payload_hash", F.md5(F.col(payload_col).cast("binary"))
+    )
+
+
+def _decode_image(payload: bytes) -> "object":
+    """STUB: image decode requires PIL/opencv, not present in this
+    container. The Spark-side contract (bytes in, array out) is what's
+    under test; swap this body for a real decoder in production."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this environment"
+    )
+
+
+def _fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: byte-histogram moments. Real plumbing
+    (used in tests); replace with a model embedding in production."""
+    if not payload:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for i, byte in enumerate(payload):
+        buckets[byte % dim] += 1
+    total = float(len(payload))
+    return [round(b / total, 9) for b in buckets]
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Streams Arrow batches; each output row keeps the id/modality plus the
+    (stub) feature vector. The batch loop shape is exactly what a real
+    decoder plugs into."""
+    from meshinsights_data_pipeline_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    with_meta = attach_payload_metadata(df, payload_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "payload_hash": pdf["payload_hash"],
+                    "feature": pdf[payload_col].map(lambda p: _fake_feature(p, dim)),
+                }
+            )
+            yield out
+
+    return with_meta.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (the decode itself is the stub above). The explode is real —
+    it demonstrates the fan-out schema and keeps frame rows colocated with
+    their source shard."""
+    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
+    return (
+        df.filter(F.col("modality") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+        .select("media_id", "frame_idx", "frame_ts_ms")
+    )

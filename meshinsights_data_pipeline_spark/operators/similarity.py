@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension: brute-force cosine top-k as the exact baseline, plus
+an LSH-bucketed variant as the 100 TB scale path.
+
+Scale design:
+- cosine_topk: queries x corpus via broadcast of the (small) query set —
+  the corpus never shuffles; per-row dot products run in codegen
+  (F.aggregate over zipped arrays, all JVM-side). Exact; cost O(|Q| x N x d).
+- rp_lsh_topk: random-hyperplane signatures bucket the corpus; only
+  same-bucket pairs are scored. Approximate; recall tunes with bits/tables.
+  At 1000 executors the bucket join replaces the full scan per query with
+  bucket-local work — the standard billion-scale ANN layout (IVF-style
+  partition pruning falls out of the bucket key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision sequential dot product (left fold — deterministic,
+    bit-identical to DuckDB's list arithmetic on DOUBLE[])."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_score(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns [query_id, neighbor_id, score, rank]; self-matches excluded.
+    Scores are rounded before ranking so the ordering is reproducible across
+    engines/summation orders; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine_score(F.col("q_vec"), F.col("c_vec")), round_scores))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score >= threshold, id_a<id_b).
+
+    Exact all-pairs — for corpora that fit a cross join (or LSH candidates
+    upstream at scale; compose with rp_lsh_buckets)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine_score(F.col("va"), F.col("vb")), round_scores))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def _deterministic_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Fixed pseudo-random unit-free hyperplanes (LCG-based, seedable,
+    reproducible across runs without numpy RNG state)."""
+    planes = []
+    state = seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state >> 20) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-bit signature).
+
+    Map-side only; the bucket column is the shuffle/partition key for
+    bucket-local ANN search. dim is taken from the first row's vector.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _deterministic_hyperplanes(dim, bits, seed)
+    sig = None
+    v = F.col(vec_col)
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bit = F.when(d > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), v.alias(vec_col)).withColumn("bucket", sig.cast("int"))
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket corpus vectors.
+
+    The scale path — the bucket equi-join prunes the candidate set by
+    ~2^bits before any dot product runs."""
+    cb = rp_lsh_buckets(corpus, id_col, vec_col, bits, seed)
+    qb = rp_lsh_buckets(queries, id_col, vec_col, bits, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("score", F.round(cosine_score(F.col("q_vec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+North-star extension (BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting over the ``documents`` table. The hot
+paths are pure built-in column expressions (JVM-side, codegen-eligible);
+only the n-gram language profiler uses a Pandas UDF, and it is Arrow-batched.
+
+Scale notes: every function here is a narrow per-row map — no shuffle at
+all. At 100 TB these run at parquet-scan speed; the fingerprint/token
+columns they emit are what the dedup operators shuffle on, so computing
+them map-side first is the right staging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword list for quality scoring (public-domain English core).
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by from"
+).split()
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank string -> 0."""
+    c = F.trim(_c(col))
+    return F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation and
+    counts number/word fragments — a cheap regex proxy for BPE token counts
+    (useful for budget estimation, not exact tokenizer parity)."""
+    c = _c(col)
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = _c(col)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are common English stopwords."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(F.size(stop) / F.size(toks))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = F.split(F.trim(_c(col)), r"\s+")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total.cast("double") / F.size(toks))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable stopword share + sane mean word length. Deterministic,
+    SQL-expressible (oracle-checkable), monotone in each component."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_score = F.when((stop >= 0.05) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    mwl = mean_word_length(col)
+    mwl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round((len_score + punct_score + stop_score + mwl_score) / 4.0, 6)
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    strip punctuation."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text — the exact-dedup
+    key. (Shingle-level rolling hashes live in dedup.py for near-dup.)"""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles of the normalized text; docs with fewer
+    than n words yield a single shingle of the whole text."""
+    toks = F.split(normalized_text(col), " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k <= 0, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Character n-gram language ID (trigram-profile heuristic).
+
+    A compact, deterministic profile model over character trigrams for a few
+    European languages — the classic Cavnar-Trenkle n-gram approach, shrunk
+    to a dictionary of high-frequency trigrams per language. Arrow-batched
+    Pandas UDF (the per-row trigram loop doesn't vectorize into built-ins).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    profiles = {
+        "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+        "de": ["en ", " de", "der", "er ", "ie ", " di", "die", "ch ", "sch", "ein"],
+        "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"],
+        "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"],
+        "zh": [],  # CJK detection is by script range, not trigrams
+    }
+
+    @pandas_udf("string")
+    def _lang(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> str:
+            if not t:
+                return "und"
+            # script-range check first (CJK)
+            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
+            if cjk > len(t[:200]) * 0.2:
+                return "zh"
+            s = f" {t.lower()} "
+            scores = {
+                lang: sum(s.count(g) for g in grams)
+                for lang, grams in profiles.items()
+                if grams
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            return best if scores[best] > 0 else "und"
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _lang(F.col(text_col)))

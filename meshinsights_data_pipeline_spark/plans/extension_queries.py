@@ -1,0 +1,307 @@
+"""Extension query set: dedup / similarity / text analysis over
+documents + embeddings, each oracle-checked against DuckDB where the
+semantics are SQL-expressible (SURVEY north-star; BASELINE.json).
+
+Cross-engine hash contract (the whole family leans on it):
+  Spark : CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT)
+  DuckDB: ('0x' || substring(md5(s),1,15))::BIGINT
+— the same 60-bit integer from the same md5 hex prefix. MinHash/SimHash
+arithmetic on top is plain BIGINT math, identical in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators import dedup as D
+from meshinsights_data_pipeline_spark.operators import similarity as S
+from meshinsights_data_pipeline_spark.operators import text as T
+from meshinsights_data_pipeline_spark.session import read_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# normalized_text() twin
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+_H60_SQL = "(('0x' || substring(md5({s}), 1, 15))::BIGINT)"
+
+_P = D.MINHASH_PRIME
+
+
+def _shingles_cte(n: int = 3) -> str:
+    """Distinct word-3-shingle hashes per doc (DuckDB).
+
+    Mirrors operators.text.word_shingles + dedup.shingle_hashes: tokens of
+    the normalized text; docs with < n tokens contribute the whole text as
+    one shingle."""
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+    toks AS (
+        SELECT doc_id, string_split({norm}, ' ') AS w FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                        ELSE [array_to_string(w[i:i+{n-1}], ' ')
+                              FOR i IN range(1, len(w) - {n - 2})]
+                   END AS sh
+            FROM toks
+        ), UNNEST(sh) AS u(shingle)
+    ),
+    sh AS (
+        SELECT doc_id, {_H60_SQL.format(s='shingle')} AS h FROM shingles
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spark builders + oracles
+# ---------------------------------------------------------------------------
+
+def x01_exact_dedup(spark: SparkSession, sf_dir: str):
+    """Exact dedup: one survivor (min doc_id) per normalized-text md5."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
+X01_SQL = f"""
+SELECT MIN(doc_id) AS doc_id, fp FROM (
+    SELECT doc_id, md5({_NORM_SQL.format(col='text')}) AS fp FROM documents
+) GROUP BY fp ORDER BY doc_id
+"""
+
+
+def x02_minhash_signatures(spark: SparkSession, sf_dir: str):
+    """MinHash signatures (first 4 hash functions shown) per doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=4)
+    return sig.orderBy("doc_id")
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    mins = ", ".join(
+        f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"WITH {_shingles_cte()} SELECT doc_id, {mins} FROM sh GROUP BY doc_id ORDER BY doc_id"
+
+
+X02_SQL = _minhash_sql(4)
+
+
+def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str):
+    """LSH candidate pairs (16 hashes, 4 bands)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def _lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingles_cte()},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+X03_SQL = _lsh_sql()
+
+
+def x04_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    """Exact pairwise 3-gram Jaccard >= 0.2."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).orderBy("id_a", "id_b")
+
+
+X04_SQL = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.h = b.h
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def x05_simhash(spark: SparkSession, sf_dir: str):
+    """32-bit SimHash signature per doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(
+            lower(regexp_replace(text, '[^A-Za-z0-9\\s]', ' ', 'g')), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {_H60_SQL.format(s='tok')} AS h FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+    FROM hashed GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+X05_SQL = _simhash_sql()
+
+
+def x06_cosine_topk(spark: SparkSession, sf_dir: str):
+    """Exact cosine top-10 neighbors for the 5 lowest-id query vectors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+X06_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+                 6) AS score
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def x07_embedding_neardup(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-dup pairs (score >= 0.9)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+X07_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def x08_text_stats(spark: SparkSession, sf_dir: str):
+    """Token count / char count / punct ratio / stopword ratio / quality."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_m"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+X08_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars_m,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+                     / length(text) END AS punct_ratio,
+           CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t IN ({_STOP_LIST}))) * 1.0
+                     / len(string_split_regex(lower(trim(text)), '\\s+')) END AS stopword_ratio,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+                ELSE list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                             t -> length(t))) * 1.0
+                     / len(string_split_regex(trim(text), '\\s+')) END AS mwl
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_m,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND((
+           LEAST(n_tokens / 50.0, 1.0)
+         + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+         + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
+         + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END)
+       ) / 4.0, 6) AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+def x09_lang_id(spark: SparkSession, sf_dir: str):
+    """n-gram-profile language ID (Pandas UDF) — rows-only check (the
+    profile table is not practical to mirror in SQL)."""
+    from meshinsights_data_pipeline_spark.session import ensure_package_on_workers
+
+    docs = read_table(spark, sf_dir, "documents")
+    ensure_package_on_workers(spark)
+    return T.lang_id(docs, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def x10_rp_lsh_topk(spark: SparkSession, sf_dir: str):
+    """Approximate ANN via random-hyperplane LSH buckets — rows-only check
+    (approximate by design; exactness asserted in unit tests vs the exact
+    path's recall)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.rp_lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+EXTENSION_BUILDERS = {
+    "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
+    "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
+    "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),
+    "x04_ngram_jaccard": (x04_ngram_jaccard, X04_SQL),
+    "x05_simhash": (x05_simhash, X05_SQL),
+    "x06_cosine_topk": (x06_cosine_topk, X06_SQL),
+    "x07_embedding_neardup": (x07_embedding_neardup, X07_SQL),
+    "x08_text_stats": (x08_text_stats, X08_SQL),
+    "x09_lang_id": (x09_lang_id, None),
+    "x10_rp_lsh_topk": (x10_rp_lsh_topk, None),
+}

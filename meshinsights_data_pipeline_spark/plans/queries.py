@@ -444,3 +444,13 @@ QUERIES: dict[str, Query] = {
     name: Query(name=name, spark=fn, oracle=_ORACLES.get(name), doc=fn.__doc__ or "")
     for name, fn in _BUILDERS.items()
 }
+
+
+def _register_extensions() -> None:
+    from meshinsights_data_pipeline_spark.plans.extension_queries import EXTENSION_BUILDERS
+
+    for name, (fn, oracle) in EXTENSION_BUILDERS.items():
+        QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+
+_register_extensions()

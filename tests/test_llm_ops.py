@@ -1,0 +1,184 @@
+"""LLM-data-pipeline operator tests: dedup family semantics on planted
+duplicates, LSH recall vs the exact path, similarity search, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators import dedup as D
+from meshinsights_data_pipeline_spark.operators import similarity as S
+from meshinsights_data_pipeline_spark.operators import text as T
+from meshinsights_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra words appended here"),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "THE QUICK brown fox! jumps over the lazy dog near the river bank today"),  # normalized dup of 1
+        (6, "short text"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(docs):
+    out = D.exact_dedup(docs, "doc_id", "text").collect()
+    survivors = sorted(r["doc_id"] for r in out)
+    # 1,2,5 collapse (case/punct-insensitive) -> min id 1 survives
+    assert 1 in survivors and 2 not in survivors and 5 not in survivors
+    assert {3, 4, 6, 7}.issubset(set(survivors))
+
+
+def test_ngram_jaccard_finds_neardups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0  # normalization makes them identical
+    assert 0.5 < pairs[(1, 3)] < 1.0  # prefix-shared shingles
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall(docs):
+    cands = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    # identical docs always share every band
+    assert (1, 2) in cands and (1, 5) in cands and (2, 5) in cands
+    # (1,3) has Jaccard 0.75; default r=4 bands catch it only w.p. ~0.78 —
+    # with 8 bands of r=2 the catch probability is ~0.999, and the fixed
+    # hash family makes the outcome deterministic.
+    wide = {(r["id_a"], r["id_b"]) for r in
+            D.minhash_lsh_candidates(docs, "doc_id", "text", bands=8).collect()}
+    assert (1, 3) in wide
+
+
+def test_minhash_dedup_pairs_verified(docs):
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert verified[(1, 2)] == 1.0
+    assert all(j >= 0.5 for j in verified.values())
+
+
+def test_simhash_similarity(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]  # identical token multisets
+    ham_13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated doc
+    cands = {(r["id_a"], r["id_b"]) for r in
+             D.simhash_candidates(docs, "doc_id", "text").collect()}
+    assert (1, 2) in cands
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        v = rng.normal(0, 1, 16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # planted near-dup of vec 0
+    v0 = np.array(rows[0][1])
+    near = v0 + rng.normal(0, 0.01, 16)
+    rows.append((100, [float(x) for x in near / np.linalg.norm(near)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.cosine_topk(vectors, q, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["neighbor_id"] == 100  # the planted near-dup ranks first
+    assert out[0]["score"] > 0.99
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_embedding_neardup(vectors):
+    pairs = S.embedding_neardup_pairs(vectors, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
+def test_rp_lsh_topk_finds_planted_dup(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.rp_lsh_topk(vectors, q, k=5, bits=6).collect()
+    # the planted near-dup must share the bucket of its source
+    assert out and out[0]["neighbor_id"] == 100
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, "   "), (4, "one")], "id long, t string"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", T.token_count("t").alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills " * 5),
+            (2, "!!! ??? ### $$$ %%%"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", T.quality_score("t").alias("q")).collect()}
+    assert got[1] > 0.8
+    assert got[2] < 0.5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house of the king"),
+            (2, "der Hund und die Katze sind in dem Haus, ein schönes Haus"),
+            (3, "这是一个中文句子用于测试语言识别功能的正确性"),
+            (4, ""),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["p"] for r in T.lang_id(df, "t", "p").select("id", "p").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "zh"
+    assert out[4] == "und"
+
+
+def test_multimodal_features(spark):
+    rows = [
+        ("img1", "image", b"\x00\x01\x02\x03" * 100),
+        ("img2", "image", b"\xff" * 50),
+        ("aud1", "audio", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, modality string, payload binary")
+    out = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert out["img1"]["n_bytes"] == 400
+    assert len(out["img1"]["feature"]) == 8
+    assert sum(out["img1"]["feature"]) == pytest.approx(1.0, abs=1e-6)
+    assert out["aud1"]["feature"] == [0.0] * 8
+    # determinism: hash equality for identical payloads
+    assert out["img1"]["payload_hash"] is not None
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [("v1", "video", 3500), ("v2", "video", 500), ("i1", "image", None)],
+        "media_id string, modality string, duration_ms int",
+    )
+    out = sample_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id["v1"]) == [0, 1000, 2000]
+    assert by_id["v2"] == [0]
+    assert "i1" not in by_id
