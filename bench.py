@@ -1,0 +1,63 @@
+"""Benchmark runner: executes the declared query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed via a noop-format write — every row and column
+is produced JVM-side, nothing is collected to the driver, and the optimizer
+can't prune the projection the way a count() would let it. The session is
+warmed with a trivial job first so q01 doesn't absorb JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from meshinsights_data_pipeline_spark.session import get_spark
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    spark = get_spark("mesh-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - record, keep benching
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,14 +81,19 @@ class Pipeline:
             if not self.should_execute(processor, context):
                 context.log_execution(processor.name, {"skipped": True})
                 continue
-            # Propagate pipeline-level error policy unless the processor set its own.
-            processor.stop_on_error = processor.stop_on_error and self.config.stop_on_error
+            # Effective policy = processor AND pipeline, computed WITHOUT
+            # mutating the (stateless, shareable) processor instance: the
+            # attribute is restored after the call.
+            own_policy = processor.stop_on_error
+            processor.stop_on_error = own_policy and self.config.stop_on_error
             try:
                 context = processor(context)
             except Exception:
                 if self.config.stop_on_error:
                     raise
                 continue
+            finally:
+                processor.stop_on_error = own_policy
             if self.config.enable_checkpoints:
                 self.checkpoints[processor.name] = _snapshot(
                     context, self.config.persist_checkpointed_tables

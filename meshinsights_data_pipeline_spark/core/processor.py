@@ -83,12 +83,17 @@ class Processor(ABC):
             return result
         except Exception as exc:  # noqa: BLE001 — error policy is the contract
             elapsed = time.perf_counter() - start
+            # Reference parity (src/core/processor.py:158-174): the error is
+            # recorded in context.errors on EVERY failure; under
+            # stop_on_error it then re-raises, otherwise a warning is added
+            # and the UNCHANGED context is returned.
+            context.add_error(self.name, str(exc))
             if self.stop_on_error:
                 context.log_execution(
                     self.name, {"execution_time": elapsed, "status": "failed", "error": str(exc)}
                 )
                 raise
-            context.add_error(self.name, str(exc))
+            context.add_warning(self.name, f"Processor {self.name} failed: {exc}")
             context.log_execution(
                 self.name, {"execution_time": elapsed, "status": "error_continue", "error": str(exc)}
             )

@@ -169,12 +169,42 @@ def minhash_dedup_pairs(
     """The scale composition: LSH candidates -> exact Jaccard verification.
 
     Returns verified [id_a, id_b, jaccard]. This is the 100 TB near-dup
-    path: candidates bound the pair space, the verify join only touches
-    candidate docs.
+    path: the LSH bucket join bounds the pair space, and exact Jaccard is
+    computed ONLY for candidate pairs — the shingle table is semi-joined to
+    candidate doc ids first, and the intersection join is driven by the
+    candidate-pair frame rather than a full shingle self-join. No step
+    touches corpus^2.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, n)
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # Only candidate docs' shingles participate in the verify join.
+    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh_c.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
+    sh_b = sh_c.select(F.col(id_col).alias("_id_b"), F.col("h").alias("h_b"))
+    inter = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, (F.col("id_b") == F.col("_id_b")) & (F.col("h_a") == F.col("h_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

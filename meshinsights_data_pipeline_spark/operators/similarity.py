@@ -75,13 +75,59 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (score >= threshold, id_a<id_b).
 
-    Exact all-pairs — for corpora that fit a cross join (or LSH candidates
-    upstream at scale; compose with rp_lsh_buckets)."""
+    Exact all-pairs — a small-N verifier / recall oracle ONLY. The default
+    scale path is :func:`embedding_neardup_pairs_lsh`, which scores only
+    bucket-colliding pairs."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine_score(F.col("va"), F.col("vb")), round_scores))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 4,
+    tables: int = 2,
+    seed: int = 7,
+    dim: int | None = None,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Scale-safe near-dup: score only pairs colliding in >=1 LSH table.
+
+    Multi-table random-hyperplane LSH: each of ``tables`` independent
+    signatures buckets the corpus; candidate pairs are generated per
+    (table, bucket) — never all-pairs — then deduped and exactly scored.
+    Recall tunes with tables up / bits down; the shuffle key is (table,
+    bucket), so work scales with bucket occupancy, not corpus^2. This is
+    the default 100 TB near-dup path; the exact cross join above is the
+    small-N verifier."""
+    banded = None
+    for t in range(tables):
+        bt = rp_lsh_buckets(df, id_col, vec_col, bits, seed + t, dim).select(
+            F.col(id_col), F.lit(t).alias("tbl"), F.col("bucket")
+        )
+        banded = bt if banded is None else banded.union(bt)
+    a = banded.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("score", F.round(cosine_score(F.col("va"), F.col("vb")), round_scores))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
@@ -108,13 +154,22 @@ def rp_lsh_buckets(
     vec_col: str = "embedding",
     bits: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit signature).
 
     Map-side only; the bucket column is the shuffle/partition key for
-    bucket-local ANN search. dim is taken from the first row's vector.
+    bucket-local ANN search. Pass ``dim`` explicitly to keep plan building
+    job-free; when omitted it is discovered with a guarded single-row peek
+    (an empty frame yields an empty result with the same schema).
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head:
+            return df.select(F.col(id_col), F.col(vec_col)).withColumn(
+                "bucket", F.lit(0).cast("int")
+            )
+        dim = len(head[0][0])
     planes = _deterministic_hyperplanes(dim, bits, seed)
     sig = None
     v = F.col(vec_col)
@@ -138,13 +193,14 @@ def rp_lsh_topk(
     k: int = 10,
     bits: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket corpus vectors.
 
     The scale path — the bucket equi-join prunes the candidate set by
     ~2^bits before any dot product runs."""
-    cb = rp_lsh_buckets(corpus, id_col, vec_col, bits, seed)
-    qb = rp_lsh_buckets(queries, id_col, vec_col, bits, seed).select(
+    cb = rp_lsh_buckets(corpus, id_col, vec_col, bits, seed, dim)
+    qb = rp_lsh_buckets(queries, id_col, vec_col, bits, seed, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
     scored = (

@@ -13,6 +13,11 @@ them map-side first is the right staging.
 
 from __future__ import annotations
 
+# Module-level so PySpark's pandas_udf type-hint resolver can evaluate the
+# stringified ``pd.Series`` annotations produced by ``from __future__ import
+# annotations`` (function-local imports break infer_eval_type).
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,7 +119,6 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
     to a dictionary of high-frequency trigrams per language. Arrow-batched
     Pandas UDF (the per-row trigram loop doesn't vectorize into built-ins).
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     profiles = {

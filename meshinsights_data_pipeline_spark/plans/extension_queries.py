@@ -209,20 +209,23 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 
 def x07_embedding_neardup(spark: SparkSession, sf_dir: str):
-    """Embedding-cosine near-dup pairs (score >= 0.9)."""
+    """Embedding-cosine near-dup pairs (exact verifier path, score >= 0.4 —
+    the synthetic embeddings top out near cosine 0.51, so 0.4 yields a
+    non-degenerate result to compare)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return S.embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
 X07_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
-FROM e a CROSS JOIN e b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+SELECT id_a, id_b, score FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+    FROM e a CROSS JOIN e b
+    WHERE a.vec_id < b.vec_id
+)
+WHERE score >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -284,13 +287,147 @@ def x09_lang_id(spark: SparkSession, sf_dir: str):
     return T.lang_id(docs, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")
 
 
+_EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md tables)
+
+
+def _bucket_sql(vec_expr: str, bits: int, seed: int, dim: int = _EMB_DIM) -> str:
+    """DuckDB twin of similarity.rp_lsh_buckets: the SAME deterministic
+    hyperplanes (LCG literals) dotted with the vector; sign bits packed into
+    an int. list_dot_product sums doubles sequentially — the same order as
+    Spark's F.aggregate fold, so the signs agree bit-for-bit."""
+    planes = S._deterministic_hyperplanes(dim, bits, seed)
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def x10_rp_lsh_topk(spark: SparkSession, sf_dir: str):
-    """Approximate ANN via random-hyperplane LSH buckets — rows-only check
-    (approximate by design; exactness asserted in unit tests vs the exact
-    path's recall)."""
+    """Approximate ANN via random-hyperplane LSH buckets (8 bits, seed 7).
+
+    Deterministic hyperplanes, so the full bucket-join + rank pipeline has
+    an exact DuckDB twin — all three oracle checks apply."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.rp_lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return S.rp_lsh_topk(emb, queries, k=10, bits=8, seed=7, dim=_EMB_DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
+X10_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v', bits=8, seed=7)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, b.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS score
+    FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def x11_minhash_dedup_pairs(spark: SparkSession, sf_dir: str):
+    """Composed near-dup path: LSH candidates -> exact Jaccard, verified
+    only on candidate pairs (the 100 TB shape — no full-corpus pair join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _minhash_dedup_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingles_cte()},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    WHERE jaccard >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+X11_SQL = _minhash_dedup_sql()
+
+
+def x12_embedding_neardup_lsh(spark: SparkSession, sf_dir: str):
+    """Scale-safe embedding near-dup: multi-table RP-LSH candidates
+    (4 bits x 4 tables) -> exact cosine only on colliding pairs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs_lsh(
+        emb, threshold=0.4, bits=4, tables=4, seed=7, dim=_EMB_DIM
+    ).orderBy("id_a", "id_b")
+
+
+def _neardup_lsh_sql(threshold: float = 0.4, bits: int = 4, tables: int = 4, seed: int = 7) -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_sql('v', bits, seed + t)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    banded AS ({banded}),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, score FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                     6) AS score
+        FROM cands c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+    )
+    WHERE score >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+X12_SQL = _neardup_lsh_sql()
 
 
 EXTENSION_BUILDERS = {
@@ -303,5 +440,7 @@ EXTENSION_BUILDERS = {
     "x07_embedding_neardup": (x07_embedding_neardup, X07_SQL),
     "x08_text_stats": (x08_text_stats, X08_SQL),
     "x09_lang_id": (x09_lang_id, None),
-    "x10_rp_lsh_topk": (x10_rp_lsh_topk, None),
+    "x10_rp_lsh_topk": (x10_rp_lsh_topk, X10_SQL),
+    "x11_minhash_dedup_pairs": (x11_minhash_dedup_pairs, X11_SQL),
+    "x12_embedding_neardup_lsh": (x12_embedding_neardup_lsh, X12_SQL),
 }
