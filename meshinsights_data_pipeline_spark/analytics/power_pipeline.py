@@ -229,8 +229,20 @@ def build_power_pipeline(
     cols: Columns | None = None,
     params: VarianceParams = VarianceParams(),
     config: PipelineConfig | None = None,
+    stage_pairs=None,
 ) -> Pipeline:
-    """Assemble the workload with the canonical conditions (OPS:513-526)."""
+    """Assemble the workload with the canonical conditions (OPS:513-526):
+    thresholds always computed after variance is known; the AI curation step
+    runs iff some stage is "High" variance. The API dispatch itself stays
+    explicit-trigger-only (genai.classification.trigger, EPC:486-493)."""
+    from meshinsights_data_pipeline_spark.genai.classification import (
+        AiClassificationStep,
+        any_high_variance,
+    )
+    from meshinsights_data_pipeline_spark.genai.weekly_summary import (
+        DEFAULT_STAGE_PAIRS,
+    )
+
     cols = cols or Columns()
 
     def any_issues_or_variance(ctx: PipelineContext) -> bool:
@@ -244,8 +256,17 @@ def build_power_pipeline(
             CurateStageDataStep(cols),
             ClassifyVarianceCuratedStep(cols),
             CalculateThresholdsStep(cols),
+            AiClassificationStep(
+                stage_col=cols.stage,
+                value_col=cols.value,
+                ts_col=cols.ts,
+                stage_pairs=stage_pairs or DEFAULT_STAGE_PAIRS,
+            ),
         ],
-        conditions={"calculate_thresholds": any_issues_or_variance},
+        conditions={
+            "calculate_thresholds": any_issues_or_variance,
+            "ai_classification": any_high_variance,
+        },
         config=config,
         name="power_analysis",
     )
