@@ -278,13 +278,75 @@ FROM base ORDER BY doc_id
 
 
 def x09_lang_id(spark: SparkSession, sf_dir: str):
-    """n-gram-profile language ID (Pandas UDF) — rows-only check (the
-    profile table is not practical to mirror in SQL)."""
+    """n-gram-profile language ID (Pandas UDF), fully oracle-checked: the
+    fixed trigram profiles are mirrored in DuckDB as replace-count
+    expressions with identical non-overlapping count semantics and the same
+    (score, lang-code) tie-break."""
     from meshinsights_data_pipeline_spark.session import ensure_package_on_workers
 
     docs = read_table(spark, sf_dir, "documents")
     ensure_package_on_workers(spark)
     return T.lang_id(docs, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of operators.text.lang_id.
+
+    Python ``s.count(g)`` counts non-overlapping occurrences left-to-right —
+    exactly ``(len(s) - len(replace(s, g, ''))) / len(g)``. The UDF's
+    ``max(scores, key=lambda k: (scores[k], k))`` resolves score ties to the
+    lexicographically LARGER language code, reproduced by the CASE order
+    below (fr > es > en > de). CJK short-circuit: >20% of the first 200
+    chars in the Han range."""
+    profiles = {
+        "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+        "de": ["en ", " de", "der", "er ", "ie ", " di", "die", "ch ", "sch", "ein"],
+        "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"],
+        "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"],
+    }
+
+    def count_expr(gram: str) -> str:
+        g = gram.replace("'", "''")
+        return f"((length(s) - length(replace(s, '{g}', ''))) / 3)"
+
+    score_cols = ", ".join(
+        "(" + " + ".join(count_expr(g) for g in grams) + f") AS sc_{lang}"
+        for lang, grams in profiles.items()
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               ' ' || lower(text) || ' ' AS s,
+               substr(text, 1, 200) AS head
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text, head, {score_cols} FROM base
+    ),
+    best AS (
+        SELECT doc_id, lang, text, head,
+               GREATEST(sc_en, sc_de, sc_fr, sc_es) AS best_score,
+               CASE
+                   WHEN sc_fr >= sc_es AND sc_fr >= sc_en AND sc_fr >= sc_de THEN 'fr'
+                   WHEN sc_es >= sc_en AND sc_es >= sc_de THEN 'es'
+                   WHEN sc_en >= sc_de THEN 'en'
+                   ELSE 'de'
+               END AS best_lang
+        FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE
+               WHEN text IS NULL OR text = '' THEN 'und'
+               WHEN length(regexp_replace(head, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                    > length(head) * 0.2 THEN 'zh'
+               WHEN best_score > 0 THEN best_lang
+               ELSE 'und'
+           END AS lang_pred
+    FROM best ORDER BY doc_id
+    """
+
+
+X09_SQL = _lang_id_sql()
 
 
 _EMB_DIM = 64  # testdata embeddings are fixed 64-dim (TESTDATA.md tables)
@@ -430,6 +492,56 @@ def _neardup_lsh_sql(threshold: float = 0.4, bits: int = 4, tables: int = 4, see
 X12_SQL = _neardup_lsh_sql()
 
 
+def x13_multimodal_meta(spark: SparkSession, sf_dir: str):
+    """Multimodal binary-column plumbing over a deterministic media table
+    derived from documents (payload = utf-8 bytes of the text, modality by
+    doc_id % 3): JVM-side metadata (byte length + content hash) plus the
+    video frame-sampling explode, counted per media row."""
+    from meshinsights_data_pipeline_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 2, (F.col("n_chars") * 10).cast("int")).alias(
+            "duration_ms"
+        ),
+    )
+    meta = M.attach_payload_metadata(media)
+    frames = M.sample_frames(media, every_ms=1000).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        meta.join(frames, "media_id", "left")
+        .select("media_id", "modality", "n_bytes", "payload_hash", "n_frames")
+        .orderBy("media_id")
+    )
+
+
+X13_SQL = """
+WITH media AS (
+    SELECT 'm' || doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           text,
+           CASE WHEN doc_id % 3 = 2 THEN n_chars * 10 END AS duration_ms
+    FROM documents
+)
+SELECT media_id, modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_hash,
+       CASE WHEN modality = 'video'
+            THEN GREATEST(CAST(FLOOR(duration_ms / 1000.0) AS BIGINT), 1)
+       END AS n_frames
+FROM media ORDER BY media_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -439,8 +551,9 @@ EXTENSION_BUILDERS = {
     "x06_cosine_topk": (x06_cosine_topk, X06_SQL),
     "x07_embedding_neardup": (x07_embedding_neardup, X07_SQL),
     "x08_text_stats": (x08_text_stats, X08_SQL),
-    "x09_lang_id": (x09_lang_id, None),
+    "x09_lang_id": (x09_lang_id, X09_SQL),
     "x10_rp_lsh_topk": (x10_rp_lsh_topk, X10_SQL),
     "x11_minhash_dedup_pairs": (x11_minhash_dedup_pairs, X11_SQL),
     "x12_embedding_neardup_lsh": (x12_embedding_neardup_lsh, X12_SQL),
+    "x13_multimodal_meta": (x13_multimodal_meta, X13_SQL),
 }

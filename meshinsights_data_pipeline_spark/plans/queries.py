@@ -33,6 +33,7 @@ from meshinsights_data_pipeline_spark.operators.recent_n import recent_n
 from meshinsights_data_pipeline_spark.operators.rcv import robust_cv
 from meshinsights_data_pipeline_spark.operators.sessionize import sessionize
 from meshinsights_data_pipeline_spark.operators.valid_cycles import filter_valid_cycles
+from meshinsights_data_pipeline_spark.operators.weekly import sunday_week_start, week_label
 
 
 @dataclass(frozen=True)
@@ -430,7 +431,47 @@ _ORACLES: dict[str, str] = {
         GROUP BY e.user_id, e.cycle
         ORDER BY e.user_id, e.cycle
     """,
+    # Sunday-on-or-before via dayofweek (DuckDB: Sunday=0) mirrors Spark's
+    # date_sub(next_day(ts,'SUN'),7).
+    "q26": """
+        WITH w AS (
+            SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS wk_start,
+                   event_type, value
+            FROM events
+        )
+        SELECT wk_start,
+               strftime(wk_start, '%Y-%m-%d') || ' - ' ||
+               strftime(wk_start + 6, '%Y-%m-%d') AS wk_label,
+               event_type, COUNT(*) AS cnt,
+               ROUND(AVG(value), 0) AS mean_v,
+               ROUND(MEDIAN(value), 0) AS med_v,
+               ROUND(STDDEV_POP(value), 0) AS sd
+        FROM w
+        GROUP BY wk_start, wk_label, event_type
+        ORDER BY wk_start, event_type
+    """,
 }
+
+def q26(spark, sf_dir):
+    """W3/W4 Sunday-start weekly stats with the reference's week label
+    "{sunday} - {saturday}" (ExampleAiCode.md:203-221) — the next_day
+    arithmetic the Monday-week Q14 cannot exercise."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            sunday_week_start(F.col("ts")).alias("wk_start"),
+            week_label(F.col("ts")).alias("wk_label"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 0).alias("mean_v"),
+            F.round(F.median("value"), 0).alias("med_v"),
+            F.round(F.stddev_pop("value"), 0).alias("sd"),
+        )
+        .orderBy("wk_start", "event_type")
+    )
+
 
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
@@ -438,6 +479,7 @@ _BUILDERS = {
     "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
+    "q26": q26,
 }
 
 QUERIES: dict[str, Query] = {

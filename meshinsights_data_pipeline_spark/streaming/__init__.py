@@ -1,0 +1,19 @@
+"""Structured Streaming variants of the batch operators (SURVEY §2.10).
+
+The reference is batch-only; these are the north-star extension surface
+(BASELINE approach: "DataFrame ops + Structured Streaming"). Each streaming
+operator is the watermarked/stateful twin of a batch operator and is tested
+for PARITY against it via foreachBatch collection over a bounded stream.
+"""
+
+from meshinsights_data_pipeline_spark.streaming.windows import (
+    streaming_session_window,
+    streaming_sunday_weekly_stats,
+    streaming_weekly_stats,
+)
+
+__all__ = [
+    "streaming_session_window",
+    "streaming_weekly_stats",
+    "streaming_sunday_weekly_stats",
+]

@@ -1,0 +1,140 @@
+"""Structured Streaming parity tests (SURVEY §2.10).
+
+Strategy: copy a bounded slice of the events table to a temp dir as ONE
+parquet file, read it back with readStream, run the streaming operator in
+update mode with foreachBatch collecting emitted rows, and compare against
+the batch twin computed with plain DataFrame ops on the same data. A single
+input file -> a single micro-batch -> every final aggregate is emitted
+exactly once, so the comparison is exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.weekly import sunday_week_start
+from meshinsights_data_pipeline_spark.session import read_table
+from meshinsights_data_pipeline_spark.streaming import (
+    streaming_session_window,
+    streaming_sunday_weekly_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bounded_stream_dir(spark, tmp_path_factory):
+    """Events plus one far-future '__flush__' row: in append mode the
+    watermark only passes a session/window once later data arrives, so the
+    flush row finalizes every REAL aggregate (its own stays pending and is
+    excluded from comparisons)."""
+    out = str(tmp_path_factory.mktemp("stream_src") / "events")
+    ev = read_table(spark, SF_DIR, "events")
+    flush = ev.limit(1).select(
+        F.lit(-1).alias("event_id"),
+        (F.lit(None).cast("timestamp")).alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).withColumn("ts", F.expr("timestamp'2030-01-01 00:00:00'"))
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").union(
+        flush
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, stream_df, tmp_path, mode):
+    """Execute a bounded stream; return collected rows. No-data micro-batches
+    (on by default) flush watermark-finalized state after the single data
+    batch, so append mode emits everything the flush row unblocks."""
+    batches = []
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [r for b in batches for r in b]
+
+
+def _canon(rows, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in rows)
+
+
+def test_session_window_parity_with_batch(spark, bounded_stream_dir, tmp_path):
+    schema = spark.read.parquet(bounded_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(bounded_stream_dir)
+
+    gap_s = 1800
+    streamed = _run_stream(
+        spark,
+        streaming_session_window(
+            stream, ["user_id"], ts_col="ts", value_col="value", gap="30 minutes"
+        ),
+        tmp_path,
+        mode="append",
+    )
+    streamed = [r for r in streamed if r["user_id"] != -1]
+
+    # Batch twin: gap-based sessionization via lag + running sum.
+    ev = spark.read.parquet(bounded_stream_dir).filter(F.col("user_id") != -1)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > gap_s,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = ev.withColumn("sid", F.sum(gap_flag).over(w))
+    batch = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.median("value").alias("median_value"),
+        )
+        .drop("sid")
+    )
+
+    cols = ["user_id", "session_start", "session_end", "cnt", "median_value"]
+    assert len(streamed) > 0
+    assert _canon(streamed, cols) == _canon(batch.collect(), cols)
+
+
+def test_sunday_weekly_parity_with_batch(spark, bounded_stream_dir, tmp_path):
+    schema = spark.read.parquet(bounded_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(bounded_stream_dir)
+
+    streamed = _run_stream(
+        spark,
+        streaming_sunday_weekly_stats(stream, "event_type", ts_col="ts", value_col="value"),
+        tmp_path,
+        mode="update",
+    )
+    streamed = [r for r in streamed if r["event_type"] != "__flush__"]
+
+    ev = spark.read.parquet(bounded_stream_dir).filter(F.col("event_type") != "__flush__")
+    batch = (
+        ev.groupBy(
+            sunday_week_start(F.col("ts")).cast("timestamp").alias("wk_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 0).alias("mean_v"),
+            F.round(F.median("value"), 0).alias("med_v"),
+            F.round(F.stddev_pop("value"), 0).alias("sd"),
+        )
+    )
+
+    cols = ["wk_start", "event_type", "cnt", "mean_v", "med_v", "sd"]
+    assert len(streamed) > 0
+    # Window starts must land exactly on the batch Sunday week keys.
+    assert _canon(streamed, cols) == _canon(batch.collect(), cols)
