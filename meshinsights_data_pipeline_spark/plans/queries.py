@@ -450,6 +450,24 @@ _ORACLES: dict[str, str] = {
         GROUP BY wk_start, wk_label, event_type
         ORDER BY wk_start, event_type
     """,
+    "q27": """
+        SELECT event_type,
+               COUNT(k) AS cnt, SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+        FROM (
+            SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "q28": """
+        SELECT r.r_name AS region_name,
+               COUNT(*) AS customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY region_name
+    """,
 }
 
 def q26(spark, sf_dir):
@@ -473,13 +491,50 @@ def q26(spark, sf_dir):
     )
 
 
+def q27(spark, sf_dir):
+    """JSON scalar extraction from the events.props column (north-star
+    scalar surface; the reference has no JSON ops — SURVEY §2.8). The
+    extracted value is aggregated so the JSON path runs over every row."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("cnt"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q28(spark, sf_dir):
+    """Star join: customer -> nation -> region with BOTH dims broadcast
+    (the 100 TB shape: fact scans stay shuffle-free; dims ship to every
+    executor). Aggregates customers per region."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
     "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
-    "q26": q26,
+    "q26": q26, "q27": q27, "q28": q28,
 }
 
 QUERIES: dict[str, Query] = {

@@ -1,0 +1,60 @@
+"""Physical-plan audits: the scale properties the engine relies on must be
+visible in the plans, not assumed (predicate pushdown, column pruning,
+broadcast joins, map-side partial aggregation, codegen).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q02")
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_q01_scan_prunes_columns(spark):
+    plan = _plan(spark, "q01")
+    # only the three projected columns reach the parquet reader
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_q28_dims_broadcast(spark):
+    plan = _plan(spark, "q28")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q09_partial_aggregation(spark):
+    plan = _plan(spark, "q09")
+    # hash aggregate splits into partial (map-side) + final around the shuffle
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_q25_no_python_udf(spark):
+    # the flagship E2E slice is pure JVM: no Python evaluation nodes
+    plan = _plan(spark, "q25")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+@pytest.mark.parametrize("name", ["q01", "q05", "q14", "q20", "q25"])
+def test_wholestage_codegen_present(spark, name):
+    # AQE's pre-execution plan string hides codegen stage markers; disable it
+    # for the audit so WholeStageCodegen subtrees print as "*(n)" prefixes.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in plan
