@@ -57,6 +57,42 @@ def distinct_count(df: DataFrame, group_by: Sequence[str], key_col: str, out_col
     return df.groupBy(*group_by).agg(F.countDistinct(key_col).alias(out_col))
 
 
+def approx_distinct_count(
+    df: DataFrame,
+    group_by: Sequence[str],
+    key_col: str,
+    rsd: float = 0.05,
+    out_col: str = "n_distinct_approx",
+) -> DataFrame:
+    """100 TB tier for A5: HyperLogLog++ distinct count.
+
+    One map-side-combinable sketch per group (constant memory per key) vs
+    the exact path's full shuffle of distinct values — the only viable shape
+    when key cardinality itself is huge. Never used in correctness oracles.
+    """
+    return df.groupBy(*group_by).agg(
+        F.approx_count_distinct(key_col, rsd=rsd).alias(out_col)
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    probabilities: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """100 TB tier for A2/A6: approximate percentiles (Greenwald-Khanna).
+
+    Mergeable sketches -> map-side partials + one small shuffle, instead of
+    the exact percentile's full sort per group. Accuracy trades memory for
+    error (~1/accuracy relative rank error)."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    return df.groupBy(*group_by).agg(
+        F.percentile_approx(value_col, probs, F.lit(accuracy)).alias("quantiles_approx")
+    )
+
+
 def weekly_stats(
     df: DataFrame,
     ts_col: str,

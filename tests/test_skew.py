@@ -97,3 +97,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_approx_tier_close_to_exact(spark):
+    """100 TB tier sketches: bounded error vs the exact aggregates."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        approx_distinct_count,
+        approx_quantiles,
+        distinct_count,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    exact = {r["event_type"]: r["n_distinct"]
+             for r in distinct_count(ev, ["event_type"], "user_id").collect()}
+    approx = {r["event_type"]: r["n_distinct_approx"]
+              for r in approx_distinct_count(ev, ["event_type"], "user_id", rsd=0.05).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.15 * v)
+
+    qa = {r["event_type"]: r["quantiles_approx"]
+          for r in approx_quantiles(ev, ["event_type"], "value").collect()}
+    med = {r["event_type"]: r["med"]
+           for r in ev.groupBy("event_type").agg(F.median("value").alias("med")).collect()}
+    for k, (q25, q50, q75) in qa.items():
+        assert q25 <= q50 <= q75
+        assert abs(q50 - med[k]) <= max(1.0, 0.1 * abs(med[k]))
