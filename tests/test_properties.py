@@ -1,0 +1,86 @@
+"""Property-based tests for the SURVEY §4 semantic traps.
+
+Each property pits a Spark operator against a plain-Python reference
+implementation on randomized inputs — the failure modes these guard
+(nondeterministic mode ties, Monday-vs-Sunday weeks, positional tail
+semantics, string-edge behavior) are exactly where a naive port diverges
+from the pandas reference. Example counts are kept small: every example is
+a Spark job.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import date, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.functions.scalars import string_tail_lower
+from meshinsights_data_pipeline_spark.operators.mode import grouped_mode
+from meshinsights_data_pipeline_spark.operators.weekly import (
+    sunday_week_start,
+    week_label,
+)
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 5)), min_size=1, max_size=60
+    )
+)
+@SLOW
+def test_grouped_mode_matches_pandas_tiebreak(spark, rows):
+    """A3: mode = highest count, ties -> SMALLEST value (pandas idxmax over
+    group-sorted pair counts, EPC:188-202)."""
+    df = spark.createDataFrame(rows, "g int, v int")
+    got = {
+        r["g"]: r["mode_v"]
+        for r in grouped_mode(df, ["g"], "v", out_col="mode_v").collect()
+    }
+    for g in {g for g, _ in rows}:
+        counts = Counter(v for gg, v in rows if gg == g)
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        assert got[g] == best, f"group {g}: {got[g]} != {best} ({counts})"
+
+
+@given(d=st.dates(min_value=date(1990, 1, 6), max_value=date(2100, 12, 25)))
+@SLOW
+def test_sunday_week_start_properties(spark, d):
+    """W3/W4: result is the Sunday ON OR BEFORE the date; label spans 7 days."""
+    row = spark.createDataFrame([(d,)], "d date").select(
+        sunday_week_start(F.col("d")).alias("wk"),
+        week_label(F.col("d")).alias("label"),
+    ).collect()[0]
+    wk: date = row["wk"]
+    assert wk.isoweekday() == 7  # Sunday
+    assert wk <= d and (d - wk).days <= 6
+    assert row["label"] == f"{wk.isoformat()} - {(wk + timedelta(days=6)).isoformat()}"
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=30,
+    ),
+    n=st.integers(-3, 40),
+)
+@SLOW
+def test_string_tail_lower_matches_python(spark, s, n):
+    """F1 edges (adx_plugin.py:278-286): n <= 0 -> '', n >= len -> whole
+    string lowercased, else last n chars lowercased."""
+    expected = "" if n <= 0 else s[-n:].lower() if s else ""
+    got = (
+        spark.createDataFrame([(s,)], "s string")
+        .select(string_tail_lower(F.col("s"), n).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == expected, f"{s!r} n={n}: {got!r} != {expected!r}"
