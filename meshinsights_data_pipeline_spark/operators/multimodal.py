@@ -106,6 +106,30 @@ def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = 8) 
     return with_meta.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def chunk_audio(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Fixed-duration chunk plan for audio rows: one output row per chunk
+    window, end capped at the clip duration. Same explode fan-out shape as
+    sample_frames — chunk rows stay colocated with their source shard, and
+    a decoder (stubbed in this container) maps over the (payload, start,
+    end) triples downstream."""
+    n_chunks = F.ceil(
+        F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(chunk_ms)
+    ).cast("int")
+    return (
+        df.filter(F.col("modality") == "audio")
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))),
+        )
+        .withColumn("chunk_start_ms", F.col("chunk_idx") * chunk_ms)
+        .withColumn(
+            "chunk_end_ms",
+            F.least(F.col("chunk_start_ms") + chunk_ms, F.coalesce(F.col("duration_ms"), F.lit(chunk_ms))),
+        )
+        .select("media_id", "chunk_idx", "chunk_start_ms", "chunk_end_ms")
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (the decode itself is the stub above). The explode is real —

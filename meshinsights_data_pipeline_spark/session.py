@@ -112,6 +112,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def list_tables(spark: SparkSession) -> list[str]:
+    """Catalog table listing — parity with the reference ADX connector's
+    ``.show tables | project TableName`` helper (adx_plugin.py:301-304),
+    answered by the session catalog instead of a remote engine."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True) -> dict[str, DataFrame]:
     """Load the testdata star schema as lazy DataFrames; register temp views.
 

@@ -182,3 +182,29 @@ def test_frame_sampling(spark):
     assert sorted(by_id["v1"]) == [0, 1000, 2000]
     assert by_id["v2"] == [0]
     assert "i1" not in by_id
+
+
+def test_audio_chunking(spark):
+    from meshinsights_data_pipeline_spark.operators.multimodal import chunk_audio
+
+    df = spark.createDataFrame(
+        [("a1", "audio", 12000), ("a2", "audio", 4000), ("v1", "video", 9000)],
+        "media_id string, modality string, duration_ms int",
+    )
+    out = chunk_audio(df, chunk_ms=5000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["chunk_start_ms"], r["chunk_end_ms"])
+        )
+    assert sorted(by_id["a1"]) == [(0, 0, 5000), (1, 5000, 10000), (2, 10000, 12000)]
+    assert by_id["a2"] == [(0, 0, 4000)]
+    assert "v1" not in by_id  # video rows go through sample_frames instead
+
+
+def test_list_tables(spark):
+    from meshinsights_data_pipeline_spark.session import list_tables, load_tables
+
+    load_tables(spark, "/root/testdata/sf0.001")
+    got = list_tables(spark)
+    assert "events" in got and "lineitem" in got
