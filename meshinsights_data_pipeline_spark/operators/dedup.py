@@ -241,6 +241,43 @@ def minhash_dedup_pairs(
     )
 
 
+def fuzzy_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Edit-distance near-dup: LSH candidates -> normalized Levenshtein
+    similarity (1 - dist / max(len)), keep pairs >= threshold.
+
+    The fuzzy-match surface (SURVEY phase 6; the reference ships rapidfuzz
+    in its dependency set) built from Spark's JVM-side ``levenshtein`` —
+    no Python in the loop. Same scale shape as minhash_dedup_pairs: the
+    quadratic edit-distance work only runs on LSH candidate pairs, never on
+    corpus^2. Returns [id_a, id_b, similarity].
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n)
+    norm = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("nt"))
+    na = norm.select(F.col(id_col).alias("id_a"), F.col("nt").alias("nt_a"))
+    nb = norm.select(F.col(id_col).alias("id_b"), F.col("nt").alias("nt_b"))
+    return (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "similarity",
+            F.round(
+                1
+                - F.levenshtein(F.col("nt_a"), F.col("nt_b"))
+                / F.greatest(F.length("nt_a"), F.length("nt_b"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash signature over word-token hashes.
 

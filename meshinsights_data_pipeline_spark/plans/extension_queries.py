@@ -546,6 +546,54 @@ FROM media ORDER BY media_id
 """
 
 
+def x14_fuzzy_neardup(spark: SparkSession, sf_dir: str):
+    """Fuzzy (edit-distance) near-dup over LSH candidates: normalized
+    Levenshtein similarity >= 0.25 on candidate pairs (threshold sized to
+    the synthetic corpus so the result is non-degenerate)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.fuzzy_neardup_pairs(docs, "doc_id", "text", threshold=0.25).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _fuzzy_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.25) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+    WITH {_shingles_cte()},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    norms AS (SELECT doc_id, {norm} AS nt FROM documents)
+    SELECT id_a, id_b, similarity FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(1 - levenshtein(na.nt, nb.nt) * 1.0 /
+                     GREATEST(length(na.nt), length(nb.nt), 1), 6) AS similarity
+        FROM cands c
+        JOIN norms na ON na.doc_id = c.id_a
+        JOIN norms nb ON nb.doc_id = c.id_b
+    )
+    WHERE similarity >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+X14_SQL = _fuzzy_sql()
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -560,4 +608,5 @@ EXTENSION_BUILDERS = {
     "x11_minhash_dedup_pairs": (x11_minhash_dedup_pairs, X11_SQL),
     "x12_embedding_neardup_lsh": (x12_embedding_neardup_lsh, X12_SQL),
     "x13_multimodal_meta": (x13_multimodal_meta, X13_SQL),
+    "x14_fuzzy_neardup": (x14_fuzzy_neardup, X14_SQL),
 }

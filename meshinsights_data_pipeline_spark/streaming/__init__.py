@@ -6,6 +6,9 @@ operator is the watermarked/stateful twin of a batch operator and is tested
 for PARITY against it via foreachBatch collection over a bounded stream.
 """
 
+from meshinsights_data_pipeline_spark.streaming.stateful import (
+    streaming_state_change_sessions,
+)
 from meshinsights_data_pipeline_spark.streaming.windows import (
     streaming_session_window,
     streaming_sunday_weekly_stats,
@@ -16,4 +19,5 @@ __all__ = [
     "streaming_session_window",
     "streaming_weekly_stats",
     "streaming_sunday_weekly_stats",
+    "streaming_state_change_sessions",
 ]

@@ -1,0 +1,92 @@
+"""Stateful streaming sessionization: the TRUE W1 twin.
+
+The batch cycle id (operators/sessionize.py, EPC semantics) increments on
+every STATE CHANGE of a state column — not on a time gap — so the faithful
+streaming version needs custom per-key state, which is exactly what
+``applyInPandasWithState`` provides (SURVEY §2.11 U4 / §2.10 note).
+
+State per key: (last_state_value, cycle_counter). Each micro-batch's rows
+are sorted by event time and walked once in pandas; the counter continues
+across batches, so a run spanning two micro-batches keeps ONE cycle id —
+the property the gap-based ``session_window`` variant cannot express.
+
+Ordering caveat (inherent to streaming): rows arriving in a later batch
+with earlier timestamps than already-processed rows would be labeled out of
+order. Feed batches in event-time order (e.g. time-partitioned sources) or
+reconcile with the batch operator downstream; the parity test uses a
+bounded in-order stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_state_change_sessions(
+    stream: DataFrame,
+    keys: list[str],
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Label consecutive constant-``state_col`` runs per key with a cycle id
+    that survives micro-batch boundaries.
+
+    Output: input columns + ``cycle`` (long, starts at 1 per key — batch
+    sessionize parity).
+    """
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField("cycle", LongType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_state", StringType()),
+            StructField("cycle", LongType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    field_names = [f.name for f in stream.schema.fields]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_state, cycle = state.get
+        else:
+            last_state, cycle = None, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        cycles = []
+        for s in batch[state_col]:
+            if last_state is None or s != last_state:
+                cycle += 1
+                last_state = s
+            cycles.append(cycle)
+        out = batch[field_names].copy()
+        out["cycle"] = pd.Series(cycles, dtype="int64")
+        state.update((last_state, cycle))
+        yield out
+
+    return (
+        stream.groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

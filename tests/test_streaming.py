@@ -138,3 +138,32 @@ def test_sunday_weekly_parity_with_batch(spark, bounded_stream_dir, tmp_path):
     assert len(streamed) > 0
     # Window starts must land exactly on the batch Sunday week keys.
     assert _canon(streamed, cols) == _canon(batch.collect(), cols)
+
+
+def test_state_change_sessionization_parity(spark, bounded_stream_dir, tmp_path):
+    """The applyInPandasWithState twin must reproduce the batch sessionize
+    cycle ids exactly on a bounded in-order stream."""
+    from meshinsights_data_pipeline_spark.operators.sessionize import sessionize
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_state_change_sessions,
+    )
+
+    schema = spark.read.parquet(bounded_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(bounded_stream_dir)
+
+    streamed = _run_stream(
+        spark,
+        streaming_state_change_sessions(
+            stream, ["user_id"], "event_type", "ts", tiebreak_col="event_id"
+        ),
+        tmp_path,
+        mode="append",
+    )
+    got = {r["event_id"]: r["cycle"] for r in streamed if r["user_id"] != -1}
+
+    ev = spark.read.parquet(bounded_stream_dir).filter(F.col("user_id") != -1)
+    batch = sessionize(ev, "event_type", ["ts", "event_id"], ["user_id"])
+    expected = {r["event_id"]: r["cycle"] for r in batch.collect()}
+
+    assert len(got) == len(expected) and len(got) > 0
+    assert got == expected
