@@ -183,6 +183,99 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its best centroid.
+
+    ``centroids`` is a small frame [centroid_id, centroid_vec] (broadcast).
+    Assignment = argmax cosine, ties to the lowest centroid id. Map-side
+    except the broadcast — the list id is the partition-pruning key for IVF
+    search, the same role the LSH bucket plays in rp_lsh_topk.
+    """
+    c = centroids.select(
+        F.col("centroid_id"),
+        F.transform(F.col("centroid_vec"), lambda x: x.cast("double")).alias("cv"),
+        _norm(F.col("centroid_vec")).alias("cn"),
+    )
+    v = _prep(df, id_col, vec_col, "v")
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "cscore",
+        F.round(_dot_d(F.col("v_vec"), F.col("cv")) / (F.col("v_norm") * F.col("cn")), 6),
+    )
+    w = Window.partitionBy("v_id").orderBy(F.col("cscore").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v_id").alias(id_col), F.col("centroid_id").alias("list_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose inverted list
+    is among the query's ``nprobe`` best centroids.
+
+    The second ANN scale path next to RP-LSH: centroids partition the corpus
+    into inverted lists (the write-time layout at scale — one list = one
+    partition, pruned at read); each query probes nprobe lists, so cost is
+    O(|Q| x N x nprobe / n_lists) instead of O(|Q| x N). Deterministic given
+    fixed centroids, hence fully oracle-checkable.
+    """
+    corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col("centroid_id"),
+        F.transform(F.col("centroid_vec"), lambda x: x.cast("double")).alias("cv"),
+        _norm(F.col("centroid_vec")).alias("cn"),
+    )
+    q = _prep(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
+    q_scored = q.crossJoin(F.broadcast(c)).withColumn(
+        "cscore",
+        F.round(_dot_d(F.col("q_vec"), F.col("cv")) / (F.col("q_norm") * F.col("cn")), 6),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", F.col("centroid_id").alias("list_id"))
+    )
+    cand = corpus_lists.join(F.broadcast(probes), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cv = _prep(corpus, id_col, vec_col, "c").withColumnRenamed("c_id", id_col)
+    scored = (
+        cand.join(cv, id_col)
+        .withColumn(
+            "score",
+            F.round(
+                _dot_d(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+        # a corpus vector can surface via one list only (hard assignment),
+        # so no dedup needed before ranking
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
+    )
+
+
 def _deterministic_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Fixed pseudo-random unit-free hyperplanes (LCG-based, seedable,
     reproducible across runs without numpy RNG state)."""

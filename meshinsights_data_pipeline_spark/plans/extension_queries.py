@@ -594,6 +594,68 @@ def _fuzzy_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.25) ->
 X14_SQL = _fuzzy_sql()
 
 
+def x15_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF approximate top-k: 16 deterministic coarse centroids (the 16
+    lowest-id vectors), nprobe=4. Fully oracle-checked — assignment,
+    probing, and scoring all mirror in DuckDB on the same table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return S.ivf_topk(emb, queries, centroids, k=10, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+X15_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+    SELECT vec_id, centroid_id AS list_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                         c.centroid_id ASC
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 105),
+probes AS (
+    SELECT query_id, qv, centroid_id AS list_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qv, c.cv) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                         c.centroid_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= 4
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND(list_dot_product(p.qv, e.v) /
+                 (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+    FROM assign a
+    JOIN probes p ON a.list_id = p.list_id
+    JOIN e ON e.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -609,4 +671,5 @@ EXTENSION_BUILDERS = {
     "x12_embedding_neardup_lsh": (x12_embedding_neardup_lsh, X12_SQL),
     "x13_multimodal_meta": (x13_multimodal_meta, X13_SQL),
     "x14_fuzzy_neardup": (x14_fuzzy_neardup, X14_SQL),
+    "x15_ivf_topk": (x15_ivf_topk, X15_SQL),
 }
