@@ -45,6 +45,34 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The analytics workload (GMM variance pipeline) is not SQL-expressible
+    # so it is benchmarked separately from the declared query set.
+    extras: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.analytics.power_pipeline import (
+            run_power_analysis,
+        )
+        from meshinsights_data_pipeline_spark.operators.sessionize import sessionize
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        ev = ev.select(
+            F.col("ts"),
+            F.col("event_type").alias("tstate"),
+            (F.abs(F.col("value")) * 100).alias("energy"),
+            "user_id",
+        )
+        ev = sessionize(ev, "tstate", ["ts"], ["user_id"]).withColumnRenamed(
+            "ts", "timeStamp"
+        )
+        t0 = time.perf_counter()
+        run_power_analysis(ev)
+        extras["power_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: power pipeline failed: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -53,6 +81,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": sf,
             }
         )

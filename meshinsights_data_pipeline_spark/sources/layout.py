@@ -1,0 +1,40 @@
+"""Write-side table layout: partitioned parquet without the small-files
+problem.
+
+100 TB rationale: a naive ``df.write.partitionBy(date)`` emits one file per
+(task x partition-value) — with 200 tasks x 365 days that is 73k files of a
+few MB each, and every downstream scan pays per-file open cost and loses
+row-group-level pruning. Repartitioning by the partition columns first
+collapses this to ~1 file per partition value (plus optional within-file
+ordering so min/max statistics actually prune).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet write with controlled file counts.
+
+    ``files_per_partition`` > 1 adds a salt so very large partition values
+    still parallelize; ``sort_within`` orders rows inside each file so
+    parquet min/max statistics prune at row-group granularity.
+    """
+    out = df
+    if files_per_partition <= 1:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        salt = (F.rand(seed=7) * files_per_partition).cast("int")
+        out = out.repartition(*([F.col(c) for c in partition_cols] + [salt]))
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -107,3 +107,31 @@ def test_kusto_normalizer(spark):
     assert r2["ts_str"] == pytest.approx(1.25)  # 00:00:01.25
     # lossy-decimal parity (adx_plugin.py:230)
     assert isinstance(r0["d"], float)
+
+
+def test_write_partitioned_file_layout(spark, tmp_path):
+    """Partition-aware write: one file per partition value, prunable scans."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.session import read_table
+    from meshinsights_data_pipeline_spark.sources.layout import write_partitioned
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, ["d"], sort_within=["user_id", "ts"])
+
+    part_dirs = glob.glob(f"{out}/d=*")
+    assert len(part_dirs) > 1
+    for p in part_dirs:
+        files = glob.glob(f"{p}/*.parquet")
+        assert len(files) == 1, f"{p} has {len(files)} files (want 1)"
+
+    # partition pruning reaches the scan
+    one_day = spark.read.parquet(out).filter(F.col("d") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in plan
+    assert one_day.count() == ev.filter(F.col("d") == "2024-01-03").count()
