@@ -656,6 +656,44 @@ WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def x16_asof_join(spark: SparkSession, sf_dir: str):
+    """As-of join: each 'view' event picks up the user's latest at-or-
+    earlier 'purchase' value. Spark side is the union + last-observation
+    window composition; the oracle is DuckDB's NATIVE ASOF JOIN — two
+    completely different implementations of the same semantics."""
+    from meshinsights_data_pipeline_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        views, purchases, ts_col="ts", by_cols=["user_id"], value_cols=["purchase_value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof", "purchase_value_asof"
+    ).orderBy("event_id")
+
+
+X16_SQL = """
+WITH views AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+purchases AS (
+    SELECT user_id, ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT v.event_id, v.user_id, v.ts,
+       p.ts AS ts_asof, p.purchase_value AS purchase_value_asof
+FROM views v ASOF JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+ORDER BY v.event_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -672,4 +710,5 @@ EXTENSION_BUILDERS = {
     "x13_multimodal_meta": (x13_multimodal_meta, X13_SQL),
     "x14_fuzzy_neardup": (x14_fuzzy_neardup, X14_SQL),
     "x15_ivf_topk": (x15_ivf_topk, X15_SQL),
+    "x16_asof_join": (x16_asof_join, X16_SQL),
 }
