@@ -694,6 +694,86 @@ ORDER BY v.event_id
 """
 
 
+def x17_interval_join(spark: SparkSession, sf_dir: str):
+    """Range join: lineitems counted into 26 OVERLAPPING 14-day promo
+    periods (start every 7 days from the min ship date — each shipment can
+    land in two periods). Spark side is the bucketized equi-join; the
+    oracle is DuckDB's native inequality (IE) join."""
+    from meshinsights_data_pipeline_spark.operators.rangejoin import interval_join
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    base = read_table(spark, sf_dir, "lineitem").agg(
+        F.min("l_shipdate").alias("m")
+    )
+    periods = (
+        spark.range(26)
+        .withColumnRenamed("id", "p_id")
+        .crossJoin(base)
+        .select(
+            "p_id",
+            (F.col("m") + F.col("p_id") * F.expr("INTERVAL 7 DAYS")).alias("p_start"),
+            (
+                F.col("m")
+                + F.col("p_id") * F.expr("INTERVAL 7 DAYS")
+                + F.expr("INTERVAL 13 DAYS")
+            ).alias("p_end"),
+        )
+    )
+    joined = interval_join(li, periods, "l_shipdate", "p_start", "p_end")
+    return (
+        joined.groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("p_id")
+    )
+
+
+X17_SQL = """
+WITH base AS (SELECT MIN(l_shipdate) AS m FROM lineitem),
+periods AS (
+    SELECT i AS p_id,
+           m + (i * INTERVAL 7 DAY) AS p_start,
+           m + (i * INTERVAL 7 DAY) + INTERVAL 13 DAY AS p_end
+    FROM range(26) t(i), base
+)
+SELECT p.p_id, COUNT(*) AS cnt
+FROM lineitem l JOIN periods p
+  ON l.l_shipdate BETWEEN p.p_start AND p.p_end
+GROUP BY p.p_id ORDER BY p.p_id
+"""
+
+
+def x18_time_rollup(spark: SparkSession, sf_dir: str):
+    """Hierarchical hour->day->week rollup of events per event_type; coarse
+    grains aggregate the finer grain's partials (one raw scan total). The
+    oracle computes each grain directly from raw rows — exact-decimal sums
+    make the two summation orders provably identical."""
+    from meshinsights_data_pipeline_spark.operators.rollup import time_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_rollup(ev, "ts", ["event_type"], "value").orderBy(
+        "grain", "bucket_start", "event_type"
+    )
+
+
+X18_SQL = """
+WITH base AS (
+    SELECT ts, event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events
+)
+SELECT 'hour' AS grain, DATE_TRUNC('hour', ts) AS bucket_start, event_type,
+       COUNT(*) AS cnt, CAST(SUM(v) AS DECIMAL(18,6)) AS total
+FROM base GROUP BY 2, 3
+UNION ALL
+SELECT 'day', DATE_TRUNC('day', ts), event_type,
+       COUNT(*), CAST(SUM(v) AS DECIMAL(18,6))
+FROM base GROUP BY 2, 3
+UNION ALL
+SELECT 'week', DATE_TRUNC('week', ts), event_type,
+       COUNT(*), CAST(SUM(v) AS DECIMAL(18,6))
+FROM base GROUP BY 2, 3
+ORDER BY grain, bucket_start, event_type
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -711,4 +791,6 @@ EXTENSION_BUILDERS = {
     "x14_fuzzy_neardup": (x14_fuzzy_neardup, X14_SQL),
     "x15_ivf_topk": (x15_ivf_topk, X15_SQL),
     "x16_asof_join": (x16_asof_join, X16_SQL),
+    "x17_interval_join": (x17_interval_join, X17_SQL),
+    "x18_time_rollup": (x18_time_rollup, X18_SQL),
 }
