@@ -774,6 +774,57 @@ ORDER BY grain, bucket_start, event_type
 """
 
 
+def x19_kusto_decode(spark: SparkSession, sf_dir: str):
+    """Kusto ingest-decode scalar family (F1/F2/W6) over a string-encoded
+    frame derived from events: sentinel-bearing numeric strings coerced to
+    doubles (NaN/Infinity/-Infinity/garbage), tick counts decoded to
+    seconds (100 ns units), string tails lower-cased."""
+    from meshinsights_data_pipeline_spark.functions.scalars import (
+        coerce_numeric_sentinels,
+        string_tail_lower,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    encoded = ev.select(
+        "event_id",
+        F.when(F.col("value") > 95, F.lit("NaN"))
+        .when(F.col("value") < -95, F.lit("-Infinity"))
+        .when(F.col("value").between(-0.5, 0.5), F.lit("not-a-number"))
+        .otherwise(F.format_string("%.4f", F.col("value")))
+        .alias("raw_str"),
+        (F.abs(F.col("value")) * 1e7).cast("bigint").alias("ticks"),
+        F.col("event_type"),
+    )
+    return encoded.select(
+        "event_id",
+        coerce_numeric_sentinels("raw_str").alias("decoded"),
+        F.round(F.col("ticks") / 1e7, 6).alias("duration_s"),
+        string_tail_lower("event_type", 3).alias("tail"),
+    ).orderBy("event_id")
+
+
+X19_SQL = """
+WITH encoded AS (
+    SELECT event_id,
+           CASE WHEN value > 95 THEN 'NaN'
+                WHEN value < -95 THEN '-Infinity'
+                WHEN value BETWEEN -0.5 AND 0.5 THEN 'not-a-number'
+                ELSE printf('%.4f', value) END AS raw_str,
+           CAST(ABS(value) * 1e7 AS BIGINT) AS ticks,
+           event_type
+    FROM events
+)
+SELECT event_id,
+       CASE WHEN raw_str = 'NaN' THEN 'NaN'::DOUBLE
+            WHEN raw_str = 'Infinity' THEN 'Infinity'::DOUBLE
+            WHEN raw_str = '-Infinity' THEN '-Infinity'::DOUBLE
+            ELSE TRY_CAST(raw_str AS DOUBLE) END AS decoded,
+       ROUND(ticks / 1e7, 6) AS duration_s,
+       LOWER(RIGHT(event_type, 3)) AS tail
+FROM encoded ORDER BY event_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -793,4 +844,5 @@ EXTENSION_BUILDERS = {
     "x16_asof_join": (x16_asof_join, X16_SQL),
     "x17_interval_join": (x17_interval_join, X17_SQL),
     "x18_time_rollup": (x18_time_rollup, X18_SQL),
+    "x19_kusto_decode": (x19_kusto_decode, X19_SQL),
 }
