@@ -62,12 +62,15 @@ def time_rollup(
         )
     stacked = None
     for g in grains:
+        # Aggregation is exact DECIMAL throughout; the OUTPUT is a plain
+        # double (deterministic cast of an exact value) so consumers and
+        # cross-engine comparisons see a standard type.
         lvl = levels[g].select(
             F.lit(g).alias("grain"),
             "bucket_start",
             *group_cols,
             "cnt",
-            F.col("total").cast("decimal(18,6)").alias("total"),
+            F.col("total").cast("decimal(18,6)").cast("double").alias("total"),
         )
         stacked = lvl if stacked is None else stacked.unionByName(lvl)
     return stacked

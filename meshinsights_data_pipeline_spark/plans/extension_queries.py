@@ -760,15 +760,15 @@ WITH base AS (
     SELECT ts, event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events
 )
 SELECT 'hour' AS grain, DATE_TRUNC('hour', ts) AS bucket_start, event_type,
-       COUNT(*) AS cnt, CAST(SUM(v) AS DECIMAL(18,6)) AS total
+       COUNT(*) AS cnt, CAST(CAST(SUM(v) AS DECIMAL(18,6)) AS DOUBLE) AS total
 FROM base GROUP BY 2, 3
 UNION ALL
 SELECT 'day', DATE_TRUNC('day', ts), event_type,
-       COUNT(*), CAST(SUM(v) AS DECIMAL(18,6))
+       COUNT(*), CAST(CAST(SUM(v) AS DECIMAL(18,6)) AS DOUBLE)
 FROM base GROUP BY 2, 3
 UNION ALL
 SELECT 'week', DATE_TRUNC('week', ts), event_type,
-       COUNT(*), CAST(SUM(v) AS DECIMAL(18,6))
+       COUNT(*), CAST(CAST(SUM(v) AS DECIMAL(18,6)) AS DOUBLE)
 FROM base GROUP BY 2, 3
 ORDER BY grain, bucket_start, event_type
 """
