@@ -1,0 +1,173 @@
+"""Training-corpus preparation operators: fixed-token chunking, winnowing
+fingerprints, and Gopher-style quality rules.
+
+North-star extension for 100 TB training-data pipelines (no reference
+counterpart — these are the ops a pretraining pipeline runs between raw
+scrape and tokenizer):
+
+- chunk_documents: split each document into fixed-token-budget chunks for
+  context-window packing. Pure map-side (split + sequence + posexplode) —
+  no shuffle at all; at 100 TB this runs at parquet-scan speed and the
+  output inherits the input partitioning.
+- winnow_fingerprints: the winnowing document-fingerprint scheme
+  (Schleimer, Wilkerson, Aiken, SIGMOD 2003): take the minimum shingle
+  hash in every sliding window of w consecutive shingles, keep the
+  distinct selected hashes. Guarantees any shared substring of length
+  >= w + k - 1 tokens produces a shared fingerprint, with expected
+  density 2/(w+1) — the standard plagiarism/near-dup fingerprint at
+  corpus scale. One window shuffle on doc id, then a distinct.
+- gopher_quality: the published Gopher quality heuristics (Rae et al.
+  2021, "Scaling Language Models", Table A1) adapted to whitespace
+  tokens: token-count bounds, mean-word-length bounds, alphabetic-token
+  ratio, and a minimum distinct-stopword hit count. All built-in
+  expressions — map-side, codegen, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
+from meshinsights_data_pipeline_spark.operators.text import STOPWORDS, normalized_text
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 32
+) -> DataFrame:
+    """Split each doc into consecutive whitespace-token chunks of at most
+    ``chunk_tokens`` tokens.
+
+    Returns [id, chunk_id, chunk_text, n_tokens]; chunk_id is 0-based.
+    Entirely narrow (no shuffle): split -> sequence -> posexplode -> slice.
+    """
+    c = int(chunk_tokens)
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).withColumn("_nchunks", F.ceil(F.size("_w") / F.lit(float(c))).cast("bigint"))
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_nchunks") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    piece = F.slice(F.col("_w"), (F.col("chunk_id") * c + 1).cast("int"), c)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )
+
+
+def positional_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Ordered word-n-gram shingle hashes per doc: [id, pos, h] with pos
+    0-based over the shingle sequence (duplicates kept — winnowing needs
+    the positional sequence, unlike the distinct set in
+    dedup.shingle_hashes). Docs with fewer than n tokens contribute the
+    whole normalized text as their single position-0 shingle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    grams = (
+        toks.select(F.col(id_col), F.col("pos"), F.col("tok"), *leads)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ", F.col("tok"), *[F.col(f"t{i}") for i in range(1, n)]
+            ).alias("shingle"),
+        )
+    )
+    short = (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) < n)
+        .select(F.col(id_col), F.lit(0).cast("bigint").alias("pos"), "shingle")
+    )
+    return grams.union(short).withColumn("h", md5_int60(F.col("shingle"))).drop(
+        "shingle"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints: distinct min-hash per sliding window of ``w``
+    consecutive word-``n``-gram hashes (Schleimer et al. 2003, §3).
+
+    Returns [id, fp] distinct. Docs with fewer than ``w`` shingles yield
+    their single global-min hash (the degenerate one-window case). One
+    window shuffle on the doc id — the same partitioning every per-doc
+    window op here uses, so at scale it co-schedules with sessionization-
+    style stages.
+    """
+    sh = positional_shingle_hashes(df, id_col, text_col, n)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    scored = sh.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("h").over(frame).alias("fp"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("_cnt"),
+    )
+    # A window is complete iff w shingles start at pos; short docs keep the
+    # pos-0 window (global min over everything they have).
+    valid = scored.filter(
+        (F.col("pos") <= F.col("_cnt") - w) | ((F.col("_cnt") < w) & (F.col("pos") == 0))
+    )
+    _ = win  # orderBy discipline documented; frame carries it
+    return valid.select(F.col(id_col), F.col("fp")).distinct()
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-rule quality signals per doc (Rae et al. 2021, Table A1,
+    adapted to whitespace tokens):
+
+    - ok_tokens:   20 <= token count <= 100000
+    - ok_wordlen:  2 <= mean word length <= 10
+    - ok_alpha:    >= 80% of tokens contain an alphabetic character
+    - ok_stop:     >= 2 distinct common stopwords present
+    - keep = all of the above
+
+    Returns [id, n_tok, mean_wlen, alpha_ratio, stop_hits, keep]. Pure
+    map-side expressions: at 100 TB this is a single parquet scan with the
+    predicate evaluated inside whole-stage codegen.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_tok = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wlen = total_chars / n_tok
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = alpha / n_tok
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tok"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_tok").between(20, 100000)
+        & F.col("mean_wlen").between(2.0, 10.0)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("keep", keep)

@@ -825,6 +825,92 @@ FROM encoded ORDER BY event_id
 """
 
 
+def x20_doc_chunks(spark: SparkSession, sf_dir: str):
+    """Fixed-token-budget chunking for context-window packing: each doc
+    split into consecutive 32-whitespace-token chunks (corpus.chunk_documents
+    — narrow plan, no shuffle)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+X20_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(w[i*32+1 : i*32+32], ' ') AS chunk_text,
+       len(w[i*32+1 : i*32+32]) AS n_tokens
+FROM toks, UNNEST(range(CAST(ceil(len(w)/32.0) AS BIGINT))) AS r(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def x21_winnow_fingerprints(spark: SparkSession, sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003): min 60-bit
+    hash per sliding window of 4 consecutive word-3-gram shingles, distinct
+    per doc (corpus.winnow_fingerprints)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", n=3, w=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
+_X21_NORM = _NORM_SQL.format(col="text")
+X21_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_X21_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H60_SQL.format(s="array_to_string(w[i:i+2], ' ')")} AS h
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS r(i)
+  WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, 0 AS pos, {_H60_SQL.format(s="array_to_string(w, ' ')")} AS h
+  FROM toks WHERE len(w) < 3
+),
+scored AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM scored
+WHERE pos <= cnt - 4 OR (cnt < 4 AND pos = 0)
+ORDER BY doc_id, fp
+"""
+
+
+def x22_gopher_quality(spark: SparkSession, sf_dir: str):
+    """Gopher-rule quality signals (Rae et al. 2021 Table A1, adapted):
+    token-count / mean-word-length bounds, alphabetic-token ratio, distinct
+    stopword hits, and the composed keep flag (corpus.gopher_quality)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import gopher_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_quality(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_X22_STOPS = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+X22_SQL = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL.format(col='text')}, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, len(w) AS n_tok,
+    ROUND(list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w), 6) AS mean_wlen,
+    ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(w), 6) AS alpha_ratio,
+    len(list_intersect(list_distinct(w), [{_X22_STOPS}])) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_tok, mean_wlen, alpha_ratio, stop_hits,
+       (n_tok BETWEEN 20 AND 100000 AND mean_wlen BETWEEN 2.0 AND 10.0
+        AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -845,4 +931,7 @@ EXTENSION_BUILDERS = {
     "x17_interval_join": (x17_interval_join, X17_SQL),
     "x18_time_rollup": (x18_time_rollup, X18_SQL),
     "x19_kusto_decode": (x19_kusto_decode, X19_SQL),
+    "x20_doc_chunks": (x20_doc_chunks, X20_SQL),
+    "x21_winnow_fingerprints": (x21_winnow_fingerprints, X21_SQL),
+    "x22_gopher_quality": (x22_gopher_quality, X22_SQL),
 }

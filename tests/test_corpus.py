@@ -1,0 +1,86 @@
+"""Unit tests for training-corpus preparation ops (operators/corpus.py):
+fixed-token chunking, winnowing fingerprints, Gopher quality rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    gopher_quality,
+    winnow_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunking_exact_split(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, text)])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4).orderBy("chunk_id")
+    rows = out.collect()
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[2].chunk_text == "w8 w9"
+    assert [r.n_tokens for r in rows] == [4, 4, 2]
+    # Token-count conservation: no token lost or duplicated.
+    assert sum(r.n_tokens for r in rows) == 10
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "only three tokens")])
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=32).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0 and rows[0].n_tokens == 3
+
+
+def test_chunking_is_narrow_no_shuffle(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    # Winnowing guarantee (Schleimer et al. 2003): a shared run of
+    # >= w + n - 1 = 6 tokens forces at least one shared fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [(1, "one two " + shared), (2, shared + " nine ten"), (3, "totally different words here now ok fine yes")],
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", n=3, w=4)
+    a = {r.fp for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fp for r in fps.filter(F.col("doc_id") == 2).collect()}
+    c = {r.fp for r in fps.filter(F.col("doc_id") == 3).collect()}
+    assert a & b, "docs sharing an 8-token run must share a fingerprint"
+    assert not (a & c) and not (b & c)
+
+
+def test_winnowing_short_doc_global_min(spark):
+    # 4 tokens -> 2 shingles < w=4 windows -> single global-min fingerprint.
+    df = _docs(spark, [(1, "a b c d")])
+    rows = winnow_fingerprints(df, "doc_id", "text", n=3, w=4).collect()
+    assert len(rows) == 1
+
+
+def test_winnowing_density(spark):
+    # Expected density of selected fingerprints is ~2/(w+1); sanity-check
+    # the selected set is a strict, non-empty subset of all shingles.
+    text = " ".join(f"tok{i % 17}" for i in range(200))
+    df = _docs(spark, [(1, text)])
+    n_fp = winnow_fingerprints(df, "doc_id", "text", n=3, w=4).count()
+    assert 0 < n_fp < 198  # 198 shingles total
+
+
+def test_gopher_rules(spark):
+    good = "the quick brown fox jumps over a lazy dog " * 3  # 30 tokens, stopwords
+    short = "the a tiny doc"  # fails token bound
+    no_stop = " ".join(f"word{i}" for i in range(30))  # fails stopword rule
+    df = _docs(spark, [(1, good), (2, short), (3, no_stop)])
+    rows = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].n_tok < 20
+    assert rows[3].keep is False and rows[3].stop_hits == 0
+    assert rows[1].alpha_ratio == 1.0
