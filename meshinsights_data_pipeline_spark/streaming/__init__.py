@@ -6,6 +6,7 @@ operator is the watermarked/stateful twin of a batch operator and is tested
 for PARITY against it via foreachBatch collection over a bounded stream.
 """
 
+from meshinsights_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
 from meshinsights_data_pipeline_spark.streaming.stateful import (
     streaming_state_change_sessions,
 )
@@ -20,4 +21,5 @@ __all__ = [
     "streaming_weekly_stats",
     "streaming_sunday_weekly_stats",
     "streaming_state_change_sessions",
+    "streaming_exact_dedup",
 ]

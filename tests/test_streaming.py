@@ -167,3 +167,32 @@ def test_state_change_sessionization_parity(spark, bounded_stream_dir, tmp_path)
 
     assert len(got) == len(expected) and len(got) > 0
     assert got == expected
+
+
+def test_streaming_exact_dedup_parity(spark, tmp_path):
+    """Streaming dedup keeps the first arrival per fingerprint; the batch op
+    keeps the min id. The surviving fingerprint SET must be identical, and
+    the streamed survivor count must equal the batch survivor count."""
+    from meshinsights_data_pipeline_spark.operators.dedup import exact_dedup
+    from meshinsights_data_pipeline_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_src")
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)").alias("ts"),
+        "text",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    streamed = _run_stream(
+        spark,
+        streaming_exact_dedup(stream, "doc_id", "text", ts_col="ts"),
+        tmp_path,
+        mode="append",
+    )
+
+    batch = exact_dedup(spark.read.parquet(src), "doc_id", "text").collect()
+    assert len(streamed) == len(batch) > 0
+    assert {r["fp"] for r in streamed} == {r["fp"] for r in batch}
