@@ -26,7 +26,13 @@ def main() -> None:
 
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     spark = get_spark("mesh-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Warm-up: JVM codegen, the parquet datasource, and the noop write path
+    # (first use of each costs ~1-2s of one-time init that would otherwise
+    # be mis-attributed to whichever query runs first).
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    read_table(spark, sf_dir, "region").write.format("noop").mode("overwrite").save()
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))

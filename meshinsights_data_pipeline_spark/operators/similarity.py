@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from meshinsights_data_pipeline_spark.operators.barrier import materialize as _materialize
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Double-precision sequential dot product (left fold — deterministic,
@@ -157,6 +159,10 @@ def embedding_neardup_pairs_lsh(
             F.col(id_col), F.lit(t).alias("tbl"), F.col("bucket")
         )
         banded = bt if banded is None else banded.union(bt)
+    # The banded frame feeds both sides of the bucket self-join; without a
+    # barrier the tables x bits signature expressions run twice per row
+    # (see operators.barrier.materialize).
+    banded = _materialize(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cands = (
