@@ -911,6 +911,73 @@ FROM s ORDER BY doc_id
 """
 
 
+def x23_dedup_clusters(spark: SparkSession, sf_dir: str):
+    """Cluster-level dedup: verified near-dup pairs -> connected components
+    (iterative min-label propagation) -> [id, cluster_id] with cluster_id =
+    min member id, the canonical survivor. The DuckDB oracle computes the
+    same fixpoint with a recursive CTE."""
+    from meshinsights_data_pipeline_spark.operators.components import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+    return connected_components(pairs).orderBy("id")
+
+
+def _dedup_clusters_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE {_shingles_cte()},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        )
+        WHERE jaccard >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+    """
+
+
+X23_SQL = _dedup_clusters_sql()
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -934,4 +1001,5 @@ EXTENSION_BUILDERS = {
     "x20_doc_chunks": (x20_doc_chunks, X20_SQL),
     "x21_winnow_fingerprints": (x21_winnow_fingerprints, X21_SQL),
     "x22_gopher_quality": (x22_gopher_quality, X22_SQL),
+    "x23_dedup_clusters": (x23_dedup_clusters, X23_SQL),
 }

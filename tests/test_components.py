@@ -1,0 +1,68 @@
+"""Connected components / cluster-level dedup (operators.components)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meshinsights_data_pipeline_spark.operators.components import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, ["id_a", "id_b"])
+
+
+def test_chain_clique_and_isolated_pair(spark):
+    # chain 1-2-3, clique 10-11-12 (all edges), isolated pair 20-21
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_orientation_and_duplicates_irrelevant(spark):
+    # same component however edges are oriented / repeated
+    pairs = _pairs(spark, [(5, 4), (4, 5), (3, 4), (5, 3)])
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(3, 3), (4, 3), (5, 3)}
+
+
+def test_long_chain_converges(spark):
+    # diameter 9: needs several propagation rounds, still within max_iter
+    pairs = _pairs(spark, [(i, i + 1) for i in range(10)])
+    got = connected_components(pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == 11
+
+
+def test_non_convergence_raises(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_dedup_survivors_keeps_min_and_untouched(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 4)])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(df, pairs, "doc_id").collect()
+    )
+    # cluster {1,2,4} -> survivor 1; docs 0,3,5 untouched
+    assert kept == [0, 1, 3, 5]
