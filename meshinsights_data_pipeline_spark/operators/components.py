@@ -51,6 +51,14 @@ def connected_components(
     insufficient (a diameter-``max_iter`` near-dup graph means the pair
     threshold is far too loose — fail loudly rather than emit a partially
     propagated clustering).
+
+    Durability note for long cluster runs: ``localCheckpoint`` stores the
+    per-round frame on executors, so losing an executor mid-run fails the
+    job (Spark rejects recomputing a truncated lineage). Rounds are few and
+    each is cheap to rerun, so that is the right default; a deployment that
+    cannot tolerate job retry should set ``sparkContext.setCheckpointDir``
+    and swap in reliable ``DataFrame.checkpoint`` — the algorithm is
+    unchanged.
     """
     edges = _materialize(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
