@@ -124,3 +124,94 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond", §3) —
+    the O(log n)-round scale path for graphs whose diameter makes plain
+    min-label propagation (``connected_components``) iterate too long.
+
+    Same contract as ``connected_components``: input an undirected edge
+    list, output [id, cluster_id] with cluster_id = min member id, for
+    every node appearing in any pair. The two implementations are
+    interchangeable (x26's oracle is literally x23's SQL fixpoint), so a
+    pipeline can pick by graph shape: near-dup forests of tiny clusters →
+    min-label; social-graph-diameter inputs → this.
+
+    Each half-round is one groupBy-min on the node id plus one
+    co-partitioned join back — O(|E|) with map-side combine, no
+    corpus-squared term. Per-round frames are localCheckpoint-ed for the
+    same plan-doubling reason documented on ``connected_components``.
+
+    large-star: every neighbor v > u re-points to min(N(u) ∪ {u});
+    small-star (on larger→smaller directed edges): every neighbor and u
+    itself re-point to the minimum. The fixpoint is a star forest rooted
+    at each component's minimum.
+    """
+    # Canonical directed edges big -> small; drop self-loops up front.
+    e = (
+        pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))
+    ).distinct().localCheckpoint()
+
+    def _signature(edges: DataFrame) -> tuple:
+        # bit_xor, not sum: order-independent and cannot overflow under ANSI.
+        row = edges.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("s"),
+        ).first()
+        return (row["c"], row["s"])
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # -- large-star: group the UNDIRECTED neighborhood of each node u;
+        #    every strictly-larger neighbor re-points to m = min(N(u) + {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star: edges are big->small; u and every non-min neighbor
+        #    re-point to m = min of the neighborhood (all < u, so min(v)).
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(mins, "u")
+        e = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(e)
+        if new_sig == sig:
+            assignment = all_nodes.join(
+                e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")),
+                "id",
+                "left",
+            ).select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+            return assignment
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -171,3 +171,90 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("keep", keep)
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_col: str,
+    id_col: str,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``key_col``, ranked by ``order_col``
+    DESC with ``id_col`` ASC as the deterministic tiebreak (per-domain /
+    per-source quota sampling — the standard corpus-balance step between
+    quality filtering and training).
+
+    Scale design: a plain ``row_number`` window shuffles every row of a
+    key into ONE task — for a corpus where a single domain holds billions
+    of rows, that task is the job. Top-n is decomposable, so with
+    ``salt_buckets = s`` the operator runs two phases: a local top-n per
+    (key, salt) — salt from a hash of ``id_col``, spreading each hot key
+    over ``s`` tasks — then the true top-n over the at most ``n * s``
+    per-key survivors. The result is bit-identical to the unsalted window
+    (both phases use the same total order), which is exactly what the x24
+    oracle checks.
+    """
+
+    def _topn(frame: DataFrame, parts: list[str]) -> DataFrame:
+        w = Window.partitionBy(*parts).orderBy(
+            F.col(order_col).desc(), F.col(id_col).asc()
+        )
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk")
+        )
+
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        local = _topn(salted, [key_col, "_salt"]).drop("_salt")
+        return _topn(local, [key_col])
+    return _topn(df, [key_col])
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark-contamination score per candidate doc: the fraction of its
+    distinct word-``n``-gram shingles that appear anywhere in ``benchmark``
+    (the standard train/test decontamination check a pretraining pipeline
+    runs before export).
+
+    Returns [id, n_shingles, hits, contamination, contaminated]. Scale
+    design: the benchmark shingle set is distinct-ed and broadcast (eval
+    suites are tiny next to a 100 TB corpus), so the corpus side is one
+    map-side semi-probe plus a single groupBy on the doc id — no
+    corpus-vs-corpus join anywhere. The shingle scheme is the same
+    md5-60-bit contract every dedup operator here uses.
+    """
+    from meshinsights_data_pipeline_spark.operators.dedup import shingle_hashes
+
+    doc_sh = shingle_hashes(df, id_col, text_col, n)
+    bench_sh = (
+        shingle_hashes(benchmark, id_col, text_col, n)
+        .select(F.col("h"))
+        .distinct()
+        .withColumn("_bm", F.lit(1))
+    )
+    marked = doc_sh.join(F.broadcast(bench_sh), "h", "left")
+    agg = marked.groupBy(F.col(id_col)).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_bm").alias("hits"),
+    )
+    contamination = F.round(F.col("hits") / F.col("n_shingles"), 6)
+    return agg.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("hits"),
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("contaminated"),
+    )

@@ -978,6 +978,86 @@ def _dedup_clusters_sql(num_hashes: int = 16, bands: int = 4, threshold: float =
 X23_SQL = _dedup_clusters_sql()
 
 
+def x24_source_quota(spark: SparkSession, sf_dir: str):
+    """Per-source quota sampling: top-10 docs per source by n_chars DESC
+    (doc_id tiebreak), via the SALTED two-phase top-n — the oracle's plain
+    window proves the salted plan is bit-identical to the unsalted one."""
+    from meshinsights_data_pipeline_spark.operators.corpus import quota_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        quota_sample(docs, "source", 10, "n_chars", "doc_id", salt_buckets=4)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+X24_SQL = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+) WHERE rk <= 10 ORDER BY doc_id
+"""
+
+
+def x25_contamination(spark: SparkSession, sf_dir: str):
+    """Train/test decontamination: fraction of each non-src0 doc's distinct
+    3-shingles that appear in the src0 'benchmark' slice; broadcast the
+    benchmark shingle set, one groupBy on doc_id for the corpus side."""
+    from meshinsights_data_pipeline_spark.operators.corpus import contamination_check
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    cand = docs.filter(F.col("source") != "src0")
+    return contamination_check(
+        cand, bench, "doc_id", "text", n=3, threshold=0.05
+    ).orderBy("doc_id")
+
+
+X25_SQL = f"""
+WITH {_shingles_cte()},
+meta AS (SELECT doc_id, source FROM documents),
+bench AS (
+    SELECT DISTINCT sh.h FROM sh JOIN meta USING (doc_id)
+    WHERE meta.source = 'src0'
+),
+cand AS (
+    SELECT sh.doc_id, sh.h FROM sh JOIN meta USING (doc_id)
+    WHERE meta.source <> 'src0'
+),
+agg AS (
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.h) AS hits
+    FROM cand c LEFT JOIN bench b USING (h)
+    GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, hits,
+       ROUND(hits * 1.0 / n_shingles, 6) AS contamination,
+       (ROUND(hits * 1.0 / n_shingles, 6) >= 0.05) AS contaminated
+FROM agg ORDER BY doc_id
+"""
+
+
+def x26_dedup_clusters_star(spark: SparkSession, sf_dir: str):
+    """Same clustering as x23 via the alternating large-star/small-star
+    algorithm (O(log n) rounds — the scale path for high-diameter graphs).
+    Deliberately shares x23's SQL oracle: two distributed algorithms and a
+    DuckDB recursive fixpoint must all agree."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+    return connected_components_star(pairs).orderBy("id")
+
+
+X26_SQL = X23_SQL
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1002,4 +1082,7 @@ EXTENSION_BUILDERS = {
     "x21_winnow_fingerprints": (x21_winnow_fingerprints, X21_SQL),
     "x22_gopher_quality": (x22_gopher_quality, X22_SQL),
     "x23_dedup_clusters": (x23_dedup_clusters, X23_SQL),
+    "x24_source_quota": (x24_source_quota, X24_SQL),
+    "x25_contamination": (x25_contamination, X25_SQL),
+    "x26_dedup_clusters_star": (x26_dedup_clusters_star, X26_SQL),
 }

@@ -66,3 +66,32 @@ def test_dedup_survivors_keeps_min_and_untouched(spark):
     )
     # cluster {1,2,4} -> survivor 1; docs 0,3,5 untouched
     assert kept == [0, 1, 3, 5]
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    import random
+
+    from meshinsights_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    for seed in (7, 8):
+        rnd = random.Random(seed)
+        edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(130)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = _pairs(spark, edges)
+        base = sorted(map(tuple, connected_components(pairs).collect()))
+        star = sorted(map(tuple, connected_components_star(pairs).collect()))
+        assert base == star
+
+
+def test_star_handles_high_diameter_path(spark):
+    # A 60-node path has diameter 59 — min-label would need ~59 rounds;
+    # the alternating star algorithm collapses it in O(log n).
+    from meshinsights_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(59)])
+    got = {(r["id"], r["cluster_id"]) for r in connected_components_star(pairs).collect()}
+    assert got == {(i, 0) for i in range(60)}

@@ -84,3 +84,54 @@ def test_gopher_rules(spark):
     assert rows[2].keep is False and rows[2].n_tok < 20
     assert rows[3].keep is False and rows[3].stop_hits == 0
     assert rows[1].alpha_ratio == 1.0
+
+
+def test_quota_sample_salted_matches_plain(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import quota_sample
+
+    rows = [(i, f"k{i % 3}", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "key", "score"])
+    plain = sorted(map(tuple, quota_sample(df, "key", 5, "score", "id").collect()))
+    salted = sorted(
+        map(tuple, quota_sample(df, "key", 5, "score", "id", salt_buckets=4).collect())
+    )
+    assert plain == salted
+    assert len(plain) == 15  # 3 keys x quota 5
+    # Deterministic: highest score wins, min id breaks ties.
+    per_key = {}
+    for i, k, s in rows:
+        per_key.setdefault(k, []).append((-s, i))
+    expect = sorted(
+        (i, k, -negs)
+        for k, members in per_key.items()
+        for negs, i in sorted(members)[:5]
+    )
+    assert plain == expect
+
+
+def test_quota_sample_small_groups_pass_through(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import quota_sample
+
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["id", "key", "score"])
+    assert quota_sample(df, "key", 10, "score", "id", salt_buckets=8).count() == 2
+
+
+def test_contamination_exact_and_disjoint(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import contamination_check
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    cand = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "completely different words appear in this sentence here"),
+            (3, "the quick brown fox sat still today ok"),  # partial overlap
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.hits, r.contamination, r.contaminated)
+        for r in contamination_check(cand, bench, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert out[1][2] == 1.0 and out[1][3] is True
+    assert out[2][1] == 0 and out[2][2] == 0.0 and out[2][3] is False
+    assert 0.0 < out[3][2] < 1.0
