@@ -258,3 +258,62 @@ def contamination_check(
         contamination.alias("contamination"),
         (contamination >= threshold).alias("contaminated"),
     )
+
+
+# Tracking params dropped by canonical_url (the standard scrape-dedup set).
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|ref)="
+
+
+def canonical_url(url):
+    """Canonicalize a URL column for crawl deduplication: lowercase
+    scheme/authority, strip a leading ``www.``, strip default ports
+    (:80 http / :443 https), drop the fragment, strip trailing path
+    slashes, remove tracking query params (utm_*, gclid, fbclid, ref)
+    and sort the survivors byte-lexicographically.
+
+    Pure built-in expressions (parse_url + regexp + array HOFs) — at
+    100 TB this canonicalization runs map-side inside whole-stage codegen,
+    and URL-level dedup becomes ``exact_dedup``-shaped: one shuffle on the
+    canonical string.
+    """
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    auth = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("AUTHORITY"))), r"^www\.", ""
+    )
+    auth = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.concat_ws("&", kept)
+    return F.concat(
+        proto,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """One survivor (min id) per canonical URL: [id, url_canon]. The
+    crawl-level twin of exact_dedup — canonicalize map-side, then a single
+    min-aggregate shuffle on the canonical string."""
+    return (
+        df.select(
+            F.col(id_col), canonical_url(F.col(url_col)).alias("url_canon")
+        )
+        .groupBy("url_canon")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "url_canon")
+    )

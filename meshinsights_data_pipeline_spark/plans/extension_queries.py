@@ -1058,6 +1058,85 @@ def x26_dedup_clusters_star(spark: SparkSession, sf_dir: str):
 X26_SQL = X23_SQL
 
 
+def x27_url_dedup(spark: SparkSession, sf_dir: str):
+    """Crawl URL dedup: synthesize a deterministic messy URL per doc (mixed
+    case, ports, tracking params, fragments — same expression in both
+    engines), canonicalize, keep the min doc_id per canonical URL. The
+    %2/%3/%4 mixes ensure every canonicalization rule fires: default vs
+    non-default ports, http vs https, tracked vs clean vs empty queries."""
+    from meshinsights_data_pipeline_spark.operators.corpus import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8443"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&z=9&a="), F.col("lang"), F.lit("&gclid=x")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = docs.select(F.col("doc_id"), url.alias("url"))
+    return url_dedup(urls, "doc_id", "url").orderBy("doc_id")
+
+
+X27_SQL = """
+WITH urls AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+           || '://WWW.' || source || '.Example.COM'
+           || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                    WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END)
+           || '/Docs/' || CAST(doc_id % 10 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0
+                    THEN '?utm_source=feed&z=9&a=' || lang || '&gclid=x'
+                    WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+           regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+                          '^www\\.', '') AS auth0,
+           regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                          '/+$', '') AS path,
+           coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+    FROM urls
+),
+canon AS (
+    SELECT doc_id,
+           proto || '://'
+           || (CASE WHEN proto = 'http' THEN regexp_replace(auth0, ':80$', '')
+                    WHEN proto = 'https' THEN regexp_replace(auth0, ':443$', '')
+                    ELSE auth0 END)
+           || path
+           || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url_canon
+    FROM (
+        SELECT *,
+               -- coalesce: DuckDB list_sort([]) is NULL, not []
+               coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[a-z0-9]+|gclid|fbclid|ref)='))), '&'), '') AS kept
+        FROM parts
+    )
+)
+SELECT MIN(doc_id) AS doc_id, url_canon FROM canon
+GROUP BY url_canon ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1085,4 +1164,5 @@ EXTENSION_BUILDERS = {
     "x24_source_quota": (x24_source_quota, X24_SQL),
     "x25_contamination": (x25_contamination, X25_SQL),
     "x26_dedup_clusters_star": (x26_dedup_clusters_star, X26_SQL),
+    "x27_url_dedup": (x27_url_dedup, X27_SQL),
 }

@@ -135,3 +135,40 @@ def test_contamination_exact_and_disjoint(spark):
     assert out[1][2] == 1.0 and out[1][3] is True
     assert out[2][1] == 0 and out[2][2] == 0.0 and out[2][3] is False
     assert 0.0 < out[3][2] < 1.0
+
+
+def test_canonical_url_rules(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import canonical_url
+
+    cases = {
+        # lowercase + www + default port + trailing slash + tracking + sort + fragment
+        "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1&gclid=y#frag":
+            "https://example.com/A/B?a=1&b=2",
+        # non-default port kept; http :80 stripped
+        "http://example.com:80/p": "http://example.com/p",
+        "http://example.com:8080/p": "http://example.com:8080/p",
+        # https keeps :80 (not its default)
+        "https://example.com:80/p": "https://example.com:80/p",
+        # bare host, no path/query
+        "http://Example.com": "http://example.com",
+        # all params tracked -> no query at all
+        "https://a.com/p?utm_medium=m&ref=r": "https://a.com/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.canon for r in df.select("url", canonical_url(F.col("url")).alias("canon")).collect()}
+    assert got == cases
+
+
+def test_url_dedup_min_id_survivor(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "https://WWW.a.com/x/?utm_source=s"),
+            (1, "https://a.com/x"),
+            (2, "https://b.com/y"),
+        ],
+        ["id", "url"],
+    )
+    got = sorted(map(tuple, url_dedup(df, "id", "url").collect()))
+    assert got == [(1, "https://a.com/x"), (2, "https://b.com/y")]
