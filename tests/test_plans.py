@@ -58,3 +58,27 @@ def test_wholestage_codegen_present(spark, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan
+
+
+def test_x24_salted_quota_two_window_phases(spark):
+    # local top-n per (key, salt), then true top-n per key — two Window nodes,
+    # never a single-task window over a whole hot key
+    plan = _plan(spark, "x24_source_quota")
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_x25_benchmark_side_broadcast(spark):
+    # the benchmark shingle set must broadcast; the corpus side never
+    # shuffles into a sort-merge join against it
+    plan = _plan(spark, "x25_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x27_url_dedup_jvm_only_partial_agg(spark):
+    # canonicalization is pure builtins (no Python eval) and the dedup
+    # aggregate map-side combines before its single shuffle
+    plan = _plan(spark, "x27_url_dedup")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
