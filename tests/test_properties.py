@@ -84,3 +84,32 @@ def test_string_tail_lower_matches_python(spark, s, n):
         .collect()[0]["t"]
     )
     assert got == expected, f"{s!r} n={n}: {got!r} != {expected!r}"
+
+
+@given(
+    proto=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    www=st.booleans(),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}\.com", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9]{1,6}){0,3}/?", fullmatch=True),
+    params=st.lists(
+        st.from_regex(r"(utm_[a-z]{1,5}|gclid|ref|[a-z]{1,4})=[A-Za-z0-9]{0,4}", fullmatch=True),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#x"]),
+)
+@SLOW
+def test_canonical_url_idempotent(spark, proto, www, host, port, path, params, frag):
+    # canonicalization must be a fixpoint: canon(canon(u)) == canon(u)
+    from meshinsights_data_pipeline_spark.operators.corpus import canonical_url
+
+    url = f"{proto}://{'WWW.' if www else ''}{host}{port}{path}"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], ["u"])
+    once, twice = df.select(
+        canonical_url(F.col("u")).alias("a"),
+        canonical_url(canonical_url(F.col("u"))).alias("b"),
+    ).first()
+    assert once == twice, url
