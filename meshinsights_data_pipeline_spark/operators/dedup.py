@@ -127,6 +127,36 @@ def _minhash_signatures_from_shingles(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Banded MinHash signature rows [id, band, sig] — the LSH bucketing
+    frame every candidate-pair join (batch self-join, streaming
+    ingest-vs-table join) buckets on. One grouped min-aggregate per doc,
+    then a ``bands``-way explode; no joins, no corpus^2 term."""
+    sh = shingles if shingles is not None else shingle_hashes(df, id_col, text_col, n)
+    sig = _minhash_signatures_from_shingles(sh.select(id_col, "h"), id_col, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -149,20 +179,8 @@ def minhash_lsh_candidates(
     read it from cache instead of each replaying the signature pipeline
     (see operators.barrier.materialize).
     """
-    sh = shingles if shingles is not None else shingle_hashes(df, id_col, text_col, n)
-    sig = _minhash_signatures_from_shingles(sh.select(id_col, "h"), id_col, num_hashes)
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    banded = banded_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, shingles=shingles
     )
     if materialize:
         banded = _materialize(banded)

@@ -6,7 +6,10 @@ operator is the watermarked/stateful twin of a batch operator and is tested
 for PARITY against it via foreachBatch collection over a bounded stream.
 """
 
-from meshinsights_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
+from meshinsights_data_pipeline_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_lsh_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.stateful import (
     streaming_state_change_sessions,
 )
@@ -22,4 +25,5 @@ __all__ = [
     "streaming_sunday_weekly_stats",
     "streaming_state_change_sessions",
     "streaming_exact_dedup",
+    "streaming_lsh_ingest",
 ]

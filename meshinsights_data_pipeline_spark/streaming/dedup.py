@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from meshinsights_data_pipeline_spark.operators.text import fingerprint
 
 
@@ -34,3 +36,71 @@ def streaming_exact_dedup(
     the watermark horizon. Returns [id, ts, fp]."""
     fp = stream.select(id_col, ts_col, fingerprint(text_col).alias("fp"))
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_lsh_ingest(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    signature_dir: str,
+    pairs_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """Incremental near-dup candidate detection for a continuous ingest
+    stream — the streaming twin of ``operators.dedup.minhash_lsh_candidates``.
+
+    ``signature_dir`` is the accumulated banded-signature TABLE (seed it
+    with the existing corpus via ``banded_signatures(corpus, ...).write``;
+    an empty frame with the right schema for a cold start). Each
+    micro-batch, inside ``foreachBatch`` (batch semantics — the signature
+    window functions are unsupported on streaming frames):
+
+    1. band the new docs (one grouped min-aggregate over the micro-batch),
+    2. join new-vs-TABLE on (band, sig) + a new-vs-new self-join, so a
+       pair is found whether its members arrive in the same batch,
+       different batches, or pre-exist in the corpus,
+    3. append candidate pairs [id_a, id_b] (a < b, distinct-per-batch) to
+       ``pairs_dir``, then append the new signatures to ``signature_dir``.
+
+    Scale notes: the per-batch work is micro-batch x bucket-mates — never
+    table^2; the (band, sig) join is broadcast-eligible while batches are
+    small and AQE-planned once they are not. Plain parquet appends are
+    at-least-once on batch retry (downstream consumers should distinct);
+    a production deployment would swap the two appends for a transactional
+    table format with idempotent epoch commits.
+
+    Returns a callable for ``stream.writeStream.foreachBatch(...)``; the
+    caller owns trigger/checkpoint wiring.
+    """
+    from meshinsights_data_pipeline_spark.operators.dedup import banded_signatures
+
+    def _process(batch_df: DataFrame, _epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nb = banded_signatures(
+            batch_df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+        ).localCheckpoint()
+        existing = spark.read.parquet(signature_dir)
+        vs_table = (
+            nb.alias("s")
+            .join(existing.alias("c"), ["band", "sig"])
+            .filter(F.col(f"s.{id_col}") != F.col(f"c.{id_col}"))
+            .select(
+                F.least(F.col(f"s.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"s.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+            )
+        )
+        intra = (
+            nb.alias("a")
+            .join(nb.alias("b"), ["band", "sig"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+        )
+        vs_table.union(intra).distinct().write.mode("append").parquet(pairs_dir)
+        nb.write.mode("append").parquet(signature_dir)
+
+    return _process

@@ -196,3 +196,55 @@ def test_streaming_exact_dedup_parity(spark, tmp_path):
     batch = exact_dedup(spark.read.parquet(src), "doc_id", "text").collect()
     assert len(streamed) == len(batch) > 0
     assert {r["fp"] for r in streamed} == {r["fp"] for r in batch}
+
+
+def test_streaming_lsh_ingest_parity(spark, tmp_path):
+    """Seed the signature table with half the corpus, stream the other half
+    in several micro-batches: accumulated candidate pairs must equal the
+    batch LSH candidates over the full corpus, minus seed-vs-seed pairs
+    (those pre-date the stream) — i.e. every pair involving a streamed doc
+    is found regardless of which micro-batch its members arrived in."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_candidates,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_lsh_ingest
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+
+    sig_dir = str(tmp_path / "signatures")
+    pairs_dir = str(tmp_path / "pairs")
+    src = str(tmp_path / "src")
+    banded_signatures(seed, "doc_id", "text").write.parquet(sig_dir)
+    # 4 input files -> maxFilesPerTrigger=1 forces 4 micro-batches
+    arriving.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_lsh_ingest(
+                stream, "doc_id", "text", signature_dir=sig_dir, pairs_dir=pairs_dir
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_dir).distinct().collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    seed_only = {
+        (a, b) for a, b in full if a % 2 == 0 and b % 2 == 0
+    }
+    assert len(got) > 0
+    assert got == full - seed_only
