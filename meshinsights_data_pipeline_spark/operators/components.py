@@ -33,11 +33,19 @@ from pyspark.sql import functions as F
 from meshinsights_data_pipeline_spark.operators.barrier import materialize as _materialize
 
 
+def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate lineage: executor-local by default; reliable (HDFS/object-
+    store via ``sparkContext.setCheckpointDir``) when the caller cannot
+    tolerate whole-job retry on executor loss mid-run."""
+    return df.checkpoint() if reliable else df.localCheckpoint()
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Component label (min member id) for every node in ``pairs``.
 
@@ -57,19 +65,18 @@ def connected_components(
     job (Spark rejects recomputing a truncated lineage). Rounds are few and
     each is cheap to rerun, so that is the right default; a deployment that
     cannot tolerate job retry should set ``sparkContext.setCheckpointDir``
-    and swap in reliable ``DataFrame.checkpoint`` — the algorithm is
-    unchanged.
+    and pass ``reliable_checkpoint=True`` — the algorithm is unchanged.
     """
     edges = _materialize(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("id")),
+        reliable_checkpoint,
     )
     for _ in range(max_iter):
         nbr = (
@@ -77,15 +84,14 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
+        new_labels = _ckpt(
+            labels.join(nbr, "id", "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
                     "label"
                 ),
-            )
-            .localCheckpoint()
+            ),
+            reliable_checkpoint,
         )
         changed = (
             new_labels.alias("n")
@@ -131,6 +137,7 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond", §3) —
@@ -155,18 +162,21 @@ def connected_components_star(
     at each component's minimum.
     """
     # Canonical directed edges big -> small; drop self-loops up front.
-    e = (
+    e = _ckpt(
         pairs.select(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
             F.least(F.col(src_col), F.col(dst_col)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoint,
     )
-    all_nodes = e.select(F.col("u").alias("id")).union(
-        e.select(F.col("v").alias("id"))
-    ).distinct().localCheckpoint()
+    all_nodes = _ckpt(
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct(),
+        reliable_checkpoint,
+    )
 
     def _signature(edges: DataFrame) -> tuple:
         # bit_xor, not sum: order-independent and cannot overflow under ANSI.
@@ -184,24 +194,24 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        e = (
+        e = _ckpt(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable_checkpoint,
         )
         # -- small-star: edges are big->small; u and every non-min neighbor
         #    re-point to m = min of the neighborhood (all < u, so min(v)).
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
         joined = e.join(mins, "u")
-        e = (
+        e = _ckpt(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(joined.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable_checkpoint,
         )
         new_sig = _signature(e)
         if new_sig == sig:

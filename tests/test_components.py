@@ -95,3 +95,20 @@ def test_star_handles_high_diameter_path(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(59)])
     got = {(r["id"], r["cluster_id"]) for r in connected_components_star(pairs).collect()}
     assert got == {(i, 0) for i in range(60)}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    # same result via DataFrame.checkpoint when a checkpoint dir is set —
+    # the durable mode for long cluster runs (executor loss survivable)
+    from meshinsights_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    for fn in (connected_components, connected_components_star):
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in fn(pairs, reliable_checkpoint=True).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
