@@ -99,6 +99,39 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+# PII patterns kept to syntax shared by Java regex and RE2-style engines
+# (character classes, bounded repetition) so SQL oracles can mirror them.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+NUMRUN_RE = r"[0-9]{7,}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails, IPv4 addresses, and long digit runs (phone/account
+    numbers) to typed placeholder tokens — the standard pre-training
+    privacy pass. Order matters: IPs before bare digit runs, so an
+    address is one <IP>, not octet fragments. Pure chained
+    regexp_replace — map-side codegen at 100 TB."""
+    c = F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return F.regexp_replace(c, NUMRUN_RE, "<NUM>")
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc PII audit: [id, redacted, n_email, n_ip, n_num]. Counts are
+    taken on the progressively redacted text the same way ``redact_pii``
+    substitutes, so overlapping matches are attributed once."""
+    emailed = F.regexp_replace(_c(text_col), EMAIL_RE, "<EMAIL>")
+    iped = F.regexp_replace(emailed, IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        redact_pii(F.col(text_col)).alias("redacted"),
+        F.regexp_count(_c(text_col), F.lit(EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(emailed, F.lit(IPV4_RE)).cast("bigint").alias("n_ip"),
+        F.regexp_count(iped, F.lit(NUMRUN_RE)).cast("bigint").alias("n_num"),
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles of the normalized text; docs with fewer
     than n words yield a single shingle of the whole text."""

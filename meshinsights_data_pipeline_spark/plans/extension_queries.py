@@ -1137,6 +1137,55 @@ GROUP BY url_canon ORDER BY doc_id
 """
 
 
+def x28_pii_redact(spark: SparkSession, sf_dir: str):
+    """PII scrub audit: inject deterministic synthetic PII (email, IP,
+    digit run — built from table columns identically in both engines),
+    then redact + count. Map-side regex only; no shuffle at all."""
+    from meshinsights_data_pipeline_spark.operators.text import pii_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 acct 9"),
+        (F.col("doc_id") % 1000000).cast("string"),
+        F.lit("123456"),
+    )
+    withp = docs.select(F.col("doc_id"), pii_text.alias("text"))
+    return pii_counts(withp, "doc_id", "text").orderBy("doc_id")
+
+
+X28_SQL = r"""
+WITH withp AS (
+    SELECT doc_id,
+           text || ' contact ' || source || '@example.com ip 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7 acct 9'
+                || CAST(doc_id % 1000000 AS VARCHAR) || '123456' AS text
+    FROM documents
+),
+stage AS (
+    SELECT doc_id, text,
+           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                          '<EMAIL>', 'g') AS emailed
+    FROM withp
+),
+stage2 AS (
+    SELECT *,
+           regexp_replace(emailed, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS iped
+    FROM stage
+)
+SELECT doc_id,
+       regexp_replace(iped, '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(emailed, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip,
+       len(regexp_extract_all(iped, '[0-9]{7,}'))::BIGINT AS n_num
+FROM stage2 ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1165,4 +1214,5 @@ EXTENSION_BUILDERS = {
     "x25_contamination": (x25_contamination, X25_SQL),
     "x26_dedup_clusters_star": (x26_dedup_clusters_star, X26_SQL),
     "x27_url_dedup": (x27_url_dedup, X27_SQL),
+    "x28_pii_redact": (x28_pii_redact, X28_SQL),
 }

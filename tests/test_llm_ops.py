@@ -248,3 +248,23 @@ def test_ann_recall_vs_exact(spark):
     # sit near cosine 0.4-0.5, where 2-bit hyperplane collision ~40%)
     assert r_ivf >= 0.3, f"IVF recall {r_ivf:.2f}"
     assert r_lsh >= 0.2, f"RP-LSH recall {r_lsh:.2f}"
+
+
+def test_redact_pii_and_counts(spark):
+    from meshinsights_data_pipeline_spark.operators.text import pii_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-corp.io and 192.168.1.255 then 12345678 end"),
+            (2, "no pii here, short num 123456"),
+            (3, "two mails x@y.com z@w.org one ip 8.8.8.8"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_counts(df, "doc_id", "text").collect()}
+    assert out[1].redacted == "mail <EMAIL> and <IP> then <NUM> end"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_num) == (1, 1, 1)
+    # 6-digit run is below the 7+ threshold — untouched
+    assert out[2].redacted == "no pii here, short num 123456"
+    assert (out[2].n_email, out[2].n_ip, out[2].n_num) == (0, 0, 0)
+    assert (out[3].n_email, out[3].n_ip, out[3].n_num) == (2, 1, 0)
