@@ -117,15 +117,21 @@ def dedup_survivors(
     id_col: str,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Rows of ``df`` that survive cluster-level deduplication.
 
     Every doc in a near-dup cluster except the min-id representative is
     dropped; docs in no pair pass through untouched (anti-join on the
     non-survivor set — one broadcast-eligible shuffle, corpus never
-    self-joins).
+    self-joins). ``algorithm``: ``min_label`` (default; near-dup forests
+    converge in a few rounds) or ``star`` (alternating large/small star,
+    for pair graphs with pathological diameters).
     """
-    comp = connected_components(pairs, src_col, dst_col)
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    cc = connected_components if algorithm == "min_label" else connected_components_star
+    comp = cc(pairs, src_col, dst_col)
     losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )

@@ -223,6 +223,7 @@ def contamination_check(
     text_col: str,
     n: int = 3,
     threshold: float = 0.05,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination score per candidate doc: the fraction of its
     distinct word-``n``-gram shingles that appear anywhere in ``benchmark``
@@ -233,7 +234,11 @@ def contamination_check(
     design: the benchmark shingle set is distinct-ed and broadcast (eval
     suites are tiny next to a 100 TB corpus), so the corpus side is one
     map-side semi-probe plus a single groupBy on the doc id — no
-    corpus-vs-corpus join anywhere. The shingle scheme is the same
+    corpus-vs-corpus join anywhere. For a benchmark too big to broadcast
+    (a multi-GB blocklist), ``broadcast_benchmark=False`` drops the hint
+    and the probe becomes a shuffle join on the shingle hash — the only
+    sound shape at that size (AQE may still pick broadcast if the
+    distinct-ed set turns out small). The shingle scheme is the same
     md5-60-bit contract every dedup operator here uses.
     """
     from meshinsights_data_pipeline_spark.operators.dedup import shingle_hashes
@@ -245,7 +250,9 @@ def contamination_check(
         .distinct()
         .withColumn("_bm", F.lit(1))
     )
-    marked = doc_sh.join(F.broadcast(bench_sh), "h", "left")
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    marked = doc_sh.join(bench_sh, "h", "left")
     agg = marked.groupBy(F.col(id_col)).agg(
         F.count("*").alias("n_shingles"),
         F.count("_bm").alias("hits"),

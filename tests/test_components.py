@@ -112,3 +112,16 @@ def test_reliable_checkpoint_path(spark, tmp_path):
             for r in fn(pairs, reliable_checkpoint=True).collect()
         }
         assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_survivors_star_matches_min_label(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(8)], ["id", "v"])
+    pairs = _pairs(spark, [(0, 1), (1, 2), (5, 6)])
+    a = sorted(map(tuple, dedup_survivors(df, pairs, "id").collect()))
+    b = sorted(
+        map(tuple, dedup_survivors(df, pairs, "id", algorithm="star").collect())
+    )
+    assert a == b
+    assert [r[0] for r in a] == [0, 3, 4, 5, 7]
+    with pytest.raises(ValueError):
+        dedup_survivors(df, pairs, "id", algorithm="bogus")

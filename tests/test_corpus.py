@@ -172,3 +172,23 @@ def test_url_dedup_min_id_survivor(spark):
     )
     got = sorted(map(tuple, url_dedup(df, "id", "url").collect()))
     assert got == [(1, "https://a.com/x"), (2, "https://b.com/y")]
+
+
+def test_contamination_shuffle_path_matches_broadcast(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import contamination_check
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    cand = _docs(
+        spark,
+        [(1, "alpha beta gamma more words here"), (2, "unrelated text entirely new")],
+    )
+    a = sorted(map(tuple, contamination_check(cand, bench, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            contamination_check(
+                cand, bench, "doc_id", "text", broadcast_benchmark=False
+            ).collect(),
+        )
+    )
+    assert a == b
