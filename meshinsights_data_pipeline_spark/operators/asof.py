@@ -53,7 +53,8 @@ def asof_join(
         *left_cols,
         F.lit(1).alias("_side"),
         F.lit(None).cast(
-            f"struct<ts:timestamp,{','.join(f'{c}:{right.schema[c].dataType.simpleString()}' for c in value_cols)}>"
+            f"struct<ts:{right.schema[ts_col].dataType.simpleString()},"
+            f"{','.join(f'{c}:{right.schema[c].dataType.simpleString()}' for c in value_cols)}>"
         ).alias("_payload"),
     )
     r_tagged = right.select(

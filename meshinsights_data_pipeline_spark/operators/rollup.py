@@ -70,7 +70,10 @@ def time_rollup(
             "bucket_start",
             *group_cols,
             "cnt",
-            F.col("total").cast("decimal(18,6)").cast("double").alias("total"),
+            # Widen, don't narrow: hierarchical sums grow to decimal(28,6)/
+            # (38,6); squeezing back through (18,6) would NULL an overflowing
+            # total silently with ANSI off.
+            F.col("total").cast("decimal(38,6)").cast("double").alias("total"),
         )
         stacked = lvl if stacked is None else stacked.unionByName(lvl)
     return stacked

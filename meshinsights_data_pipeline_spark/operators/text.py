@@ -1,9 +1,9 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 North-star extension (BASELINE.json): language-ID, quality scoring, token
-counting, document fingerprinting over the ``documents`` table. The hot
-paths are pure built-in column expressions (JVM-side, codegen-eligible);
-only the n-gram language profiler uses a Pandas UDF, and it is Arrow-batched.
+counting, document fingerprinting over the ``documents`` table. Every hot
+path — the language profiler included — is pure built-in column
+expressions (JVM-side, codegen-eligible); no Python appears in any plan.
 
 Scale notes: every function here is a narrow per-row map — no shuffle at
 all. At 100 TB these run at parquet-scan speed; the fingerprint/token
@@ -12,11 +12,6 @@ them map-side first is the right staging.
 """
 
 from __future__ import annotations
-
-# Module-level so PySpark's pandas_udf type-hint resolver can evaluate the
-# stringified ``pd.Series`` annotations produced by ``from __future__ import
-# annotations`` (function-local imports break infer_eval_type).
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -144,42 +139,54 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+# High-frequency character trigrams per language (Cavnar-Trenkle shrunk to a
+# fixed dictionary). CJK is detected by script range, not trigrams.
+LANG_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+    "de": ["en ", " de", "der", "er ", "ie ", " di", "die", "ch ", "sch", "ein"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"],
+}
+
+
 def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
     """Character n-gram language ID (trigram-profile heuristic).
 
-    A compact, deterministic profile model over character trigrams for a few
-    European languages — the classic Cavnar-Trenkle n-gram approach, shrunk
-    to a dictionary of high-frequency trigrams per language. Arrow-batched
-    Pandas UDF (the per-row trigram loop doesn't vectorize into built-ins).
+    Pure built-in column expressions — the whole classifier is codegen-
+    eligible JVM work, no Python in the plan. Non-overlapping trigram counts
+    use the replace-count identity ``length(s) - length(replace(s, g))``
+    (equal to ``3 * s.count(g)``; the constant factor cancels in every
+    comparison, so scores are kept un-divided). Ties resolve to the
+    lexicographically larger language code (fr > es > en > de), matching
+    ``max(scores, key=lambda k: (scores[k], k))`` of the original profile
+    model and the DuckDB oracle (plans/extension_queries.py X09_SQL).
     """
-    from pyspark.sql.functions import pandas_udf
+    c = _c(text_col)
+    s = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    s_len = F.length(s)
 
-    profiles = {
-        "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
-        "de": ["en ", " de", "der", "er ", "ie ", " di", "die", "ch ", "sch", "ein"],
-        "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"],
-        "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"],
-        "zh": [],  # CJK detection is by script range, not trigrams
-    }
+    def score(grams: list[str]) -> Column:
+        terms = [s_len - F.length(F.replace(s, F.lit(g))) for g in grams]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
 
-    @pandas_udf("string")
-    def _lang(texts: pd.Series) -> pd.Series:
-        def one(t: str | None) -> str:
-            if not t:
-                return "und"
-            # script-range check first (CJK)
-            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
-            if cjk > len(t[:200]) * 0.2:
-                return "zh"
-            s = f" {t.lower()} "
-            scores = {
-                lang: sum(s.count(g) for g in grams)
-                for lang, grams in profiles.items()
-                if grams
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            return best if scores[best] > 0 else "und"
-
-        return texts.map(one)
-
-    return df.withColumn(out_col, _lang(F.col(text_col)))
+    sc = {lang: score(grams) for lang, grams in LANG_PROFILES.items()}
+    # CJK short-circuit: >20% of the first 200 chars in the Han range.
+    head = F.substring(c, 1, 200)
+    han = F.length(F.regexp_replace(head, "[^一-鿿]", ""))
+    best_lang = (
+        F.when((sc["fr"] >= sc["es"]) & (sc["fr"] >= sc["en"]) & (sc["fr"] >= sc["de"]), F.lit("fr"))
+        .when((sc["es"] >= sc["en"]) & (sc["es"] >= sc["de"]), F.lit("es"))
+        .when(sc["en"] >= sc["de"], F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    best_score = F.greatest(*sc.values())
+    pred = (
+        F.when(c.isNull() | (c == ""), F.lit("und"))
+        .when(han > F.length(head) * 0.2, F.lit("zh"))
+        .when(best_score > 0, best_lang)
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out_col, pred)

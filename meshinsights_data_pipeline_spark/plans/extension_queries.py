@@ -282,14 +282,11 @@ FROM base ORDER BY doc_id
 
 
 def x09_lang_id(spark: SparkSession, sf_dir: str):
-    """n-gram-profile language ID (Pandas UDF), fully oracle-checked: the
-    fixed trigram profiles are mirrored in DuckDB as replace-count
-    expressions with identical non-overlapping count semantics and the same
-    (score, lang-code) tie-break."""
-    from meshinsights_data_pipeline_spark.session import ensure_package_on_workers
-
+    """n-gram-profile language ID — pure built-in replace-count expressions
+    (no Python in the plan), oracle-checked: the fixed trigram profiles are
+    mirrored in DuckDB with identical non-overlapping count semantics and
+    the same (score, lang-code) tie-break."""
     docs = read_table(spark, sf_dir, "documents")
-    ensure_package_on_workers(spark)
     return T.lang_id(docs, "text").select("doc_id", "lang", "lang_pred").orderBy("doc_id")
 
 

@@ -452,7 +452,10 @@ _ORACLES: dict[str, str] = {
     """,
     "q27": """
         SELECT event_type,
-               COUNT(k) AS cnt, SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+               CAST(COUNT(k) AS BIGINT) AS cnt,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               CAST(MIN(k) AS BIGINT) AS k_min,
+               CAST(MAX(k) AS BIGINT) AS k_max
         FROM (
             SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events

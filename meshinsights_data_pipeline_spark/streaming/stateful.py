@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -49,9 +48,12 @@ def streaming_state_change_sessions(
     out_schema = StructType(
         list(stream.schema.fields) + [StructField("cycle", LongType())]
     )
+    # The saved state field mirrors the caller's state column type — a
+    # hardcoded StringType would mis-encode int stage codes (which the batch
+    # sessionize supports) or compare restored-string vs raw value.
     state_schema = StructType(
         [
-            StructField("last_state", StringType()),
+            StructField("last_state", stream.schema[state_col].dataType),
             StructField("cycle", LongType()),
         ]
     )
@@ -77,6 +79,10 @@ def streaming_state_change_sessions(
             cycles.append(cycle)
         out = batch[field_names].copy()
         out["cycle"] = pd.Series(cycles, dtype="int64")
+        # numpy scalars (int64 etc. from the pandas walk) don't round-trip
+        # through the state encoder for non-string state columns.
+        if hasattr(last_state, "item"):
+            last_state = last_state.item()
         state.update((last_state, cycle))
         yield out
 

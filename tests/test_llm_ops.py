@@ -144,14 +144,22 @@ def test_lang_id(spark):
             (2, "der Hund und die Katze sind in dem Haus, ein schönes Haus"),
             (3, "这是一个中文句子用于测试语言识别功能的正确性"),
             (4, ""),
+            (5, None),
+            (6, "le chat est dans la maison de la reine et le roi est dehors"),
         ],
         "id long, t string",
     )
-    out = {r["id"]: r["p"] for r in T.lang_id(df, "t", "p").select("id", "p").collect()}
+    result = T.lang_id(df, "t", "p")
+    out = {r["id"]: r["p"] for r in result.select("id", "p").collect()}
     assert out[1] == "en"
     assert out[2] == "de"
     assert out[3] == "zh"
     assert out[4] == "und"
+    assert out[5] == "und"
+    assert out[6] == "fr"
+    # The classifier must be pure JVM expressions — no Python eval stage.
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # catches ArrowEvalPython & BatchEvalPython
 
 
 def test_multimodal_features(spark):
