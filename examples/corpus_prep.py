@@ -1,6 +1,7 @@
-"""End-to-end training-corpus preparation: the composed LLM-data-pipeline
-flow the extension operators exist for (north-star; no reference
-counterpart — SURVEY.md §2 extension inventory).
+"""End-to-end training-corpus preparation — composed as a Pipeline of
+Processors (analytics/corpus_pipeline.py), so the flow gets the full
+composability contract: per-step validation, timing, error policy,
+conditions, checkpoints, run_partial.
 
     raw documents
       -> Gopher quality gate          (map-side, codegen)
@@ -9,13 +10,15 @@ counterpart — SURVEY.md §2 extension inventory).
       -> near-dup cluster collapse    (MinHash-LSH -> verified Jaccard
                                        -> connected components)
       -> benchmark decontamination    (broadcast shingle probe)
+      -> PII redaction                (chained regexp, map-side)
       -> per-source quota             (salted two-phase top-n)
       -> fixed-token chunking         (narrow, shuffle-free)
 
-Every stage is a DataFrame -> DataFrame operator, so the whole flow is ONE
-lazy plan per action and Catalyst sees across stage boundaries. At 100 TB
-the only wide stages are the dedup shuffles and the quota window — the
-quality gate, decontamination probe, and chunking all stay map-side.
+Every step composes lazy DataFrame plans, so Catalyst still sees across
+stage boundaries; at 100 TB the only wide stages are the dedup shuffles
+and the quota window. The per-stage row counts printed below come from
+the ``corpus.count_rows`` config flag — a per-step action for small
+runs/debugging, off by default at scale.
 
 Run: python examples/corpus_prep.py [sf_dir]
 """
@@ -30,75 +33,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from meshinsights_data_pipeline_spark.operators.components import dedup_survivors
-from meshinsights_data_pipeline_spark.operators.corpus import (
-    canonical_url,
-    chunk_documents,
-    contamination_check,
-    gopher_quality,
-    quota_sample,
+from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+    BENCHMARK_KEY,
+    CorpusColumns,
+    build_corpus_pipeline,
 )
-from meshinsights_data_pipeline_spark.operators.dedup import (
-    exact_dedup,
-    minhash_dedup_pairs,
-)
+from meshinsights_data_pipeline_spark.core.context import PipelineContext
 from meshinsights_data_pipeline_spark.session import get_spark, read_table
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("corpus-prep-example")
-    docs = read_table(spark, sf_dir, "documents")
-    n0 = docs.count()
 
-    # 1. Quality gate (Gopher rules) — keep only docs passing every rule.
-    quality = gopher_quality(docs, "doc_id", "text")
-    docs = docs.join(
-        quality.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    # Synthetic URL from source (as in x27 — a real pipeline has a url
+    # column from the crawl), so the UrlDedupStep condition activates.
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ),
     )
-    n1 = docs.count()
-
-    # 2. URL-level dedup (synthetic URL from source, as in x27 — a real
-    #    pipeline has a url column from the crawl).
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
-        F.col("doc_id").cast("string"),
-    )
-    urls = docs.select("doc_id", canonical_url(url).alias("url_canon"))
-    url_keep = urls.groupBy("url_canon").agg(F.min("doc_id").alias("doc_id"))
-    docs = docs.join(url_keep.select("doc_id"), "doc_id", "left_semi")
-
-    # 3. Exact dedup on normalized text.
-    docs = docs.join(
-        exact_dedup(docs, "doc_id", "text").select("doc_id"), "doc_id", "left_semi"
-    )
-    n2 = docs.count()
-
-    # 4. Near-dup collapse: LSH candidates -> verified Jaccard -> connected
-    #    components -> drop every cluster member but the min-id survivor.
-    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
-    docs = dedup_survivors(docs, pairs, "doc_id")
-    n3 = docs.count()
-
-    # 5. Decontamination vs a benchmark slice (here: the src0 docs).
     bench = read_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
-    contam = contamination_check(docs, bench, "doc_id", "text", threshold=0.8)
-    clean_ids = contam.filter(~F.col("contaminated")).select("doc_id")
-    docs = docs.join(clean_ids, "doc_id", "left_semi")
-    n4 = docs.count()
 
-    # 6. Per-source quota (salted two-phase top-n), then fixed-token chunks.
-    docs = quota_sample(docs, "source", 10, "n_chars", "doc_id", salt_buckets=4)
-    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=64)
-    n5, nch = docs.count(), chunks.count()
+    ctx = PipelineContext(
+        pipeline_name="corpus_prep",
+        correlation_id="example",
+        raw_data=docs,
+        config={"corpus.count_rows": True},
+    )
+    ctx.processed_data[BENCHMARK_KEY] = bench
+
+    pipe = build_corpus_pipeline(
+        CorpusColumns(url="url"),
+        contamination_threshold=0.8,
+        quota_n=10,
+        quota_salt_buckets=4,
+        chunk_tokens=64,
+    )
+    n0 = docs.count()
+    ctx = pipe.run(ctx)
 
     print(f"raw documents        : {n0}")
-    print(f"after quality gate   : {n1}")
-    print(f"after exact/url dedup: {n2}")
-    print(f"after near-dup       : {n3}")
-    print(f"after decontamination: {n4}")
-    print(f"after source quota   : {n5}")
-    print(f"training chunks      : {nch}")
+    for step, meta in ctx.stages.items():
+        print(f"{step:<32}: {meta['rows']}")
+    print(f"training chunks      : {ctx.processed_data['corpus.chunks'].count()}")
+    for entry in ctx.execution_log:
+        status = "skipped" if entry.get("skipped") else entry.get("status")
+        t = entry.get("execution_time")
+        print(f"  [{status:>8}] {entry['processor']}"
+              + (f" ({t:.2f}s)" if t is not None else ""))
     spark.stop()
 
 

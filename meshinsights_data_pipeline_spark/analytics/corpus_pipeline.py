@@ -1,0 +1,332 @@
+"""Corpus-prep workload on the Processor/Pipeline contract.
+
+The training-corpus flow (quality gate -> URL dedup -> exact dedup ->
+near-dup collapse -> decontamination -> PII redaction -> quota ->
+chunking) existed as bare DataFrame operators; this module wraps each
+stage as a Processor so the reference's composability contract
+(src/core/processor.py:10-77 validation/timing/error policy, conditions
+src/core/pipeline.py:83-99, checkpoints 17-19) reaches the extension
+surface exactly the way analytics/power_pipeline.py:236-281 does for the
+power workload.
+
+Data-flow convention: every gating step reads ``context.raw_data``
+(the surviving documents), replaces it with the filtered frame, and
+stashes its diagnostic table under a namespaced ``processed_data`` key
+("corpus.quality", "corpus.contamination", ...). The chunker emits a
+new table ("corpus.chunks") and leaves ``raw_data`` as documents.
+Everything stays a lazy plan — by default no step triggers an action, so
+composing N steps still yields ONE Catalyst-visible plan per final
+action, which is the 100 TB shape (the quality gate, decontamination
+probe, PII pass and chunking fuse map-side; only the dedup shuffles and
+the quota window are wide). Setting ``context.config["corpus.count_rows"]
+= True`` makes each step record its surviving row count in
+``context.stages`` — a per-step action, for tests and small runs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.core.context import PipelineContext
+from meshinsights_data_pipeline_spark.core.pipeline import Pipeline, PipelineConfig
+from meshinsights_data_pipeline_spark.core.processor import Processor
+from meshinsights_data_pipeline_spark.operators.components import dedup_survivors
+from meshinsights_data_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    contamination_check,
+    gopher_quality,
+    quota_sample,
+    url_dedup,
+)
+from meshinsights_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+)
+from meshinsights_data_pipeline_spark.operators.text import pii_counts, redact_pii
+
+BENCHMARK_KEY = "corpus.benchmark"
+
+
+class CorpusColumns:
+    """Column-name binding for the corpus workload (testdata documents:
+    doc_id/text/source/n_chars; a crawl corpus adds a url column)."""
+
+    def __init__(self, id="doc_id", text="text", source="source",
+                 order="n_chars", url=None):
+        self.id, self.text, self.source, self.order, self.url = (
+            id, text, source, order, url,
+        )
+
+
+class CorpusStep(Processor):
+    """Shared base: validates the documents frame in, and (optionally)
+    records the surviving row count per step."""
+
+    def __init__(self, cols: CorpusColumns, name: str, **kw):
+        super().__init__(name=name, **kw)
+        self.cols = cols
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.id, self.cols.text]
+
+    def validate_prerequisites(self, context: PipelineContext) -> None:
+        docs = self.require_raw_data(context)
+        self.require_columns(docs, self.required_columns())
+
+    def validate_output(self, context: PipelineContext) -> None:
+        docs = self.require_raw_data(context)
+        self.require_columns(docs, [self.cols.id])
+
+    def _record(self, context: PipelineContext) -> None:
+        if context.config.get("corpus.count_rows"):
+            context.stages[f"corpus.{self.name}"] = {
+                "rows": context.raw_data.count()
+            }
+
+
+class GopherQualityGateStep(CorpusStep):
+    """Keep docs passing every Gopher rule; stash the per-doc signals as
+    "corpus.quality"."""
+
+    def __init__(self, cols: CorpusColumns, **kw):
+        super().__init__(cols, name="gopher_quality_gate", **kw)
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        quality = gopher_quality(docs, self.cols.id, self.cols.text)
+        context.processed_data["corpus.quality"] = quality
+        context.raw_data = docs.join(
+            quality.filter(F.col("keep")).select(self.cols.id),
+            self.cols.id, "left_semi",
+        )
+        self._record(context)
+        return context
+
+
+class UrlDedupStep(CorpusStep):
+    """One survivor per canonical URL (crawl-level dedup). Composed only
+    when the corpus has a URL column (see build_corpus_pipeline)."""
+
+    def __init__(self, cols: CorpusColumns, **kw):
+        super().__init__(cols, name="url_dedup", **kw)
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.id, self.cols.url]
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        keep = url_dedup(docs, self.cols.id, self.cols.url)
+        context.processed_data["corpus.url_survivors"] = keep
+        context.raw_data = docs.join(
+            keep.select(self.cols.id), self.cols.id, "left_semi"
+        )
+        self._record(context)
+        return context
+
+
+class ExactDedupStep(CorpusStep):
+    """md5-fingerprint exact dedup, min-id survivor — one shuffle."""
+
+    def __init__(self, cols: CorpusColumns, **kw):
+        super().__init__(cols, name="exact_dedup", **kw)
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        context.raw_data = docs.join(
+            exact_dedup(docs, self.cols.id, self.cols.text).select(self.cols.id),
+            self.cols.id, "left_semi",
+        )
+        self._record(context)
+        return context
+
+
+class NearDupCollapseStep(CorpusStep):
+    """MinHash-LSH candidates -> verified Jaccard -> connected components
+    -> keep only each cluster's min-id survivor."""
+
+    def __init__(self, cols: CorpusColumns, threshold: float = 0.5,
+                 algorithm: str = "min_label", **kw):
+        super().__init__(cols, name="neardup_collapse", **kw)
+        self.threshold = threshold
+        self.algorithm = algorithm
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        pairs = minhash_dedup_pairs(
+            docs, self.cols.id, self.cols.text, threshold=self.threshold
+        )
+        context.raw_data = dedup_survivors(
+            docs, pairs, self.cols.id, algorithm=self.algorithm
+        )
+        self._record(context)
+        return context
+
+
+class DecontaminationStep(CorpusStep):
+    """Drop docs whose shingle overlap with the benchmark table (stashed
+    at processed_data["corpus.benchmark"]) exceeds the threshold; stash
+    the per-doc scores as "corpus.contamination"."""
+
+    def __init__(self, cols: CorpusColumns, threshold: float = 0.05,
+                 broadcast_benchmark: bool = True, **kw):
+        super().__init__(cols, name="decontamination", **kw)
+        self.threshold = threshold
+        self.broadcast_benchmark = broadcast_benchmark
+
+    def validate_prerequisites(self, context: PipelineContext) -> None:
+        super().validate_prerequisites(context)
+        if BENCHMARK_KEY not in context.processed_data:
+            raise ValueError(
+                f"DecontaminationStep needs processed_data[{BENCHMARK_KEY!r}]"
+            )
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        contam = contamination_check(
+            docs,
+            context.processed_data[BENCHMARK_KEY],
+            self.cols.id,
+            self.cols.text,
+            threshold=self.threshold,
+            broadcast_benchmark=self.broadcast_benchmark,
+        )
+        context.processed_data["corpus.contamination"] = contam
+        context.raw_data = docs.join(
+            contam.filter(~F.col("contaminated")).select(self.cols.id),
+            self.cols.id, "left_semi",
+        )
+        self._record(context)
+        return context
+
+
+class PiiRedactionStep(CorpusStep):
+    """Replace the text column with its redacted form (emails / IPv4 /
+    long digit runs -> typed placeholders); stash the per-doc audit
+    counts as "corpus.pii". Map-side chained regexp_replace."""
+
+    def __init__(self, cols: CorpusColumns, **kw):
+        super().__init__(cols, name="pii_redaction", **kw)
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        context.processed_data["corpus.pii"] = pii_counts(
+            docs, self.cols.id, self.cols.text
+        )
+        others = [c for c in docs.columns if c != self.cols.text]
+        context.raw_data = docs.select(
+            *others, redact_pii(F.col(self.cols.text)).alias(self.cols.text)
+        )
+        self._record(context)
+        return context
+
+
+class QuotaSampleStep(CorpusStep):
+    """Per-source quota (salted two-phase top-n, hot-key safe)."""
+
+    def __init__(self, cols: CorpusColumns, n: int = 1000,
+                 salt_buckets: int | None = 16, **kw):
+        super().__init__(cols, name="quota_sample", **kw)
+        self.n = n
+        self.salt_buckets = salt_buckets
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.id, self.cols.source, self.cols.order]
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        context.raw_data = quota_sample(
+            context.raw_data, self.cols.source, self.n,
+            self.cols.order, self.cols.id, salt_buckets=self.salt_buckets,
+        )
+        self._record(context)
+        return context
+
+
+class ChunkDocumentsStep(CorpusStep):
+    """Fixed-token chunking into processed_data["corpus.chunks"]
+    (narrow, shuffle-free); raw_data stays the surviving documents."""
+
+    def __init__(self, cols: CorpusColumns, chunk_tokens: int = 64, **kw):
+        super().__init__(cols, name="chunk_documents", **kw)
+        self.chunk_tokens = chunk_tokens
+
+    def validate_output(self, context: PipelineContext) -> None:
+        super().validate_output(context)
+        chunks = context.processed_data.get("corpus.chunks")
+        if chunks is None:
+            raise ValueError("chunk_documents produced no corpus.chunks table")
+        self.require_columns(chunks, ["chunk_id", "chunk_text", "n_tokens"])
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        context.processed_data["corpus.chunks"] = chunk_documents(
+            context.raw_data, self.cols.id, self.cols.text,
+            chunk_tokens=self.chunk_tokens,
+        )
+        self._record(context)
+        return context
+
+
+def build_corpus_pipeline(
+    cols: CorpusColumns | None = None,
+    config: PipelineConfig | None = None,
+    neardup_threshold: float = 0.5,
+    neardup_algorithm: str = "min_label",
+    contamination_threshold: float = 0.05,
+    broadcast_benchmark: bool = True,
+    quota_n: int | None = 1000,
+    quota_salt_buckets: int | None = 16,
+    chunk_tokens: int = 64,
+) -> Pipeline:
+    """Assemble the corpus-prep workload with the canonical conditions:
+    URL dedup runs iff the corpus binds a URL column, decontamination iff
+    a benchmark table was stashed, quota iff a quota was set — the same
+    condition mechanism the power pipeline uses
+    (analytics/power_pipeline.py:236-281, src/core/pipeline.py:83-99).
+    """
+    cols = cols or CorpusColumns()
+
+    def has_benchmark(ctx: PipelineContext) -> bool:
+        return BENCHMARK_KEY in ctx.processed_data
+
+    return Pipeline(
+        processors=[
+            GopherQualityGateStep(cols),
+            UrlDedupStep(cols),
+            ExactDedupStep(cols),
+            NearDupCollapseStep(
+                cols, threshold=neardup_threshold, algorithm=neardup_algorithm
+            ),
+            DecontaminationStep(
+                cols,
+                threshold=contamination_threshold,
+                broadcast_benchmark=broadcast_benchmark,
+            ),
+            PiiRedactionStep(cols),
+            QuotaSampleStep(cols, n=quota_n or 0, salt_buckets=quota_salt_buckets),
+            ChunkDocumentsStep(cols, chunk_tokens=chunk_tokens),
+        ],
+        conditions={
+            "url_dedup": lambda ctx: cols.url is not None,
+            "decontamination": has_benchmark,
+            "quota_sample": lambda ctx: bool(quota_n),
+        },
+        config=config,
+        name="corpus_prep",
+    )
+
+
+def run_corpus_prep(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cols: CorpusColumns | None = None,
+    **kwargs,
+) -> PipelineContext:
+    """One-call form: documents (+ optional benchmark) in, final context
+    out — survivors in ``raw_data``, chunks in
+    ``processed_data["corpus.chunks"]``."""
+    ctx = PipelineContext(
+        pipeline_name="corpus_prep", correlation_id="run", raw_data=docs
+    )
+    if benchmark is not None:
+        ctx.processed_data[BENCHMARK_KEY] = benchmark
+    return build_corpus_pipeline(cols, **kwargs).run(ctx)

@@ -1,0 +1,192 @@
+"""Corpus-prep Processor/Pipeline tests — OPS style: tiny frame -> one
+step -> assert rows + stages metadata; then the composed pipeline with
+its conditions (skip-without-url, skip-without-benchmark)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+    BENCHMARK_KEY,
+    ChunkDocumentsStep,
+    CorpusColumns,
+    DecontaminationStep,
+    ExactDedupStep,
+    GopherQualityGateStep,
+    NearDupCollapseStep,
+    PiiRedactionStep,
+    QuotaSampleStep,
+    UrlDedupStep,
+    build_corpus_pipeline,
+    run_corpus_prep,
+)
+from meshinsights_data_pipeline_spark.core.context import PipelineContext
+
+# 24 tokens, all-alpha, plenty of stopwords -> passes every Gopher rule.
+GOOD = (
+    "the cat and the dog walk to the house in the morning and "
+    "they see the bird on the tree near the river bank today"
+)
+GOOD2 = (
+    "a quick brown fox jumps over the lazy dog and runs through "
+    "the field to the forest where it finds a quiet stream flowing"
+)
+# One mid-sentence word changed vs GOOD -> high-Jaccard near-duplicate.
+NEAR = GOOD.replace("bird", "plane")
+BAD = "x1 9z"  # fails token-count rule
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+
+def _ctx(df, **config):
+    return PipelineContext(
+        pipeline_name="corpus_prep", correlation_id="t", raw_data=df,
+        config=config,
+    )
+
+
+COLS = CorpusColumns()
+
+
+def test_gopher_gate_step(spark):
+    df = _docs(spark, [(1, GOOD, "s0", 100), (2, BAD, "s0", 5)])
+    ctx = GopherQualityGateStep(COLS)(_ctx(df, **{"corpus.count_rows": True}))
+    assert [r.doc_id for r in ctx.raw_data.collect()] == [1]
+    assert ctx.stages["corpus.gopher_quality_gate"]["rows"] == 1
+    assert "corpus.quality" in ctx.processed_data
+    assert ctx.execution_log[-1]["status"] == "success"
+
+
+def test_exact_dedup_step(spark):
+    df = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD, "s1", 100), (3, GOOD2, "s0", 90)])
+    ctx = ExactDedupStep(COLS)(_ctx(df))
+    assert sorted(r.doc_id for r in ctx.raw_data.collect()) == [1, 3]
+
+
+def test_neardup_collapse_step(spark):
+    df = _docs(spark, [(1, GOOD, "s0", 100), (2, NEAR, "s1", 100), (3, GOOD2, "s0", 90)])
+    ctx = NearDupCollapseStep(COLS, threshold=0.5)(_ctx(df))
+    assert sorted(r.doc_id for r in ctx.raw_data.collect()) == [1, 3]
+
+
+def test_decontamination_step(spark):
+    df = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
+    bench = _docs(spark, [(100, GOOD, "bench", 100)])
+    ctx = _ctx(df)
+    ctx.processed_data[BENCHMARK_KEY] = bench
+    out = DecontaminationStep(COLS, threshold=0.5)(ctx)
+    assert [r.doc_id for r in out.raw_data.collect()] == [2]
+    scores = {r.doc_id: r.contamination for r in
+              out.processed_data["corpus.contamination"].collect()}
+    assert scores[1] == 1.0 and scores[2] < 0.5
+
+
+def test_decontamination_requires_benchmark(spark):
+    df = _docs(spark, [(1, GOOD, "s0", 100)])
+    with pytest.raises(ValueError, match="corpus.benchmark"):
+        DecontaminationStep(COLS)(_ctx(df))
+
+
+def test_pii_redaction_step(spark):
+    df = _docs(spark, [(1, "contact bob@example.com or 12345678 now", "s0", 40)])
+    ctx = PiiRedactionStep(COLS)(_ctx(df))
+    text = ctx.raw_data.collect()[0].text
+    assert "<EMAIL>" in text and "<NUM>" in text and "bob@" not in text
+    audit = ctx.processed_data["corpus.pii"].collect()[0]
+    assert audit.n_email == 1 and audit.n_num == 1
+
+
+def test_quota_sample_step(spark):
+    rows = [(i, GOOD, "s0", 100 - i) for i in range(5)] + [(10, GOOD2, "s1", 50)]
+    ctx = QuotaSampleStep(COLS, n=2, salt_buckets=2)(_ctx(_docs(spark, rows)))
+    kept = sorted(r.doc_id for r in ctx.raw_data.collect())
+    assert kept == [0, 1, 10]  # top-2 by n_chars desc per source + the s1 doc
+
+
+def test_chunk_documents_step(spark):
+    df = _docs(spark, [(1, GOOD, "s0", 100)])
+    ctx = ChunkDocumentsStep(COLS, chunk_tokens=10)(_ctx(df))
+    chunks = ctx.processed_data["corpus.chunks"].collect()
+    assert len(chunks) == 3  # 25 tokens / 10
+    assert sum(c.n_tokens for c in chunks) == 25
+
+
+def test_url_dedup_step(spark):
+    cols = CorpusColumns(url="url")
+    df = spark.createDataFrame(
+        [
+            (1, GOOD, "s0", 100, "https://example.com/a?utm_source=x"),
+            (2, GOOD2, "s1", 90, "https://EXAMPLE.com/a/"),
+            (3, GOOD2, "s1", 90, "https://example.com/b"),
+        ],
+        "doc_id long, text string, source string, n_chars long, url string",
+    )
+    ctx = UrlDedupStep(cols)(
+        PipelineContext(pipeline_name="p", correlation_id="t", raw_data=df)
+    )
+    assert sorted(r.doc_id for r in ctx.raw_data.collect()) == [1, 3]
+
+
+def test_missing_column_is_recorded_error(spark):
+    df = spark.createDataFrame([(1, "t")], "doc_id long, other string")
+    step = GopherQualityGateStep(COLS, stop_on_error=False)
+    ctx = step(_ctx(df))
+    assert ctx.errors and "text" in ctx.errors[0]["error"]
+    assert ctx.execution_log[-1]["status"] == "error_continue"
+
+
+def test_full_pipeline_conditions_and_flow(spark):
+    rows = [
+        (1, GOOD, "s0", 100),
+        (2, GOOD, "s0", 99),    # exact dup of 1
+        (3, NEAR, "s0", 98),    # near dup of 1
+        (4, GOOD2, "s1", 90),
+        (5, BAD, "s1", 5),      # fails quality
+    ]
+    docs = _docs(spark, rows)
+    bench = _docs(spark, [(100, GOOD2, "bench", 90)])
+    ctx = run_corpus_prep(
+        docs, benchmark=bench, quota_n=10, chunk_tokens=10,
+        contamination_threshold=0.5,
+    )
+    # 5 gone at quality, 2 at exact, 3 at near-dup, 4 at decontamination.
+    assert [r.doc_id for r in ctx.raw_data.collect()] == [1]
+    assert ctx.processed_data["corpus.chunks"].count() > 0
+    logged = {e["processor"] for e in ctx.execution_log}
+    assert "url_dedup" in logged  # skipped (no url column) but logged
+    skipped = [e for e in ctx.execution_log if e.get("skipped")]
+    assert {e["processor"] for e in skipped} == {"url_dedup"}
+
+
+def test_full_pipeline_skips_decontamination_without_benchmark(spark):
+    docs = _docs(spark, [(1, GOOD, "s0", 100)])
+    ctx = run_corpus_prep(docs)
+    skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
+    assert skipped == {"url_dedup", "decontamination"}
+    assert ctx.raw_data.count() == 1
+
+
+def test_run_partial_slice(spark):
+    docs = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD, "s1", 99)])
+    pipe = build_corpus_pipeline()
+    ctx = pipe.run_partial(
+        _ctx(docs), "exact_dedup", "exact_dedup"
+    )
+    assert [r.doc_id for r in ctx.raw_data.collect()] == [1]
+    # Only the sliced step ran — no quality gate, no chunks.
+    assert "corpus.chunks" not in ctx.processed_data
+
+
+def test_pipeline_sees_one_lazy_plan(spark):
+    """No step triggers an action by default: the composed run must leave
+    raw_data as a pure plan (no job side effects needed to build it)."""
+    docs = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
+    ctx = run_corpus_prep(docs)
+    # the final frame is still composable/explainable as one plan
+    plan = ctx.raw_data._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
