@@ -7,8 +7,10 @@ Reference parity:
 - JdbcSource: MySQL scan/sink (S3/S4/S5/S6, src/plugins/mysql_plugin.py).
   Env-var config preserved (mysql_plugin.py:66-76): MYSQL_HOST/PORT/USER/
   PASSWORD/DATABASE. Full-query pushdown via the ``query`` option; writes
-  via df.write.jdbc. Engine-level retry is intentionally absent — Spark task
-  retry + JDBC driver options cover it (SURVEY §2.13 D7).
+  via df.write.jdbc; UPDATE / upsert-MERGE DML via per-partition
+  executemany over an injectable connection factory (mysql_plugin.py:
+  161-164 commit semantics). Engine-level retry is intentionally absent —
+  Spark task retry + JDBC driver options cover it (SURVEY §2.13 D7).
 - SqlSource: the native-query-string surface over the session catalog —
   parse/optimize/execute in Catalyst instead of a remote engine (SURVEY §3.2).
 - MemorySource: S8 in-memory frame injection (EPC:109-112).
@@ -129,6 +131,152 @@ class JdbcSource(Source):
         for k, v in self.options.items():
             w = w.option(k, v)
         w.mode(mode).save()
+
+    # -- DML path (S5: UPDATE / upsert-MERGE, mysql_plugin.py:161-164) -----
+    #
+    # Spark's JDBC writer only appends/overwrites; the reference commits
+    # UPDATE/DELETE through the same query path (cursor.description is None
+    # -> commit). Here DML is explicit: ``execute`` runs one driver-side
+    # statement; ``update``/``upsert`` fan the rows out with
+    # ``foreachPartition`` — one DB connection and batched executemany per
+    # partition, so a 1000-partition frame updates over 1000 parallel
+    # connections instead of serializing through the driver. The connection
+    # factory is injectable (the genai transport pattern), which is also
+    # what makes the path unit-testable without a database.
+
+    def _connection_factory(self):
+        """Default factory: mysql-connector from the env-var config
+        (mysql_plugin.py:66-76). Import-gated — the sandbox has no DB."""
+        prefix = self.ENV_PREFIX
+
+        def factory():
+            try:
+                import mysql.connector  # type: ignore
+            except ImportError as exc:  # pragma: no cover - no driver here
+                raise RuntimeError(
+                    "mysql-connector not installed; pass connection_factory="
+                ) from exc
+            return mysql.connector.connect(
+                host=os.environ.get(f"{prefix}HOST", "localhost"),
+                port=int(os.environ.get(f"{prefix}PORT", "3306")),
+                user=os.environ.get(f"{prefix}USER", ""),
+                password=os.environ.get(f"{prefix}PASSWORD", ""),
+                database=os.environ.get(f"{prefix}DATABASE", ""),
+            )
+
+        return factory
+
+    def execute(self, sql: str, connection_factory=None) -> int:
+        """Driver-side DML passthrough (one statement, commit) — the
+        reference's execute_query branch for INSERT/UPDATE/DELETE. Returns
+        the affected-row count when the driver reports one."""
+        conn = (connection_factory or self._connection_factory())()
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            conn.commit()
+            n = getattr(cur, "rowcount", -1)
+            cur.close()
+            return n
+        finally:
+            conn.close()
+
+    def update(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        value_cols: list[str],
+        connection_factory=None,
+        batch_size: int = 1000,
+    ) -> None:
+        """Per-row UPDATE of ``value_cols`` keyed on ``key_cols``:
+        ``UPDATE t SET v=%s WHERE k=%s`` via per-partition executemany."""
+        if self.table is None:
+            raise ValueError("JDBC update requires table=")
+        sql = update_sql(self.table, key_cols, value_cols)
+        param_cols = list(value_cols) + list(key_cols)
+        factory = connection_factory or self._connection_factory()
+        df.select(*key_cols, *value_cols).foreachPartition(
+            lambda rows: run_dml_partition(rows, sql, param_cols, factory, batch_size)
+        )
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        value_cols: list[str],
+        connection_factory=None,
+        batch_size: int = 1000,
+    ) -> None:
+        """MERGE-equivalent: ``INSERT ... ON DUPLICATE KEY UPDATE`` (MySQL
+        dialect; ``key_cols`` must be the table's unique key)."""
+        if self.table is None:
+            raise ValueError("JDBC upsert requires table=")
+        sql = upsert_sql(self.table, key_cols, value_cols)
+        param_cols = list(key_cols) + list(value_cols)
+        factory = connection_factory or self._connection_factory()
+        df.select(*key_cols, *value_cols).foreachPartition(
+            lambda rows: run_dml_partition(rows, sql, param_cols, factory, batch_size)
+        )
+
+
+def _check_identifier(name: str) -> str:
+    """DML statements interpolate identifiers (placeholders only bind
+    values); allow only plain [A-Za-z0-9_.] names to keep injection out."""
+    if not name or not all(ch.isalnum() or ch in "_." for ch in name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def update_sql(table: str, key_cols: list[str], value_cols: list[str]) -> str:
+    """``UPDATE t SET v1=%s, ... WHERE k1=%s AND ...`` (pyformat %s
+    placeholders — the mysql-connector paramstyle the reference uses)."""
+    if not key_cols or not value_cols:
+        raise ValueError("update_sql needs both key_cols and value_cols")
+    sets = ", ".join(f"{_check_identifier(c)} = %s" for c in value_cols)
+    where = " AND ".join(f"{_check_identifier(c)} = %s" for c in key_cols)
+    return f"UPDATE {_check_identifier(table)} SET {sets} WHERE {where}"
+
+
+def upsert_sql(table: str, key_cols: list[str], value_cols: list[str]) -> str:
+    """``INSERT ... ON DUPLICATE KEY UPDATE`` — the MySQL MERGE."""
+    if not key_cols or not value_cols:
+        raise ValueError("upsert_sql needs both key_cols and value_cols")
+    cols = [_check_identifier(c) for c in list(key_cols) + list(value_cols)]
+    placeholders = ", ".join("%s" for _ in cols)
+    updates = ", ".join(f"{c} = VALUES({c})" for c in map(_check_identifier, value_cols))
+    return (
+        f"INSERT INTO {_check_identifier(table)} ({', '.join(cols)}) "
+        f"VALUES ({placeholders}) ON DUPLICATE KEY UPDATE {updates}"
+    )
+
+
+def run_dml_partition(
+    rows, sql: str, param_cols: list[str], connection_factory, batch_size: int = 1000
+) -> int:
+    """Executor-side body of update/upsert: one connection per partition,
+    executemany in ``batch_size`` chunks, single commit, close. Pure
+    function of (rows, factory) so it unit-tests against a fake connection
+    without a cluster or a database."""
+    conn = connection_factory()
+    n = 0
+    try:
+        cur = conn.cursor()
+        batch: list[tuple] = []
+        for row in rows:
+            batch.append(tuple(row[c] for c in param_cols))
+            if len(batch) >= batch_size:
+                cur.executemany(sql, batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            cur.executemany(sql, batch)
+            n += len(batch)
+        conn.commit()
+        cur.close()
+        return n
+    finally:
+        conn.close()
 
 
 class SqlSource(Source):

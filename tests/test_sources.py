@@ -135,3 +135,136 @@ def test_write_partitioned_file_layout(spark, tmp_path):
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(d" in plan
     assert one_day.count() == ev.filter(F.col("d") == "2024-01-03").count()
+
+
+# -- JDBC DML path (S5): generated SQL + partitioned writer against a fake
+# -- connection (injectable-transport pattern; no database in the sandbox).
+
+class FakeCursor:
+    def __init__(self, log):
+        self.log = log
+        self.rowcount = 0
+
+    def execute(self, sql, params=None):
+        self.log.append(("execute", sql, params))
+        self.rowcount += 1
+
+    def executemany(self, sql, seq):
+        self.log.append(("executemany", sql, list(seq)))
+        self.rowcount += len(seq)
+
+    def close(self):
+        self.log.append(("cursor_close",))
+
+
+class FakeConnection:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        return FakeCursor(self.log)
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def close(self):
+        self.log.append(("conn_close",))
+
+
+def test_update_sql_shape():
+    from meshinsights_data_pipeline_spark.sources.factories import update_sql
+
+    assert (
+        update_sql("t1", ["id"], ["score", "label"])
+        == "UPDATE t1 SET score = %s, label = %s WHERE id = %s"
+    )
+    with pytest.raises(ValueError, match="identifier"):
+        update_sql("t1; DROP TABLE x", ["id"], ["v"])
+    with pytest.raises(ValueError):
+        update_sql("t1", [], ["v"])
+
+
+def test_upsert_sql_shape():
+    from meshinsights_data_pipeline_spark.sources.factories import upsert_sql
+
+    assert upsert_sql("t1", ["id"], ["v"]) == (
+        "INSERT INTO t1 (id, v) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+
+
+def test_run_dml_partition_batches_and_commits():
+    from meshinsights_data_pipeline_spark.sources.factories import (
+        run_dml_partition,
+        update_sql,
+    )
+
+    log = []
+    rows = [{"id": i, "v": i * 10} for i in range(5)]
+    sql = update_sql("t", ["id"], ["v"])
+    n = run_dml_partition(rows, sql, ["v", "id"], lambda: FakeConnection(log), batch_size=2)
+    assert n == 5
+    many = [e for e in log if e[0] == "executemany"]
+    assert [len(e[2]) for e in many] == [2, 2, 1]  # batch_size chunks
+    assert many[0][2][0] == (0, 0)  # params ordered (value, key)
+    # one commit then close, in order
+    assert log[-3:] == [("commit",), ("cursor_close",), ("conn_close",)]
+
+
+def test_jdbc_update_runs_per_partition(spark):
+    from meshinsights_data_pipeline_spark.sources.factories import JdbcSource
+
+    src = JdbcSource(url="jdbc:mysql://h/db", table="scores")
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    # foreachPartition runs on executor processes: assert via side-effect
+    # files is overkill — instead check the driver-side plumbing (bad args)
+    # and the full body via run_dml_partition above.
+    with pytest.raises(ValueError, match="update requires table"):
+        JdbcSource(url="u", query="SELECT 1").update(df, ["id"], ["v"], lambda: None)
+
+
+def test_jdbc_execute_commits_dml():
+    from meshinsights_data_pipeline_spark.sources.factories import JdbcSource
+
+    log = []
+    src = JdbcSource(url="jdbc:mysql://h/db", table="scores")
+    n = src.execute("UPDATE scores SET v = 0", connection_factory=lambda: FakeConnection(log))
+    assert n == 1
+    kinds = [e[0] for e in log]
+    assert kinds == ["execute", "commit", "cursor_close", "conn_close"]
+
+
+def test_jdbc_update_foreachpartition_e2e(spark, tmp_path):
+    from meshinsights_data_pipeline_spark.sources.factories import JdbcSource
+
+    class FileBackedConnection:
+        """File-backed fake whose writes survive the executor-process
+        boundary, letting the real foreachPartition path be asserted
+        end-to-end. Defined inside the test so cloudpickle ships it by
+        value (the tests package is not on executor sys.path)."""
+
+        def __init__(self, path):
+            self.path = path
+
+        def cursor(self):
+            return self
+
+        def executemany(self, sql, seq):
+            with open(self.path, "a") as f:
+                for params in seq:
+                    f.write(repr(tuple(params)) + "\n")
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    out = str(tmp_path / "dml.log")
+    src = JdbcSource(url="jdbc:mysql://h/db", table="scores")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 9.0)], "id long, v double"
+    ).repartition(2)
+    src.update(df, ["id"], ["v"], connection_factory=lambda: FileBackedConnection(out))
+    lines = sorted(open(out).read().splitlines())
+    assert lines == [repr((5.0, 1)), repr((7.0, 2)), repr((9.0, 3))]
