@@ -111,6 +111,43 @@ def connected_components(
     )
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Fold new edges into an existing ``[id, cluster_id]`` labeling
+    without re-running CC over the full accumulated pair history.
+
+    The prior labeling IS the prior connectivity, compressed: every
+    component is a diameter-2 star around its min-id. So treating each
+    label row as an edge ``id -> cluster_id`` and running min-label CC
+    over (label stars) ∪ (new pairs) yields exactly the labeling batch CC
+    would produce on the full pair set — but the input is O(|nodes| +
+    |new pairs|) edges instead of O(all pairs ever), and the stars keep
+    the effective diameter tiny (rounds ~ length of the longest chain of
+    components the NEW edges link together, not graph history). This is
+    the batch half of streaming cluster maintenance
+    (streaming/dedup.py:streaming_lsh_ingest with ``labels_dir``).
+
+    Singleton rows (id == cluster_id) survive as self-loops; ids absent
+    from both inputs are absent from the output, as in batch CC.
+    """
+    star_edges = labels.select(
+        F.col("id").alias(src_col), F.col("cluster_id").alias(dst_col)
+    )
+    merged = star_edges.unionByName(
+        new_pairs.select(F.col(src_col), F.col(dst_col))
+    )
+    return connected_components(
+        merged, src_col, dst_col,
+        max_iter=max_iter, reliable_checkpoint=reliable_checkpoint,
+    )
+
+
 def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,

@@ -45,6 +45,7 @@ def streaming_lsh_ingest(
     *,
     signature_dir: str,
     pairs_dir: str,
+    labels_dir: str | None = None,
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
@@ -64,6 +65,16 @@ def streaming_lsh_ingest(
        different batches, or pre-exist in the corpus,
     3. append candidate pairs [id_a, id_b] (a < b, distinct-per-batch) to
        ``pairs_dir``, then append the new signatures to ``signature_dir``.
+
+    With ``labels_dir`` set, the batch's new pairs are additionally folded
+    into the accumulated ``[id, cluster_id]`` component labeling
+    (incremental cluster maintenance): the existing labels are read, the
+    new edges merged via ``operators.components.incremental_components``
+    (label stars ∪ new pairs -> bounded min-label pass), and the table is
+    rewritten — so a restart resumes from current labels instead of
+    re-running batch CC over every pair ever emitted. Seed ``labels_dir``
+    with batch CC over the seed corpus's pairs, or an empty [id BIGINT,
+    cluster_id BIGINT] frame for a cold start.
 
     Scale notes: the per-batch work is micro-batch x bucket-mates — never
     table^2; the (band, sig) join is broadcast-eligible while batches are
@@ -100,7 +111,21 @@ def streaming_lsh_ingest(
                 F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
             )
         )
-        vs_table.union(intra).distinct().write.mode("append").parquet(pairs_dir)
+        # Materialized once: appended to the pair log AND (optionally)
+        # folded into the labels table.
+        new_pairs = vs_table.union(intra).distinct().localCheckpoint()
+        new_pairs.write.mode("append").parquet(pairs_dir)
+        if labels_dir is not None:
+            from meshinsights_data_pipeline_spark.operators.components import (
+                incremental_components,
+            )
+
+            labels = spark.read.parquet(labels_dir)
+            # localCheckpoint materializes the merged labeling BEFORE the
+            # overwrite — reading lazily while rewriting the same files
+            # would corrupt the result.
+            merged = incremental_components(labels, new_pairs).localCheckpoint()
+            merged.write.mode("overwrite").parquet(labels_dir)
         nb.write.mode("append").parquet(signature_dir)
 
     return _process

@@ -125,3 +125,27 @@ def test_dedup_survivors_star_matches_min_label(spark):
     assert [r[0] for r in a] == [0, 3, 4, 5, 7]
     with pytest.raises(ValueError):
         dedup_survivors(df, pairs, "id", algorithm="bogus")
+
+
+def test_incremental_components_matches_batch(spark):
+    """Folding edges in two installments through the label-star rewrite
+    must equal batch CC over the full edge set — including edges that
+    MERGE two previously separate components, and untouched components
+    surviving as-is."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        incremental_components,
+    )
+
+    first = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 30)]
+    second = [(3, 10), (40, 41), (11, 50)]  # merges {1..3}+{10,11}, new, extends
+    labels0 = connected_components(_pairs(spark, first))
+    inc = {
+        (r.id, r.cluster_id)
+        for r in incremental_components(labels0, _pairs(spark, second)).collect()
+    }
+    full = {
+        (r.id, r.cluster_id)
+        for r in connected_components(_pairs(spark, first + second)).collect()
+    }
+    assert inc == full
+    assert (30, 30) in inc  # untouched singleton self-loop survives

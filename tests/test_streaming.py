@@ -248,3 +248,60 @@ def test_streaming_lsh_ingest_parity(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == full - seed_only
+
+
+def test_streaming_cluster_maintenance_parity(spark, tmp_path):
+    """With labels_dir set, the accumulated [id, cluster_id] table after
+    all micro-batches must equal batch connected_components over the full
+    accumulated pair set (seed pairs + every streamed pair) — i.e. the
+    incremental star-merge loses nothing across batch boundaries."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_candidates,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_lsh_ingest
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+
+    sig_dir = str(tmp_path / "signatures")
+    pairs_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
+    src = str(tmp_path / "src")
+    banded_signatures(seed, "doc_id", "text").write.parquet(sig_dir)
+    seed_pairs = minhash_lsh_candidates(seed, "doc_id", "text").localCheckpoint()
+    connected_components(seed_pairs).write.parquet(labels_dir)
+    arriving.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_lsh_ingest(
+                stream, "doc_id", "text",
+                signature_dir=sig_dir, pairs_dir=pairs_dir, labels_dir=labels_dir,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.id, r.cluster_id)
+        for r in spark.read.parquet(labels_dir).collect()
+    }
+    all_pairs = seed_pairs.unionByName(
+        spark.read.parquet(pairs_dir).select("id_a", "id_b")
+    ).distinct()
+    want = {
+        (r.id, r.cluster_id)
+        for r in connected_components(all_pairs).collect()
+    }
+    assert len(got) > 0
+    assert got == want
