@@ -211,17 +211,19 @@ WHERE rank <= 10 ORDER BY query_id, rank
 def x07_embedding_neardup(spark: SparkSession, sf_dir: str):
     """Embedding-cosine near-dup pairs (exact verifier path, score >= 0.4 —
     the synthetic embeddings top out near cosine 0.51, so 0.4 yields a
-    non-degenerate result to compare). Scoped to a 1000-vector slice: this
-    is the deliberately-quadratic small-N recall oracle; the scale path is
-    x12 (LSH-bucketed)."""
-    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    non-degenerate result to compare). Scoped to a 500-vector slice: this
+    is the deliberately-quadratic small-N recall oracle (cost constant in
+    corpus size; at sf0.01 every qualifying pair falls below vec_id 500,
+    so the tighter slice loses nothing and quarters the pair space); the
+    scale path is x12 (LSH-bucketed)."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return S.embedding_neardup_pairs(emb, threshold=0.4, dim=_EMB_DIM).orderBy(
         "id_a", "id_b"
     )
 
 
 X07_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500)
 SELECT id_a, id_b, score FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
@@ -1038,6 +1040,27 @@ FROM agg ORDER BY doc_id
 """
 
 
+def x29_contamination_bloom(spark: SparkSession, sf_dir: str):
+    """Decontamination via the bucket-bloom prefilter — the non-broadcast
+    scale path for multi-GB benchmark blocklists: only bucket-colliding
+    shingles enter the exact join, and the result is bit-identical to the
+    broadcast path, so it deliberately shares x25's oracle (two physical
+    strategies + DuckDB must all agree)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        contamination_check_prefiltered,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    cand = docs.filter(F.col("source") != "src0")
+    return contamination_check_prefiltered(
+        cand, bench, "doc_id", "text", n=3, threshold=0.05
+    ).orderBy("doc_id")
+
+
+X29_SQL = X25_SQL
+
+
 def x26_dedup_clusters_star(spark: SparkSession, sf_dir: str):
     """Same clustering as x23 via the alternating large-star/small-star
     algorithm (O(log n) rounds — the scale path for high-diameter graphs).
@@ -1212,4 +1235,5 @@ EXTENSION_BUILDERS = {
     "x26_dedup_clusters_star": (x26_dedup_clusters_star, X26_SQL),
     "x27_url_dedup": (x27_url_dedup, X27_SQL),
     "x28_pii_redact": (x28_pii_redact, X28_SQL),
+    "x29_contamination_bloom": (x29_contamination_bloom, X29_SQL),
 }
