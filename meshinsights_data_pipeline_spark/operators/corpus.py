@@ -267,6 +267,67 @@ def contamination_check(
     )
 
 
+def contamination_check_prefiltered(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """``contamination_check`` for benchmarks too big to broadcast in full:
+    a bucket-bloom prefilter cuts the exact join's corpus-side input to the
+    colliding fraction, and the RESULT IS STILL EXACT.
+
+    The prefilter is the distinct set of ``h mod 2**bucket_bits`` bucket
+    ids of the benchmark's shingles — a single-hash blocked Bloom filter
+    expressed as a broadcast semi-join. Its size is bounded by 2**bits
+    longs (~8 MB at the default 20 bits) NO MATTER how large the benchmark
+    is, so it broadcasts where the full multi-GB shingle set cannot. Corpus
+    shingles whose bucket is absent are dropped map-side inside the scan
+    stage; only bucket-colliding shingles (true hits + ~|bench|/2^bits
+    false-positive rate per distinct bucket) enter the exact shuffle join
+    that resolves them. Same output contract as ``contamination_check``
+    ([id, n_shingles, hits, contamination, contaminated]) and bit-identical
+    results — the x29 driver oracle is literally x25's SQL.
+
+    Note Spark's own bloom-filter runtime join filters cover the same idea
+    for equi-joins it plans itself; expressing the prefilter explicitly
+    keeps it on regardless of planner heuristics and makes the FP-rate /
+    broadcast-size trade a caller-visible knob.
+    """
+    from meshinsights_data_pipeline_spark.operators.dedup import shingle_hashes
+
+    doc_sh = shingle_hashes(df, id_col, text_col, n)
+    bench_sh = shingle_hashes(benchmark, id_col, text_col, n).select("h").distinct()
+    p = F.lit(1 << bucket_bits)
+    buckets = F.broadcast(
+        bench_sh.select(F.pmod(F.col("h"), p).alias("_bk")).distinct()
+    )
+    cand = doc_sh.join(
+        buckets, F.pmod(doc_sh["h"], p) == buckets["_bk"], "left_semi"
+    )
+    totals = doc_sh.groupBy(F.col(id_col)).agg(F.count("*").alias("n_shingles"))
+    hit_counts = (
+        cand.join(bench_sh, "h", "left_semi")
+        .groupBy(F.col(id_col))
+        .agg(F.count("*").alias("hits"))
+    )
+    agg = (
+        totals.join(hit_counts, id_col, "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
+    )
+    contamination = F.round(F.col("hits") / F.col("n_shingles"), 6)
+    return agg.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("hits"),
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("contaminated"),
+    )
+
+
 # Tracking params dropped by canonical_url (the standard scrape-dedup set).
 TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|ref)="
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.session import read_table
@@ -471,6 +471,30 @@ _ORACLES: dict[str, str] = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY region_name
     """,
+    "q29": """
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               CAST(COUNT(*) AS BIGINT) AS customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+        ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
+    # q30: integer counts keep the rolling mean bit-identical across
+    # engines (int sums are exact; the final division is one IEEE op).
+    "q30": """
+        WITH per_ts AS (
+            SELECT user_id, ts, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, ts
+        )
+        SELECT user_id, ts, n,
+               ROUND(AVG(n) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 6) AS mov_avg
+        FROM per_ts ORDER BY user_id, ts
+    """,
 }
 
 def q26(spark, sf_dir):
@@ -531,13 +555,70 @@ def q28(spark, sf_dir):
     )
 
 
+def q29(spark, sf_dir):
+    """Multi-grain aggregate in ONE pass via ROLLUP (region, nation):
+    detail + per-region subtotal + grand total from a single fact scan —
+    the hierarchy the continuous-aggregate rollup (x18) maintains
+    incrementally, here as a planner-native grouping set. Both dims
+    broadcast; the fact side shuffles once on the grouping keys."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(
+            F.col("region_name").asc_nulls_first(),
+            F.col("nation_name").asc_nulls_first(),
+        )
+    )
+
+
+def q30(spark, sf_dir):
+    """3-point moving average over an aggregated per-(user, second) count
+    series: pre-aggregating to distinct (user_id, ts) keys makes the
+    window ORDER BY total (no ties), so the rolling frame is deterministic
+    and integer counts keep the math bit-identical across engines.
+
+    Shuffle design: repartitioning on user_id FIRST means the single
+    exchange satisfies both the aggregate's ClusteredDistribution
+    (user_id, ts is a superset clustering of user_id) and the window's
+    partitioning — verified 1 Exchange in the physical plan vs 2 for the
+    naive groupBy-then-window shape."""
+    ev = _t(spark, sf_dir, "events")
+    per_ts = (
+        ev.repartition("user_id")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return per_ts.select(
+        "user_id",
+        "ts",
+        F.col("n"),
+        F.round(F.avg("n").over(w), 6).alias("mov_avg"),
+    ).orderBy("user_id", "ts")
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
     "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
-    "q26": q26, "q27": q27, "q28": q28,
+    "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
 }
 
 QUERIES: dict[str, Query] = {

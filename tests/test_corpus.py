@@ -192,3 +192,29 @@ def test_contamination_shuffle_path_matches_broadcast(spark):
         )
     )
     assert a == b
+
+
+def test_contamination_prefiltered_matches_broadcast(spark, sf_smoke):
+    """The bucket-bloom prefilter path must be bit-identical to the
+    broadcast path — the prefilter only admits false positives, which the
+    exact join resolves."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        contamination_check,
+        contamination_check_prefiltered,
+    )
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    cand = docs.filter(F.col("source") != "src0")
+    a = {tuple(r) for r in contamination_check(cand, bench, "doc_id", "text").collect()}
+    # tiny bucket space (8 bits) forces heavy false-positive collisions —
+    # the exact join must still resolve them all
+    b = {
+        tuple(r)
+        for r in contamination_check_prefiltered(
+            cand, bench, "doc_id", "text", bucket_bits=8
+        ).collect()
+    }
+    assert len(a) > 0
+    assert a == b
