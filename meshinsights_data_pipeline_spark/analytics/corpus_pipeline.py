@@ -221,6 +221,29 @@ class PiiRedactionStep(CorpusStep):
         return context
 
 
+class DatasetSplitStep(CorpusStep):
+    """Annotate every surviving doc with its deterministic train/val/test
+    split (md5-bucket threshold, corpus.split_columns) — zero shuffle,
+    pure withColumn; downstream writers partition the export by it."""
+
+    def __init__(self, cols: CorpusColumns,
+                 weights: dict[str, int] | None = None, **kw):
+        super().__init__(cols, name="dataset_split", **kw)
+        self.weights = weights
+
+    def validate_output(self, context: PipelineContext) -> None:
+        super().validate_output(context)
+        self.require_columns(context.raw_data, ["split"])
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.corpus import split_columns
+
+        _, split = split_columns(self.cols.id, self.weights)
+        context.raw_data = context.raw_data.withColumn("split", split)
+        self._record(context)
+        return context
+
+
 class QuotaSampleStep(CorpusStep):
     """Per-source quota (salted two-phase top-n, hot-key safe)."""
 
@@ -276,6 +299,7 @@ def build_corpus_pipeline(
     quota_n: int | None = 1000,
     quota_salt_buckets: int | None = 16,
     chunk_tokens: int = 64,
+    split_weights: dict[str, int] | None = None,
 ) -> Pipeline:
     """Assemble the corpus-prep workload with the canonical conditions:
     URL dedup runs iff the corpus binds a URL column, decontamination iff
@@ -303,6 +327,7 @@ def build_corpus_pipeline(
             ),
             PiiRedactionStep(cols),
             QuotaSampleStep(cols, n=quota_n or 0, salt_buckets=quota_salt_buckets),
+            DatasetSplitStep(cols, weights=split_weights),
             ChunkDocumentsStep(cols, chunk_tokens=chunk_tokens),
         ],
         conditions={

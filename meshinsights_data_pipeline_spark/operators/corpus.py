@@ -267,6 +267,98 @@ def contamination_check(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Context-window packing: assign consecutive chunks to fixed-token-
+    budget training sequences (the concat-then-split packing every
+    pretraining loader runs between chunking and batching).
+
+    ``seq_id`` is ``floor(exclusive_cumsum(tokens) / budget)`` over the
+    deterministic ``order_cols`` total order within each ``part_cols``
+    partition; ``tok_offset`` is the chunk's start position inside its
+    sequence. A chunk straddling a boundary belongs to the sequence it
+    starts in (standard greedy fill; the loader truncates/continues).
+
+    Scale design: one window over the ``part_cols`` partitioning — pack
+    per source/shard rather than globally, so no single-partition window
+    bottleneck exists and sequence ids are deterministic per shard.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return df.select(
+        "*",
+        F.floor(excl / F.lit(budget)).cast("bigint").alias("seq_id"),
+        (excl - F.floor(excl / F.lit(budget)) * budget).cast("bigint").alias("tok_offset"),
+    )
+
+
+def split_columns(
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    buckets: int = 100,
+):
+    """(bucket, split) Column pair for deterministic dataset splitting:
+    md5-bucket the id, threshold on cumulative ``weights`` (split name ->
+    integer percent, must sum to ``buckets``; default 98/1/1). A pure
+    map-side function of the id — stable across runs, machines, and
+    engines (the dedup operators' shared md5-60-bit contract), with no
+    sampling state to coordinate across executors."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if sum(weights.values()) != buckets:
+        raise ValueError(f"weights must sum to {buckets}: {weights}")
+    bucket = F.pmod(md5_int60(F.col(id_col).cast("string")), F.lit(buckets))
+    expr = None
+    cum = 0
+    for name, wgt in weights.items():
+        cum += wgt
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return bucket.cast("bigint"), expr
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-id split assignment [id, bucket, split] — see split_columns."""
+    bucket, split = split_columns(id_col, weights, buckets)
+    return df.select(F.col(id_col), bucket.alias("bucket"), split.alias("split"))
+
+
+def vocabulary(
+    df: DataFrame, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent normalized tokens
+    with counts; ties break token-ascending so the result is total-order
+    deterministic.
+
+    Scale design: explode + groupBy(token) is the canonical map-side-
+    combinable aggregate — partial counts reduce inside the scan stage,
+    so the shuffle carries one row per distinct token per task, not one
+    per occurrence; the global top-n then sorts the (tiny) distinct-token
+    frame. No windows, no skew sensitivity (hot tokens combine map-side).
+    """
+    toks = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
 def contamination_check_prefiltered(
     df: DataFrame,
     benchmark: DataFrame,

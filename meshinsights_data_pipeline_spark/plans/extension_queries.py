@@ -846,6 +846,103 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def x30_pack_sequences(spark: SparkSession, sf_dir: str):
+    """Context-window packing: x20's 32-token chunks assigned to
+    256-token training sequences via exclusive-cumsum bucketing, packed
+    per source shard (corpus.pack_sequences) — the deterministic
+    concat-then-split step between chunking and batching. The per-shard
+    window keeps packing parallel: no global single-partition window."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32)
+    with_src = chunks.join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    ).select("source", "doc_id", "chunk_id", "n_tokens")
+    return pack_sequences(
+        with_src, ["source"], ["doc_id", "chunk_id"], "n_tokens", budget=256
+    ).orderBy("source", "doc_id", "chunk_id")
+
+
+X30_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+    SELECT doc_id, i AS chunk_id,
+           len(w[i*32+1 : i*32+32])::BIGINT AS n_tokens
+    FROM toks, UNNEST(range(CAST(ceil(len(w)/32.0) AS BIGINT))) AS r(i)
+),
+j AS (
+    SELECT m.source, c.doc_id, c.chunk_id, c.n_tokens
+    FROM chunks c JOIN (SELECT doc_id, source FROM documents) m USING (doc_id)
+),
+packed AS (
+    SELECT source, doc_id, chunk_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT AS excl
+    FROM j
+)
+SELECT source, doc_id, chunk_id, n_tokens,
+       (excl // 256)::BIGINT AS seq_id,
+       (excl % 256)::BIGINT AS tok_offset
+FROM packed ORDER BY source, doc_id, chunk_id
+"""
+
+
+def x31_dataset_split(spark: SparkSession, sf_dir: str):
+    """Deterministic 98/1/1 train/val/test assignment: md5-bucket of the
+    doc id (the dedup operators' shared 60-bit contract), thresholded on
+    cumulative weights (corpus.dataset_split). A pure map-side function of
+    the id — stable across runs, machines, and engines; no sampling
+    state to coordinate at 1000 executors."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dataset_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dataset_split(docs, "doc_id").orderBy("doc_id")
+
+
+X31_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           {_H60_SQL.format(s="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+def x32_vocabulary(spark: SparkSession, sf_dir: str):
+    """Corpus vocabulary: top-100 normalized tokens by frequency with
+    token-ascending tie-break (corpus.vocabulary). Map-side combinable —
+    partial counts reduce inside the scan stage, so hot tokens never
+    skew the shuffle."""
+    from meshinsights_data_pipeline_spark.operators.corpus import vocabulary
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", top_n=100)
+
+
+_X32_NORM = _NORM_SQL.format(col="text")
+X32_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split({_X32_NORM}, ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 100
+"""
+
+
 def x21_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003): min 60-bit
     hash per sliding window of 4 consecutive word-3-gram shingles, distinct
@@ -1236,4 +1333,7 @@ EXTENSION_BUILDERS = {
     "x27_url_dedup": (x27_url_dedup, X27_SQL),
     "x28_pii_redact": (x28_pii_redact, X28_SQL),
     "x29_contamination_bloom": (x29_contamination_bloom, X29_SQL),
+    "x30_pack_sequences": (x30_pack_sequences, X30_SQL),
+    "x31_dataset_split": (x31_dataset_split, X31_SQL),
+    "x32_vocabulary": (x32_vocabulary, X32_SQL),
 }

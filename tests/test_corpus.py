@@ -3,6 +3,7 @@ fixed-token chunking, winnowing fingerprints, Gopher quality rules."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.operators.corpus import (
@@ -218,3 +219,52 @@ def test_contamination_prefiltered_matches_broadcast(spark, sf_smoke):
     }
     assert len(a) > 0
     assert a == b
+
+
+def test_pack_sequences_greedy_fill(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import pack_sequences
+
+    rows = [("s0", 1, 0, 60), ("s0", 1, 1, 60), ("s0", 2, 0, 30),
+            ("s0", 3, 0, 60), ("s1", 9, 0, 10)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, chunk_id long, n_tokens long"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.seq_id, r.tok_offset)
+        for r in pack_sequences(
+            df, ["source"], ["doc_id", "chunk_id"], "n_tokens", budget=128
+        ).collect()
+    }
+    # cumsums in s0: 0, 60, 120, 150 -> seqs 0,0,0,1; s1 restarts at 0
+    assert out[(1, 0)] == (0, 0)
+    assert out[(1, 1)] == (0, 60)
+    assert out[(2, 0)] == (0, 120)  # straddles the boundary, starts in seq 0
+    assert out[(3, 0)] == (1, 22)   # 150 -> seq 1, offset 150-128
+    assert out[(9, 0)] == (0, 0)    # separate partition
+
+
+def test_dataset_split_deterministic_and_weighted(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import dataset_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(df, "doc_id")
+    again = {r.doc_id: r.split for r in dataset_split(df, "doc_id").collect()}
+    rows = out.collect()
+    assert {r.doc_id: r.split for r in rows} == again  # pure function of id
+    frac = sum(1 for r in rows if r.split == "train") / len(rows)
+    assert 0.95 < frac < 1.0
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    assert all(r.split == ("train" if r.bucket < 98 else "val" if r.bucket < 99 else "test") for r in rows)
+    with pytest.raises(ValueError, match="sum"):
+        dataset_split(df, "doc_id", weights={"train": 50})
+
+
+def test_vocabulary_counts_and_tiebreak(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import vocabulary
+
+    df = spark.createDataFrame(
+        [("b a a c",), ("B? c!",)], "t string"
+    )
+    rows = vocabulary(df, "t", top_n=3).collect()
+    # counts: a=2, b=2 (B? normalizes), c=2 -> all tied, token-asc order
+    assert [(r.token, r.cnt) for r in rows] == [("a", 2), ("b", 2), ("c", 2)]

@@ -11,6 +11,7 @@ from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
     BENCHMARK_KEY,
     ChunkDocumentsStep,
     CorpusColumns,
+    DatasetSplitStep,
     DecontaminationStep,
     ExactDedupStep,
     GopherQualityGateStep,
@@ -190,3 +191,12 @@ def test_pipeline_sees_one_lazy_plan(spark):
     # the final frame is still composable/explainable as one plan
     plan = ctx.raw_data._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" in plan
+
+
+def test_dataset_split_step(spark):
+    ctx = DatasetSplitStep(COLS)(
+        _ctx(_docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)]))
+    )
+    rows = ctx.raw_data.collect()
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    assert set(ctx.raw_data.columns) >= {"doc_id", "text", "source", "split"}
