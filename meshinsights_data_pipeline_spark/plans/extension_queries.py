@@ -943,6 +943,50 @@ LIMIT 100
 """
 
 
+def x33_tfidf_terms(spark: SparkSession, sf_dir: str):
+    """Top-3 characteristic terms per doc by ratio-idf tf-idf
+    (text.tfidf_top_terms). The ratio form (N/df, not ln) is chosen
+    because Spark's Math.log and DuckDB's ln disagree in the final ulp on
+    ~9% of inputs — every op here is one correctly-rounded IEEE op, so
+    the ranking is bit-identical across engines."""
+    from meshinsights_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_k=3).orderBy("doc_id", "rk")
+
+
+_X33_NORM = _NORM_SQL.format(col="text")
+X33_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_X33_NORM}, ' ')) AS term
+    FROM documents
+),
+tt AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+term_counts AS (
+    SELECT doc_id, term, COUNT(*) AS tc FROM tt GROUP BY doc_id, term
+),
+doc_lens AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM term_counts GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+    SELECT c.doc_id, c.term,
+           ROUND((c.tc * 1.0 / l.dl) * (n.n * 1.0 / d.df), 6) AS score
+    FROM term_counts c
+    JOIN doc_lens l USING (doc_id)
+    JOIN dfreq d USING (term)
+    CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def x21_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003): min 60-bit
     hash per sliding window of 4 consecutive word-3-gram shingles, distinct
@@ -1336,4 +1380,5 @@ EXTENSION_BUILDERS = {
     "x30_pack_sequences": (x30_pack_sequences, X30_SQL),
     "x31_dataset_split": (x31_dataset_split, X31_SQL),
     "x32_vocabulary": (x32_vocabulary, X32_SQL),
+    "x33_tfidf_terms": (x33_tfidf_terms, X33_SQL),
 }

@@ -481,6 +481,32 @@ _ORACLES: dict[str, str] = {
         GROUP BY ROLLUP (r.r_name, n.n_name)
         ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
     """,
+    # q31: DECIMAL sums are exact (order-independent), so casting the
+    # exact totals to double is deterministic; averages divide the exact
+    # sum by the count in one IEEE op, identical in both engines.
+    "q31": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+               CAST(SUM(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)) * (1::DECIMAL(12,2) + l_tax::DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q32": """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     # q30: integer counts keep the rolling mean bit-identical across
     # engines (int sums are exact; the final division is one IEEE op).
     "q30": """
@@ -612,6 +638,55 @@ def q30(spark, sf_dir):
     ).orderBy("user_id", "ts")
 
 
+def q31(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary: the classic full-scan decomposable
+    aggregate over lineitem. All sums run in exact DECIMAL (float sums
+    are order-dependent across engines/partitionings) and only the final
+    exact values cast to double; averages are exact-sum / count so the
+    one IEEE division is identical in any engine. Map-side partial
+    aggregation carries 6 accumulators per (returnflag, linestatus) —
+    at 100 TB the shuffle moves a few dozen rows per task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q32(spark, sf_dir):
+    """Pivot: per-user event-type counts spread into columns (explicit
+    value list, so the plan is a single pass with no distinct-values
+    pre-query — the form to use at scale; an unlisted pivot needs an
+    extra job to enumerate values first)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    ).orderBy("user_id")
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -619,6 +694,7 @@ _BUILDERS = {
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
+    "q31": q31, "q32": q32,
 }
 
 QUERIES: dict[str, Query] = {

@@ -276,3 +276,26 @@ def test_redact_pii_and_counts(spark):
     assert out[2].redacted == "no pii here, short num 123456"
     assert (out[2].n_email, out[2].n_ip, out[2].n_num) == (0, 0, 0)
     assert (out[3].n_email, out[3].n_ip, out[3].n_num) == (2, 1, 0)
+
+
+def test_tfidf_top_terms(spark):
+    from meshinsights_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared shared"),
+            (3, "cherry date shared"),
+        ],
+        "id long, t string",
+    )
+    rows = tfidf_top_terms(df, "id", "t", top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append((r.rk, r.term))
+    # doc 1: apple tf=.5 idf=3 -> 1.5 beats banana .375, shared .25
+    assert by_doc[1] == [(1, "apple"), (2, "banana")]
+    # doc 2: shared tf=.5 idf=1 -> .5 beats banana/cherry .375 (tie -> banana)
+    assert by_doc[2] == [(1, "shared"), (2, "banana")]
+    # doc 3: date 1/3*3=1.0 beats cherry .5, shared 1/3
+    assert by_doc[3] == [(1, "date"), (2, "cherry")]

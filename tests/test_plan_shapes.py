@@ -1,0 +1,69 @@
+"""Physical-plan shape guards: the scale properties the operators claim
+(map-side = no Exchange; JVM-only = no Python eval stage) asserted on the
+executed plan, so a refactor that silently adds a shuffle or drops to
+per-row Python fails CI — the same discipline as operators/skew.py's
+no-Exchange bucketed-join assertion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    gopher_quality,
+)
+from meshinsights_data_pipeline_spark.operators.text import (
+    lang_id,
+    pii_counts,
+    quality_score,
+    redact_pii,
+)
+from meshinsights_data_pipeline_spark.session import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return read_table(spark, sf_smoke, "documents")
+
+
+def test_gopher_quality_is_map_side(docs):
+    p = _plan(gopher_quality(docs, "doc_id", "text"))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_chunk_documents_is_narrow(docs):
+    p = _plan(chunk_documents(docs, "doc_id", "text", 32))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_pii_redaction_is_map_side(docs):
+    p = _plan(docs.select("doc_id", redact_pii(F.col("text")).alias("r")))
+    assert "Exchange" not in p
+    p2 = _plan(pii_counts(docs, "doc_id", "text"))
+    assert "Exchange" not in p2
+
+
+def test_quality_score_is_map_side(docs):
+    p = _plan(docs.select("doc_id", quality_score("text").alias("q")))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_lang_id_is_map_side_jvm_only(docs):
+    p = _plan(lang_id(docs, "text"))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_scan_prunes_columns(docs):
+    """Column pruning must reach the parquet scan: a doc_id-only
+    projection reads one column, not the whole documents schema."""
+    p = _plan(docs.select("doc_id"))
+    assert "ReadSchema: struct<doc_id:bigint>" in p

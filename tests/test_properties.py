@@ -113,3 +113,32 @@ def test_canonical_url_idempotent(spark, proto, www, host, port, path, params, f
         canonical_url(canonical_url(F.col("u"))).alias("b"),
     ).first()
     assert once == twice, url
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=20),
+    budget=st.integers(min_value=8, max_value=64),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_invariants(spark, toks, budget):
+    """Packing invariants for any chunk-size sequence: offsets stay inside
+    the budget, seq ids are nondecreasing in pack order, and each chunk
+    starts exactly where the exclusive cumsum says."""
+    from meshinsights_data_pipeline_spark.operators.corpus import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "src string, ord long, n long")
+    out = sorted(
+        pack_sequences(df, ["src"], ["ord"], "n", budget=budget).collect(),
+        key=lambda r: r.ord,
+    )
+    cum = 0
+    prev_seq = 0
+    for r in out:
+        assert 0 <= r.tok_offset < budget
+        assert r.seq_id == cum // budget
+        assert r.tok_offset == cum - r.seq_id * budget
+        assert r.seq_id >= prev_seq
+        prev_seq = r.seq_id
+        cum += r.n
