@@ -305,3 +305,39 @@ def test_streaming_cluster_maintenance_parity(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_map_side_corpus_ops_streaming_transparent(spark, tmp_path):
+    """The map-side corpus operators (Gopher quality, PII redaction) are
+    pure column expressions, so the SAME operator code runs unchanged on
+    a streaming frame — no twin needed. Parity: streaming output over a
+    bounded stream equals the batch operator on the same data."""
+    from meshinsights_data_pipeline_spark.operators.corpus import gopher_quality
+    from meshinsights_data_pipeline_spark.operators.text import redact_pii
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    streamed_plan = gopher_quality(stream, "doc_id", "text").withColumn(
+        "red", redact_pii(F.col("doc_id").cast("string"))
+    )
+    assert streamed_plan.isStreaming
+    got: list = []
+    q = (
+        streamed_plan.writeStream.foreachBatch(
+            lambda b, _e: got.extend(b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = gopher_quality(docs, "doc_id", "text").withColumn(
+        "red", redact_pii(F.col("doc_id").cast("string"))
+    ).collect()
+    assert len(got) == len(batch) > 0
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
