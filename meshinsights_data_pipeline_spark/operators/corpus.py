@@ -130,6 +130,45 @@ def winnow_fingerprints(
     return valid.select(F.col(id_col), F.col("fp")).distinct()
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher repetition
+    rules, Rae et al. 2021 Table A1, adapted to word n-grams):
+
+    - dup_fraction: fraction of the doc's n-gram OCCURRENCES that are
+      repeats of an earlier n-gram, ``(total - distinct) / total``
+    - top_fraction: share of occurrences claimed by the single most
+      frequent n-gram, ``max_count / total``
+
+    Machine-generated/boilerplate text scores high on both; docs with
+    fewer than ``n`` tokens degenerate to one whole-text gram (both
+    fractions 0). All counts are integers and each fraction is one IEEE
+    division, so values are bit-identical across engines. Shuffle shape:
+    the same (doc, gram) partitioning every dedup operator uses — one
+    map-side-combinable count, then a per-doc reduce.
+    """
+    sh = positional_shingle_hashes(df, id_col, text_col, n)
+    per_gram = sh.groupBy(F.col(id_col), F.col("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_gram.groupBy(F.col(id_col)).agg(
+        F.sum("c").cast("bigint").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "total_ngrams",
+        "distinct_ngrams",
+        "top_count",
+        F.round(
+            (F.col("total_ngrams") - F.col("distinct_ngrams")) / F.col("total_ngrams"), 6
+        ).alias("dup_fraction"),
+        F.round(F.col("top_count") / F.col("total_ngrams"), 6).alias("top_fraction"),
+    )
+
+
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-rule quality signals per doc (Rae et al. 2021, Table A1,
     adapted to whitespace tokens):

@@ -987,6 +987,45 @@ FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
 """
 
 
+def x34_repetition_signals(spark: SparkSession, sf_dir: str):
+    """Within-doc repetition quality signals (Gopher repetition rules):
+    duplicate word-2-gram fraction + top-2-gram share per doc
+    (corpus.repetition_signals). Integer counts, one IEEE division each
+    — bit-identical across engines."""
+    from meshinsights_data_pipeline_spark.operators.corpus import repetition_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+_X34_NORM = _NORM_SQL.format(col="text")
+X34_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_X34_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, {_H60_SQL.format(s="array_to_string(w[i:i+1], ' ')")} AS h
+  FROM toks, UNNEST(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+  UNION ALL
+  SELECT doc_id, {_H60_SQL.format(s="array_to_string(w, ' ')")} AS h
+  FROM toks WHERE len(w) < 2
+),
+per_gram AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM grams GROUP BY doc_id, h
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS total_ngrams,
+         CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, total_ngrams, distinct_ngrams, top_count,
+       ROUND((total_ngrams - distinct_ngrams) * 1.0 / total_ngrams, 6) AS dup_fraction,
+       ROUND(top_count * 1.0 / total_ngrams, 6) AS top_fraction
+FROM agg ORDER BY doc_id
+"""
+
+
 def x21_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003): min 60-bit
     hash per sliding window of 4 consecutive word-3-gram shingles, distinct
@@ -1381,4 +1420,5 @@ EXTENSION_BUILDERS = {
     "x31_dataset_split": (x31_dataset_split, X31_SQL),
     "x32_vocabulary": (x32_vocabulary, X32_SQL),
     "x33_tfidf_terms": (x33_tfidf_terms, X33_SQL),
+    "x34_repetition_signals": (x34_repetition_signals, X34_SQL),
 }

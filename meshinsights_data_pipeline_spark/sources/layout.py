@@ -38,3 +38,31 @@ def write_partitioned(
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def idempotent_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Exactly-once-per-epoch append for ``foreachBatch`` sinks on plain
+    parquet: rows land under ``path/_epoch=<id>/`` with dynamic partition
+    overwrite, so a RETRY of the same micro-batch replaces its own
+    epoch's files instead of duplicating them — Structured Streaming's
+    epoch id is stable across retries, which is exactly the idempotence
+    key the at-least-once ``mode("append")`` write lacks. Readers scan
+    ``path`` normally (the ``_epoch`` column is partition metadata;
+    ``drop("_epoch")`` it, or select explicit columns).
+
+    This is the plain-parquet stand-in for a transactional table format's
+    idempotent epoch commit; swap for Delta/Iceberg ``txnAppId`` writes
+    where one is available.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

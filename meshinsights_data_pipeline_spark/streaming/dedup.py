@@ -49,6 +49,7 @@ def streaming_lsh_ingest(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    idempotent: bool = False,
 ):
     """Incremental near-dup candidate detection for a continuous ingest
     stream — the streaming twin of ``operators.dedup.minhash_lsh_candidates``.
@@ -79,21 +80,30 @@ def streaming_lsh_ingest(
     Scale notes: the per-batch work is micro-batch x bucket-mates — never
     table^2; the (band, sig) join is broadcast-eligible while batches are
     small and AQE-planned once they are not. Plain parquet appends are
-    at-least-once on batch retry (downstream consumers should distinct);
-    a production deployment would swap the two appends for a transactional
-    table format with idempotent epoch commits.
+    at-least-once on batch retry (downstream consumers should distinct).
+    With ``idempotent=True`` both appends go through
+    ``sources.layout.idempotent_epoch_append`` — epoch-keyed dynamic
+    partition overwrite, so a retried micro-batch REPLACES its own files
+    and the sink is exactly-once per epoch (the labels rewrite is already
+    idempotent: re-merging the same pairs is a labeling no-op). In that
+    mode, seed ``signature_dir`` with ``idempotent_epoch_append(seed,
+    dir, epoch_id=-1)`` so the directory layout is uniformly
+    epoch-partitioned, and expect an ``_epoch`` partition column when
+    reading the tables.
 
     Returns a callable for ``stream.writeStream.foreachBatch(...)``; the
     caller owns trigger/checkpoint wiring.
     """
     from meshinsights_data_pipeline_spark.operators.dedup import banded_signatures
 
-    def _process(batch_df: DataFrame, _epoch_id: int) -> None:
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         nb = banded_signatures(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
         ).localCheckpoint()
-        existing = spark.read.parquet(signature_dir)
+        existing = spark.read.parquet(signature_dir).select(
+            "band", "sig", id_col
+        )
         vs_table = (
             nb.alias("s")
             .join(existing.alias("c"), ["band", "sig"])
@@ -114,18 +124,32 @@ def streaming_lsh_ingest(
         # Materialized once: appended to the pair log AND (optionally)
         # folded into the labels table.
         new_pairs = vs_table.union(intra).distinct().localCheckpoint()
-        new_pairs.write.mode("append").parquet(pairs_dir)
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(new_pairs, pairs_dir, epoch_id)
+        else:
+            new_pairs.write.mode("append").parquet(pairs_dir)
         if labels_dir is not None:
             from meshinsights_data_pipeline_spark.operators.components import (
                 incremental_components,
             )
 
-            labels = spark.read.parquet(labels_dir)
+            labels = spark.read.parquet(labels_dir).select("id", "cluster_id")
             # localCheckpoint materializes the merged labeling BEFORE the
             # overwrite — reading lazily while rewriting the same files
             # would corrupt the result.
             merged = incremental_components(labels, new_pairs).localCheckpoint()
             merged.write.mode("overwrite").parquet(labels_dir)
-        nb.write.mode("append").parquet(signature_dir)
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(nb, signature_dir, epoch_id)
+        else:
+            nb.write.mode("append").parquet(signature_dir)
 
     return _process

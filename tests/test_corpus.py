@@ -268,3 +268,22 @@ def test_vocabulary_counts_and_tiebreak(spark):
     rows = vocabulary(df, "t", top_n=3).collect()
     # counts: a=2, b=2 (B? normalizes), c=2 -> all tied, token-asc order
     assert [(r.token, r.cnt) for r in rows] == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_repetition_signals(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # heavy repetition
+            (2, "one two three four five six seven"), # all distinct 2-grams
+            (3, "word"),                               # degenerate (<2 tokens)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    # doc 1: 7 bigram occurrences, 2 distinct ("buy now" x4, "now buy" x3)
+    assert out[1].total_ngrams == 7 and out[1].distinct_ngrams == 2
+    assert out[1].dup_fraction > 0.7 and out[1].top_fraction > 0.5
+    assert out[2].dup_fraction == 0.0
+    assert out[3].total_ngrams == 1 and out[3].dup_fraction == 0.0

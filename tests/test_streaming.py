@@ -341,3 +341,56 @@ def test_map_side_corpus_ops_streaming_transparent(spark, tmp_path):
     ).collect()
     assert len(got) == len(batch) > 0
     assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+
+
+def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
+    """With idempotent=True, re-running the SAME micro-batch (Structured
+    Streaming's retry semantics: same epoch id) must replace its own
+    output rather than duplicate it — pairs, signatures and labels all
+    end up identical to the single-run result."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_candidates,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_lsh_ingest
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    sig_dir = str(tmp_path / "signatures")
+    pairs_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
+    idempotent_epoch_append(banded_signatures(seed, "doc_id", "text"), sig_dir, -1)
+    seed_pairs = minhash_lsh_candidates(seed, "doc_id", "text").localCheckpoint()
+    connected_components(seed_pairs).write.parquet(labels_dir)
+
+    process = streaming_lsh_ingest(
+        batch, "doc_id", "text",
+        signature_dir=sig_dir, pairs_dir=pairs_dir, labels_dir=labels_dir,
+        idempotent=True,
+    )
+    process(batch, 0)
+    first_pairs = sorted(
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_dir).collect()
+    )
+    first_sigs = spark.read.parquet(sig_dir).count()
+    first_labels = sorted(
+        (r.id, r.cluster_id) for r in spark.read.parquet(labels_dir).collect()
+    )
+    # Simulated retry: same batch, same epoch.
+    process(batch, 0)
+    assert sorted(
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_dir).collect()
+    ) == first_pairs
+    assert spark.read.parquet(sig_dir).count() == first_sigs
+    assert sorted(
+        (r.id, r.cluster_id) for r in spark.read.parquet(labels_dir).collect()
+    ) == first_labels
+    assert len(first_pairs) == len(set(first_pairs))  # no duplicates at all
