@@ -90,6 +90,31 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: power pipeline failed: {exc}", file=sys.stderr)
 
+    # Corpus-prep Pipeline end-to-end (quality gate -> dedup -> near-dup
+    # collapse -> decontamination -> PII -> quota -> split -> chunking),
+    # timed to one terminal action on the chunks table.
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+            run_corpus_prep,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        bench_slice = docs.filter(F.col("source") == "src0")
+        t0 = time.perf_counter()
+        ctx = run_corpus_prep(
+            docs, benchmark=bench_slice, contamination_threshold=0.8,
+            quota_n=1000, chunk_tokens=64,
+        )
+        ctx.processed_data["corpus.chunks"].write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras["corpus_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: corpus pipeline failed: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_cold = round(sum(t for t in timings_cold.values() if t >= 0), 3)
     print(

@@ -687,6 +687,38 @@ def q32(spark, sf_dir):
     ).orderBy("user_id")
 
 
+_Q33_SQL = """
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (
+            SELECT COUNT(*) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+          ) > (
+            SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+          )
+    ORDER BY c_custkey
+"""
+
+
+def q33(spark, sf_dir):
+    """Correlated scalar subqueries through the SQL surface: customers
+    whose balance exceeds their nation's average. Catalyst DECORRELATES
+    both subqueries into aggregates + joins (no per-row re-execution —
+    the rewrite is what makes correlated SQL viable at scale). The
+    "above average" predicate is phrased as balance * count > sum in
+    exact DECIMAL, because a float average is partition-order-dependent
+    and a near-tie could flip the predicate between engines; the
+    IDENTICAL text runs in DuckDB as the oracle."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q33_SQL)
+
+
+# The oracle IS the Spark SQL text (defined after the _ORACLES literal).
+_ORACLES["q33"] = _Q33_SQL
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -694,7 +726,7 @@ _BUILDERS = {
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
-    "q31": q31, "q32": q32,
+    "q31": q31, "q32": q32, "q33": q33,
 }
 
 QUERIES: dict[str, Query] = {

@@ -6,6 +6,9 @@ operator is the watermarked/stateful twin of a batch operator and is tested
 for PARITY against it via foreachBatch collection over a bounded stream.
 """
 
+from meshinsights_data_pipeline_spark.streaming.ann import (
+    streaming_ivf_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_lsh_ingest,
@@ -26,4 +29,5 @@ __all__ = [
     "streaming_state_change_sessions",
     "streaming_exact_dedup",
     "streaming_lsh_ingest",
+    "streaming_ivf_ingest",
 ]

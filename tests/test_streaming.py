@@ -394,3 +394,62 @@ def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
         (r.id, r.cluster_id) for r in spark.read.parquet(labels_dir).collect()
     ) == first_labels
     assert len(first_pairs) == len(set(first_pairs))  # no duplicates at all
+
+
+def test_streaming_ivf_ingest_parity(spark, tmp_path):
+    """Accumulated (vec -> list) assignments after streaming ingest must
+    equal a batch ivf_assign rebuild over the same vectors, and a search
+    over the accumulated tables must equal the direct batch search."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_ivf_ingest
+
+    emb = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    arriving = emb.filter(F.col("vec_id") >= 16)
+
+    lists_dir = str(tmp_path / "lists")
+    vectors_dir = str(tmp_path / "vectors")
+    src = str(tmp_path / "src")
+    arriving.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_ivf_ingest(
+                stream, centroids, lists_dir=lists_dir, vectors_dir=vectors_dir
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.vec_id, r.list_id)
+        for r in spark.read.parquet(lists_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.list_id)
+        for r in ivf_assign(arriving, centroids).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    acc_vectors = spark.read.parquet(vectors_dir)
+    search_acc = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(acc_vectors, queries, centroids, k=5).collect()
+    }
+    search_direct = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(arriving, queries, centroids, k=5).collect()
+    }
+    assert search_acc == search_direct and len(search_acc) > 0
