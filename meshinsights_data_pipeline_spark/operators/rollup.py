@@ -14,7 +14,7 @@ stats.approx_quantiles) or a raw pass per grain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # grain name -> (date_trunc unit, parent grain)
@@ -77,3 +77,54 @@ def time_rollup(
         )
         stacked = lvl if stacked is None else stacked.unionByName(lvl)
     return stacked
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular series to a fixed time grid with
+    last-observation-carried-forward — the gap-filling / interpolation
+    primitive behind telemetry dashboards and hypertable
+    ``time_bucket_gapfill``-style queries.
+
+    Per key: observations are bucketed to ``unit`` (downsampled
+    deterministically by MAX — order-independent, unlike a float mean),
+    the grid spans the key's own [min, max] bucket, and empty buckets
+    carry the previous observation forward (null until the first one).
+
+    Output: [*key_cols, bucket, v_filled, was_observed].
+
+    Scale shape: one groupBy to buckets (map-side combinable; the big
+    input never touches a window), then grid generation from the tiny
+    per-key bounds frame (sequence+explode — rows = buckets, not raw
+    events), one join and one per-key ordered window over grid-sized
+    data. Skewed keys cost what their time span costs, not what their
+    event count costs.
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    obs = df.groupBy(*key_cols, b.alias("bucket")).agg(
+        F.max(value_col).alias("v_obs")
+    )
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.expr(f"sequence(_b0, _b1, interval 1 {unit})")).alias("bucket"),
+    )
+    joined = grid.join(obs, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket",
+        F.last("v_obs", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v_obs").isNotNull().alias("was_observed"),
+    )

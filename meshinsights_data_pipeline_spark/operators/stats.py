@@ -110,3 +110,35 @@ def weekly_stats(
         F.round(F.median(value_col), 0).cast("long").alias("median_v"),
         F.round(F.stddev_pop(value_col), 0).cast("long").alias("std_dev"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-quality profile: one row per column with
+    [col_name, n_rows, n_nulls, n_distinct] — the validation pass a
+    pipeline runs on a new source before trusting it.
+
+    Single aggregation pass over the input (all counters are map-side
+    combinable accumulators in ONE job; n columns cost one scan, not n),
+    then the per-column rows are unpivoted from the 1-row result via an
+    inline array — driver never sees data, output stays a lazy frame.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
+    )

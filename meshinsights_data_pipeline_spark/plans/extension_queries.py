@@ -1026,6 +1026,80 @@ FROM agg ORDER BY doc_id
 """
 
 
+def x35_gap_fill(spark: SparkSession, sf_dir: str):
+    """Time-series gap-fill to an hourly grid with forward fill
+    (rollup.gap_fill) over the first week of events per user — the
+    hypertable time_bucket_gapfill primitive. MAX downsampling and a
+    join+window over grid-sized (not event-sized) data keep it exact
+    and scale-safe."""
+    from meshinsights_data_pipeline_spark.operators.rollup import gap_fill
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    return gap_fill(ev, "ts", ["user_id"], "value", unit="hour").orderBy(
+        "user_id", "bucket"
+    )
+
+
+X35_SQL = """
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, MAX(value) AS v_obs
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY user_id, date_trunc('hour', ts)
+),
+bounds AS (
+    SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM obs GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.bucket, o.v_obs
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       last_value(v_obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled,
+       v_obs IS NOT NULL AS was_observed
+FROM j ORDER BY user_id, bucket
+"""
+
+
+def x36_profile(spark: SparkSession, sf_dir: str):
+    """Column data-quality profile of events (null and distinct counts in
+    ONE aggregation pass — stats.profile_columns); the validation step a
+    pipeline runs on a new source before trusting it."""
+    from meshinsights_data_pipeline_spark.operators.stats import profile_columns
+
+    ev = read_table(spark, sf_dir, "events")
+    return profile_columns(ev, ["user_id", "event_type", "value"]).orderBy(
+        "col_name"
+    )
+
+
+X36_SQL = """
+WITH s AS (
+    SELECT COUNT(*) AS n,
+           COUNT(user_id) AS nn_u, COUNT(DISTINCT user_id) AS nd_u,
+           COUNT(event_type) AS nn_e, COUNT(DISTINCT event_type) AS nd_e,
+           COUNT(value) AS nn_v, COUNT(DISTINCT value) AS nd_v
+    FROM events
+)
+SELECT 'user_id' AS col_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(n - nn_u AS BIGINT) AS n_nulls, CAST(nd_u AS BIGINT) AS n_distinct
+FROM s
+UNION ALL
+SELECT 'event_type', CAST(n AS BIGINT), CAST(n - nn_e AS BIGINT), CAST(nd_e AS BIGINT) FROM s
+UNION ALL
+SELECT 'value', CAST(n AS BIGINT), CAST(n - nn_v AS BIGINT), CAST(nd_v AS BIGINT) FROM s
+ORDER BY col_name
+"""
+
+
 def x21_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003): min 60-bit
     hash per sliding window of 4 consecutive word-3-gram shingles, distinct
@@ -1421,4 +1495,6 @@ EXTENSION_BUILDERS = {
     "x32_vocabulary": (x32_vocabulary, X32_SQL),
     "x33_tfidf_terms": (x33_tfidf_terms, X33_SQL),
     "x34_repetition_signals": (x34_repetition_signals, X34_SQL),
+    "x35_gap_fill": (x35_gap_fill, X35_SQL),
+    "x36_profile": (x36_profile, X36_SQL),
 }

@@ -287,3 +287,39 @@ def test_repetition_signals(spark):
     assert out[1].dup_fraction > 0.7 and out[1].top_fraction > 0.5
     assert out[2].dup_fraction == 0.0
     assert out[3].total_ngrams == 1 and out[3].dup_fraction == 0.0
+
+
+def test_gap_fill_forward_fill(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import gap_fill
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("u1", datetime(2024, 1, 1, 0, 50), 2.0),   # same hour -> MAX = 2.0
+        ("u1", datetime(2024, 1, 1, 3, 5), 5.0),    # hours 1,2 are gaps
+        ("u2", datetime(2024, 1, 1, 7, 0), 9.0),    # single point
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.bucket.hour): (r.v_filled, r.was_observed)
+        for r in gap_fill(df, "ts", ["k"], "v", unit="hour").collect()
+    }
+    assert out[("u1", 0)] == (2.0, True)
+    assert out[("u1", 1)] == (2.0, False)   # carried forward
+    assert out[("u1", 2)] == (2.0, False)
+    assert out[("u1", 3)] == (5.0, True)
+    assert out[("u2", 7)] == (9.0, True)
+    assert len(out) == 5  # u1 spans 4 buckets, u2 spans 1
+
+
+def test_profile_columns_single_pass(spark):
+    from meshinsights_data_pipeline_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "x long, s string"
+    )
+    out = {r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+           for r in profile_columns(df, ["x", "s"]).collect()}
+    assert out["x"] == (4, 1, 2)
+    assert out["s"] == (4, 1, 2)
