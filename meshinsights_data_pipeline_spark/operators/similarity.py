@@ -376,3 +376,197 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("c_id").alias("neighbor_id"), "score", "rank")
     )
+
+
+# -- Product quantization (PQ) — the memory-compressed ANN path ------------
+#
+# Jegou et al. 2011 ("Product Quantization for Nearest Neighbor Search"):
+# split each vector into m subvectors, quantize each against a ks-codeword
+# codebook, store only the m byte-sized codes (64-dim float vector -> 8
+# bytes), and answer queries by asymmetric distance computation (ADC): the
+# query precomputes an m x ks table of subvector distances and every
+# corpus distance is m table lookups + adds. At 100 TB the corpus-side
+# state is ~1/64th the raw vectors and the scan is lookup-bound.
+#
+# Codebooks here are deterministic (same LCG family as the RP-LSH
+# hyperplanes) so encoding and search are pure functions — trained
+# k-means codebooks drop in by replacing _deterministic_codebooks.
+# Distance math is arranged so both engines compute IDENTICAL doubles:
+# ||s - c||^2 is evaluated as dot(s,s) - 2*dot(s,c) + ||c||^2 with
+# sequential-fold dots (bit-identical to DuckDB list_dot_product) and
+# ||c||^2 precomputed in Python and embedded as a literal in both.
+
+
+def _deterministic_codebooks(
+    dim: int, m: int, ks: int, seed: int = 11
+) -> list[list[list[float]]]:
+    """m codebooks of ks codewords of dim//m floats each, LCG-generated."""
+    sub = dim // m
+    state = seed
+    books = []
+    for _ in range(m):
+        words = []
+        for _ in range(ks):
+            w = []
+            for _ in range(sub):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                w.append(((state >> 20) % 2001 - 1000) / 1000.0)
+            words.append(w)
+        books.append(words)
+    return books
+
+
+def _norm_sq(w: list[float]) -> float:
+    """Left-fold sum of squares in Python — embedded as the ||c||^2
+    literal in both engines."""
+    acc = 0.0
+    for x in w:
+        acc = acc + x * x
+    return acc
+
+
+def _unrolled_dot(s: Column, w: list[float]) -> Column:
+    """dot(s, literal w) as an unrolled left-associated sum — same values
+    as the sequential fold (identical op order), but a flat codegen-able
+    tree instead of a HOF lambda (see plan-cost note in pq_encode)."""
+    t = F.element_at(s, 1) * F.lit(w[0])
+    for j in range(1, len(w)):
+        t = t + F.element_at(s, j + 1) * F.lit(w[j])
+    return t
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 11,
+) -> DataFrame:
+    """PQ codes per vector: [id, codes array<int>] (codes[i] = argmin_j
+    ||sub_i - codeword_ij||^2, ties to the lowest codeword id via
+    first-position-of-min). Map-side only — no shuffle; the codes frame
+    is the compact corpus representation pq_topk scans.
+
+    The constant dot(s,s) term cancels inside a fixed subvector's argmin,
+    so encoding scores are ||c||^2 - 2*dot(s,c)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    books = _deterministic_codebooks(dim, m, ks, seed)
+    # Two expression-shape rules, both measured at sf0.01:
+    # 1. UNROLLED element_at dots, not HOF folds: m*ks = 128 small dots as
+    #    aggregate/zip_with lambdas cost MINUTES of plan analysis+codegen
+    #    (each lambda pair is expensive to analyze and the cost is
+    #    super-linear in count); unrolled 8-term sums take the encode from
+    #    161s to 2.4s cold. (The opposite trade from the single 64-dim
+    #    pair-scoring dot, where the fold wins — see _pair_dot.)
+    #    Left-assoc add order keeps values bit-identical to DuckDB's
+    #    list_dot_product.
+    # 2. Staged projections keep every non-cheap expression
+    #    single-occurrence (the naive form inlines each scores array into
+    #    both array_min and array_position).
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        F.col(id_col),
+        *[F.slice("_v", i * sub_d + 1, sub_d).alias(f"_s{i}") for i in range(m)],
+    )
+    score_cols = []
+    for i in range(m):
+        s = F.col(f"_s{i}")
+        score_cols.append(
+            F.array(
+                *[
+                    F.lit(_norm_sq(w)) - F.lit(2.0) * _unrolled_dot(s, w)
+                    for w in books[i]
+                ]
+            ).alias(f"_sc{i}")
+        )
+    scored = staged.select(F.col(id_col), *score_cols)
+    coded = scored.select(
+        F.col(id_col),
+        *[
+            (F.array_position(F.col(f"_sc{i}"), F.array_min(F.col(f"_sc{i}"))) - 1)
+            .cast("int")
+            .alias(f"_c{i}")
+            for i in range(m)
+        ],
+    )
+    return coded.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_c{i}") for i in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: [query_id, neighbor_id, adist, rank]
+    (ascending approximate squared distance, ties to the lowest id).
+
+    Each query precomputes its m x ks distance table (broadcast — query
+    sets are small); every corpus row costs m element_at lookups + adds
+    over its codes. The corpus side never touches raw vectors after
+    encoding — that is PQ's memory story at scale."""
+    sub_d = dim // m
+    books = _deterministic_codebooks(dim, m, ks, seed)
+    codes = pq_encode(corpus, id_col, vec_col, dim, m, ks, seed)
+    # Same unrolled-dot + staged-projection shape as pq_encode (the
+    # query-side self-dot dq_i stays a fold: only m of them, and it keeps
+    # the value-order identical to list_dot_product(sub, sub)).
+    q_staged = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        "query_id",
+        *[F.slice("_v", i * sub_d + 1, sub_d).alias(f"_s{i}") for i in range(m)],
+    ).select(
+        "query_id",
+        *[F.col(f"_s{i}") for i in range(m)],
+        *[_dot_d(F.col(f"_s{i}"), F.col(f"_s{i}")).alias(f"_dq{i}") for i in range(m)],
+    )
+    tab_cols = []
+    for i in range(m):
+        s = F.col(f"_s{i}")
+        tab_cols.append(
+            F.array(
+                *[
+                    F.col(f"_dq{i}")
+                    - F.lit(2.0) * _unrolled_dot(s, w)
+                    + F.lit(_norm_sq(w))
+                    for w in books[i]
+                ]
+            ).alias(f"_t{i}")
+        )
+    qtab = q_staged.select("query_id", *tab_cols)
+    joined = codes.crossJoin(F.broadcast(qtab)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adist = None
+    for i in range(m):
+        term = F.element_at(F.col(f"_t{i}"), F.element_at("codes", i + 1) + 1)
+        adist = term if adist is None else adist + term
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(adist, 6).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1100,6 +1100,85 @@ ORDER BY col_name
 """
 
 
+def x37_pq_topk(spark: SparkSession, sf_dir: str):
+    """Product-quantization ADC top-k (Jegou et al. 2011) — the
+    memory-compressed ANN path: corpus stored as m=8 codes/vector, query
+    answers from an m x ks distance table (similarity.pq_topk). Distances
+    are arranged as dot(s,s) - 2*dot(s,c) + ||c||^2 with sequential-fold
+    dots and Python-precomputed ||c||^2 literals so both engines produce
+    identical doubles; the oracle embeds the same deterministic
+    codebooks."""
+    from meshinsights_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return pq_topk(emb, queries, dim=_EMB_DIM, k=10).orderBy("query_id", "rank")
+
+
+def _pq_sql(n_queries: int = 4, dim: int = 64, m: int = 8, ks: int = 16,
+            k: int = 10, seed: int = 11) -> str:
+    """DuckDB twin of similarity.pq_topk: the SAME codebooks, slice
+    boundaries, distance formula and left-to-right add order."""
+    books = S._deterministic_codebooks(dim, m, ks, seed)
+    nsq = S._norm_sq
+    sub = dim // m
+
+    def sl(i: int) -> str:
+        return f"v[{i * sub + 1}:{i * sub + sub}]"
+
+    def cw(w: list) -> str:
+        return "[" + ", ".join(repr(x) for x in w) + "]"
+
+    enc_scores = ", ".join(
+        "["
+        + ", ".join(
+            f"({nsq(w)!r} - 2.0 * list_dot_product({sl(i)}, {cw(w)}))"
+            for w in books[i]
+        )
+        + f"] AS s{i}"
+        for i in range(m)
+    )
+    codes = ", ".join(
+        f"(list_position(s{i}, list_min(s{i})) - 1) AS c{i}" for i in range(m)
+    )
+    dqs = ", ".join(
+        f"list_dot_product({sl(i)}, {sl(i)}) AS dq{i}" for i in range(m)
+    )
+    tabs = ", ".join(
+        "["
+        + ", ".join(
+            f"(dq{i} - 2.0 * list_dot_product({sl(i)}, {cw(w)}) + {nsq(w)!r})"
+            for w in books[i]
+        )
+        + f"] AS t{i}"
+        for i in range(m)
+    )
+    adist = " + ".join(f"q.t{i}[e.c{i} + 1]" for i in range(m))
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+encs AS (SELECT vec_id, {enc_scores} FROM corpus),
+enc AS (SELECT vec_id, {codes} FROM encs),
+q0 AS (SELECT vec_id, v, {dqs} FROM corpus WHERE vec_id < {n_queries}),
+qt AS (SELECT vec_id, {tabs} FROM q0),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND({adist}, 6) AS adist
+  FROM enc e CROSS JOIN qt q WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+X37_SQL = _pq_sql()
+
+
 def x21_winnow_fingerprints(spark: SparkSession, sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003): min 60-bit
     hash per sliding window of 4 consecutive word-3-gram shingles, distinct
@@ -1497,4 +1576,5 @@ EXTENSION_BUILDERS = {
     "x34_repetition_signals": (x34_repetition_signals, X34_SQL),
     "x35_gap_fill": (x35_gap_fill, X35_SQL),
     "x36_profile": (x36_profile, X36_SQL),
+    "x37_pq_topk": (x37_pq_topk, X37_SQL),
 }

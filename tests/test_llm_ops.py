@@ -299,3 +299,17 @@ def test_tfidf_top_terms(spark):
     assert by_doc[2] == [(1, "shared"), (2, "banana")]
     # doc 3: date 1/3*3=1.0 beats cherry .5, shared 1/3
     assert by_doc[3] == [(1, "date"), (2, "cherry")]
+
+
+def test_pq_encode_and_topk(vectors):
+    codes = {r.vec_id: list(r.codes) for r in
+             S.pq_encode(vectors, dim=16, m=4).collect()}
+    assert len(codes) == 41 and all(len(c) == 4 for c in codes.values())
+    assert all(0 <= x < 16 for c in codes.values() for x in c)
+    # The planted near-dup (vec 100 = vec 0 + tiny noise) quantizes close:
+    # ADC must rank it first among vec 0's neighbors.
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.pq_topk(vectors, q, dim=16, m=4, k=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert out[0].neighbor_id == 100
+    assert out[0].adist == min(r.adist for r in out)
