@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from meshinsights_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    pq_topk,
     rp_lsh_topk,
 )
 from meshinsights_data_pipeline_spark.session import get_spark, read_table
@@ -54,10 +55,11 @@ def main() -> None:
     exact = run("exact cosine", lambda: cosine_topk(emb, queries, k=K))
     lsh = run("rp-lsh 4-bit", lambda: rp_lsh_topk(emb, queries, k=K, bits=4))
     ivf = run("ivf nprobe=4", lambda: ivf_topk(emb, queries, centroids, k=K, nprobe=4))
+    pq = run("pq m=8 adc", lambda: pq_topk(emb, queries, k=K))
 
     truth = exact[2]
     print(f"{'strategy':<14} {'time':>7} {'recall@%d' % K:>10}")
-    for name, dt, by_q in (exact, lsh, ivf):
+    for name, dt, by_q in (exact, lsh, ivf, pq):
         hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
         total = sum(len(t) for t in truth.values())
         print(f"{name:<14} {dt:6.2f}s {hits / total:10.2%}")

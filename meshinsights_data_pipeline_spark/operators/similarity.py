@@ -1,20 +1,24 @@
 """Similarity search over embedding columns (array<float>).
 
-North-star extension: brute-force cosine top-k as the exact baseline, plus
-an LSH-bucketed variant as the 100 TB scale path.
-
-Scale design:
-- cosine_topk: queries x corpus via broadcast of the (small) query set —
-  the corpus never shuffles; per-row dot products run in codegen
-  (F.aggregate over zipped arrays, all JVM-side). Exact; cost O(|Q| x N x d).
-- rp_lsh_topk: random-hyperplane signatures bucket the corpus; only
-  same-bucket pairs are scored. Approximate; recall tunes with bits/tables.
-  At 1000 executors the bucket join replaces the full scan per query with
-  bucket-local work — the standard billion-scale ANN layout (IVF-style
-  partition pruning falls out of the bucket key).
+North-star extension: the full ANN strategy family, each fully
+oracle-checked —
+- cosine_topk: exact baseline. Queries broadcast, the corpus never
+  shuffles; per-row dot products all JVM-side. Cost O(|Q| x N x d).
+- rp_lsh_topk / embedding_neardup_pairs_lsh: random-hyperplane signatures
+  bucket the corpus (single- and multi-table); only bucket-mates are
+  scored. Recall tunes with bits/tables.
+- ivf_topk: centroid-partitioned inverted lists probed nprobe-deep — the
+  write-time partition-pruning layout; cost O(|Q| x N x nprobe/lists).
+- pq_encode / pq_topk: product quantization with asymmetric distance —
+  the memory-compressed path (corpus state ~dim/m/4 of raw vectors;
+  distance = m table lookups).
+At 1000 executors the bucketed/list variants replace the full scan per
+query with bucket-local work — the standard billion-scale ANN layouts.
 """
 
 from __future__ import annotations
+
+from itertools import count
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -425,14 +429,55 @@ def _norm_sq(w: list[float]) -> float:
     return acc
 
 
-def _unrolled_dot(s: Column, w: list[float]) -> Column:
-    """dot(s, literal w) as an unrolled left-associated sum — same values
-    as the sequential fold (identical op order), but a flat codegen-able
-    tree instead of a HOF lambda (see plan-cost note in pq_encode)."""
-    t = F.element_at(s, 1) * F.lit(w[0])
-    for j in range(1, len(w)):
-        t = t + F.element_at(s, j + 1) * F.lit(w[j])
-    return t
+def _unrolled_dot_sql(s: str, w: list[float]) -> str:
+    """dot(column s, literal w) as an unrolled left-associated SQL sum —
+    same values as the sequential fold (identical op order). Emitted as
+    TEXT, not Column objects: building the ~10k-node PQ expression tree
+    through py4j costs one JVM round-trip per node (measured 210s in a
+    warm session) while a selectExpr string is ONE call and parses
+    JVM-side in milliseconds. Codebook literals are k/1000 with 3
+    decimals, so repr never produces scientific notation; the D suffix
+    makes them SQL doubles."""
+    terms = [f"element_at({s}, {j + 1}) * {w[j]!r}D" for j in range(len(w))]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PQ_VIEW_SEQ = count()
+
+
+def _pq_encode_ctes(view: str, id_col: str, vec_col: str, dim: int, m: int,
+                    ks: int, seed: int, prefix: str = "") -> str:
+    """The encode pipeline as SQL CTE text (staged so every non-cheap
+    expression is single-occurrence: the naive form inlines each scores
+    array into both array_min and array_position)."""
+    sub_d = dim // m
+    books = _deterministic_codebooks(dim, m, ks, seed)
+    slices = ", ".join(
+        f"slice(_v, {i * sub_d + 1}, {sub_d}) AS _s{i}" for i in range(m)
+    )
+    score_exprs = ", ".join(
+        "array("
+        + ", ".join(
+            f"({_norm_sq(w)!r}D - 2.0D * {_unrolled_dot_sql(f'_s{i}', w)})"
+            for w in books[i]
+        )
+        + f") AS _sc{i}"
+        for i in range(m)
+    )
+    code_exprs = ", ".join(
+        f"cast(array_position(_sc{i}, array_min(_sc{i})) - 1 AS int) AS _c{i}"
+        for i in range(m)
+    )
+    codes_arr = "array(" + ", ".join(f"_c{i}" for i in range(m)) + ")"
+    return f"""
+{prefix}vecs AS (
+    SELECT {id_col}, transform({vec_col}, x -> cast(x as double)) AS _v
+    FROM {view}
+),
+{prefix}subs AS (SELECT {id_col}, {slices} FROM {prefix}vecs),
+{prefix}scores AS (SELECT {id_col}, {score_exprs} FROM {prefix}subs),
+{prefix}coded AS (SELECT {id_col}, {code_exprs} FROM {prefix}scores),
+{prefix}enc AS (SELECT {id_col}, {codes_arr} AS codes FROM {prefix}coded)"""
 
 
 def pq_encode(
@@ -450,55 +495,22 @@ def pq_encode(
     is the compact corpus representation pq_topk scans.
 
     The constant dot(s,s) term cancels inside a fixed subvector's argmin,
-    so encoding scores are ||c||^2 - 2*dot(s,c)."""
+    so encoding scores are ||c||^2 - 2*dot(s,c).
+
+    Plan-cost design, all measured (the PQ tree is ~10k expression
+    nodes): built as ONE generated SQL statement — per-node Column
+    construction costs a py4j round-trip each (210s to merely build the
+    frame in a warm session), per-stage selectExpr re-analyzes the
+    growing plan per stage, and m*ks HOF lambda folds cost minutes of
+    analysis; single-statement SQL with unrolled left-associated
+    element_at dots parses and analyzes once (~2s) with values
+    bit-identical to DuckDB's list_dot_product."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub_d = dim // m
-    books = _deterministic_codebooks(dim, m, ks, seed)
-    # Two expression-shape rules, both measured at sf0.01:
-    # 1. UNROLLED element_at dots, not HOF folds: m*ks = 128 small dots as
-    #    aggregate/zip_with lambdas cost MINUTES of plan analysis+codegen
-    #    (each lambda pair is expensive to analyze and the cost is
-    #    super-linear in count); unrolled 8-term sums take the encode from
-    #    161s to 2.4s cold. (The opposite trade from the single 64-dim
-    #    pair-scoring dot, where the fold wins — see _pair_dot.)
-    #    Left-assoc add order keeps values bit-identical to DuckDB's
-    #    list_dot_product.
-    # 2. Staged projections keep every non-cheap expression
-    #    single-occurrence (the naive form inlines each scores array into
-    #    both array_min and array_position).
-    staged = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).select(
-        F.col(id_col),
-        *[F.slice("_v", i * sub_d + 1, sub_d).alias(f"_s{i}") for i in range(m)],
-    )
-    score_cols = []
-    for i in range(m):
-        s = F.col(f"_s{i}")
-        score_cols.append(
-            F.array(
-                *[
-                    F.lit(_norm_sq(w)) - F.lit(2.0) * _unrolled_dot(s, w)
-                    for w in books[i]
-                ]
-            ).alias(f"_sc{i}")
-        )
-    scored = staged.select(F.col(id_col), *score_cols)
-    coded = scored.select(
-        F.col(id_col),
-        *[
-            (F.array_position(F.col(f"_sc{i}"), F.array_min(F.col(f"_sc{i}"))) - 1)
-            .cast("int")
-            .alias(f"_c{i}")
-            for i in range(m)
-        ],
-    )
-    return coded.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_c{i}") for i in range(m)]).alias("codes"),
-    )
+    view = f"_pq_encode_in_{next(_PQ_VIEW_SEQ)}"
+    df.createOrReplaceTempView(view)
+    ctes = _pq_encode_ctes(view, id_col, vec_col, dim, m, ks, seed)
+    return df.sparkSession.sql(f"WITH {ctes}\nSELECT * FROM enc")
 
 
 def pq_topk(
@@ -515,58 +527,65 @@ def pq_topk(
     """PQ/ADC approximate top-k: [query_id, neighbor_id, adist, rank]
     (ascending approximate squared distance, ties to the lowest id).
 
-    Each query precomputes its m x ks distance table (broadcast — query
-    sets are small); every corpus row costs m element_at lookups + adds
-    over its codes. The corpus side never touches raw vectors after
-    encoding — that is PQ's memory story at scale."""
+    Each query precomputes its m x ks distance table (broadcast hint —
+    query sets are small); every corpus row costs m element_at lookups +
+    adds over its codes. The corpus side never touches raw vectors after
+    encoding — that is PQ's memory story at scale. One generated SQL
+    statement for the same plan-cost reasons as pq_encode; the
+    query-side self-dot dq_i stays a sequential fold (only m of them,
+    value-order identical to list_dot_product(sub, sub))."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
     books = _deterministic_codebooks(dim, m, ks, seed)
-    codes = pq_encode(corpus, id_col, vec_col, dim, m, ks, seed)
-    # Same unrolled-dot + staged-projection shape as pq_encode (the
-    # query-side self-dot dq_i stays a fold: only m of them, and it keeps
-    # the value-order identical to list_dot_product(sub, sub)).
-    q_staged = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).select(
-        "query_id",
-        *[F.slice("_v", i * sub_d + 1, sub_d).alias(f"_s{i}") for i in range(m)],
-    ).select(
-        "query_id",
-        *[F.col(f"_s{i}") for i in range(m)],
-        *[_dot_d(F.col(f"_s{i}"), F.col(f"_s{i}")).alias(f"_dq{i}") for i in range(m)],
+    n = next(_PQ_VIEW_SEQ)
+    c_view, q_view = f"_pq_corpus_{n}", f"_pq_queries_{n}"
+    corpus.createOrReplaceTempView(c_view)
+    queries.createOrReplaceTempView(q_view)
+
+    enc_ctes = _pq_encode_ctes(c_view, id_col, vec_col, dim, m, ks, seed)
+    q_slices = ", ".join(
+        f"slice(_v, {i * sub_d + 1}, {sub_d}) AS _s{i}" for i in range(m)
     )
-    tab_cols = []
-    for i in range(m):
-        s = F.col(f"_s{i}")
-        tab_cols.append(
-            F.array(
-                *[
-                    F.col(f"_dq{i}")
-                    - F.lit(2.0) * _unrolled_dot(s, w)
-                    + F.lit(_norm_sq(w))
-                    for w in books[i]
-                ]
-            ).alias(f"_t{i}")
+    dqs = ", ".join(
+        f"aggregate(zip_with(_s{i}, _s{i}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) AS _dq{i}"
+        for i in range(m)
+    )
+    tabs = ", ".join(
+        "array("
+        + ", ".join(
+            f"(_dq{i} - 2.0D * {_unrolled_dot_sql(f'_s{i}', w)} + {_norm_sq(w)!r}D)"
+            for w in books[i]
         )
-    qtab = q_staged.select("query_id", *tab_cols)
-    joined = codes.crossJoin(F.broadcast(qtab)).filter(
-        F.col(id_col) != F.col("query_id")
+        + f") AS _t{i}"
+        for i in range(m)
     )
-    adist = None
-    for i in range(m):
-        term = F.element_at(F.col(f"_t{i}"), F.element_at("codes", i + 1) + 1)
-        adist = term if adist is None else adist + term
-    scored = joined.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(adist, 6).alias("adist"),
+    adist = " + ".join(
+        f"element_at(_t{i}, element_at(codes, {i + 1}) + 1)" for i in range(m)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adist", F.col("rank").cast("bigint").alias("rank"))
-    )
+    sql = f"""
+WITH {enc_ctes},
+qvecs AS (
+    SELECT {id_col} AS query_id,
+           transform({vec_col}, x -> cast(x as double)) AS _v
+    FROM {q_view}
+),
+qsubs AS (SELECT query_id, {q_slices} FROM qvecs),
+qdq AS (SELECT *, {dqs} FROM qsubs),
+qt AS (SELECT query_id, {tabs} FROM qdq),
+scored AS (
+    SELECT /*+ BROADCAST(qt) */ qt.query_id, e.{id_col} AS neighbor_id,
+           round({adist}, 6) AS adist
+    FROM enc e CROSS JOIN qt WHERE e.{id_col} <> qt.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id ASC) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, adist, cast(rk AS bigint) AS rank
+FROM ranked WHERE rk <= {k}
+"""
+    return corpus.sparkSession.sql(sql)
