@@ -53,16 +53,17 @@ def idempotent_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
     This is the plain-parquet stand-in for a transactional table format's
     idempotent epoch commit; swap for Delta/Iceberg ``txnAppId`` writes
     where one is available.
+
+    The overwrite mode is set per-write (``.option``) rather than by
+    mutating the session conf: a save/restore of the session-level
+    ``partitionOverwriteMode`` races with any concurrent write sharing the
+    same SQLConf, and a partitioned overwrite observed under ``static``
+    would delete every other ``_epoch`` partition in the target table.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("_epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .partitionBy("_epoch")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        df.withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(path)
+    )
