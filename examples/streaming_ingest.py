@@ -36,7 +36,7 @@ from meshinsights_data_pipeline_spark.operators.dedup import (
 )
 from meshinsights_data_pipeline_spark.operators.similarity import ivf_topk
 from meshinsights_data_pipeline_spark.session import get_spark, read_table
-from meshinsights_data_pipeline_spark.sources.layout import idempotent_epoch_append
+from meshinsights_data_pipeline_spark.sources.layout import idempotent_epoch_append, latest_snapshot, snapshot_overwrite
 from meshinsights_data_pipeline_spark.streaming import (
     streaming_ivf_ingest,
     streaming_lsh_ingest,
@@ -63,7 +63,7 @@ def main() -> None:
     idempotent_epoch_append(
         banded_signatures(seed_docs, "doc_id", "text"), dirs["sigs"], -1)
     seed_pairs = minhash_lsh_candidates(seed_docs, "doc_id", "text").localCheckpoint()
-    connected_components(seed_pairs).write.parquet(dirs["labels"])
+    snapshot_overwrite(connected_components(seed_pairs), dirs["labels"], version=-1)
 
     # 2. Stream the arriving halves in 4 micro-batches each.
     docs.filter(F.col("doc_id") % 2 == 1).repartition(4).write.parquet(dirs["src_docs"])
@@ -91,7 +91,7 @@ def main() -> None:
     q2.awaitTermination(300)
 
     # 3. Report.
-    labels = spark.read.parquet(dirs["labels"])
+    labels = latest_snapshot(spark, dirs["labels"])
     clusters = labels.groupBy("cluster_id").count()
     n_pairs = spark.read.parquet(dirs["pairs"]).select("id_a", "id_b").distinct().count()
     print(f"accumulated candidate pairs : {n_pairs}")

@@ -169,6 +169,51 @@ def repetition_signals(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, min_docs: int = 3
+) -> DataFrame:
+    """CROSS-document boilerplate detection (the complement of
+    :func:`repetition_signals`, which is within-doc): a word n-gram that
+    appears in >= ``min_docs`` DISTINCT documents is boilerplate (headers,
+    footers, navigation chrome, license blurbs — the text C4/RefinedWeb
+    strip by line-frequency); each doc is scored by the fraction of its
+    distinct n-grams that are boilerplate.
+
+    Returns [id, n_grams, n_boiler, boiler_frac] (one row per doc;
+    boiler_frac = n_boiler / n_grams, one IEEE division — bit-identical
+    across engines).
+
+    Shuffle shape at 100 TB: identical to the MinHash dedup path — one
+    shuffle on the 60-bit gram hash for the document-frequency count
+    (map-side combinable), one hash-join back to the per-doc distinct gram
+    sets, one per-doc reduce. No collect, no broadcast of anything
+    corpus-sized; the doc-frequency table is only as large as the distinct
+    gram vocabulary and stays distributed.
+    """
+    from meshinsights_data_pipeline_spark.operators.dedup import shingle_hashes
+
+    per_doc = shingle_hashes(df, id_col, text_col, n)  # distinct [id, h]
+    doc_freq = per_doc.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df_docs")
+    )
+    return (
+        per_doc.join(doc_freq, "h")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_df_docs") >= min_docs, 1).otherwise(0)
+            ).cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_frac"),
+        )
+    )
+
+
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-rule quality signals per doc (Rae et al. 2021, Table A1,
     adapted to whitespace tokens):

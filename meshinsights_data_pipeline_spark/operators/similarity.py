@@ -224,6 +224,71 @@ def ivf_assign(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_scores: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the embeddings
+    to their nearest centroid (:func:`ivf_assign`), then score cosine only
+    WITHIN each cluster (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540 — cluster first, compare within clusters).
+
+    Returns [list_id, id_a, id_b, score] with id_a < id_b and
+    score >= threshold.
+
+    100 TB shape: the corpus never self-joins globally — the pair space is
+    partitioned by cluster, so the comparison cost is sum_c |c|^2 with
+    each cluster an independent shuffle partition (vs n^2 for the exact
+    verifier ``embedding_neardup_pairs``); centroids are a broadcast dim
+    table and assignment is map-side. The known failure mode is a skewed
+    (huge) cluster: at real scale cap cluster size by sharding on a
+    secondary centroid level or sampling within the cluster (the paper
+    dedups within fixed-size cluster shards); AQE's skew-join split
+    handles moderate skew here without code changes.
+
+    Recall trade vs :func:`embedding_neardup_pairs_lsh`: a near-dup pair
+    split across a centroid boundary is missed — acceptable for SemDeDup
+    semantics ("duplicates within a semantic cluster"), not for strict
+    near-dup recall; pick the RP-LSH path when recall across the whole
+    space matters.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    vec = _prep(df, id_col, vec_col, "v").join(
+        assigned.select(F.col(id_col).alias("v_id"), "list_id"), "v_id"
+    )
+    a = vec.select(
+        F.col("v_id").alias("id_a"),
+        F.col("v_vec").alias("a_vec"),
+        F.col("v_norm").alias("a_norm"),
+        "list_id",
+    )
+    b = vec.select(
+        F.col("v_id").alias("id_b"),
+        F.col("v_vec").alias("b_vec"),
+        F.col("v_norm").alias("b_norm"),
+        "list_id",
+    )
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "score",
+            F.round(
+                _pair_dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                round_scores,
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("list_id", "id_a", "id_b", "score")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -509,8 +574,15 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     view = f"_pq_encode_in_{next(_PQ_VIEW_SEQ)}"
     df.createOrReplaceTempView(view)
-    ctes = _pq_encode_ctes(view, id_col, vec_col, dim, m, ks, seed)
-    return df.sparkSession.sql(f"WITH {ctes}\nSELECT * FROM enc")
+    try:
+        ctes = _pq_encode_ctes(view, id_col, vec_col, dim, m, ks, seed)
+        return df.sparkSession.sql(f"WITH {ctes}\nSELECT * FROM enc")
+    finally:
+        # spark.sql analyzes eagerly — the returned frame holds the RESOLVED
+        # plan, not the view name — so dropping immediately is safe and keeps
+        # long-lived sessions (e.g. a streaming driver encoding per batch)
+        # from leaking one catalog entry per call.
+        df.sparkSession.catalog.dropTempView(view)
 
 
 def pq_topk(
@@ -588,4 +660,11 @@ ranked AS (
 SELECT query_id, neighbor_id, adist, cast(rk AS bigint) AS rank
 FROM ranked WHERE rk <= {k}
 """
-    return corpus.sparkSession.sql(sql)
+    try:
+        return corpus.sparkSession.sql(sql)
+    finally:
+        # Eager analysis resolves both views into the returned plan; drop
+        # them so per-batch callers don't leak catalog entries (see
+        # pq_encode).
+        corpus.sparkSession.catalog.dropTempView(c_view)
+        corpus.sparkSession.catalog.dropTempView(q_view)

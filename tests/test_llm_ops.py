@@ -157,6 +157,12 @@ def test_lang_id(spark):
     assert out[4] == "und"
     assert out[5] == "und"
     assert out[6] == "fr"
+    # A pre-existing column with the staging name must survive untouched.
+    clash = df.withColumn("_lang_id_s", F.col("id") * 10)
+    kept = T.lang_id(clash, "t", "p2")
+    assert {r["id"]: r["_lang_id_s"] for r in kept.collect()} == {
+        i: i * 10 for i in range(1, 7)
+    }
     # The classifier must be pure JVM expressions — no Python eval stage.
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # catches ArrowEvalPython & BatchEvalPython
@@ -304,6 +310,11 @@ def test_tfidf_top_terms(spark):
 def test_pq_encode_and_topk(vectors):
     codes = {r.vec_id: list(r.codes) for r in
              S.pq_encode(vectors, dim=16, m=4).collect()}
+    # The staging temp views are dropped before the frame is materialized
+    # (spark.sql resolves eagerly) — repeated calls must not leak catalog
+    # entries in a long-lived session.
+    assert not [t.name for t in vectors.sparkSession.catalog.listTables()
+                if t.name.startswith("_pq_")]
     assert len(codes) == 41 and all(len(c) == 4 for c in codes.values())
     assert all(0 <= x < 16 for c in codes.values() for x in c)
     # The planted near-dup (vec 100 = vec 0 + tiny noise) quantizes close:
@@ -313,3 +324,20 @@ def test_pq_encode_and_topk(vectors):
     assert [r.rank for r in out] == [1, 2, 3, 4, 5]
     assert out[0].neighbor_id == 100
     assert out[0].adist == min(r.adist for r in out)
+
+
+def test_semantic_dedup_pairs(vectors):
+    # Centroids = first 4 vectors; the planted near-dup (100 ~ 0) must land
+    # in vec 0's cluster and surface as a within-cluster pair.
+    centroids = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    out = S.semantic_dedup_pairs(vectors, centroids, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 100)}
+    assert out[0].score > 0.99
+    assert out[0].list_id == 0  # vec 0 is itself a centroid -> cosine 1 with c0
+    # Cluster partitioning: a pair must only ever be scored within one list,
+    # so every returned row's members share the same assignment.
+    assigned = {r[0]: r[1] for r in S.ivf_assign(vectors, centroids).collect()}
+    assert all(assigned[r.id_a] == assigned[r.id_b] == r.list_id for r in out)

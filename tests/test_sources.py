@@ -268,3 +268,46 @@ def test_jdbc_update_foreachpartition_e2e(spark, tmp_path):
     src.update(df, ["id"], ["v"], connection_factory=lambda: FileBackedConnection(out))
     lines = sorted(open(out).read().splitlines())
     assert lines == [repr((5.0, 1)), repr((7.0, 2)), repr((9.0, 3))]
+
+
+def test_snapshot_overwrite_crash_safety(spark, tmp_path):
+    """A crashed (uncommitted) snapshot write must be invisible to readers:
+    latest_snapshot keeps serving the last committed version, and pruning
+    keeps only the newest `keep` committed snapshots."""
+    import os
+
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        latest_snapshot,
+        snapshot_overwrite,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "labels")
+    snapshot_overwrite(spark.range(3).toDF("id"), path, version=-1)
+    snapshot_overwrite(spark.range(5).toDF("id"), path, version=0)
+    assert latest_snapshot(spark, path).count() == 5
+
+    # Simulate a crash mid-write of version 1: data files land but the
+    # job never commits (_SUCCESS missing).
+    crashed = os.path.join(path, "_v=1")
+    spark.range(9).toDF("id").write.parquet(crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    assert snapshot_versions(spark, path) == [-1, 0]
+    assert latest_snapshot(spark, path).count() == 5  # not 9
+
+    # Next successful write supersedes the crashed dir; committed
+    # snapshots below the newest keep=2 are pruned (a retry of epoch 1
+    # would simply overwrite the crashed _v=1 remnant in place).
+    snapshot_overwrite(spark.range(7).toDF("id"), path, version=2, keep=2)
+    assert latest_snapshot(spark, path).count() == 7
+    assert snapshot_versions(spark, path) == [0, 2]
+    assert not os.path.exists(os.path.join(path, "_v=-1"))
+
+
+def test_snapshot_latest_requires_seed(spark, tmp_path):
+    import pytest
+
+    from meshinsights_data_pipeline_spark.sources.layout import latest_snapshot
+
+    with pytest.raises(FileNotFoundError):
+        latest_snapshot(spark, str(tmp_path / "nope"))

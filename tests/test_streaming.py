@@ -208,6 +208,10 @@ def test_streaming_lsh_ingest_parity(spark, tmp_path):
         banded_signatures,
         minhash_lsh_candidates,
     )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        latest_snapshot,
+        snapshot_overwrite,
+    )
     from meshinsights_data_pipeline_spark.streaming import streaming_lsh_ingest
 
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -262,6 +266,10 @@ def test_streaming_cluster_maintenance_parity(spark, tmp_path):
         banded_signatures,
         minhash_lsh_candidates,
     )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        latest_snapshot,
+        snapshot_overwrite,
+    )
     from meshinsights_data_pipeline_spark.streaming import streaming_lsh_ingest
 
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -274,7 +282,7 @@ def test_streaming_cluster_maintenance_parity(spark, tmp_path):
     src = str(tmp_path / "src")
     banded_signatures(seed, "doc_id", "text").write.parquet(sig_dir)
     seed_pairs = minhash_lsh_candidates(seed, "doc_id", "text").localCheckpoint()
-    connected_components(seed_pairs).write.parquet(labels_dir)
+    snapshot_overwrite(connected_components(seed_pairs), labels_dir, version=-1)
     arriving.repartition(4).write.parquet(src)
 
     schema = spark.read.parquet(src).schema
@@ -294,7 +302,7 @@ def test_streaming_cluster_maintenance_parity(spark, tmp_path):
 
     got = {
         (r.id, r.cluster_id)
-        for r in spark.read.parquet(labels_dir).collect()
+        for r in latest_snapshot(spark, labels_dir).collect()
     }
     all_pairs = seed_pairs.unionByName(
         spark.read.parquet(pairs_dir).select("id_a", "id_b")
@@ -357,6 +365,8 @@ def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         idempotent_epoch_append,
+        latest_snapshot,
+        snapshot_overwrite,
     )
     from meshinsights_data_pipeline_spark.streaming import streaming_lsh_ingest
 
@@ -369,7 +379,7 @@ def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
     labels_dir = str(tmp_path / "labels")
     idempotent_epoch_append(banded_signatures(seed, "doc_id", "text"), sig_dir, -1)
     seed_pairs = minhash_lsh_candidates(seed, "doc_id", "text").localCheckpoint()
-    connected_components(seed_pairs).write.parquet(labels_dir)
+    snapshot_overwrite(connected_components(seed_pairs), labels_dir, version=-1)
 
     process = streaming_lsh_ingest(
         batch, "doc_id", "text",
@@ -382,7 +392,7 @@ def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
     )
     first_sigs = spark.read.parquet(sig_dir).count()
     first_labels = sorted(
-        (r.id, r.cluster_id) for r in spark.read.parquet(labels_dir).collect()
+        (r.id, r.cluster_id) for r in latest_snapshot(spark, labels_dir).collect()
     )
     # Simulated retry: same batch, same epoch.
     process(batch, 0)
@@ -391,7 +401,7 @@ def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
     ) == first_pairs
     assert spark.read.parquet(sig_dir).count() == first_sigs
     assert sorted(
-        (r.id, r.cluster_id) for r in spark.read.parquet(labels_dir).collect()
+        (r.id, r.cluster_id) for r in latest_snapshot(spark, labels_dir).collect()
     ) == first_labels
     assert len(first_pairs) == len(set(first_pairs))  # no duplicates at all
 
