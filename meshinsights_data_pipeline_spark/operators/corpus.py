@@ -409,6 +409,36 @@ def split_columns(
     return bucket.cast("bigint"), expr
 
 
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int = 8, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into fixed training shards — the
+    "shuffle once, read sequentially" layout every pretraining loader
+    wants: [id, shard, pos] with shard = h60(seed:id) % n_shards and pos
+    the 0-based rank of the row INSIDE its shard ordered by the same
+    hash. A pure function of (seed, id): stable across runs, machines,
+    engines, and partition counts — no sampled RNG state to coordinate at
+    1000 executors, and changing ``seed`` is a full reshuffle.
+
+    Shuffle shape at 100 TB: one hash-partition exchange on ``shard``
+    (exactly the write layout: ``.repartition("shard").sortWithin
+    Partitions("pos")`` appends no further exchange) + a per-shard
+    window for ``pos``. Shards are hash-balanced by construction, so the
+    window never sees a skewed partition.
+    """
+    key = md5_int60(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("_key"),
+            F.pmod(key, F.lit(n_shards)).cast("bigint").alias("shard"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(F.col(id_col), "shard", "pos")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str,

@@ -1614,6 +1614,32 @@ FROM agg ORDER BY doc_id
 """
 
 
+def x40_shuffle_shards(spark: SparkSession, sf_dir: str):
+    """Deterministic global shuffle into 8 training shards: shard =
+    md5-60bit('0:' || doc_id) % 8, pos = hash-rank within the shard
+    (corpus.shuffle_shards). Pure function of (seed, id) — stable across
+    engines, so the full [doc_id, shard, pos] layout is oracle-checkable."""
+    from meshinsights_data_pipeline_spark.operators.corpus import shuffle_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8, seed=0).orderBy(
+        "shard", "pos"
+    )
+
+
+X40_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           {_H60_SQL.format(s="'0:' || CAST(doc_id AS VARCHAR)")} AS k
+    FROM documents
+),
+sharded AS (SELECT doc_id, k, k % 8 AS shard FROM keyed)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+FROM sharded ORDER BY shard, pos
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1654,4 +1680,5 @@ EXTENSION_BUILDERS = {
     "x37_pq_topk": (x37_pq_topk, X37_SQL),
     "x38_semantic_dedup": (x38_semantic_dedup, X38_SQL),
     "x39_boilerplate_ngrams": (x39_boilerplate_ngrams, X39_SQL),
+    "x40_shuffle_shards": (x40_shuffle_shards, X40_SQL),
 }

@@ -356,3 +356,30 @@ def test_boilerplate_ngrams(spark):
     assert out[2] == (2, 1, 0.5)
     assert out[3] == (2, 0, 0.0)
     assert out[4] == (1, 0, 0.0)
+
+
+def test_shuffle_shards(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import shuffle_shards
+
+    df = spark.range(1000).toDF("doc_id")
+    out = shuffle_shards(df, "doc_id", n_shards=4, seed=0).collect()
+    assert len(out) == 1000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    # pos is a contiguous 0-based sequence inside each shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # hash-balanced: no shard dominates
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 150
+    # deterministic: identical output across runs, full reshuffle on new seed
+    again = shuffle_shards(df, "doc_id", n_shards=4, seed=0).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+    reseeded = shuffle_shards(df, "doc_id", n_shards=4, seed=1).collect()
+    assert {(r.doc_id, r.shard) for r in reseeded} != {
+        (r.doc_id, r.shard) for r in out
+    }
