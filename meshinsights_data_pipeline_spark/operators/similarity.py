@@ -258,9 +258,15 @@ def semantic_dedup_pairs(
     space matters.
     """
     assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # Materialized ONCE: both self-join sides consume [id, vec, norm,
+    # list_id]; left lazy, each side recomputes the centroid crossJoin +
+    # assignment window. Measured at sf0.1/local[32]: 2.4s lazy vs 1.1s
+    # checkpointed, warm. At real scale, write this frame to storage
+    # instead (it is corpus-sized) — the shape (one assignment pass, two
+    # readers) is what matters.
     vec = _prep(df, id_col, vec_col, "v").join(
         assigned.select(F.col(id_col).alias("v_id"), "list_id"), "v_id"
-    )
+    ).localCheckpoint()
     a = vec.select(
         F.col("v_id").alias("id_a"),
         F.col("v_vec").alias("a_vec"),
