@@ -104,6 +104,38 @@ class GopherQualityGateStep(CorpusStep):
         return context
 
 
+class BoilerplateFilterStep(CorpusStep):
+    """Drop docs whose cross-document boilerplate fraction (share of the
+    doc's distinct word-n-grams occurring in >= min_docs documents)
+    exceeds ``max_frac``; stash the per-doc scores as
+    "corpus.boilerplate". The cross-doc twin of the within-doc Gopher
+    repetition gate."""
+
+    def __init__(self, cols: CorpusColumns, max_frac: float = 0.5,
+                 n: int = 3, min_docs: int = 3, **kw):
+        super().__init__(cols, name="boilerplate_filter", **kw)
+        self.max_frac = max_frac
+        self.n = n
+        self.min_docs = min_docs
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            boilerplate_ngrams,
+        )
+
+        docs = context.raw_data
+        scores = boilerplate_ngrams(
+            docs, self.cols.id, self.cols.text, n=self.n, min_docs=self.min_docs
+        )
+        context.processed_data["corpus.boilerplate"] = scores
+        context.raw_data = docs.join(
+            scores.filter(F.col("boiler_frac") <= self.max_frac).select(self.cols.id),
+            self.cols.id, "left_semi",
+        )
+        self._record(context)
+        return context
+
+
 class UrlDedupStep(CorpusStep):
     """One survivor per canonical URL (crawl-level dedup). Composed only
     when the corpus has a URL column (see build_corpus_pipeline)."""
@@ -244,6 +276,36 @@ class DatasetSplitStep(CorpusStep):
         return context
 
 
+class ShuffleShardsStep(CorpusStep):
+    """Annotate every surviving doc with its deterministic training shard
+    and within-shard position (corpus.shuffle_shards) — the shuffle-once
+    layout a pretraining loader reads sequentially. One exchange on the
+    hash-balanced shard key."""
+
+    def __init__(self, cols: CorpusColumns, n_shards: int = 8,
+                 seed: int = 0, **kw):
+        super().__init__(cols, name="shuffle_shards", **kw)
+        self.n_shards = n_shards
+        self.seed = seed
+
+    def validate_output(self, context: PipelineContext) -> None:
+        super().validate_output(context)
+        self.require_columns(context.raw_data, ["shard", "pos"])
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            shuffle_shards,
+        )
+
+        docs = context.raw_data
+        layout = shuffle_shards(
+            docs, self.cols.id, n_shards=self.n_shards, seed=self.seed
+        )
+        context.raw_data = docs.join(layout, self.cols.id)
+        self._record(context)
+        return context
+
+
 class QuotaSampleStep(CorpusStep):
     """Per-source quota (salted two-phase top-n, hot-key safe)."""
 
@@ -300,12 +362,16 @@ def build_corpus_pipeline(
     quota_salt_buckets: int | None = 16,
     chunk_tokens: int = 64,
     split_weights: dict[str, int] | None = None,
+    max_boiler_frac: float | None = None,
+    n_shards: int | None = None,
+    shard_seed: int = 0,
 ) -> Pipeline:
     """Assemble the corpus-prep workload with the canonical conditions:
     URL dedup runs iff the corpus binds a URL column, decontamination iff
-    a benchmark table was stashed, quota iff a quota was set — the same
-    condition mechanism the power pipeline uses
-    (analytics/power_pipeline.py:236-281, src/core/pipeline.py:83-99).
+    a benchmark table was stashed, quota iff a quota was set, boilerplate
+    filtering iff ``max_boiler_frac`` is set, shard layout iff
+    ``n_shards`` is set — the same condition mechanism the power pipeline
+    uses (analytics/power_pipeline.py:236-281, src/core/pipeline.py:83-99).
     """
     cols = cols or CorpusColumns()
 
@@ -315,6 +381,7 @@ def build_corpus_pipeline(
     return Pipeline(
         processors=[
             GopherQualityGateStep(cols),
+            BoilerplateFilterStep(cols, max_frac=max_boiler_frac or 1.0),
             UrlDedupStep(cols),
             ExactDedupStep(cols),
             NearDupCollapseStep(
@@ -328,12 +395,15 @@ def build_corpus_pipeline(
             PiiRedactionStep(cols),
             QuotaSampleStep(cols, n=quota_n or 0, salt_buckets=quota_salt_buckets),
             DatasetSplitStep(cols, weights=split_weights),
+            ShuffleShardsStep(cols, n_shards=n_shards or 0, seed=shard_seed),
             ChunkDocumentsStep(cols, chunk_tokens=chunk_tokens),
         ],
         conditions={
             "url_dedup": lambda ctx: cols.url is not None,
             "decontamination": has_benchmark,
             "quota_sample": lambda ctx: bool(quota_n),
+            "boilerplate_filter": lambda ctx: max_boiler_frac is not None,
+            "shuffle_shards": lambda ctx: bool(n_shards),
         },
         config=config,
         name="corpus_prep",

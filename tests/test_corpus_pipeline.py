@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
     BENCHMARK_KEY,
+    BoilerplateFilterStep,
     ChunkDocumentsStep,
     CorpusColumns,
     DatasetSplitStep,
@@ -18,6 +19,7 @@ from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
     NearDupCollapseStep,
     PiiRedactionStep,
     QuotaSampleStep,
+    ShuffleShardsStep,
     UrlDedupStep,
     build_corpus_pipeline,
     run_corpus_prep,
@@ -161,14 +163,18 @@ def test_full_pipeline_conditions_and_flow(spark):
     logged = {e["processor"] for e in ctx.execution_log}
     assert "url_dedup" in logged  # skipped (no url column) but logged
     skipped = [e for e in ctx.execution_log if e.get("skipped")]
-    assert {e["processor"] for e in skipped} == {"url_dedup"}
+    assert {e["processor"] for e in skipped} == {
+        "url_dedup", "boilerplate_filter", "shuffle_shards"
+    }
 
 
 def test_full_pipeline_skips_decontamination_without_benchmark(spark):
     docs = _docs(spark, [(1, GOOD, "s0", 100)])
     ctx = run_corpus_prep(docs)
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
-    assert skipped == {"url_dedup", "decontamination"}
+    assert skipped == {
+        "url_dedup", "decontamination", "boilerplate_filter", "shuffle_shards"
+    }
     assert ctx.raw_data.count() == 1
 
 
@@ -200,3 +206,37 @@ def test_dataset_split_step(spark):
     rows = ctx.raw_data.collect()
     assert all(r.split in ("train", "val", "test") for r in rows)
     assert set(ctx.raw_data.columns) >= {"doc_id", "text", "source", "split"}
+
+
+def test_boilerplate_filter_step(spark):
+    # GOOD and NEAR share nearly every 3-gram -> both mostly "boilerplate"
+    # at min_docs=2; GOOD2 shares none.
+    df = _docs(spark, [(1, GOOD, "s0", 100), (2, NEAR, "s1", 99),
+                       (3, GOOD2, "s0", 90)])
+    ctx = BoilerplateFilterStep(COLS, max_frac=0.5, min_docs=2)(_ctx(df))
+    assert [r.doc_id for r in ctx.raw_data.collect()] == [3]
+    scores = {r.doc_id: r.boiler_frac for r in
+              ctx.processed_data["corpus.boilerplate"].collect()}
+    assert scores[1] > 0.5 and scores[2] > 0.5 and scores[3] == 0.0
+
+
+def test_shuffle_shards_step(spark):
+    df = _docs(spark, [(i, GOOD, "s0", 100) for i in range(20)])
+    ctx = ShuffleShardsStep(COLS, n_shards=4)(_ctx(df))
+    rows = ctx.raw_data.collect()
+    assert len(rows) == 20 and {"shard", "pos"} <= set(rows[0].asDict())
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_full_pipeline_with_boilerplate_and_shards(spark):
+    docs = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
+    ctx = run_corpus_prep(docs, max_boiler_frac=0.9, n_shards=2)
+    skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
+    assert skipped == {"url_dedup", "decontamination"}
+    rows = ctx.raw_data.collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    assert all(r.shard in (0, 1) and r.pos == 0 or r.pos >= 0 for r in rows)
