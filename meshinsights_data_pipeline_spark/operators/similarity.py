@@ -224,6 +224,55 @@ def ivf_assign(
     )
 
 
+def kmeans_update(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration for the IVF/SemDeDup centroid set: assign every
+    vector to its nearest centroid (cosine argmax via :func:`ivf_assign`,
+    ties to the lowest centroid id), then re-estimate each centroid as the
+    element-wise mean of its members. Returns [centroid_id, centroid_vec
+    array<double>]; a centroid whose cluster is empty keeps its previous
+    vector (standard Lloyd fallback), cast to double. Call repeatedly to
+    train the codebook the fixed-centroid operators (ivf_topk,
+    semantic_dedup_pairs, pq via codebooks) consume; means are NOT
+    re-normalized (plain Lloyd — renormalize downstream for spherical
+    k-means semantics if cosine assignment is kept).
+
+    Shuffle shape at 100 TB: corpus scanned once; posexplode to
+    (list_id, dim, value) rows feeding ONE map-side-combinable avg
+    (output is |centroids| x dim rows — tiny), then a groupBy centroid to
+    re-assemble ordered arrays. No all-pairs term anywhere; the centroid
+    table is dim-table-sized on both ends.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    exploded = (
+        df.join(assigned, id_col)
+        .select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    )
+    means = exploded.groupBy("list_id", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    new_c = (
+        means.groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("list_id").alias("centroid_id"),
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("_new_vec"),
+        )
+    )
+    old = centroids.select(
+        "centroid_id",
+        F.transform(F.col("centroid_vec"), lambda x: x.cast("double")).alias("_old_vec"),
+    )
+    return old.join(new_c, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce(F.col("_new_vec"), F.col("_old_vec")).alias("centroid_vec"),
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     centroids: DataFrame,

@@ -1640,6 +1640,63 @@ FROM sharded ORDER BY shard, pos
 """
 
 
+def x41_kmeans_update(spark: SparkSession, sf_dir: str):
+    """One Lloyd iteration over the embeddings (similarity.kmeans_update):
+    assign to the 16 seed centroids (x15's convention), re-estimate each
+    centroid as its cluster's element-wise mean. The result is exploded to
+    [centroid_id, pos, m] rows with the mean rounded to 6 decimals —
+    scalar doubles canonicalize robustly across engines, array<double>
+    string forms do not."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    out = S.kmeans_update(emb, centroids)
+    return out.select(
+        "centroid_id", F.posexplode(F.col("centroid_vec")).alias("pos", "m")
+    ).select(
+        "centroid_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("m"), 6).alias("m"),
+    ).orderBy("centroid_id", "pos")
+
+
+X41_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+    SELECT vec_id, centroid_id AS list_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                         c.centroid_id ASC
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+exploded AS (
+    SELECT a.list_id, r.i - 1 AS pos, ev.v[r.i] AS val
+    FROM assign a JOIN e ev USING (vec_id),
+         UNNEST(range(1, len(ev.v) + 1)) AS r(i)
+),
+means AS (
+    SELECT list_id AS centroid_id, pos, AVG(val) AS m
+    FROM exploded GROUP BY list_id, pos
+),
+grid AS (
+    SELECT c.centroid_id, r2.i - 1 AS pos, c.cv[r2.i] AS old_v
+    FROM c, UNNEST(range(1, len(c.cv) + 1)) AS r2(i)
+)
+SELECT g.centroid_id AS centroid_id, CAST(g.pos AS BIGINT) AS pos,
+       ROUND(COALESCE(m.m, g.old_v), 6) AS m
+FROM grid g LEFT JOIN means m
+  ON m.centroid_id = g.centroid_id AND m.pos = g.pos
+ORDER BY g.centroid_id, g.pos
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1681,4 +1738,5 @@ EXTENSION_BUILDERS = {
     "x38_semantic_dedup": (x38_semantic_dedup, X38_SQL),
     "x39_boilerplate_ngrams": (x39_boilerplate_ngrams, X39_SQL),
     "x40_shuffle_shards": (x40_shuffle_shards, X40_SQL),
+    "x41_kmeans_update": (x41_kmeans_update, X41_SQL),
 }

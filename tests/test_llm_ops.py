@@ -341,3 +341,37 @@ def test_semantic_dedup_pairs(vectors):
     # so every returned row's members share the same assignment.
     assigned = {r[0]: r[1] for r in S.ivf_assign(vectors, centroids).collect()}
     assert all(assigned[r.id_a] == assigned[r.id_b] == r.list_id for r in out)
+
+
+def test_kmeans_update(spark, vectors):
+    import numpy as np
+
+    centroids = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    out = {r.centroid_id: list(r.centroid_vec)
+           for r in S.kmeans_update(vectors, centroids).collect()}
+    assert set(out) == {0, 1} and all(len(v) == 16 for v in out.values())
+    # Each new centroid is exactly the element-wise mean of its members.
+    assigned = {}
+    for r in S.ivf_assign(vectors, centroids).collect():
+        assigned.setdefault(r.list_id, []).append(r.vec_id)
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64")
+            for r in vectors.collect()}
+    for cid, members in assigned.items():
+        expect = np.mean([vecs[m] for m in members], axis=0)
+        assert np.allclose(out[cid], expect, atol=1e-9)
+    # Empty-cluster fallback: a far-away synthetic centroid keeps itself.
+    rows = [(0, [1.0] * 16), (1, [-1.0] * 16)]
+    iso = spark.createDataFrame(
+        [(99, [float(x) for x in [1.0] * 16])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        rows, "centroid_id long, centroid_vec array<float>"
+    )
+    kept = {r.centroid_id: list(r.centroid_vec)
+            for r in S.kmeans_update(iso, cents).collect()}
+    assert kept[1] == [-1.0] * 16  # empty cluster -> previous vector
+    assert kept[0] == [1.0] * 16   # singleton cluster -> its member
