@@ -67,3 +67,41 @@ def test_scan_prunes_columns(docs):
     projection reads one column, not the whole documents schema."""
     p = _plan(docs.select("doc_id"))
     assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_shuffle_shards_single_exchange(docs):
+    """shuffle_shards claims ONE exchange (on the shard key for the
+    window); a second one would mean the hash/shard projection stopped
+    being map-side."""
+    from meshinsights_data_pipeline_spark.operators.corpus import shuffle_shards
+
+    p = _plan(shuffle_shards(docs, "doc_id", n_shards=8))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in p
+
+
+def test_boilerplate_ngrams_no_python(docs):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        boilerplate_ngrams,
+    )
+
+    p = _plan(boilerplate_ngrams(docs, "doc_id", "text"))
+    assert "EvalPython" not in p
+
+
+def test_kmeans_update_no_python_no_cartesian_blowup(spark, sf_smoke):
+    """kmeans_update stays JVM-side and its only cross join is the
+    broadcast centroid assignment (dim-table-sized), never corpus x
+    corpus."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        kmeans_update,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    p = _plan(kmeans_update(emb, cents))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p  # centroid cross join is broadcast
