@@ -375,3 +375,18 @@ def test_kmeans_update(spark, vectors):
             for r in S.kmeans_update(iso, cents).collect()}
     assert kept[1] == [-1.0] * 16  # empty cluster -> previous vector
     assert kept[0] == [1.0] * 16   # singleton cluster -> its member
+
+
+def test_semantic_dedup_subset_of_exact(vectors):
+    """Within-cluster pairs are a subset of the exact all-pairs result at
+    the same threshold (clustering can only LOSE cross-cluster pairs,
+    never invent one)."""
+    centroids = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    sem = {(r.id_a, r.id_b) for r in
+           S.semantic_dedup_pairs(vectors, centroids, threshold=0.2).collect()}
+    allp = {(r.id_a, r.id_b) for r in
+            S.embedding_neardup_pairs(vectors, threshold=0.2).collect()}
+    assert sem <= allp and len(sem) > 0

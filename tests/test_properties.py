@@ -142,3 +142,56 @@ def test_pack_sequences_invariants(spark, toks, budget):
         assert r.seq_id >= prev_seq
         prev_seq = r.seq_id
         cum += r.n
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=1, max_size=60, unique=True),
+    n_shards=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=3),
+)
+@SLOW
+def test_shuffle_shards_invariants(spark, ids, n_shards, seed):
+    """shard/pos form a bijection onto contiguous per-shard ranges, and the
+    layout is invariant to the input's physical partitioning (a pure
+    function of (seed, id))."""
+    from meshinsights_data_pipeline_spark.operators.corpus import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = shuffle_shards(df, "doc_id", n_shards=n_shards, seed=seed).collect()
+    assert len(out) == len(ids)
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    repart = shuffle_shards(
+        df.repartition(5), "doc_id", n_shards=n_shards, seed=seed
+    ).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in repart} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1, max_size=12,
+    ),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+@SLOW
+def test_boilerplate_frac_bounds(spark, texts, min_docs):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        boilerplate_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = boilerplate_ngrams(df, "doc_id", "text", n=2,
+                              min_docs=min_docs).collect()
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_grams
+        assert 0.0 <= r.boiler_frac <= 1.0
