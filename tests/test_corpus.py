@@ -383,3 +383,16 @@ def test_shuffle_shards(spark):
     assert {(r.doc_id, r.shard) for r in reseeded} != {
         (r.doc_id, r.shard) for r in out
     }
+
+
+def test_new_ops_empty_inputs(spark):
+    """Empty corpus in -> empty (not crashed) out, for every operator a
+    conditional pipeline step can feed an empty survivor frame."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        boilerplate_ngrams,
+        shuffle_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert boilerplate_ngrams(empty, "doc_id", "text").count() == 0
+    assert shuffle_shards(empty, "doc_id", n_shards=4).count() == 0

@@ -390,3 +390,15 @@ def test_semantic_dedup_subset_of_exact(vectors):
     allp = {(r.id_a, r.id_b) for r in
             S.embedding_neardup_pairs(vectors, threshold=0.2).collect()}
     assert sem <= allp and len(sem) > 0
+
+
+def test_similarity_new_ops_empty_inputs(spark, vectors):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cents = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assert S.semantic_dedup_pairs(empty, cents).count() == 0
+    # empty corpus: every centroid falls back to its previous vector
+    kept = S.kmeans_update(empty, cents).count()
+    assert kept == 2
