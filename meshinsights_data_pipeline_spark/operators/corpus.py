@@ -409,6 +409,65 @@ def split_columns(
     return bucket.cast("bigint"), expr
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float] | DataFrame,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic training-mixture construction: downsample each source
+    so the SAMPLED token mass follows the relative ``weights`` (the static
+    half of DoReMi-style mixture reweighting — fix target proportions,
+    build the largest corpus that satisfies them exactly).
+
+    With T_s = token count of source s and w_s its weight, the largest
+    achievable mixture size is N = min_s(T_s / w_s); source s keeps a doc
+    iff h60(seed:id) < floor(w_s * N / T_s * 2^60) — per-source Bernoulli
+    thinning as a pure function of the id, so the sample is stable across
+    runs/engines/partitionings and re-seeding redraws it. The binding
+    (scarcest-relative-to-weight) source is kept (almost) whole. Sources
+    absent from ``weights`` are dropped (inner join) — by design: a
+    mixture definition IS the allowlist.
+
+    ``weights`` is a plain dict or a DataFrame [source_col, _w] — the
+    frame form lets a weight policy be DERIVED from the corpus (e.g. a
+    rule over the distinct source set) with no driver-side collect in the
+    plan build.
+
+    Shuffle shape at 100 TB: one map-side-combinable per-source token sum
+    (|sources| rows), driver-free threshold derivation as a broadcast
+    join, then a map-side filter on the corpus scan. No sampling state,
+    no collect.
+    """
+    spark = df.sparkSession
+    if isinstance(weights, DataFrame):
+        w = weights.select(F.col(source_col), F.col("_w").cast("double"))
+    else:
+        w = spark.createDataFrame(
+            [(s, float(x)) for s, x in sorted(weights.items())],
+            f"{source_col} string, _w double",
+        )
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("double").alias("_T")
+    )
+    per_src = totals.join(w, source_col)
+    n = per_src.agg(F.min(F.col("_T") / F.col("_w")).alias("_N"))
+    thr = per_src.crossJoin(F.broadcast(n)).select(
+        F.col(source_col),
+        F.floor(
+            F.col("_w") * F.col("_N") / F.col("_T") * F.lit(float(1 << 60))
+        ).cast("bigint").alias("_thr"),
+    )
+    key = md5_int60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return df.join(F.broadcast(thr), source_col).filter(key < F.col("_thr")).drop(
+        "_thr"
+    )
+
+
 def shuffle_shards(
     df: DataFrame, id_col: str, n_shards: int = 8, seed: int = 0
 ) -> DataFrame:

@@ -1697,6 +1697,54 @@ ORDER BY g.centroid_id, g.pos
 """
 
 
+def x42_mixture_sample(spark: SparkSession, sf_dir: str):
+    """Deterministic mixture sampling (corpus.mixture_sample): even-index
+    sources weighted 2x odd-index, tokens = n_chars, seed 0. The sampled
+    doc set is a pure function of (seed, id) and the per-source token
+    sums, so the exact row set mirrors in DuckDB — including the binding
+    source being kept whole. The weight policy is a DataFrame derived from
+    the corpus's distinct sources (no plan-build collect)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = docs.select("source").distinct().withColumn(
+        "_w",
+        F.when(
+            F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0, 2.0
+        ).otherwise(1.0),
+    )
+    return (
+        mixture_sample(docs, "source", "n_chars", weights, "doc_id", seed=0)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+X42_SQL = f"""
+WITH w AS (
+    SELECT source,
+           CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                THEN 2.0 ELSE 1.0 END AS _w
+    FROM (SELECT DISTINCT source FROM documents)
+),
+totals AS (
+    SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS _T
+    FROM documents GROUP BY source
+),
+per_src AS (SELECT t.source, t._T, w._w FROM totals t JOIN w USING (source)),
+n AS (SELECT MIN(_T / _w) AS _N FROM per_src),
+thr AS (
+    SELECT p.source,
+           CAST(FLOOR(p._w * n._N / p._T * 1152921504606846976.0) AS BIGINT) AS _thr
+    FROM per_src p CROSS JOIN n
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE {_H60_SQL.format(s="'0:' || CAST(d.doc_id AS VARCHAR)")} < thr._thr
+ORDER BY d.doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1739,4 +1787,5 @@ EXTENSION_BUILDERS = {
     "x39_boilerplate_ngrams": (x39_boilerplate_ngrams, X39_SQL),
     "x40_shuffle_shards": (x40_shuffle_shards, X40_SQL),
     "x41_kmeans_update": (x41_kmeans_update, X41_SQL),
+    "x42_mixture_sample": (x42_mixture_sample, X42_SQL),
 }

@@ -396,3 +396,35 @@ def test_new_ops_empty_inputs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert boilerplate_ngrams(empty, "doc_id", "text").count() == 0
     assert shuffle_shards(empty, "doc_id", n_shards=4).count() == 0
+
+
+def test_mixture_sample_semantics(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import mixture_sample
+
+    # src_a: 4000 tokens, src_b: 1000 tokens; want a 1:1 token mixture.
+    # Binding source is src_b (1000/1 < 4000/1) -> kept (nearly) whole;
+    # src_a thinned to ~1000 tokens.
+    rows = [(i, "src_a", 10) for i in range(400)] + [
+        (1000 + i, "src_b", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = mixture_sample(
+        df, "source", "n_tok", {"src_a": 1.0, "src_b": 1.0}, "doc_id", seed=0
+    )
+    toks = {r.source: r.t for r in
+            out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    assert toks["src_b"] >= 990  # binding source ~whole (floor can drop <=1 doc)
+    # thinned source lands near the 1000-token target (Bernoulli spread)
+    assert 600 <= toks["src_a"] <= 1400
+    # determinism + reseed changes the draw
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in mixture_sample(
+        df, "source", "n_tok", {"src_a": 1.0, "src_b": 1.0}, "doc_id", seed=0
+    ).collect()}
+    c = {r.doc_id for r in mixture_sample(
+        df, "source", "n_tok", {"src_a": 1.0, "src_b": 1.0}, "doc_id", seed=7
+    ).collect()}
+    assert a == b and a != c
+    # allowlist: unweighted sources are dropped entirely
+    only_b = mixture_sample(df, "source", "n_tok", {"src_b": 1.0}, "doc_id")
+    assert {r.source for r in only_b.collect()} == {"src_b"}
