@@ -149,6 +149,42 @@ def tfidf_top_terms(
     )
 
 
+def html_to_text(col: Column | str) -> Column:
+    """Visible text from raw HTML — the crawl-prep extraction step that
+    runs before every text operator (quality, lang-id, dedup). Chained
+    JVM-side regexp_replace, map-side codegen at 100 TB; patterns stay in
+    the Java-regex/RE2 shared subset (no backreferences — script and
+    style blocks are separate alternatives) so SQL oracles mirror them:
+
+    1. drop <script>/<style> blocks wholesale (non-greedy, dotall),
+    2. block-level closers (</p>, </div>, </li>, </h1..6>, <br>) -> space
+       so words across block boundaries don't fuse,
+    3. strip every remaining tag,
+    4. decode the six ubiquitous entities (&nbsp; &amp; &lt; &gt;
+       &quot; &#39;),
+    5. collapse whitespace, trim.
+
+    Deliberately NOT a full parser (no nesting, no CDATA, no numeric
+    entity table): for corpus prep the contract is deterministic,
+    engine-mirrorable extraction, not DOM fidelity — malformed markup
+    degrades to extra whitespace, never to an exception.
+    """
+    s = F.regexp_replace(_c(col), r"(?is)<script\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?i)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_title(col: Column | str) -> Column:
+    """The <title> text (first match, entity-undecoded), empty string if
+    absent — the cheap document label crawl pipelines index on."""
+    return F.regexp_extract(_c(col), r"(?is)<title[^>]*>(.*?)</title>", 1)
+
+
 # PII patterns kept to syntax shared by Java regex and RE2-style engines
 # (character classes, bounded repetition) so SQL oracles can mirror them.
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"

@@ -1745,6 +1745,66 @@ ORDER BY d.doc_id
 """
 
 
+def x43_html_extract(spark: SparkSession, sf_dir: str):
+    """HTML -> text extraction (text.html_to_text/html_title) over a
+    deterministic synthetic page built from each document (title from the
+    doc id, a script block to strip, the body with ' and ' entity-encoded
+    as ' &amp; ') — both engines build the same page then extract, so
+    title, cleaned text, and its length all mirror."""
+    from meshinsights_data_pipeline_spark.operators.text import (
+        html_title,
+        html_to_text,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script></head><body><p>"),
+        F.replace(F.col("text"), F.lit(" and "), F.lit(" &amp; ")),
+        F.lit("</p><div>footer &nbsp;menu</div></body></html>"),
+    )
+    pages = docs.select(F.col("doc_id"), page.alias("html"))
+    return pages.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_to_text(F.col("html")).alias("clean_text"),
+    ).withColumn(
+        "n_chars_clean", F.length(F.col("clean_text")).cast("bigint")
+    ).orderBy("doc_id")
+
+
+X43_SQL = r"""
+WITH pages AS (
+    SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><script>var x = 1 < 2;</script></head><body><p>' ||
+           replace(text, ' and ', ' &amp; ') ||
+           '</p><div>footer &nbsp;menu</div></body></html>' AS html
+    FROM documents
+),
+extracted AS (
+    SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?i)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean_text
+    FROM pages
+)
+SELECT doc_id, title, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM extracted ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1788,4 +1848,5 @@ EXTENSION_BUILDERS = {
     "x40_shuffle_shards": (x40_shuffle_shards, X40_SQL),
     "x41_kmeans_update": (x41_kmeans_update, X41_SQL),
     "x42_mixture_sample": (x42_mixture_sample, X42_SQL),
+    "x43_html_extract": (x43_html_extract, X43_SQL),
 }

@@ -402,3 +402,27 @@ def test_similarity_new_ops_empty_inputs(spark, vectors):
     # empty corpus: every centroid falls back to its previous vector
     kept = S.kmeans_update(empty, cents).count()
     assert kept == 2
+
+
+def test_html_to_text_and_title(spark):
+    cases = [
+        (1, "<html><head><title>T1</title><script>if (a<b) alert('x');"
+            "</script></head><body><p>Hello</p><p>world</p></body></html>"),
+        (2, "<DIV>upper <B>case</B> tags</DIV><STYLE>p{color:red}</STYLE>"),
+        (3, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+        (4, "no markup at all"),
+        (5, "<p>broken <div unclosed"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(cases, "id long, h string")
+    out = {r.id: (r.t, r.c) for r in df.select(
+        "id", T.html_title(F.col("h")).alias("t"),
+        T.html_to_text(F.col("h")).alias("c")).collect()}
+    assert out[1] == ("T1", "T1 Hello world")
+    assert out[2] == ("", "upper case tags")
+    assert out[3] == ("", "a & b <tag> \"q\" 's' end")
+    assert out[4] == ("", "no markup at all")
+    # Malformed markup degrades to literal text (never an exception): an
+    # unclosed tag has no '>' for <[^>]+> to consume, so it survives.
+    assert out[5][1] == "broken <div unclosed"
+    assert out[6] == (None, None)
