@@ -1,0 +1,90 @@
+"""Funnel analysis: ordered multi-step conversion over an event log.
+
+The classic product-analytics query (Amplitude/Mixpanel "funnels",
+ClickHouse ``windowFunnel``): for an ordered list of step event types,
+a user reaches step k iff they performed step k STRICTLY AFTER their
+earliest qualifying step k-1 event. Expressed as k-1 join+min-aggregate
+stages — every stage shuffles on the user key only, so at 100 TB the
+funnel costs k user-cardinality hash aggregations off one events scan
+(Catalyst reuses the scan; each stage's frame is |users|-sized, far
+smaller than the log, and broadcast-eligible when the entry step is
+selective). No windows over the full log, no per-user event arrays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user funnel progression: [user, _t1.._tk, step_reached].
+
+    ``_ti`` is the earliest time the user completed step i given their
+    step i-1 time (NULL once the funnel is abandoned); ``step_reached``
+    counts completed steps. Strict ordering: an event at exactly the
+    previous step's timestamp does NOT advance the funnel (same-instant
+    batch events are not a conversion path).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    out = cur
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .select(F.col(user_col), F.col(ts_col).alias("_ts"))
+            .join(cur.select(user_col, f"_t{i - 1}"), user_col)
+            .filter(F.col("_ts") > F.col(f"_t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"_t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        cur = nxt
+    reached = sum(
+        F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return out.withColumn("step_reached", reached.cast("bigint"))
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Cumulative funnel: [step, event_type, users] — users(step k) counts
+    everyone whose ``step_reached >= k``, so the sequence is monotonically
+    non-increasing (the standard funnel chart input)."""
+    times = funnel_times(df, user_col, ts_col, type_col, steps)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.when(F.col(f"_t{i + 1}").isNotNull(), 1)
+                .otherwise(0)
+                .alias("_hit"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        times.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.step").alias("step"), F.col("r.event_type").alias("event_type"))
+        .agg(F.sum("r._hit").cast("bigint").alias("users"))
+    )

@@ -1805,6 +1805,47 @@ FROM extracted ORDER BY doc_id
 """
 
 
+def x44_funnel(spark: SparkSession, sf_dir: str):
+    """3-step conversion funnel view -> click -> purchase over the events
+    log (operators.funnel.funnel_counts): a user reaches step k iff they
+    performed it strictly after their earliest qualifying step k-1 event.
+    Cumulative user counts per step, monotonically non-increasing."""
+    from meshinsights_data_pipeline_spark.operators.funnel import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step")
+
+
+X44_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+) ORDER BY step
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1849,4 +1890,5 @@ EXTENSION_BUILDERS = {
     "x41_kmeans_update": (x41_kmeans_update, X41_SQL),
     "x42_mixture_sample": (x42_mixture_sample, X42_SQL),
     "x43_html_extract": (x43_html_extract, X43_SQL),
+    "x44_funnel": (x44_funnel, X44_SQL),
 }

@@ -82,3 +82,34 @@ def test_x27_url_dedup_jvm_only_partial_agg(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_funnel_semantics(spark):
+    from datetime import datetime as dt
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        funnel_counts,
+        funnel_times,
+    )
+
+    t = lambda m: dt(2026, 1, 1, 0, m)
+    rows = [
+        # u1 full path: view@1 -> click@2 -> purchase@3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 wrong order: click BEFORE its first view -> stops at step 1
+        (2, t(5), "view"), (2, t(4), "click"),
+        # u3 same-instant click (strict >) -> stops at step 1
+        (3, t(1), "view"), (3, t(1), "click"),
+        # u4 never enters the funnel (no view)
+        (4, t(1), "click"), (4, t(2), "purchase"),
+        # u5 reaches step 2; purchase precedes the click -> stops there
+        (5, t(1), "view"), (5, t(3), "click"), (5, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    reached = {r.user_id: r.step_reached for r in
+               funnel_times(ev, "user_id", "ts", "event_type", steps).collect()}
+    assert reached == {1: 3, 2: 1, 3: 1, 5: 2}  # u4 absent: never entered
+    counts = {r.step: r.users for r in
+              funnel_counts(ev, "user_id", "ts", "event_type", steps).collect()}
+    assert counts == {1: 4, 2: 2, 3: 1}
