@@ -63,8 +63,13 @@ def main() -> None:
         timings[name] = runs[1]
 
     # The analytics workload (GMM variance pipeline) is not SQL-expressible
-    # so it is benchmarked separately from the declared query set.
+    # so it is benchmarked separately from the declared query set. Extras
+    # get the same cold/warm treatment as the queries: the composed
+    # pipeline plans are huge, so first-run codegen dominates (corpus e2e
+    # measured 27s cold vs 13s steady at sf0.1) and varies run-to-run;
+    # the warm number measures the engine.
     extras: dict[str, float] = {}
+    extras_cold: dict[str, float] = {}
     try:
         from pyspark.sql import functions as F
 
@@ -84,9 +89,13 @@ def main() -> None:
         ev = sessionize(ev, "tstate", ["ts"], ["user_id"]).withColumnRenamed(
             "ts", "timeStamp"
         )
-        t0 = time.perf_counter()
-        run_power_analysis(ev)
-        extras["power_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_power_analysis(ev)
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["power_pipeline_e2e"] = runs[0]
+        extras["power_pipeline_e2e"] = runs[1]
     except Exception as exc:  # noqa: BLE001
         print(f"bench: power pipeline failed: {exc}", file=sys.stderr)
 
@@ -103,15 +112,19 @@ def main() -> None:
 
         docs = read_table(spark, sf_dir, "documents")
         bench_slice = docs.filter(F.col("source") == "src0")
-        t0 = time.perf_counter()
-        ctx = run_corpus_prep(
-            docs, benchmark=bench_slice, contamination_threshold=0.8,
-            quota_n=1000, chunk_tokens=64,
-        )
-        ctx.processed_data["corpus.chunks"].write.format("noop").mode(
-            "overwrite"
-        ).save()
-        extras["corpus_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ctx = run_corpus_prep(
+                docs, benchmark=bench_slice, contamination_threshold=0.8,
+                quota_n=1000, chunk_tokens=64,
+            )
+            ctx.processed_data["corpus.chunks"].write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["corpus_pipeline_e2e"] = runs[0]
+        extras["corpus_pipeline_e2e"] = runs[1]
     except Exception as exc:  # noqa: BLE001
         print(f"bench: corpus pipeline failed: {exc}", file=sys.stderr)
 
@@ -130,6 +143,7 @@ def main() -> None:
         "queries_cold": timings_cold,
         "value_cold": total_cold,
         "extras": extras,
+        "extras_cold": extras_cold,
         "sf": sf,
     }
     try:
