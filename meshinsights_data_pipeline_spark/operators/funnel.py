@@ -60,6 +60,47 @@ def funnel_times(
     return out.withColumn("step_reached", reached.cast("bigint"))
 
 
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    sunday_weeks: bool = True,
+) -> DataFrame:
+    """Weekly cohort retention — funnel's sibling chart: group users by
+    first-active week (their cohort), count how many are active again k
+    weeks later. Returns [cohort_week, week_offset, users]; offset 0 is
+    the cohort size, and users(offset k) <= users(0) by construction.
+
+    Weeks are Sunday-start (the reference's W-SUN convention,
+    operators.weekly.sunday_week_start) unless ``sunday_weeks=False``
+    (Monday date_trunc). Shuffle shape: one distinct over (user, week)
+    — activity-cardinality, the log's heavy hitters collapse map-side —
+    then a user-keyed min + join and a (cohort, offset)-keyed count; no
+    stage touches more than |users x active-weeks| rows.
+    """
+    from meshinsights_data_pipeline_spark.operators.weekly import (
+        sunday_week_start,
+    )
+
+    wk = (
+        sunday_week_start(F.col(ts_col))
+        if sunday_weeks
+        else F.date_trunc("week", F.col(ts_col)).cast("date")
+    )
+    active = df.select(F.col(user_col), wk.alias("wk")).distinct()
+    cohorts = active.groupBy(user_col).agg(F.min("wk").alias("cohort_week"))
+    return (
+        active.join(cohorts, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     user_col: str,

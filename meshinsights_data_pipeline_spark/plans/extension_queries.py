@@ -1846,6 +1846,38 @@ SELECT * FROM (
 """
 
 
+def x45_cohort_retention(spark: SparkSession, sf_dir: str):
+    """Weekly cohort retention over the events log
+    (operators.funnel.cohort_retention, Sunday weeks): users grouped by
+    first-active week, counted again at each later active week offset."""
+    from meshinsights_data_pipeline_spark.operators.funnel import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts").orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
+# Sunday-on-or-before mirrors Spark's date_sub(next_day(d,'SUN'),7):
+# DuckDB dayofweek() has Sunday=0.
+X45_SQL = """
+WITH active AS (
+    SELECT DISTINCT user_id,
+           CAST(ts AS DATE) - CAST(dayofweek(ts) AS INTEGER) AS wk
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(wk) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST((a.wk - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1891,4 +1923,5 @@ EXTENSION_BUILDERS = {
     "x42_mixture_sample": (x42_mixture_sample, X42_SQL),
     "x43_html_extract": (x43_html_extract, X43_SQL),
     "x44_funnel": (x44_funnel, X44_SQL),
+    "x45_cohort_retention": (x45_cohort_retention, X45_SQL),
 }

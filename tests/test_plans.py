@@ -113,3 +113,30 @@ def test_funnel_semantics(spark):
     counts = {r.step: r.users for r in
               funnel_counts(ev, "user_id", "ts", "event_type", steps).collect()}
     assert counts == {1: 4, 2: 2, 3: 1}
+
+
+def test_cohort_retention_semantics(spark):
+    from datetime import datetime as dt
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    # Sunday 2026-01-04 starts week W0; 2026-01-11 W1; 2026-01-18 W2.
+    rows = [
+        (1, dt(2026, 1, 5)),   # u1 cohort W0
+        (1, dt(2026, 1, 7)),   # same week, distinct-collapsed
+        (1, dt(2026, 1, 14)),  # active W1
+        (2, dt(2026, 1, 6)),   # u2 cohort W0, never returns
+        (3, dt(2026, 1, 13)),  # u3 cohort W1
+        (3, dt(2026, 1, 24)),  # active W2 -> offset 1... (Jan 24 is Sat of W2)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort_week), r.week_offset): r.users
+           for r in cohort_retention(ev, "user_id", "ts").collect()}
+    assert got == {
+        ("2026-01-04", 0): 2,  # u1, u2
+        ("2026-01-04", 1): 1,  # u1 returns
+        ("2026-01-11", 0): 1,  # u3
+        ("2026-01-11", 1): 1,  # u3 returns (Jan 18-24 week, offset 1)
+    }
