@@ -72,10 +72,16 @@ def connected_components(
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
+    # Seed labels with min(id, min(neighbor)) — exactly what round 1
+    # would compute from identity labels, for the cost of the one
+    # aggregation the identity init already paid. Every node appears as
+    # src (edges are symmetrized above), and the loop's convergence check
+    # is unchanged, so this just removes one full round (checkpoint +
+    # count job) from every run.
     labels = _ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id")),
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("label")),
         reliable_checkpoint,
     )
     for _ in range(max_iter):
