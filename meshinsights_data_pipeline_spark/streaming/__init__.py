@@ -14,6 +14,7 @@ from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_lsh_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.stateful import (
+    streaming_funnel,
     streaming_state_change_sessions,
 )
 from meshinsights_data_pipeline_spark.streaming.windows import (
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_session_window",
     "streaming_weekly_stats",
     "streaming_sunday_weekly_stats",
+    "streaming_funnel",
     "streaming_state_change_sessions",
     "streaming_exact_dedup",
     "streaming_lsh_ingest",

@@ -96,3 +96,74 @@ def streaming_state_change_sessions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Cross-batch funnel progression — the streaming twin of
+    ``operators.funnel.funnel_times``: per-user state carries the
+    completion time of each reached step, so a funnel whose steps arrive
+    in DIFFERENT micro-batches still converts (the property a per-batch
+    join pipeline cannot express).
+
+    Emits [user, step_reached] whenever a batch ADVANCES the user's
+    funnel; downstream keeps ``max(step_reached)`` per user. Semantics
+    mirror the batch operator exactly: a step-k event counts iff it is
+    STRICTLY after the recorded step-(k-1) time, and an event can
+    complete at most one step (strict ordering makes double-completion
+    impossible in batch too — parity-tested). Same ordering caveat as
+    ``streaming_state_change_sessions``: feed batches in event-time
+    order or reconcile downstream.
+
+    State is one row of k epoch-nano longs per ACTIVE funnel user —
+    bounded by funnel entrants, not event volume; add a state timeout for
+    unbounded user populations.
+    """
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    out_schema = StructType(
+        [
+            StructField("user", stream.schema[user_col].dataType),
+            StructField("step_reached", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"t{i + 1}", LongType()) for i in range(k)]
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        times: list[Any] = list(state.get) if state.exists else [None] * k
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        advanced = False
+        for ts, et in zip(batch[ts_col], batch[type_col]):
+            t = int(ts.value)  # epoch nanos
+            for i, s in enumerate(steps):
+                if times[i] is not None or et != s:
+                    continue
+                if i == 0 or (times[i - 1] is not None and t > times[i - 1]):
+                    times[i] = t
+                    advanced = True
+                break  # an event matches at most its first incomplete step
+        if advanced:
+            state.update(tuple(times))
+            reached = sum(1 for t in times if t is not None)
+            yield pd.DataFrame({"user": [key[0]], "step_reached": [reached]})
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -463,3 +463,53 @@ def test_streaming_ivf_ingest_parity(spark, tmp_path):
         for r in ivf_topk(arriving, queries, centroids, k=5).collect()
     }
     assert search_acc == search_direct and len(search_acc) > 0
+
+
+def test_streaming_funnel_parity(spark, tmp_path):
+    """Per-user funnel progression must survive micro-batch boundaries:
+    events are fed in three event-time-ordered micro-batches (file source
+    processes oldest file first), so most users' view/click/purchase steps
+    arrive in different batches; final max(step_reached) per user must
+    equal the batch operator's."""
+    import time as _time
+
+    from meshinsights_data_pipeline_spark.operators.funnel import funnel_times
+    from meshinsights_data_pipeline_spark.streaming import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "ev_src")
+    bounds = ev.selectExpr(
+        "percentile_approx(ts, 0.33) AS a", "percentile_approx(ts, 0.66) AS b"
+    ).collect()[0]
+    for i, part in enumerate([
+        ev.filter(F.col("ts") <= bounds.a),
+        ev.filter((F.col("ts") > bounds.a) & (F.col("ts") <= bounds.b)),
+        ev.filter(F.col("ts") > bounds.b),
+    ]):
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> oldest-first processing order
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streamed = _run_stream(
+        spark,
+        streaming_funnel(stream, "user_id", "ts", "event_type", steps),
+        tmp_path,
+        mode="append",
+    )
+    got: dict = {}
+    for r in streamed:
+        got[r["user"]] = max(got.get(r["user"], 0), r["step_reached"])
+
+    expected = {
+        r["user_id"]: r["step_reached"]
+        for r in funnel_times(
+            spark.read.parquet(src), "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
