@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from meshinsights_data_pipeline_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     ivf_topk,
+    ivf_topk_indexed,
     kmeans_update,
+    write_ivf_index,
 )
 from meshinsights_data_pipeline_spark.session import get_spark, read_table  # noqa: E402
 
@@ -61,6 +63,20 @@ def main() -> None:
     }
     recall = len(exact & approx) / len(exact)
     print(f"IVF nprobe=4 recall@{k} with trained centroids: {recall:.2f}")
+
+    # Persist the index (one directory per inverted list) and search it —
+    # the scan opens only the probed list directories (partition pruning).
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    write_ivf_index(emb, centroids, idx)
+    from_disk = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_indexed(spark, idx, queries, centroids, k=k, nprobe=4).collect()
+    }
+    print(f"persisted-index search matches in-memory: {from_disk == approx}")
+    shutil.rmtree(idx, ignore_errors=True)
     spark.stop()
 
 

@@ -344,6 +344,109 @@ def semantic_dedup_pairs(
     )
 
 
+def _query_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Per-query probe set [query_id, q_vec, q_norm, list_id]: each query's
+    ``nprobe`` best centroids by rounded cosine, ties to the lowest id."""
+    c = centroids.select(
+        F.col("centroid_id"),
+        F.transform(F.col("centroid_vec"), lambda x: x.cast("double")).alias("cv"),
+        _norm(F.col("centroid_vec")).alias("cn"),
+    )
+    q = _prep(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
+    q_scored = q.crossJoin(F.broadcast(c)).withColumn(
+        "cscore",
+        F.round(_dot_d(F.col("q_vec"), F.col("cv")) / (F.col("q_norm") * F.col("cn")), 6),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", F.col("centroid_id").alias("list_id"))
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_list: int = 1,
+) -> None:
+    """Persist the corpus as an on-disk IVF index: rows land under
+    ``path/list_id=<centroid>/`` (one inverted list = one storage
+    partition). This is the write-time half of the 100 TB ANN story —
+    after it, a search's I/O is nprobe/n_lists of the corpus, enforced by
+    partition pruning at the scan, not by a runtime filter over all rows.
+    ``files_per_list`` > 1 parallelizes very large lists (see
+    sources.layout.write_partitioned)."""
+    from meshinsights_data_pipeline_spark.sources.layout import write_partitioned
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    write_partitioned(
+        df.join(assigned, id_col), path, ["list_id"],
+        files_per_partition=files_per_list,
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a :func:`write_ivf_index` layout, reading ONLY the probed
+    lists from storage. The probe list ids are collected driver-side —
+    |queries| x nprobe ints, an index-lookup gating scalar and a
+    deliberate job boundary — and pushed as a literal ``isin`` filter,
+    which the parquet scan turns into PartitionFilters: unprobed list
+    directories are never opened. Scores/ranking are expression-identical
+    to :func:`ivf_topk` (same prep, same rounded fold dot), so results
+    match the in-memory operator bit-for-bit on the same centroid set.
+    """
+    probes = _query_probes(
+        queries, centroids, id_col, vec_col, nprobe
+    ).localCheckpoint()  # consumed twice: probe-id collect + the join
+    probe_ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    corpus = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe_ids))
+    cand = (
+        corpus.select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+        )
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.withColumn(
+        "score",
+        F.round(
+            _dot_d(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -363,24 +466,7 @@ def ivf_topk(
     fixed centroids, hence fully oracle-checkable.
     """
     corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col)
-    c = centroids.select(
-        F.col("centroid_id"),
-        F.transform(F.col("centroid_vec"), lambda x: x.cast("double")).alias("cv"),
-        _norm(F.col("centroid_vec")).alias("cn"),
-    )
-    q = _prep(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
-    q_scored = q.crossJoin(F.broadcast(c)).withColumn(
-        "cscore",
-        F.round(_dot_d(F.col("q_vec"), F.col("cv")) / (F.col("q_norm") * F.col("cn")), 6),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cscore").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", F.col("centroid_id").alias("list_id"))
-    )
+    probes = _query_probes(queries, centroids, id_col, vec_col, nprobe)
     cand = corpus_lists.join(F.broadcast(probes), "list_id").filter(
         F.col(id_col) != F.col("query_id")
     )

@@ -37,6 +37,9 @@ def get_spark(app_name: str = "meshinsights-spark", shuffle_partitions: int | No
     - Arrow on: vectorized pandas interchange for the applyInPandas operators.
     - shuffle.partitions: CPU count locally; on a real cluster, set explicitly
       (2-3x total cores) or let AQE coalesce from a high initial value.
+    - files.maxPartitionBytes: 128m default; at 100 TB size it so a scan task's
+      input fits executor memory AFTER decompression (wide parquet rows can
+      expand 5-10x) — $SPARK_GRAFT_MAX_PARTITION_BYTES overrides.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
@@ -47,6 +50,10 @@ def get_spark(app_name: str = "meshinsights-spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -426,3 +426,31 @@ def test_html_to_text_and_title(spark):
     # unclosed tag has no '>' for <[^>]+> to consume, so it survives.
     assert out[5][1] == "broken <div unclosed"
     assert out[6] == (None, None)
+
+
+def test_ivf_index_persisted_search(spark, vectors, tmp_path):
+    """ivf_topk_indexed must (a) return exactly ivf_topk's results on the
+    same centroid set and (b) physically read only the probed list
+    directories from the index layout."""
+    path = str(tmp_path / "ivf_index")
+    centroids = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    S.write_ivf_index(vectors, centroids, path, files_per_list=1)
+    q = vectors.filter(F.col("vec_id") == 0)
+
+    indexed = S.ivf_topk_indexed(spark, path, q, centroids, k=5, nprobe=2)
+    expected = {(r.query_id, r.neighbor_id, r.score, r.rank)
+                for r in S.ivf_topk(vectors, q, centroids, k=5, nprobe=2).collect()}
+    assert {(r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in indexed.collect()} == expected
+
+    # Partition pruning: the isin filter must reach the scan as a
+    # PartitionFilter (directory-level pruning), not a post-scan Filter.
+    # (inputFiles() reports the unpruned relation, so inspect the plan.)
+    assert len(spark.read.parquet(path).inputFiles()) == 4
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    assert any("list_id" in ln and "IN" in ln for ln in scan_lines), scan_lines
