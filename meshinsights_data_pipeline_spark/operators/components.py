@@ -125,6 +125,7 @@ def incremental_components(
     dst_col: str = "id_b",
     max_iter: int = 20,
     reliable_checkpoint: bool = False,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Fold new edges into an existing ``[id, cluster_id]`` labeling
     without re-running CC over the full accumulated pair history.
@@ -142,14 +143,24 @@ def incremental_components(
 
     Singleton rows (id == cluster_id) survive as self-loops; ids absent
     from both inputs are absent from the output, as in batch CC.
+
+    ``algorithm``: ``min_label`` (default) needs ~1 round per component
+    the new edges CHAIN together and raises past ``max_iter`` — the right
+    trade for near-dup maintenance, where a batch rarely links more than
+    a few clusters. A batch that daisy-chains many components (tested:
+    12 exceeds 20 rounds) should pass ``algorithm="star"`` — the
+    alternating-star variant converges in O(log n) rounds on any shape.
     """
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     star_edges = labels.select(
         F.col("id").alias(src_col), F.col("cluster_id").alias(dst_col)
     )
     merged = star_edges.unionByName(
         new_pairs.select(F.col(src_col), F.col(dst_col))
     )
-    return connected_components(
+    cc = connected_components if algorithm == "min_label" else connected_components_star
+    return cc(
         merged, src_col, dst_col,
         max_iter=max_iter, reliable_checkpoint=reliable_checkpoint,
     )

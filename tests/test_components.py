@@ -149,3 +149,42 @@ def test_incremental_components_matches_batch(spark):
     }
     assert inc == full
     assert (30, 30) in inc  # untouched singleton self-loop survives
+
+
+def test_incremental_components_long_chain_merge(spark):
+    """Worst case for the bounded min-label pass: one batch of new edges
+    daisy-chains 12 previously independent components (rounds scale with
+    the chain of components linked, the documented bound) — the result
+    must still equal batch CC over everything, and the chain must
+    collapse to the single minimum id."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        incremental_components,
+    )
+
+    # 12 components {10k, 10k+1} for k in 0..11
+    first = [(10 * k, 10 * k + 1) for k in range(12)]
+    # chain them end to end: 1-10, 11-20, ..., 101-110
+    second = [(10 * k + 1, 10 * (k + 1)) for k in range(11)]
+    labels0 = connected_components(_pairs(spark, first))
+    # min-label needs ~diameter rounds (~23 here) and must FAIL LOUDLY
+    # past max_iter rather than emit a partial labeling.
+    with pytest.raises(RuntimeError, match="did not converge"):
+        incremental_components(labels0, _pairs(spark, second))
+    # the star algorithm converges in O(log n) rounds on the same input
+    inc = {
+        (r.id, r.cluster_id)
+        for r in incremental_components(
+            labels0, _pairs(spark, second), algorithm="star"
+        ).collect()
+    }
+    # the full path graph (35 nodes, diameter ~23) also exceeds plain
+    # min-label's budget — the reference labeling needs star (or a raised
+    # max_iter) too, which is exactly the documented trade.
+    full = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            _pairs(spark, first + second), max_iter=40
+        ).collect()
+    }
+    assert inc == full
+    assert {c for _, c in inc} == {0}  # everything collapses to min id 0
