@@ -20,6 +20,7 @@ from meshinsights_data_pipeline_spark.streaming.stateful import (
 from meshinsights_data_pipeline_spark.streaming.windows import (
     streaming_session_window,
     streaming_sunday_weekly_stats,
+    streaming_weekly_active_users,
     streaming_weekly_stats,
 )
 
@@ -27,6 +28,7 @@ __all__ = [
     "streaming_session_window",
     "streaming_weekly_stats",
     "streaming_sunday_weekly_stats",
+    "streaming_weekly_active_users",
     "streaming_funnel",
     "streaming_state_change_sessions",
     "streaming_exact_dedup",

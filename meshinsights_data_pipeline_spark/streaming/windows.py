@@ -100,6 +100,43 @@ def streaming_weekly_stats(
     )
 
 
+def streaming_weekly_active_users(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    start_time: str = "3 days",
+    exact: bool = True,
+) -> DataFrame:
+    """Weekly distinct active users over a stream — the DAU/WAU and
+    cohort-size building block. Returns [wk_start, active_users] per
+    Sunday-aligned tumbling week (``start_time="3 days"`` — see
+    :func:`streaming_sunday_weekly_stats`; pass "0 minutes" for
+    epoch-aligned).
+
+    ``exact=True`` chains two stateful operators — watermarked
+    ``dropDuplicates`` on (window, user), then a windowed count — which
+    Structured Streaming supports for event-time append chains; state is
+    one row per (user, week) inside the watermark horizon. ``exact=False``
+    swaps the dedup for ``approx_count_distinct`` (HLL): one stateful op,
+    constant state per window — the unbounded-cardinality path.
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    w = _weekly_window(F.col(ts_col), start_time).alias("w")
+    if exact:
+        deduped = wm.select(w, F.col(user_col), F.col(ts_col)).dropDuplicates(
+            ["w", user_col]
+        )
+        counted = deduped.groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users")
+        )
+    else:
+        counted = wm.groupBy(w).agg(
+            F.approx_count_distinct(user_col).alias("active_users")
+        )
+    return counted.select(F.col("w.start").alias("wk_start"), "active_users")
+
+
 def streaming_sunday_weekly_stats(
     stream: DataFrame,
     group_col: str,

@@ -513,3 +513,38 @@ def test_streaming_funnel_parity(spark, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_streaming_weekly_active_users_parity(spark, bounded_stream_dir, tmp_path):
+    """Exact streaming weekly active users (dropDuplicates -> windowed
+    count, two chained stateful ops) must equal the batch distinct
+    (user, sunday_week) counts."""
+    from meshinsights_data_pipeline_spark.operators.weekly import (
+        sunday_week_start,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_weekly_active_users,
+    )
+
+    schema = spark.read.parquet(bounded_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(bounded_stream_dir)
+    streamed = _run_stream(
+        spark,
+        streaming_weekly_active_users(stream, "user_id", ts_col="ts"),
+        tmp_path,
+        mode="append",
+    )
+    got = {str(r["wk_start"].date()): r["active_users"] for r in streamed
+           if r["wk_start"].year < 2029}  # flush-row window excluded
+
+    ev = spark.read.parquet(bounded_stream_dir).filter(F.col("user_id") != -1)
+    expected = {
+        str(r["wk"]): r["n"]
+        for r in ev.select(
+            sunday_week_start(F.col("ts")).alias("wk"), "user_id"
+        ).distinct().groupBy("wk").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
