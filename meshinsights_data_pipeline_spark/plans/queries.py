@@ -719,6 +719,62 @@ def q33(spark, sf_dir):
 _ORACLES["q33"] = _Q33_SQL
 
 
+def q34(spark, sf_dir):
+    """TPC-H Q5-shape local-supplier volume: the 6-table join chain
+    (lineitem-orders-customer-supplier-nation-region) with the
+    local-supplier condition (customer and supplier share a nation).
+    Join strategy spelled for 100 TB: nation/region are explicit
+    broadcasts, customer/supplier hash-join on their keys, and the one
+    unavoidable fact-fact shuffle is lineitem-orders on the order key —
+    Catalyst + AQE order the rest. Revenue sums in exact DECIMAL (float
+    sums are partition-order-dependent) and casts to double at the end;
+    tie-broken ordering keeps the result engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            su,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+_ORACLES["q34"] = """
+    SELECT n_name,
+           CAST(SUM(l_extendedprice::DECIMAL(12,2) *
+                    (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -726,7 +782,7 @@ _BUILDERS = {
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
-    "q31": q31, "q32": q32, "q33": q33,
+    "q31": q31, "q32": q32, "q33": q33, "q34": q34,
 }
 
 QUERIES: dict[str, Query] = {
