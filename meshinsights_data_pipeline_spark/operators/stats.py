@@ -152,3 +152,54 @@ def profile_columns(
         one.select(F.explode(rows).alias("p"))
         .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
     )
+
+
+def profile_numeric(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """Numeric data-quality profile: one row per column with
+    [col_name, n, n_null, vmin, vmax, vmean, p50, p95].
+
+    Exact tier (default): the mean is an exact DECIMAL sum divided once
+    (float sums are partition-order-dependent; this is engine-stable),
+    and p50/p95 are exact interpolated percentiles — the same definition
+    as DuckDB ``quantile_cont``, so the profile is oracle-checkable.
+    ``approx=True`` swaps the percentiles for Greenwald-Khanna
+    ``approx_percentile`` — the 100 TB tier; exact percentiles collect
+    every value per aggregate. One aggregation job either way; rows are
+    unpivoted from the 1-row result (profile_columns pattern).
+    """
+    pct = F.percentile_approx if approx else F.percentile
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        dec = F.col(c).cast("decimal(24,6)")
+        aggs += [
+            F.count(v).alias(f"_n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            F.min(v).alias(f"_min_{c}"),
+            F.max(v).alias(f"_max_{c}"),
+            (F.sum(dec).cast("double") / F.count(v)).alias(f"_mean_{c}"),
+            pct(v, F.lit(0.5)).alias(f"_p50_{c}"),
+            pct(v, F.lit(0.95)).alias(f"_p95_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_n_{c}").cast("bigint").alias("n"),
+                F.col(f"_nn_{c}").cast("bigint").alias("n_null"),
+                F.round(F.col(f"_min_{c}"), 6).alias("vmin"),
+                F.round(F.col(f"_max_{c}"), 6).alias("vmax"),
+                F.round(F.col(f"_mean_{c}"), 6).alias("vmean"),
+                F.round(F.col(f"_p50_{c}"), 6).alias("p50"),
+                F.round(F.col(f"_p95_{c}"), 6).alias("p95"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select(
+        "p.col_name", "p.n", "p.n_null", "p.vmin", "p.vmax", "p.vmean",
+        "p.p50", "p.p95",
+    )

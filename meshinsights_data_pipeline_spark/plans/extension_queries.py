@@ -1878,6 +1878,40 @@ ORDER BY c.cohort_week, week_offset
 """
 
 
+def x46_numeric_profile(spark: SparkSession, sf_dir: str):
+    """Numeric column profile over lineitem (stats.profile_numeric,
+    exact tier): count/nulls/min/max plus engine-stable mean (DECIMAL
+    sum, one division) and exact interpolated p50/p95 (Spark percentile
+    == DuckDB quantile_cont). One aggregation pass for all columns."""
+    from meshinsights_data_pipeline_spark.operators.stats import profile_numeric
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("col_name")
+
+
+def _x46_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT({c}) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(MIN({c}::DOUBLE), 6) AS vmin,
+           ROUND(MAX({c}::DOUBLE), 6) AS vmax,
+           ROUND(CAST(SUM({c}::DECIMAL(24,6)) AS DOUBLE) / COUNT({c}), 6) AS vmean,
+           ROUND(quantile_cont({c}::DOUBLE, 0.5), 6) AS p50,
+           ROUND(quantile_cont({c}::DOUBLE, 0.95), 6) AS p95
+    FROM lineitem"""
+
+
+X46_SQL = (
+    _x46_col_sql("l_quantity")
+    + "\nUNION ALL" + _x46_col_sql("l_extendedprice")
+    + "\nUNION ALL" + _x46_col_sql("l_discount")
+    + "\nORDER BY col_name"
+)
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1924,4 +1958,5 @@ EXTENSION_BUILDERS = {
     "x43_html_extract": (x43_html_extract, X43_SQL),
     "x44_funnel": (x44_funnel, X44_SQL),
     "x45_cohort_retention": (x45_cohort_retention, X45_SQL),
+    "x46_numeric_profile": (x46_numeric_profile, X46_SQL),
 }

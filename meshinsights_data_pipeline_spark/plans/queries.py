@@ -757,6 +757,51 @@ def q34(spark, sf_dir):
     )
 
 
+def q35(spark, sf_dir):
+    """TPC-H Q3-shape shipping priority: segment-filtered customers ->
+    orders -> lineitem, revenue per open order, top-10. The limit-after-
+    sort is a TakeOrderedAndProject (each partition keeps 10 rows, the
+    driver merges k*partitions — never a full global sort); revenue sums
+    in exact DECIMAL; deterministic tie-break on (date, orderkey)."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+_ORACLES["q35"] = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(l_extendedprice::DECIMAL(12,2) *
+                    (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
 _ORACLES["q34"] = """
     SELECT n_name,
            CAST(SUM(l_extendedprice::DECIMAL(12,2) *
@@ -782,7 +827,7 @@ _BUILDERS = {
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
-    "q31": q31, "q32": q32, "q33": q33, "q34": q34,
+    "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
 }
 
 QUERIES: dict[str, Query] = {

@@ -428,3 +428,20 @@ def test_mixture_sample_semantics(spark):
     # allowlist: unweighted sources are dropped entirely
     only_b = mixture_sample(df, "source", "n_tok", {"src_b": 1.0}, "doc_id")
     assert {r.source for r in only_b.collect()} == {"src_b"}
+
+
+def test_profile_numeric(spark):
+    from meshinsights_data_pipeline_spark.operators.stats import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, None), (3.0, 30), (None, 40)], "x double, y long"
+    )
+    out = {r.col_name: r for r in profile_numeric(df, ["x", "y"]).collect()}
+    assert (out["x"].n, out["x"].n_null) == (3, 1)
+    assert (out["x"].vmin, out["x"].vmax, out["x"].vmean) == (1.0, 3.0, 2.0)
+    assert out["x"].p50 == 2.0
+    assert out["y"].p50 == 30.0  # interpolated median of [10, 30, 40]
+    # approx tier keeps the same shape; GK at this size is exact too
+    ap = {r.col_name: r.p50 for r in
+          profile_numeric(df, ["x", "y"], approx=True).collect()}
+    assert ap["x"] == 2.0
