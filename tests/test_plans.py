@@ -140,3 +140,17 @@ def test_cohort_retention_semantics(spark):
         ("2026-01-11", 0): 1,  # u3
         ("2026-01-11", 1): 1,  # u3 returns (Jan 18-24 week, offset 1)
     }
+
+
+def test_funnel_no_entrants(spark):
+    from datetime import datetime as dt
+
+    from meshinsights_data_pipeline_spark.operators.funnel import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(1, dt(2026, 1, 1), "click")], "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r.users for r in
+           funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["view", "click"]).collect()}
+    assert out == {}  # nobody entered the funnel -> empty, not a crash
