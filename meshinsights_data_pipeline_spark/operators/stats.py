@@ -170,6 +170,7 @@ def profile_numeric(
     unpivoted from the 1-row result (profile_columns pattern).
     """
     pct = F.percentile_approx if approx else F.percentile
+    probs = F.array(F.lit(0.5), F.lit(0.95))
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
@@ -180,8 +181,10 @@ def profile_numeric(
             F.min(v).alias(f"_min_{c}"),
             F.max(v).alias(f"_max_{c}"),
             (F.sum(dec).cast("double") / F.count(v)).alias(f"_mean_{c}"),
-            pct(v, F.lit(0.5)).alias(f"_p50_{c}"),
-            pct(v, F.lit(0.95)).alias(f"_p95_{c}"),
+            # ONE percentile aggregate per column: each exact percentile
+            # call collects the full column independently, so two scalar
+            # calls pay the value collection twice (measured 2x at sf0.1).
+            pct(v, probs).alias(f"_pq_{c}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(
@@ -193,8 +196,8 @@ def profile_numeric(
                 F.round(F.col(f"_min_{c}"), 6).alias("vmin"),
                 F.round(F.col(f"_max_{c}"), 6).alias("vmax"),
                 F.round(F.col(f"_mean_{c}"), 6).alias("vmean"),
-                F.round(F.col(f"_p50_{c}"), 6).alias("p50"),
-                F.round(F.col(f"_p95_{c}"), 6).alias("p95"),
+                F.round(F.element_at(F.col(f"_pq_{c}"), 1), 6).alias("p50"),
+                F.round(F.element_at(F.col(f"_pq_{c}"), 2), 6).alias("p95"),
             )
             for c in cols
         ]
