@@ -1912,6 +1912,36 @@ X46_SQL = (
 )
 
 
+def x47_length_ranks(spark: SparkSession, sf_dir: str):
+    """Distribution window functions over documents: per-source
+    percent_rank, cume_dist, and quartile (ntile(4)) of doc length —
+    the ranking family x16/x30's row_number/lag coverage lacks. One
+    window shuffle on (source); deterministic (n_chars, doc_id) order."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    ).orderBy("doc_id")
+
+
+X47_SQL = """
+SELECT doc_id, source, n_chars,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC)
+ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -1959,4 +1989,5 @@ EXTENSION_BUILDERS = {
     "x44_funnel": (x44_funnel, X44_SQL),
     "x45_cohort_retention": (x45_cohort_retention, X45_SQL),
     "x46_numeric_profile": (x46_numeric_profile, X46_SQL),
+    "x47_length_ranks": (x47_length_ranks, X47_SQL),
 }

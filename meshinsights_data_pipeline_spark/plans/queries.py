@@ -802,6 +802,50 @@ _ORACLES["q35"] = """
 """
 
 
+def q36(spark, sf_dir):
+    """TPC-H Q10-shape returned-item reporting: revenue lost to returns
+    per customer over a quarter, top-20 customers. lineitem filters on
+    return flag at the scan, joins orders (quarter-filtered) then the
+    customer dim; nation broadcasts; top-20 via TakeOrderedAndProject.
+    DECIMAL-exact revenue, (revenue desc, custkey) deterministic order."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_ORACLES["q36"] = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(l_extendedprice::DECIMAL(12,2) *
+                    (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
 _ORACLES["q34"] = """
     SELECT n_name,
            CAST(SUM(l_extendedprice::DECIMAL(12,2) *
@@ -828,6 +872,7 @@ _BUILDERS = {
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
+    "q36": q36,
 }
 
 QUERIES: dict[str, Query] = {
