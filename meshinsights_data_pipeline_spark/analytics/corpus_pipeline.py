@@ -381,7 +381,13 @@ def build_corpus_pipeline(
     return Pipeline(
         processors=[
             GopherQualityGateStep(cols),
-            BoilerplateFilterStep(cols, max_frac=max_boiler_frac or 1.0),
+            BoilerplateFilterStep(
+                # `or 1.0` would turn an explicit 0.0 (keep only
+                # zero-boilerplate docs) into 1.0, silently disabling the
+                # filter the caller asked for.
+                cols,
+                max_frac=1.0 if max_boiler_frac is None else max_boiler_frac,
+            ),
             UrlDedupStep(cols),
             ExactDedupStep(cols),
             NearDupCollapseStep(

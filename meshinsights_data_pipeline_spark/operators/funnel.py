@@ -110,7 +110,10 @@ def funnel_counts(
 ) -> DataFrame:
     """Cumulative funnel: [step, event_type, users] — users(step k) counts
     everyone whose ``step_reached >= k``, so the sequence is monotonically
-    non-increasing (the standard funnel chart input)."""
+    non-increasing (the standard funnel chart input). Always emits one row
+    per declared step, with ``users=0`` for steps nobody reached (a funnel
+    with no entrants is k zero rows, not an empty frame — matches the X44
+    oracle, which likewise emits every step)."""
     times = funnel_times(df, user_col, ts_col, type_col, steps)
     rows = F.array(
         *[
@@ -124,8 +127,17 @@ def funnel_counts(
             for i, s in enumerate(steps)
         ]
     )
-    return (
+    counted = (
         times.select(F.explode(rows).alias("r"))
         .groupBy(F.col("r.step").alias("step"), F.col("r.event_type").alias("event_type"))
         .agg(F.sum("r._hit").cast("bigint").alias("users"))
+    )
+    # Literal k-row frame (broadcast by size) guarantees every step appears
+    # even when `times` is empty.
+    step_rows = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step bigint, event_type string",
+    )
+    return step_rows.join(counted, ["step", "event_type"], "left").select(
+        "step", "event_type", F.coalesce("users", F.lit(0)).cast("bigint").alias("users")
     )

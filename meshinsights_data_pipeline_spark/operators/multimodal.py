@@ -58,12 +58,60 @@ def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> Data
     )
 
 
+# Optional imaging backend: real decode lights up automatically where PIL
+# is installed; in this container (no imaging libs) the stub path raises
+# and the Spark-side plumbing stays fully tested either way.
+try:  # pragma: no cover - which branch runs depends on the environment
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _decode_image(payload: bytes) -> "object":
-    """STUB: image decode requires PIL/opencv, not present in this
-    container. The Spark-side contract (bytes in, array out) is what's
-    under test; swap this body for a real decoder in production."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this environment"
+    """Decode an image payload to a PIL Image when PIL is available;
+    otherwise raise (this container has no imaging library — the
+    Spark-side contract, bytes in / decoded object out, is what the
+    surrounding stages test)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this environment"
+        )
+    import io
+
+    return _PILImage.open(io.BytesIO(payload))
+
+
+def decode_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas image-decode stage: [media_id, dec_width, dec_height,
+    dec_mode] per decodable image row (real decode via PIL where present;
+    raises the stub NotImplementedError otherwise — call sites gate on
+    ``HAS_PIL``). Same Arrow-batched shape as extract_features: one batch
+    in memory at a time, blobs never shuffle."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this environment"
+        )
+    from meshinsights_data_pipeline_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[payload_col].map(_decode_image)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dec_width": decoded.map(lambda im: im.width),
+                    "dec_height": decoded.map(lambda im: im.height),
+                    "dec_mode": decoded.map(lambda im: im.mode),
+                }
+            )
+
+    return df.filter(F.col("modality") == "image").mapInPandas(
+        batches, "media_id string, dec_width int, dec_height int, dec_mode string"
     )
 
 

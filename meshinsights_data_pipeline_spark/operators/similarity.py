@@ -60,6 +60,42 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str, dim: int | None
     )
 
 
+def _two_phase_rank(
+    scored: DataFrame,
+    part_col: str,
+    order: list[Column],
+    salt_col: Column,
+    k: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep the top ``k`` rows per ``part_col`` under the total order
+    ``order``, emitting ``rank`` (1-based). Bit-identical to a single
+    ``row_number`` window, but skew-proof: a plain per-query window sends
+    EVERY scored corpus row for one query into one task — with a small
+    query set at 100 TB each window task sorts ~the whole corpus. Top-k is
+    decomposable, so phase 1 takes a local top-k per (query, salt) — salt
+    from a hash of the neighbor id, spreading each query over
+    ``salt_buckets`` tasks — and phase 2 ranks the <= k x salt_buckets
+    per-query survivors. Same two-phase idiom as
+    operators.corpus.quota_sample (x24), which the x24 oracle proves
+    bit-identical to the unsalted window."""
+    if salt_buckets and salt_buckets > 1:
+        local_w = Window.partitionBy(part_col, "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets))
+            )
+            .withColumn("_lrk", F.row_number().over(local_w))
+            .filter(F.col("_lrk") <= k)
+            .drop("_salt", "_lrk")
+        )
+    w = Window.partitionBy(part_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _pair_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """The pair-scoring dot. Measured on local[32] @ sf0.1: the HOF fold
     over pre-cast double arrays BEATS a fully unrolled getItem expression
@@ -98,12 +134,13 @@ def cosine_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return _two_phase_rank(
+        scored,
+        "query_id",
+        [F.col("score").desc(), F.col("neighbor_id").asc()],
+        F.col("neighbor_id"),
+        k,
+    ).select("query_id", "neighbor_id", "score", "rank")
 
 
 def embedding_neardup_pairs(
@@ -280,6 +317,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_scores: int = 6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster the embeddings
     to their nearest centroid (:func:`ivf_assign`), then score cosine only
@@ -295,10 +333,15 @@ def semantic_dedup_pairs(
     each cluster an independent shuffle partition (vs n^2 for the exact
     verifier ``embedding_neardup_pairs``); centroids are a broadcast dim
     table and assignment is map-side. The known failure mode is a skewed
-    (huge) cluster: at real scale cap cluster size by sharding on a
-    secondary centroid level or sampling within the cluster (the paper
-    dedups within fixed-size cluster shards); AQE's skew-join split
-    handles moderate skew here without code changes.
+    (huge) cluster whose |c|^2 pair space lands in a handful of tasks:
+    ``max_cluster_size`` caps it by deterministically sharding any cluster
+    of n rows into ceil(n / max_cluster_size) shards on ``id %% n_shards``
+    and pairing only WITHIN a shard — the paper's fixed-size cluster
+    shards (Abbas et al. §3: dedup within shards of a cluster). The
+    explicit recall trade: a pair split across shards of the same cluster
+    is not compared, exactly as a pair split across clusters already
+    isn't. ``None`` (default) keeps whole-cluster pairing; AQE skew-join
+    splitting still helps moderate skew there.
 
     Recall trade vs :func:`embedding_neardup_pairs_lsh`: a near-dup pair
     split across a centroid boundary is missed — acceptable for SemDeDup
@@ -316,20 +359,35 @@ def semantic_dedup_pairs(
     vec = _prep(df, id_col, vec_col, "v").join(
         assigned.select(F.col(id_col).alias("v_id"), "list_id"), "v_id"
     ).localCheckpoint()
+    pair_keys = ["list_id"]
+    if max_cluster_size:
+        # Per-cluster shard count from the checkpointed assignment (one
+        # cluster-cardinality agg, broadcast back): cluster of n rows ->
+        # ceil(n / max_cluster_size) shards, row -> shard id % n_shards.
+        # Deterministic (no RNG) so the DuckDB oracle mirrors it exactly.
+        shards = vec.groupBy("list_id").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_cluster_size))
+            .cast("bigint")
+            .alias("_nsh")
+        )
+        vec = vec.join(F.broadcast(shards), "list_id").withColumn(
+            "_shard", (F.col("v_id") % F.col("_nsh")).cast("bigint")
+        )
+        pair_keys = ["list_id", "_shard"]
     a = vec.select(
         F.col("v_id").alias("id_a"),
         F.col("v_vec").alias("a_vec"),
         F.col("v_norm").alias("a_norm"),
-        "list_id",
+        *pair_keys,
     )
     b = vec.select(
         F.col("v_id").alias("id_b"),
         F.col("v_vec").alias("b_vec"),
         F.col("v_norm").alias("b_norm"),
-        "list_id",
+        *pair_keys,
     )
     return (
-        a.join(b, "list_id")
+        a.join(b, pair_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "score",
@@ -439,12 +497,13 @@ def ivf_topk_indexed(
             6,
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
-    )
+    return _two_phase_rank(
+        scored,
+        "query_id",
+        [F.col("score").desc(), F.col(id_col).asc()],
+        F.col(id_col),
+        k,
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
 
 
 def ivf_topk(
@@ -484,12 +543,13 @@ def ivf_topk(
         # a corpus vector can surface via one list only (hard assignment),
         # so no dedup needed before ranking
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
-    )
+    return _two_phase_rank(
+        scored,
+        "query_id",
+        [F.col("score").desc(), F.col(id_col).asc()],
+        F.col(id_col),
+        k,
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
 
 
 def _deterministic_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
@@ -580,12 +640,13 @@ def rp_lsh_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("c_id").alias("neighbor_id"), "score", "rank")
-    )
+    return _two_phase_rank(
+        scored,
+        "query_id",
+        [F.col("score").desc(), F.col("c_id").asc()],
+        F.col("c_id"),
+        k,
+    ).select("query_id", F.col("c_id").alias("neighbor_id"), "score", "rank")
 
 
 # -- Product quantization (PQ) — the memory-compressed ANN path ------------
@@ -752,11 +813,17 @@ def pq_topk(
     sub_d = dim // m
     books = _deterministic_codebooks(dim, m, ks, seed)
     n = next(_PQ_VIEW_SEQ)
-    c_view, q_view = f"_pq_corpus_{n}", f"_pq_queries_{n}"
-    corpus.createOrReplaceTempView(c_view)
+    e_view, q_view = f"_pq_codes_{n}", f"_pq_queries_{n}"
+    # Encode ONCE and localCheckpoint the codes: the encode tree is ~10k
+    # expression nodes, and carrying it into the top-k statement makes the
+    # optimizer re-cost it per consumer. Checkpointing pins the compact
+    # codes (the whole point of PQ at scale: corpus state ~dim/m/4 of raw)
+    # and leaves the search statement a small table-lookup plan. Same
+    # measured pattern as semantic_dedup's assignment checkpoint.
+    pq_encode(corpus, id_col, vec_col, dim, m, ks, seed).localCheckpoint(
+    ).createOrReplaceTempView(e_view)
     queries.createOrReplaceTempView(q_view)
 
-    enc_ctes = _pq_encode_ctes(c_view, id_col, vec_col, dim, m, ks, seed)
     q_slices = ", ".join(
         f"slice(_v, {i * sub_d + 1}, {sub_d}) AS _s{i}" for i in range(m)
     )
@@ -778,8 +845,7 @@ def pq_topk(
         f"element_at(_t{i}, element_at(codes, {i + 1}) + 1)" for i in range(m)
     )
     sql = f"""
-WITH {enc_ctes},
-qvecs AS (
+WITH qvecs AS (
     SELECT {id_col} AS query_id,
            transform({vec_col}, x -> cast(x as double)) AS _v
     FROM {q_view}
@@ -790,13 +856,23 @@ qt AS (SELECT query_id, {tabs} FROM qdq),
 scored AS (
     SELECT /*+ BROADCAST(qt) */ qt.query_id, e.{id_col} AS neighbor_id,
            round({adist}, 6) AS adist
-    FROM enc e CROSS JOIN qt WHERE e.{id_col} <> qt.query_id
+    FROM {e_view} e CROSS JOIN qt WHERE e.{id_col} <> qt.query_id
+),
+-- Two-phase top-k (skew-proof, bit-identical to a single window: top-k is
+-- decomposable under the shared total order): a plain per-query window
+-- sorts the whole scored corpus for one query in ONE task at scale.
+local AS (
+    SELECT query_id, neighbor_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id,
+                                           pmod(xxhash64(neighbor_id), 16)
+                              ORDER BY adist ASC, neighbor_id ASC) AS lrk
+    FROM scored
 ),
 ranked AS (
     SELECT query_id, neighbor_id, adist,
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY adist ASC, neighbor_id ASC) AS rk
-    FROM scored
+    FROM local WHERE lrk <= {k}
 )
 SELECT query_id, neighbor_id, adist, cast(rk AS bigint) AS rank
 FROM ranked WHERE rk <= {k}
@@ -807,5 +883,5 @@ FROM ranked WHERE rk <= {k}
         # Eager analysis resolves both views into the returned plan; drop
         # them so per-batch callers don't leak catalog entries (see
         # pq_encode).
-        corpus.sparkSession.catalog.dropTempView(c_view)
+        corpus.sparkSession.catalog.dropTempView(e_view)
         corpus.sparkSession.catalog.dropTempView(q_view)

@@ -1545,14 +1545,17 @@ def x38_semantic_dedup(spark: SparkSession, sf_dir: str):
     same convention as x15), then cosine-score pairs only WITHIN each
     cluster. Assignment, pairing, and scoring all mirror in DuckDB.
     Threshold 0.4 for the same reason as x07: the synthetic embeddings top
-    out near cosine 0.51, so 0.4 yields a non-degenerate result."""
+    out near cosine 0.51, so 0.4 yields a non-degenerate result.
+    max_cluster_size=16 activates the skew cap (clusters here run ~31
+    rows, so every cluster shards into >= 2 deterministic id%%n_shards
+    shards) — the capped path is what the oracle verifies."""
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    return S.semantic_dedup_pairs(emb, centroids, threshold=0.4).orderBy(
-        "list_id", "id_a", "id_b"
-    )
+    return S.semantic_dedup_pairs(
+        emb, centroids, threshold=0.4, max_cluster_size=16
+    ).orderBy("list_id", "id_a", "id_b")
 
 
 X38_SQL = """
@@ -1571,12 +1574,21 @@ assign AS (
     ) WHERE rn = 1
 ),
 v AS (SELECT a.vec_id, a.list_id, e.v FROM assign a JOIN e USING (vec_id)),
+sizes AS (
+    SELECT list_id, CAST(CEIL(COUNT(*) / 16.0) AS BIGINT) AS nsh
+    FROM v GROUP BY list_id
+),
+vs AS (
+    SELECT v.vec_id, v.list_id, v.v, v.vec_id % s.nsh AS shard
+    FROM v JOIN sizes s USING (list_id)
+),
 pairs AS (
     SELECT v1.list_id, v1.vec_id AS id_a, v2.vec_id AS id_b,
            ROUND(list_dot_product(v1.v, v2.v) /
                  (sqrt(list_dot_product(v1.v, v1.v)) * sqrt(list_dot_product(v2.v, v2.v))), 6) AS score
-    FROM v v1 JOIN v v2
-      ON v1.list_id = v2.list_id AND v1.vec_id < v2.vec_id
+    FROM vs v1 JOIN vs v2
+      ON v1.list_id = v2.list_id AND v1.shard = v2.shard
+     AND v1.vec_id < v2.vec_id
 )
 SELECT list_id, id_a, id_b, score FROM pairs
 WHERE score >= 0.4 ORDER BY list_id, id_a, id_b

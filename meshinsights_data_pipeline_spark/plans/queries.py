@@ -889,3 +889,46 @@ def _register_extensions() -> None:
 
 
 _register_extensions()
+
+
+# The external driver verifies only the FIRST 50 entries of queries() (its
+# per-round cap), taken in dict insertion order. Rounds 1-4 always presented
+# q01..q36 + x01..x14 first, so x15-x47 (33 queries) never received a
+# driver-side correctness row (they pass the local DuckDB oracle harness in
+# tests/test_queries_oracle.py). Rotate for round 5: the 33 never-checked
+# entries first, then the 17 most load-bearing previously-green queries to
+# round out the 50-slot window, then everything else. Rotation does not
+# change any query; it only reorders the dict.
+_DRIVER_WINDOW_R5 = [
+    # never driver-checked (registration order preserved)
+    "x15_ivf_topk", "x16_asof_join", "x17_interval_join", "x18_time_rollup",
+    "x19_kusto_decode", "x20_doc_chunks", "x21_winnow_fingerprints",
+    "x22_gopher_quality", "x23_dedup_clusters", "x24_source_quota",
+    "x25_contamination", "x26_dedup_clusters_star", "x27_url_dedup",
+    "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
+    "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
+    "x34_repetition_signals", "x35_gap_fill", "x36_profile", "x37_pq_topk",
+    "x38_semantic_dedup", "x39_boilerplate_ngrams", "x40_shuffle_shards",
+    "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
+    "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
+    "x47_length_ranks",
+    # 17 load-bearing re-checks (driver-green in r4; several touched this
+    # round by the two-phase top-k / skew-cap work, so re-verify)
+    "q09", "q10", "q14", "q15", "q21", "q22", "q25", "q26", "q34", "q35",
+    "q36", "x01_exact_dedup", "x02_minhash_signatures",
+    "x03_minhash_lsh_pairs", "x05_simhash", "x06_cosine_topk",
+    "x11_minhash_dedup_pairs",
+]
+
+
+def _rotate_for_driver() -> None:
+    missing = [n for n in _DRIVER_WINDOW_R5 if n not in QUERIES]
+    if missing:  # fail loudly: a typo here would silently shrink coverage
+        raise KeyError(f"driver-window names not registered: {missing}")
+    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_R5)]
+    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW_R5, *rest]}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_rotate_for_driver()

@@ -188,12 +188,13 @@ class JdbcSource(Source):
         value_cols: list[str],
         connection_factory=None,
         batch_size: int = 1000,
+        dialect: str = "mysql",
     ) -> None:
         """Per-row UPDATE of ``value_cols`` keyed on ``key_cols``:
         ``UPDATE t SET v=%s WHERE k=%s`` via per-partition executemany."""
         if self.table is None:
             raise ValueError("JDBC update requires table=")
-        sql = update_sql(self.table, key_cols, value_cols)
+        sql = update_sql(self.table, key_cols, value_cols, dialect)
         param_cols = list(value_cols) + list(key_cols)
         factory = connection_factory or self._connection_factory()
         df.select(*key_cols, *value_cols).foreachPartition(
@@ -207,12 +208,13 @@ class JdbcSource(Source):
         value_cols: list[str],
         connection_factory=None,
         batch_size: int = 1000,
+        dialect: str = "mysql",
     ) -> None:
         """MERGE-equivalent: ``INSERT ... ON DUPLICATE KEY UPDATE`` (MySQL
         dialect; ``key_cols`` must be the table's unique key)."""
         if self.table is None:
             raise ValueError("JDBC upsert requires table=")
-        sql = upsert_sql(self.table, key_cols, value_cols)
+        sql = upsert_sql(self.table, key_cols, value_cols, dialect)
         param_cols = list(key_cols) + list(value_cols)
         factory = connection_factory or self._connection_factory()
         df.select(*key_cols, *value_cols).foreachPartition(
@@ -228,27 +230,49 @@ def _check_identifier(name: str) -> str:
     return name
 
 
-def update_sql(table: str, key_cols: list[str], value_cols: list[str]) -> str:
-    """``UPDATE t SET v1=%s, ... WHERE k1=%s AND ...`` (pyformat %s
-    placeholders — the mysql-connector paramstyle the reference uses)."""
+# placeholder per DB-API paramstyle: mysql-connector is pyformat (%s),
+# sqlite3 is qmark (?). The sqlite dialect exists so the executor-side DML
+# path can run end-to-end against a real in-process database in CI.
+_PLACEHOLDER = {"mysql": "%s", "sqlite": "?"}
+
+
+def update_sql(
+    table: str, key_cols: list[str], value_cols: list[str], dialect: str = "mysql"
+) -> str:
+    """``UPDATE t SET v1=%s, ... WHERE k1=%s AND ...`` (placeholder per
+    dialect paramstyle; mysql pyformat is what the reference uses)."""
     if not key_cols or not value_cols:
         raise ValueError("update_sql needs both key_cols and value_cols")
-    sets = ", ".join(f"{_check_identifier(c)} = %s" for c in value_cols)
-    where = " AND ".join(f"{_check_identifier(c)} = %s" for c in key_cols)
+    ph = _PLACEHOLDER[dialect]
+    sets = ", ".join(f"{_check_identifier(c)} = {ph}" for c in value_cols)
+    where = " AND ".join(f"{_check_identifier(c)} = {ph}" for c in key_cols)
     return f"UPDATE {_check_identifier(table)} SET {sets} WHERE {where}"
 
 
-def upsert_sql(table: str, key_cols: list[str], value_cols: list[str]) -> str:
-    """``INSERT ... ON DUPLICATE KEY UPDATE`` — the MySQL MERGE."""
+def upsert_sql(
+    table: str, key_cols: list[str], value_cols: list[str], dialect: str = "mysql"
+) -> str:
+    """The MERGE: MySQL ``INSERT ... ON DUPLICATE KEY UPDATE`` /
+    sqlite ``INSERT ... ON CONFLICT (keys) DO UPDATE SET``."""
     if not key_cols or not value_cols:
         raise ValueError("upsert_sql needs both key_cols and value_cols")
     cols = [_check_identifier(c) for c in list(key_cols) + list(value_cols)]
-    placeholders = ", ".join("%s" for _ in cols)
-    updates = ", ".join(f"{c} = VALUES({c})" for c in map(_check_identifier, value_cols))
-    return (
+    ph = _PLACEHOLDER[dialect]
+    placeholders = ", ".join(ph for _ in cols)
+    head = (
         f"INSERT INTO {_check_identifier(table)} ({', '.join(cols)}) "
-        f"VALUES ({placeholders}) ON DUPLICATE KEY UPDATE {updates}"
+        f"VALUES ({placeholders})"
     )
+    if dialect == "mysql":
+        updates = ", ".join(
+            f"{c} = VALUES({c})" for c in map(_check_identifier, value_cols)
+        )
+        return f"{head} ON DUPLICATE KEY UPDATE {updates}"
+    keys = ", ".join(_check_identifier(c) for c in key_cols)
+    updates = ", ".join(
+        f"{c} = excluded.{c}" for c in map(_check_identifier, value_cols)
+    )
+    return f"{head} ON CONFLICT ({keys}) DO UPDATE SET {updates}"
 
 
 def run_dml_partition(

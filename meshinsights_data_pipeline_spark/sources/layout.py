@@ -113,14 +113,20 @@ def snapshot_overwrite(
     directory — idempotent per epoch.
 
     Snapshots older than the newest ``keep`` committed versions are pruned
-    AFTER the new snapshot commits, never before.
+    AFTER the new snapshot commits, never before. Uncommitted directories
+    (no ``_SUCCESS`` — a crashed write) older than the newest committed
+    version are also removed: they can never become the latest snapshot and
+    are only rewritten if their exact epoch retries, so without this they
+    would accumulate partial-write garbage forever.
     """
     spark = df.sparkSession
     df.write.mode("overwrite").parquet(f"{path}/_v={int(version)}")
     committed = snapshot_versions(spark, path)
-    if len(committed) > keep:
+    if committed:
         fs, jpath, jvm = _hadoop_fs(spark, path)
-        floor = committed[-keep]
+        newest = committed[-1]
+        floor = committed[-keep] if len(committed) > keep else committed[0]
+        committed_set = set(committed)
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith("_v=")):
@@ -129,7 +135,9 @@ def snapshot_overwrite(
                 v = int(name[3:])
             except ValueError:
                 continue
-            if v < floor:
+            stale_committed = v < floor
+            stale_uncommitted = v not in committed_set and v < newest
+            if stale_committed or stale_uncommitted:
                 fs.delete(st.getPath(), True)
 
 

@@ -454,3 +454,46 @@ def test_ivf_index_persisted_search(spark, vectors, tmp_path):
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scan_lines, plan
     assert any("list_id" in ln and "IN" in ln for ln in scan_lines), scan_lines
+
+
+def test_image_decode_stub_raises_without_pil(spark):
+    """The stub path: without an imaging library, both the per-payload
+    decoder and the mapInPandas stage fail loudly (never silently skip)."""
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators import multimodal as M
+
+    if M.HAS_PIL:
+        pytest.skip("PIL present: the real-decode test covers this env")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        M._decode_image(b"\x89PNG")
+    df = spark.createDataFrame(
+        [("img1", "image", b"\x00")], "media_id string, modality string, payload binary"
+    )
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        M.decode_image_dims(df)
+
+
+def test_image_decode_real_with_pil(spark):
+    """Real decode where PIL exists: a generated PNG round-trips through
+    the Arrow-batched decode stage with correct dimensions."""
+    import io
+
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators import multimodal as M
+
+    if not M.HAS_PIL:
+        pytest.skip("no imaging library in this environment")
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("img1", "image", buf.getvalue()), ("aud1", "audio", None)],
+        "media_id string, modality string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in M.decode_image_dims(df).collect()}
+    assert list(rows) == ["img1"]  # audio rows filtered out
+    assert (rows["img1"]["dec_width"], rows["img1"]["dec_height"]) == (12, 7)
+    assert rows["img1"]["dec_mode"] == "RGB"

@@ -105,3 +105,50 @@ def test_kmeans_update_no_python_no_cartesian_blowup(spark, sf_smoke):
     p = _plan(kmeans_update(emb, cents))
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p  # centroid cross join is broadcast
+
+
+def test_cosine_topk_rank_is_two_phase(spark, sf_smoke):
+    """The top-k rank must be the salted two-phase shape (local top-k per
+    (query, salt), then true top-k over survivors) — a single per-query
+    window sends every scored corpus row for one query into one task at
+    scale. Two Window stages in the executed plan = two-phase."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    p = _plan(cosine_topk(emb, q, k=5))
+    assert p.count("Window") >= 2
+    assert "EvalPython" not in p
+
+
+def test_semantic_dedup_cap_shards_pathological_cluster(spark):
+    """A single huge cluster must spread across >= s shards when the cap
+    is active: with one centroid and max_cluster_size=8 over 64 rows the
+    pair keys carry ceil(64/8)=8 distinct shard ids, and no cross-shard
+    pair survives (each shard's pair space is independent)."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup_pairs,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, float(i % 3) * 1e-4]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    # everything lands in cluster 0 (single centroid)
+    assert (
+        ivf_assign(emb, cents).select("list_id").distinct().count() == 1
+    )
+    pairs = semantic_dedup_pairs(
+        emb, cents, threshold=0.0, max_cluster_size=8
+    ).collect()
+    n_shards = 64 // 8
+    assert pairs  # within-shard pairs exist
+    for r in pairs:
+        assert r.id_a % n_shards == r.id_b % n_shards  # never cross-shard
+    # every shard contributes: 8 rows per shard -> C(8,2)=28 pairs each
+    assert len(pairs) == n_shards * 28

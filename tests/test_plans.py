@@ -153,4 +153,6 @@ def test_funnel_no_entrants(spark):
     out = {r.step: r.users for r in
            funnel_counts(ev, "user_id", "ts", "event_type",
                          ["view", "click"]).collect()}
-    assert out == {}  # nobody entered the funnel -> empty, not a crash
+    # nobody entered the funnel -> one zero row per declared step (matches
+    # the X44 oracle, which emits every step), not an empty frame
+    assert out == {1: 0, 2: 0}

@@ -302,6 +302,10 @@ def test_snapshot_overwrite_crash_safety(spark, tmp_path):
     assert latest_snapshot(spark, path).count() == 7
     assert snapshot_versions(spark, path) == [0, 2]
     assert not os.path.exists(os.path.join(path, "_v=-1"))
+    # The crashed _v=1 remnant (uncommitted, older than the newest
+    # committed snapshot) is garbage-collected too — without this,
+    # partial-write dirs whose epoch never retries accumulate forever.
+    assert not os.path.exists(crashed)
 
 
 def test_snapshot_latest_requires_seed(spark, tmp_path):
@@ -311,3 +315,68 @@ def test_snapshot_latest_requires_seed(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         latest_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_dml_sql_sqlite_dialect():
+    from meshinsights_data_pipeline_spark.sources.factories import (
+        update_sql,
+        upsert_sql,
+    )
+
+    assert update_sql("t", ["id"], ["v"], dialect="sqlite") == (
+        "UPDATE t SET v = ? WHERE id = ?"
+    )
+    assert upsert_sql("t", ["id"], ["v"], dialect="sqlite") == (
+        "INSERT INTO t (id, v) VALUES (?, ?) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v"
+    )
+
+
+def test_jdbc_dml_executes_against_real_database(spark, tmp_path):
+    """S3/S5 execution signal: the full DML path — execute(), update()
+    and upsert() through the real foreachPartition fan-out — run against
+    an actual DB-API database (in-process sqlite3 via the injectable
+    connection factory; no MySQL server exists in this sandbox) and the
+    results are read back from the database itself."""
+    import sqlite3
+
+    from meshinsights_data_pipeline_spark.sources.factories import JdbcSource
+
+    db = str(tmp_path / "scores.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE scores (id INTEGER PRIMARY KEY, v REAL, label TEXT)")
+        conn.executemany(
+            "INSERT INTO scores VALUES (?, ?, ?)",
+            [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")],
+        )
+        conn.commit()
+
+    # timeout absorbs the file lock when two partitions commit at once
+    def factory(path=db):
+        return sqlite3.connect(path, timeout=30)
+
+    src = JdbcSource(url="jdbc:sqlite:unused", table="scores")
+
+    # driver-side DML passthrough, with a real rowcount
+    assert src.execute("UPDATE scores SET label = 'x'", connection_factory=factory) == 3
+
+    # executor-side batched UPDATE keyed on id
+    df = spark.createDataFrame(
+        [(1, 10.0, "u1"), (3, 30.0, "u3")], "id long, v double, label string"
+    ).repartition(2)
+    src.update(df, ["id"], ["v", "label"], connection_factory=factory, dialect="sqlite")
+
+    # executor-side MERGE: id=2 updates in place, id=4 inserts
+    df2 = spark.createDataFrame(
+        [(2, 20.0, "m2"), (4, 40.0, "m4")], "id long, v double, label string"
+    ).repartition(2)
+    src.upsert(df2, ["id"], ["v", "label"], connection_factory=factory, dialect="sqlite")
+
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute("SELECT id, v, label FROM scores ORDER BY id").fetchall()
+    assert rows == [
+        (1, 10.0, "u1"),
+        (2, 20.0, "m2"),
+        (3, 30.0, "u3"),
+        (4, 40.0, "m4"),
+    ]
