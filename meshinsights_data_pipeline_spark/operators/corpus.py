@@ -130,6 +130,65 @@ def winnow_fingerprints(
     return valid.select(F.col(id_col), F.col("fp")).distinct()
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate span detection — the span-level member of
+    the dedup family (ExactSubstr dedup at word-n-gram resolution; Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499: cut substrings repeated verbatim across documents,
+    which full-document dedup never touches).
+
+    A position starts a duplicated gram iff its word-``n``-gram occurs in
+    >= ``min_docs`` DISTINCT documents; overlapping/adjacent hit windows
+    [pos, pos+n) merge into maximal spans via a running-max interval
+    merge. Returns [id, span_start, span_end, dup_grams] in token (not
+    char) offsets, span_end exclusive — the spans a trainer would excise.
+    Within-doc repeats alone do NOT qualify (that is repetition_signals'
+    job); a duplicated short doc (< n tokens, whole text hashed) surfaces
+    as span [0, n) — whole-doc semantics.
+
+    100 TB shape: gram frequency is one map-side-combinable distinct-doc
+    count keyed on the 60-bit gram hash (strings never shuffle); the join
+    back is hash-partitioned on the same key; the interval merge windows
+    per doc over hit rows only (doc-bounded partitions, hit-cardinality
+    not token-cardinality).
+    """
+    sh = positional_shingle_hashes(df, id_col, text_col, n)
+    dup = (
+        sh.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("h")
+    )
+    hits = sh.join(dup, "h").select(F.col(id_col), F.col("pos"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    numbered = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "_span", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        numbered.groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "dup_grams")
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -1954,6 +1954,61 @@ ORDER BY doc_id
 """
 
 
+def x48_duplicate_spans(spark: SparkSession, sf_dir: str):
+    """Cross-document duplicate span detection (corpus.duplicate_spans):
+    word-5-grams shared by >= 2 distinct documents, overlapping hit
+    windows merged into maximal [start, end) token spans — ExactSubstr-
+    style dedup at n-gram resolution (Lee et al. 2021). The oracle
+    mirrors the gram positions, the distinct-doc count, and the
+    running-max interval merge."""
+    from meshinsights_data_pipeline_spark.operators.corpus import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_X48_NORM = _NORM_SQL.format(col="text")
+X48_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_X48_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H60_SQL.format(s="array_to_string(w[i:i+4], ' ')")} AS h
+  FROM toks, UNNEST(range(1, len(w) - 3)) AS r(i)
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, 0 AS pos, {_H60_SQL.format(s="array_to_string(w, ' ')")} AS h
+  FROM toks WHERE len(w) < 5
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY h
+  ) WHERE d >= 2
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
+merged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS sp
+  FROM merged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS dup_grams
+FROM spans GROUP BY doc_id, sp
+ORDER BY doc_id, span_start
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2002,4 +2057,5 @@ EXTENSION_BUILDERS = {
     "x45_cohort_retention": (x45_cohort_retention, X45_SQL),
     "x46_numeric_profile": (x46_numeric_profile, X46_SQL),
     "x47_length_ranks": (x47_length_ranks, X47_SQL),
+    "x48_duplicate_spans": (x48_duplicate_spans, X48_SQL),
 }

@@ -864,6 +864,228 @@ _ORACLES["q34"] = """
 """
 
 
+def q37(spark, sf_dir):
+    """TPC-H Q18-shape large-volume customers: orders whose summed
+    lineitem quantity exceeds 250, joined back to customer. The
+    qualifying-orders set is a semi-join ON AN AGGREGATE — one groupBy
+    over lineitem builds the filter relation, and only qualifying order
+    keys flow into the 3-way join, so the expensive join runs on the
+    filtered minority. Quantities sum in exact DECIMAL (double sums are
+    partition-order-dependent); top-20 is a TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(250).cast("decimal(12,2)"))
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+_ORACLES["q37"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity::DECIMAL(12,2)) > 250::DECIMAL(12,2)
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+"""
+
+
+def q38(spark, sf_dir):
+    """TPC-H Q16-shape supplier diversity: distinct suppliers per
+    (brand, type, size) over the lineitem part-supplier pairs, excluding
+    flagged suppliers via NOT IN (expressed as a broadcast left_anti
+    join — supplier is a dim table, and s_suppkey is non-null so anti
+    join and NOT IN agree). count(DISTINCT) is integer-exact; ordering
+    tie-breaks on the full group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (~F.col("p_type").startswith("MEDIUM"))
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("0")
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+_ORACLES["q38"] = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0'
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q39(spark, sf_dir):
+    """TPC-H Q22-shape dormant rich customers: customers whose balance
+    beats the positive-balance average (a broadcast 1-row scalar
+    aggregate, never a driver collect) and who never placed an order
+    above 300k (anti join against the filtered orders — the NOT EXISTS).
+    The filtered-orders side is NOT hinted: ~40% of orders pass the
+    price filter, so forcing a broadcast would ship a fact-sized set to
+    every executor at scale — AQE picks broadcast only when the side is
+    actually small. Balances sum in exact DECIMAL per nation."""
+    cu = _t(spark, sf_dir, "customer")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(big_orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_ORACLES["q39"] = """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(c_acctbal::DECIMAL(12,2)) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+def q40(spark, sf_dir):
+    """TPC-H Q2-shape correlated minimum: for each part, the supplier(s)
+    offering it at the minimum extended price. The correlated scalar
+    subquery is expressed directly as its efficient rewrite — one
+    per-part min aggregate joined back on (partkey, price) — which is
+    the plan Catalyst produces for the subquery form anyway; spelling it
+    out keeps the join explicit. Price equality is exact (both sides
+    read the same parquet doubles). DISTINCT collapses repeat
+    (part, supplier, price) lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    min_price = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("l_extendedprice").alias("_minp")
+    )
+    return (
+        li.join(
+            min_price,
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("l_extendedprice") == F.col("_minp")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", F.col("l_suppkey").alias("s_suppkey"),
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+_ORACLES["q40"] = """
+    SELECT DISTINCT p_partkey, p_name, l_suppkey AS s_suppkey,
+           l_extendedprice AS min_price
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+    )
+    ORDER BY p_partkey, s_suppkey
+    LIMIT 100
+"""
+
+
+def q41(spark, sf_dir):
+    """TPC-H Q15-shape top supplier: quarterly revenue per supplier,
+    keep the supplier(s) whose revenue equals the maximum — max-of-
+    aggregate as a broadcast 1-row join, and revenue in exact DECIMAL so
+    the equality (and the winner) is identical across engines; a double
+    revenue could flip the argmax on summation order."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(price * (one - disc)).alias("_rev"))
+    top = rev.crossJoin(F.broadcast(rev.agg(F.max("_rev").alias("_maxrev")))).filter(
+        F.col("_rev") == F.col("_maxrev")
+    )
+    su = _t(spark, sf_dir, "supplier")
+    return (
+        top.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLES["q41"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(l_extendedprice::DECIMAL(12,2) *
+                   (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS _rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE _rev = (SELECT MAX(_rev) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -872,7 +1094,8 @@ _BUILDERS = {
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
-    "q36": q36,
+    "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
+    "q41": q41,
 }
 
 QUERIES: dict[str, Query] = {

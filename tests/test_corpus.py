@@ -445,3 +445,34 @@ def test_profile_numeric(spark):
     ap = {r.col_name: r.p50 for r in
           profile_numeric(df, ["x", "y"], approx=True).collect()}
     assert ap["x"] == 2.0
+
+
+def test_duplicate_spans_semantics(spark):
+    """Hand-built corpus: a phrase shared by two docs yields one merged
+    span per doc; a phrase repeated only WITHIN one doc does not qualify
+    (cross-doc distinct count drives the cut); non-overlapping shared
+    phrases in one doc stay separate spans."""
+    from meshinsights_data_pipeline_spark.operators.corpus import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"        # 6 toks -> 2 grams
+    inner = "one two three four five one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} filler1 w x y z {shared}"),     # shared twice, apart
+            (2, f"start pad {shared} tail"),               # shared once
+            (3, inner),                                    # within-doc repeat only
+            (4, "nothing in common here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.dup_grams))
+    # doc 3's internal repetition is not cross-document -> no spans
+    assert 3 not in by_doc and 4 not in by_doc
+    # doc 1: two occurrences of the 6-token phrase, separated by 5 fillers
+    # -> two disjoint spans, each 2 grams wide covering 6 tokens
+    assert sorted(by_doc[1]) == [(0, 6, 2), (11, 17, 2)]
+    # doc 2: one span over tokens 2..8
+    assert by_doc[2] == [(2, 8, 2)]
