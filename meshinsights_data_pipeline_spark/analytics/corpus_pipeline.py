@@ -35,6 +35,8 @@ from meshinsights_data_pipeline_spark.operators.components import dedup_survivor
 from meshinsights_data_pipeline_spark.operators.corpus import (
     chunk_documents,
     contamination_check,
+    duplicate_spans,
+    excise_spans,
     gopher_quality,
     quota_sample,
     url_dedup,
@@ -190,6 +192,40 @@ class NearDupCollapseStep(CorpusStep):
         )
         context.raw_data = dedup_survivors(
             docs, pairs, self.cols.id, algorithm=self.algorithm
+        )
+        self._record(context)
+        return context
+
+
+class SpanExciseStep(CorpusStep):
+    """ExactSubstr removal (duplicate_spans + excise_spans): cut token
+    spans whose word-n-grams recur across >= min_docs distinct documents.
+    Runs AFTER doc-level dedup on purpose — whole duplicates are already
+    collapsed, so what's cut here is the partial overlap (boilerplate
+    passages, quoted blocks) document-level dedup cannot touch. Rewrites
+    the text column with its NORMALIZED excised form (the detector's
+    offsets are over normalized text) and stashes per-doc removal counts
+    as "corpus.spans"."""
+
+    def __init__(self, cols: CorpusColumns, n: int = 5, min_docs: int = 2, **kw):
+        super().__init__(cols, name="span_excise", **kw)
+        self.n = n
+        self.min_docs = min_docs
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        spans = duplicate_spans(
+            docs, self.cols.id, self.cols.text, n=self.n, min_docs=self.min_docs
+        )
+        cleaned = excise_spans(docs, spans, self.cols.id, self.cols.text)
+        context.processed_data["corpus.spans"] = cleaned.select(
+            self.cols.id, "n_removed"
+        )
+        context.raw_data = docs.drop(self.cols.text).join(
+            cleaned.select(
+                self.cols.id, F.col("clean_text").alias(self.cols.text)
+            ),
+            self.cols.id,
         )
         self._record(context)
         return context
@@ -365,12 +401,15 @@ def build_corpus_pipeline(
     max_boiler_frac: float | None = None,
     n_shards: int | None = None,
     shard_seed: int = 0,
+    span_excise_n: int | None = None,
+    span_min_docs: int = 2,
 ) -> Pipeline:
     """Assemble the corpus-prep workload with the canonical conditions:
     URL dedup runs iff the corpus binds a URL column, decontamination iff
     a benchmark table was stashed, quota iff a quota was set, boilerplate
     filtering iff ``max_boiler_frac`` is set, shard layout iff
-    ``n_shards`` is set — the same condition mechanism the power pipeline
+    ``n_shards`` is set, span excision iff ``span_excise_n`` is set —
+    the same condition mechanism the power pipeline
     uses (analytics/power_pipeline.py:236-281, src/core/pipeline.py:83-99).
     """
     cols = cols or CorpusColumns()
@@ -393,6 +432,9 @@ def build_corpus_pipeline(
             NearDupCollapseStep(
                 cols, threshold=neardup_threshold, algorithm=neardup_algorithm
             ),
+            SpanExciseStep(
+                cols, n=span_excise_n or 5, min_docs=span_min_docs
+            ),
             DecontaminationStep(
                 cols,
                 threshold=contamination_threshold,
@@ -409,6 +451,7 @@ def build_corpus_pipeline(
             "decontamination": has_benchmark,
             "quota_sample": lambda ctx: bool(quota_n),
             "boilerplate_filter": lambda ctx: max_boiler_frac is not None,
+            "span_excise": lambda ctx: span_excise_n is not None,
             "shuffle_shards": lambda ctx: bool(n_shards),
         },
         config=config,

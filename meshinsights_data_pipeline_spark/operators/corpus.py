@@ -156,9 +156,16 @@ def duplicate_spans(
     count keyed on the 60-bit gram hash (strings never shuffle); the join
     back is hash-partitioned on the same key; the interval merge windows
     per doc over hit rows only (doc-bounded partitions, hit-cardinality
-    not token-cardinality).
+    not token-cardinality). The positional gram frame feeds BOTH the
+    frequency count and the join-back; left lazy each consumer re-runs
+    the tokenize + lead-window pass (column pruning differs per branch,
+    so exchange reuse does not kick in — measured 2.5s lazy vs 1.6s
+    checkpointed, warm, sf0.1/local[32]). At real scale write this frame
+    to storage instead (it is token-cardinality) — the shape (one gram
+    pass, two readers) is what matters, same trade as
+    similarity.semantic_dedup_pairs' assignment frame.
     """
-    sh = positional_shingle_hashes(df, id_col, text_col, n)
+    sh = positional_shingle_hashes(df, id_col, text_col, n).localCheckpoint()
     dup = (
         sh.select("h", id_col)
         .distinct()
@@ -168,6 +175,16 @@ def duplicate_spans(
         .select("h")
     )
     hits = sh.join(dup, "h").select(F.col(id_col), F.col("pos"))
+    return merge_hit_spans(hits, id_col, n)
+
+
+def merge_hit_spans(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Merge per-doc duplicated-gram hit positions into maximal spans:
+    each hit covers [pos, pos+n); overlapping/adjacent windows coalesce
+    via a running-max interval merge. Input [id, pos] (unique per doc);
+    output [id, span_start, span_end, dup_grams], span_end exclusive.
+    Shared by the batch operator above and the streaming ingest twin
+    (streaming.dedup.streaming_span_ingest)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -186,6 +203,47 @@ def duplicate_spans(
             F.count(F.lit(1)).cast("bigint").alias("dup_grams"),
         )
         .select(id_col, "span_start", "span_end", "dup_grams")
+    )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Cut duplicate spans out of the normalized text — the removal half
+    of ExactSubstr dedup (:func:`duplicate_spans` detects, this excises).
+    ``spans`` is the [id, span_start, span_end, ...] frame the detector
+    returns (token offsets over the NORMALIZED text, end exclusive).
+    Returns [id, clean_text, n_removed]; docs with no spans pass through
+    with n_removed = 0.
+
+    Shape: spans collapse to one array-of-intervals row per doc (span
+    cardinality is tiny per doc), one equi-join back to the docs, then a
+    pure map-side HOF filter — token i survives iff no interval covers
+    it. No per-row Python, no second shuffle."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    no_spans = F.lit([]).cast("array<struct<span_start:bigint,span_end:bigint>>")
+    joined = df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.coalesce(F.col("_spans"), no_spans).alias("_spans"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda tok, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
 
 

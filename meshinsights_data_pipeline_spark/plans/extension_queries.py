@@ -2009,6 +2009,82 @@ ORDER BY doc_id, span_start
 """
 
 
+def x49_span_excision(spark: SparkSession, sf_dir: str):
+    """ExactSubstr removal end-to-end: detect cross-document duplicate
+    spans (x48 semantics) then CUT them from the normalized text
+    (corpus.excise_spans) — [doc_id, clean_text, n_removed] for every
+    document, n_removed = 0 where nothing was shared. The oracle chains
+    the x48 span CTEs into an anti-range token filter with ordered
+    string_agg reassembly."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        duplicate_spans,
+        excise_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+    return excise_spans(docs, spans, "doc_id", "text").orderBy("doc_id")
+
+
+X49_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_X48_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H60_SQL.format(s="array_to_string(w[i:i+4], ' ')")} AS h
+  FROM toks, UNNEST(range(1, len(w) - 3)) AS r(i)
+  WHERE len(w) >= 5
+  UNION ALL
+  SELECT doc_id, 0 AS pos, {_H60_SQL.format(s="array_to_string(w, ' ')")} AS h
+  FROM toks WHERE len(w) < 5
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY h
+  ) WHERE d >= 2
+),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
+merged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+numbered AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS sp
+  FROM merged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+  FROM numbered GROUP BY doc_id, sp
+),
+pos AS (
+  SELECT doc_id, i - 1 AS p, w[i] AS tok
+  FROM toks, UNNEST(range(1, len(w) + 1)) AS r(i)
+),
+keptagg AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS kept
+  FROM pos
+  WHERE NOT EXISTS (
+      SELECT 1 FROM spans
+      WHERE spans.doc_id = pos.doc_id AND pos.p >= s AND pos.p < e
+  )
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(w) AS n FROM toks)
+SELECT t.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(t.n - COALESCE(k.kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN keptagg k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2058,4 +2134,5 @@ EXTENSION_BUILDERS = {
     "x46_numeric_profile": (x46_numeric_profile, X46_SQL),
     "x47_length_ranks": (x47_length_ranks, X47_SQL),
     "x48_duplicate_spans": (x48_duplicate_spans, X48_SQL),
+    "x49_span_excision": (x49_span_excision, X49_SQL),
 }

@@ -152,3 +152,22 @@ def latest_snapshot(spark: SparkSession, path: str) -> DataFrame:
             "snapshot_overwrite(df, path, version=-1)"
         )
     return spark.read.parquet(f"{path}/_v={versions[-1]}")
+
+
+def snapshot_before(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Read the newest committed snapshot with version STRICTLY BELOW
+    ``version``. This is the retry-safe read for NON-idempotent merges
+    (e.g. summed counts): on a micro-batch retry the latest committed
+    snapshot can be this same epoch's own earlier attempt, and re-merging
+    the batch into it would double-count — reading strictly below the
+    current epoch pins the input to the pre-epoch state, so the merge is
+    a pure function of (previous state, batch) on every attempt.
+    (``latest_snapshot`` is fine for idempotent merges like label
+    propagation, where re-merging is a no-op.)"""
+    versions = [v for v in snapshot_versions(spark, path) if v < version]
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed snapshot below _v={version} under {path}; seed "
+            "with snapshot_overwrite(df, path, version=-1)"
+        )
+    return spark.read.parquet(f"{path}/_v={versions[-1]}")

@@ -12,6 +12,7 @@ from meshinsights_data_pipeline_spark.streaming.ann import (
 from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_lsh_ingest,
+    streaming_span_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.stateful import (
     streaming_funnel,
@@ -33,5 +34,6 @@ __all__ = [
     "streaming_state_change_sessions",
     "streaming_exact_dedup",
     "streaming_lsh_ingest",
+    "streaming_span_ingest",
     "streaming_ivf_ingest",
 ]

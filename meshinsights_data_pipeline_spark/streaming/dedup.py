@@ -166,3 +166,103 @@ def streaming_lsh_ingest(
             nb.write.mode("append").parquet(signature_dir)
 
     return _process
+
+
+def streaming_span_ingest(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    counts_dir: str,
+    spans_dir: str,
+    n: int = 5,
+    min_docs: int = 2,
+    idempotent: bool = False,
+):
+    """Incremental cross-document duplicate-span detection — the streaming
+    twin of ``operators.corpus.duplicate_spans`` (ExactSubstr-style span
+    dedup) for continuous ingest.
+
+    ``counts_dir`` is the accumulated per-gram distinct-doc-count table
+    ([h BIGINT, n_docs BIGINT]) maintained as ``sources.layout``
+    versioned snapshots — seed it with
+    ``snapshot_overwrite(counts_of_existing_corpus, counts_dir, -1)`` (an
+    empty frame for a cold start). Each micro-batch, inside
+    ``foreachBatch``:
+
+    1. hash the batch docs' positional word-n-grams (one localCheckpointed
+       pass, same frame the batch operator shares),
+    2. merge the batch's per-gram doc counts into the table — READ VIA
+       ``snapshot_before(epoch)``, never ``latest_snapshot``: summed
+       counts are NOT re-merge-idempotent, and on a retry the latest
+       committed snapshot can be this epoch's own earlier attempt
+       (double-count). Reading strictly below the epoch makes every
+       attempt a pure function of (pre-epoch state, batch),
+    3. emit merged [id, span_start, span_end, dup_grams] spans for the
+       BATCH docs whose grams now reach ``min_docs`` distinct documents
+       (history + batch combined), and append them to ``spans_dir``.
+
+    Semantic delta vs batch (by design, documented): emission is
+    forward-looking — a PRE-EXISTING doc's span that becomes duplicated
+    only when a later doc arrives is not retro-emitted (its gram counts
+    do rise, so every subsequent arrival sees it); run the batch operator
+    over the corpus for retroactive audits. For docs all of whose
+    duplicate partners arrived no later than they did, emitted spans are
+    bit-identical to the batch operator's — the parity the tests pin.
+
+    Scale notes: state is gram-cardinality (the n-gram vocabulary), the
+    same order as the LSH signature table; per-batch work is one
+    micro-batch gram pass + a gram-keyed join against the counts table.
+    Appends are at-least-once on retry unless ``idempotent=True``
+    (epoch-keyed dynamic partition overwrite, exactly-once per epoch);
+    the counts snapshot is already exactly-once via the version floor.
+    Docs are assumed to arrive once (dedup the stream upstream with
+    ``streaming_exact_dedup`` otherwise — a re-arriving doc would count
+    itself as its own duplicate).
+
+    Returns a callable for ``stream.writeStream.foreachBatch(...)``; the
+    caller owns trigger/checkpoint wiring.
+    """
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        merge_hit_spans,
+        positional_shingle_hashes,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bg = positional_shingle_hashes(
+            batch_df, id_col, text_col, n
+        ).localCheckpoint()  # consumed by counts merge + span join + hits
+        batch_counts = (
+            bg.select("h", id_col)
+            .distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        )
+        prev = snapshot_before(spark, counts_dir, epoch_id).select("h", "n_docs")
+        merged = (
+            prev.union(batch_counts)
+            .groupBy("h")
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+            .localCheckpoint()  # materialize BEFORE the snapshot write and
+            # the span join: both consume it, and on retry the write path
+            # must not read a plan that references its own output dir.
+        )
+        dup = merged.filter(F.col("n_docs") >= min_docs).select("h")
+        hits = bg.join(dup, "h").select(F.col(id_col), F.col("pos"))
+        spans = merge_hit_spans(hits, id_col, n)
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(spans, spans_dir, epoch_id)
+        else:
+            spans.write.mode("append").parquet(spans_dir)
+        snapshot_overwrite(merged, counts_dir, version=epoch_id)
+
+    return _process

@@ -476,3 +476,26 @@ def test_duplicate_spans_semantics(spark):
     assert sorted(by_doc[1]) == [(0, 6, 2), (11, 17, 2)]
     # doc 2: one span over tokens 2..8
     assert by_doc[2] == [(2, 8, 2)]
+
+
+def test_excise_spans_edges(spark):
+    """Full-doc excision yields empty clean_text; span-free docs pass
+    through untouched; counts reconcile with token totals."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        duplicate_spans,
+        excise_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"          # exactly 5 tokens
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, f"keep {shared} keep2"),
+         (4, "independent text with no twin")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+    out = {r.doc_id: r for r in excise_spans(docs, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 5
+    assert out[2].clean_text == "" and out[2].n_removed == 5
+    assert out[3].clean_text == "keep keep2" and out[3].n_removed == 5
+    assert out[4].clean_text == "independent text with no twin"
+    assert out[4].n_removed == 0

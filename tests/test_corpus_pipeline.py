@@ -164,7 +164,7 @@ def test_full_pipeline_conditions_and_flow(spark):
     assert "url_dedup" in logged  # skipped (no url column) but logged
     skipped = [e for e in ctx.execution_log if e.get("skipped")]
     assert {e["processor"] for e in skipped} == {
-        "url_dedup", "boilerplate_filter", "shuffle_shards"
+        "url_dedup", "boilerplate_filter", "shuffle_shards", "span_excise"
     }
 
 
@@ -173,7 +173,8 @@ def test_full_pipeline_skips_decontamination_without_benchmark(spark):
     ctx = run_corpus_prep(docs)
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
     assert skipped == {
-        "url_dedup", "decontamination", "boilerplate_filter", "shuffle_shards"
+        "url_dedup", "decontamination", "boilerplate_filter", "shuffle_shards",
+        "span_excise",
     }
     assert ctx.raw_data.count() == 1
 
@@ -236,7 +237,41 @@ def test_full_pipeline_with_boilerplate_and_shards(spark):
     docs = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
     ctx = run_corpus_prep(docs, max_boiler_frac=0.9, n_shards=2)
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
-    assert skipped == {"url_dedup", "decontamination"}
+    assert skipped == {"url_dedup", "decontamination", "span_excise"}
     rows = ctx.raw_data.collect()
     assert sorted(r.doc_id for r in rows) == [1, 2]
     assert all(r.shard in (0, 1) and r.pos == 0 or r.pos >= 0 for r in rows)
+
+
+def test_span_excise_step(spark):
+    from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+        SpanExciseStep,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} own words here", "web", 40),
+            (2, f"intro {shared} outro", "web", 40),
+            (3, "completely unrelated content stands alone", "web", 40),
+        ],
+    )
+    ctx = SpanExciseStep(COLS, n=5)(_ctx(docs))
+    by_id = {r.doc_id: r.text for r in ctx.raw_data.collect()}
+    assert by_id[1] == "own words here"
+    assert by_id[2] == "intro outro"
+    assert by_id[3] == "completely unrelated content stands alone"
+    removed = {r.doc_id: r.n_removed
+               for r in ctx.processed_data["corpus.spans"].collect()}
+    assert removed == {1: 6, 2: 6, 3: 0}
+
+
+def test_span_excise_condition_in_pipeline(spark):
+    """span_excise runs iff span_excise_n is set — the same conditional
+    contract as the other optional steps."""
+    docs = _docs(spark, [(1, GOOD, "web", 120), (2, GOOD2, "web", 120)])
+    ctx_off = build_corpus_pipeline(quota_n=None).run(_ctx(docs))
+    assert "corpus.spans" not in ctx_off.processed_data
+    ctx_on = build_corpus_pipeline(quota_n=None, span_excise_n=5).run(_ctx(docs))
+    assert "corpus.spans" in ctx_on.processed_data

@@ -195,3 +195,91 @@ def test_boilerplate_frac_bounds(spark, texts, min_docs):
     for r in rows:
         assert 0 <= r.n_boiler <= r.n_grams
         assert 0.0 <= r.boiler_frac <= 1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(-9, 9)),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(1, 5),
+    buckets=st.integers(2, 7),
+)
+@SLOW
+def test_two_phase_rank_equals_single_window(spark, rows, k, buckets):
+    """The salted two-phase top-k must be BIT-IDENTICAL to the plain
+    per-partition row_number window for any salt bucket count — the
+    property the de-skewed similarity ranks rely on. Duplicate ids are
+    deduped first so the order (score desc, id asc) is total."""
+    from pyspark.sql import Window
+
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        _two_phase_rank,
+    )
+
+    df = (
+        spark.createDataFrame(rows, "q int, nid int, score int")
+        .dropDuplicates(["q", "nid"])
+    )
+    order = [F.col("score").desc(), F.col("nid").asc()]
+    got = {
+        (r.q, r.nid, r["rank"])
+        for r in _two_phase_rank(
+            df, "q", order, F.col("nid"), k, salt_buckets=buckets
+        ).collect()
+    }
+    w = Window.partitionBy("q").orderBy(*order)
+    want = {
+        (r.q, r.nid, r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+@SLOW
+def test_duplicate_spans_invariants(spark, docs, n):
+    """Spans are per-doc disjoint, ordered, at least n tokens wide, and
+    every span's grams genuinely occur in >= 2 distinct documents."""
+    from meshinsights_data_pipeline_spark.operators.corpus import duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", n=n, min_docs=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # cross-doc shared-gram ground truth in plain Python
+    grams_by_doc = {
+        i: {
+            " ".join(toks[j : j + n])
+            for j in range(len(toks) - n + 1)
+        } | ({" ".join(toks)} if len(toks) < n else set())
+        for i, toks in enumerate(docs)
+    }
+    shared = {
+        g
+        for i, gs in grams_by_doc.items()
+        for g in gs
+        if sum(g in o for o in grams_by_doc.values()) >= 2
+    }
+    for i, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # disjoint, non-adjacent (adjacent would merge)
+        for s, e in spans:
+            assert e - s >= n
+    # a doc has spans iff it holds at least one cross-doc shared gram
+    docs_with_spans = set(by_doc)
+    docs_with_shared = {i for i, gs in grams_by_doc.items() if gs & shared}
+    assert docs_with_spans == docs_with_shared

@@ -548,3 +548,93 @@ def test_streaming_weekly_active_users_parity(spark, bounded_stream_dir, tmp_pat
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_streaming_span_ingest_forward_parity(spark, tmp_path):
+    """Docs constructed so sharing is strictly backward (each later doc
+    shares a phrase only with an earlier one): streamed in arrival order,
+    the emitted spans for later-arriving docs are bit-identical to the
+    batch operator restricted to those docs, and nothing is emitted for
+    a doc before its duplicate partner exists."""
+    from meshinsights_data_pipeline_spark.operators.corpus import duplicate_spans
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import streaming_span_ingest
+
+    phrase_a = "alpha beta gamma delta epsilon zeta eta"
+    phrase_b = "one two three four five six"
+    b1 = spark.createDataFrame(
+        [(1, f"{phrase_a} filler text here"), (2, f"intro {phrase_b} outro words")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, f"prefix {phrase_a} suffix"), (4, f"{phrase_b} trailing stuff")],
+        "doc_id long, text string",
+    )
+    counts_dir = str(tmp_path / "counts")
+    spans_dir = str(tmp_path / "spans")
+    snapshot_overwrite(
+        spark.createDataFrame([], "h long, n_docs long"), counts_dir, version=-1
+    )
+    process = streaming_span_ingest(
+        b1, "doc_id", "text", counts_dir=counts_dir, spans_dir=spans_dir
+    )
+    process(b1, 0)
+    process(b2, 1)
+
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.dup_grams)
+        for r in spark.read.parquet(spans_dir).collect()
+    )
+    full = duplicate_spans(
+        b1.union(b2), "doc_id", "text", n=5, min_docs=2
+    ).collect()
+    want = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.dup_grams)
+        for r in full
+        if r.doc_id in (3, 4)  # batch-1 docs pre-date their partners
+    )
+    assert len(got) > 0
+    assert got == want
+    assert all(d in (3, 4) for d, *_ in got)
+
+
+def test_span_ingest_retry_does_not_double_count(spark, tmp_path):
+    """A retried micro-batch (same epoch id) must not double the gram
+    counts: with min_docs=2, a doc whose grams appear once would wrongly
+    become its own duplicate if the retry re-merged into its own earlier
+    snapshot. With idempotent=True the span log is also replaced, not
+    appended."""
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        latest_snapshot,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_span_ingest
+
+    doc = spark.createDataFrame(
+        [(1, "unique phrase never repeated anywhere else at all")],
+        "doc_id long, text string",
+    )
+    counts_dir = str(tmp_path / "counts")
+    spans_dir = str(tmp_path / "spans")
+    snapshot_overwrite(
+        spark.createDataFrame([], "h long, n_docs long"), counts_dir, version=-1
+    )
+    process = streaming_span_ingest(
+        doc, "doc_id", "text", counts_dir=counts_dir, spans_dir=spans_dir,
+        idempotent=True,
+    )
+    process(doc, 0)
+    counts1 = sorted(
+        (r.h, r.n_docs) for r in latest_snapshot(spark, counts_dir).collect()
+    )
+    process(doc, 0)  # simulated retry
+    counts2 = sorted(
+        (r.h, r.n_docs) for r in latest_snapshot(spark, counts_dir).collect()
+    )
+    assert counts1 == counts2
+    assert all(nd == 1 for _, nd in counts2)  # never self-duplicated
+    # no span rows, even after the retry (an all-empty epoch write leaves
+    # no data files at all)
+    import glob
+
+    assert not glob.glob(f"{spans_dir}/**/*.parquet", recursive=True)
