@@ -1,7 +1,8 @@
 """t2-style correctness: every declared query hash-matches its DuckDB oracle.
 
-Runs at sf0.001 by default for speed (the driver runs sf0.01); set
-SPARK_GRAFT_T2_DIR=/root/testdata/sf0.01 to replicate the driver's tier.
+Runs at sf0.01 by default — the SAME tier the external driver checks, so a
+local green run is the driver's signal (set SPARK_GRAFT_T2_DIR to
+/root/testdata/sf0.001 for a faster smoke tier).
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ from meshinsights_data_pipeline_spark.plans.queries import QUERIES
 from tests.oracle_harness import compare
 
 ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
-T2_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.001")
+T2_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
