@@ -310,6 +310,64 @@ def kmeans_update(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Train a centroid set by iterating :func:`kmeans_update` to
+    convergence — the codebook producer for the fixed-centroid operators
+    (ivf_topk / write_ivf_index, semantic_dedup_pairs; swap into pq via
+    ``_deterministic_codebooks``'s replacement point).
+
+    Init is deterministic (the ``k`` lowest-id vectors — the same
+    convention the x15/x38 oracles pin), so the whole fit is a pure
+    function of the input. Stops when the max absolute per-dimension
+    centroid movement is <= ``tol`` or after ``max_iter`` rounds (Lloyd
+    monotonically decreases distortion, so stopping early yields a valid,
+    just coarser, codebook — no failure mode to raise on).
+
+    Loop shape: each round is one corpus scan + the tiny centroid
+    re-estimation (see kmeans_update); the centroid frame is
+    localCheckpointed per round (|k| x dim rows) so lineage stays flat,
+    and the convergence check is a |k|-row collect — a gating scalar, the
+    same deliberate job boundary as components' convergence count.
+    """
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid_vec"
+            ),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        new_c = kmeans_update(df, centroids, id_col, vec_col).localCheckpoint()
+        shift = (
+            centroids.select("centroid_id", F.col("centroid_vec").alias("_o"))
+            .join(new_c, "centroid_id")
+            .select(
+                F.array_max(
+                    F.zip_with(
+                        F.col("_o"), F.col("centroid_vec"), lambda a, b: F.abs(a - b)
+                    )
+                ).alias("_d")
+            )
+            .agg(F.max("_d").alias("_m"))
+            .first()["_m"]
+        )
+        centroids = new_c
+        if shift is not None and shift <= tol:
+            break
+    return centroids
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     centroids: DataFrame,

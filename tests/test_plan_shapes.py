@@ -152,3 +152,31 @@ def test_semantic_dedup_cap_shards_pathological_cluster(spark):
         assert r.id_a % n_shards == r.id_b % n_shards  # never cross-shard
     # every shard contributes: 8 rows per shard -> C(8,2)=28 pairs each
     assert len(pairs) == n_shards * 28
+
+
+def test_kmeans_fit_trains_usable_codebook(spark):
+    """kmeans_fit converges on separable blobs: trained centroids assign
+    each blob's members to one cluster, and the fit is deterministic
+    (pure function of the input)."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    # two tight blobs around orthogonal axes + slight per-point jitter
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0, 0.0, 0.0]) for i in range(6)] + [
+        (10 + i, [0.0, 0.0, 10.0 + (i % 3) * 0.1, 0.0]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = kmeans_fit(emb, k=2, max_iter=5)
+    got = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(emb, c1, "vec_id", "embedding").collect()
+    }
+    blob_a = {got[i] for i in range(6)}
+    blob_b = {got[10 + i] for i in range(6)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    c2 = kmeans_fit(emb, k=2, max_iter=5)
+    v1 = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c1.collect())
+    v2 = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c2.collect())
+    assert v1 == v2  # deterministic
