@@ -202,13 +202,17 @@ class SpanExciseStep(CorpusStep):
     spans whose word-n-grams recur across >= min_docs distinct documents.
     Runs AFTER doc-level dedup on purpose — whole duplicates are already
     collapsed, so what's cut here is the partial overlap (boilerplate
-    passages, quoted blocks) document-level dedup cannot touch. Rewrites
-    the text column with its NORMALIZED excised form (the detector's
-    offsets are over normalized text) and stashes per-doc removal counts
-    as "corpus.spans"."""
+    passages, quoted blocks) document-level dedup cannot touch. Docs that
+    lose a span get the NORMALIZED excised text (the detector's offsets
+    are over normalized text — normalization is not offset-preserving,
+    so the original form cannot be reconstructed around a cut); docs
+    with nothing to cut keep their ORIGINAL text untouched. Per-doc
+    removal counts stash as "corpus.spans"."""
 
     def __init__(self, cols: CorpusColumns, n: int = 5, min_docs: int = 2, **kw):
         super().__init__(cols, name="span_excise", **kw)
+        if n < 1:
+            raise ValueError(f"span_excise n must be >= 1, got {n}")
         self.n = n
         self.min_docs = min_docs
 
@@ -221,12 +225,19 @@ class SpanExciseStep(CorpusStep):
         context.processed_data["corpus.spans"] = cleaned.select(
             self.cols.id, "n_removed"
         )
-        context.raw_data = docs.drop(self.cols.text).join(
-            cleaned.select(
-                self.cols.id, F.col("clean_text").alias(self.cols.text)
+        # Only docs that actually lost a span take the (normalized)
+        # excised text; untouched docs keep their ORIGINAL text — a
+        # corpus-wide rewrite to normalized form for n_removed=0 rows
+        # would silently strip casing/punctuation from training text the
+        # step had no reason to touch.
+        context.raw_data = docs.join(
+            cleaned.select(self.cols.id, "clean_text", "n_removed"), self.cols.id
+        ).withColumn(
+            self.cols.text,
+            F.when(F.col("n_removed") > 0, F.col("clean_text")).otherwise(
+                F.col(self.cols.text)
             ),
-            self.cols.id,
-        )
+        ).drop("clean_text", "n_removed")
         self._record(context)
         return context
 
@@ -433,7 +444,13 @@ def build_corpus_pipeline(
                 cols, threshold=neardup_threshold, algorithm=neardup_algorithm
             ),
             SpanExciseStep(
-                cols, n=span_excise_n or 5, min_docs=span_min_docs
+                # `or 5` would silently turn an explicit 0 into 5 while
+                # the is-not-None condition still enables the step; the
+                # explicit form routes 0 to SpanExciseStep's own n >= 1
+                # validation, which fails loudly at build time.
+                cols,
+                n=5 if span_excise_n is None else span_excise_n,
+                min_docs=span_min_docs,
             ),
             DecontaminationStep(
                 cols,

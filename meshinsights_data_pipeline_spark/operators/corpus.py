@@ -165,7 +165,9 @@ def duplicate_spans(
     pass, two readers) is what matters, same trade as
     similarity.semantic_dedup_pairs' assignment frame.
     """
-    sh = positional_shingle_hashes(df, id_col, text_col, n).localCheckpoint()
+    sh = positional_shingle_hashes(df, id_col, text_col, n).localCheckpoint(
+        eager=False  # materializes at the first action, not at build time
+    )
     dup = (
         sh.select("h", id_col)
         .distinct()

@@ -100,13 +100,18 @@ def decode_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf[payload_col].map(_decode_image)
+            # payload is nullable in MEDIA_SCHEMA: an image row with a
+            # NULL payload null-fills its dims instead of crashing the
+            # task (io.BytesIO(None) would raise TypeError).
+            decoded = pdf[payload_col].map(
+                lambda p: None if p is None else _decode_image(p)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "dec_width": decoded.map(lambda im: im.width),
-                    "dec_height": decoded.map(lambda im: im.height),
-                    "dec_mode": decoded.map(lambda im: im.mode),
+                    "dec_width": decoded.map(lambda im: None if im is None else im.width),
+                    "dec_height": decoded.map(lambda im: None if im is None else im.height),
+                    "dec_mode": decoded.map(lambda im: None if im is None else im.mode),
                 }
             )
 

@@ -421,15 +421,29 @@ def semantic_dedup_pairs(
     if max_cluster_size:
         # Per-cluster shard count from the checkpointed assignment (one
         # cluster-cardinality agg, broadcast back): cluster of n rows ->
-        # ceil(n / max_cluster_size) shards, row -> shard id % n_shards.
-        # Deterministic (no RNG) so the DuckDB oracle mirrors it exactly.
+        # ceil(n / max_cluster_size) shards, row -> shard
+        # md5_int60(id) % n_shards. The shard key is a HASH of the id,
+        # not the raw id: `id % n_shards` would (a) be NULL for
+        # non-numeric ids (NULL join keys match nothing -> silently zero
+        # pairs), (b) guarantee consecutively-ingested ids land in
+        # different shards — systematically dropping the most common
+        # near-dup pattern instead of the ~1/s a uniform salt costs —
+        # and (c) collapse residue-clustered ids into one shard,
+        # defeating the cap. md5 over the id-as-string is deterministic
+        # and mirrored exactly by the DuckDB oracle (same hash the dedup
+        # family shares, operators/dedup.md5_int60).
+        from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
+
         shards = vec.groupBy("list_id").agg(
             F.ceil(F.count(F.lit(1)) / F.lit(max_cluster_size))
             .cast("bigint")
             .alias("_nsh")
         )
         vec = vec.join(F.broadcast(shards), "list_id").withColumn(
-            "_shard", (F.col("v_id") % F.col("_nsh")).cast("bigint")
+            "_shard",
+            F.pmod(md5_int60(F.col("v_id").cast("string")), F.col("_nsh")).cast(
+                "bigint"
+            ),
         )
         pair_keys = ["list_id", "_shard"]
     a = vec.select(
@@ -872,12 +886,16 @@ def pq_topk(
     books = _deterministic_codebooks(dim, m, ks, seed)
     n = next(_PQ_VIEW_SEQ)
     e_view, q_view = f"_pq_codes_{n}", f"_pq_queries_{n}"
-    # Encode ONCE and localCheckpoint the codes: the encode tree is ~10k
-    # expression nodes, and carrying it into the top-k statement makes the
-    # optimizer re-cost it per consumer. Checkpointing pins the compact
-    # codes (the whole point of PQ at scale: corpus state ~dim/m/4 of raw)
-    # and leaves the search statement a small table-lookup plan. Same
-    # measured pattern as semantic_dedup's assignment checkpoint.
+    # Encode ONCE and EAGERLY localCheckpoint the codes: the encode tree
+    # is ~10k expression nodes, and only an eager checkpoint hides it
+    # behind a resolved RDD scan — measured: eager=False leaves the full
+    # tree visible to the search statement's analysis/optimization and
+    # costs ~1s/call MORE than eager (4.5s vs 3.5s warm at sf0.1), so the
+    # documented trade is: BUILDING a pq_topk frame runs the corpus
+    # encode job immediately, even if the frame is never executed. The
+    # checkpointed codes RDD is released when the returned frame is
+    # garbage-collected; per-micro-batch callers should drop references
+    # between batches.
     pq_encode(corpus, id_col, vec_col, dim, m, ks, seed).localCheckpoint(
     ).createOrReplaceTempView(e_view)
     queries.createOrReplaceTempView(q_view)

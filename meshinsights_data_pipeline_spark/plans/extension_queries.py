@@ -1579,7 +1579,9 @@ sizes AS (
     FROM v GROUP BY list_id
 ),
 vs AS (
-    SELECT v.vec_id, v.list_id, v.v, v.vec_id % s.nsh AS shard
+    SELECT v.vec_id, v.list_id, v.v,
+           (('0x' || substring(md5(CAST(v.vec_id AS VARCHAR)), 1, 15))::BIGINT
+            % s.nsh) AS shard
     FROM v JOIN sizes s USING (list_id)
 ),
 pairs AS (

@@ -1135,11 +1135,14 @@ _DRIVER_WINDOW_R5 = [
     "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
     "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
     "x47_length_ranks",
-    # 17 load-bearing re-checks (driver-green in r4; several touched this
+    # the 7 queries ADDED this round — equally never driver-checked, so
+    # they take window slots ahead of re-checks
+    "q37", "q38", "q39", "q40", "q41", "x48_duplicate_spans",
+    "x49_span_excision",
+    # 10 load-bearing re-checks (driver-green in r4; several touched this
     # round by the two-phase top-k / skew-cap work, so re-verify)
-    "q09", "q10", "q14", "q15", "q21", "q22", "q25", "q26", "q34", "q35",
-    "q36", "x01_exact_dedup", "x02_minhash_signatures",
-    "x03_minhash_lsh_pairs", "x05_simhash", "x06_cosine_topk",
+    "q10", "q15", "q25", "q26", "q34", "x01_exact_dedup",
+    "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x06_cosine_topk",
     "x11_minhash_dedup_pairs",
 ]
 

@@ -236,6 +236,15 @@ def _check_identifier(name: str) -> str:
 _PLACEHOLDER = {"mysql": "%s", "sqlite": "?"}
 
 
+def _dialect_placeholder(dialect: str) -> str:
+    if dialect not in _PLACEHOLDER:
+        raise ValueError(
+            f"unsupported DML dialect {dialect!r}; "
+            f"supported: {sorted(_PLACEHOLDER)}"
+        )
+    return _PLACEHOLDER[dialect]
+
+
 def update_sql(
     table: str, key_cols: list[str], value_cols: list[str], dialect: str = "mysql"
 ) -> str:
@@ -243,7 +252,7 @@ def update_sql(
     dialect paramstyle; mysql pyformat is what the reference uses)."""
     if not key_cols or not value_cols:
         raise ValueError("update_sql needs both key_cols and value_cols")
-    ph = _PLACEHOLDER[dialect]
+    ph = _dialect_placeholder(dialect)
     sets = ", ".join(f"{_check_identifier(c)} = {ph}" for c in value_cols)
     where = " AND ".join(f"{_check_identifier(c)} = {ph}" for c in key_cols)
     return f"UPDATE {_check_identifier(table)} SET {sets} WHERE {where}"
@@ -257,7 +266,7 @@ def upsert_sql(
     if not key_cols or not value_cols:
         raise ValueError("upsert_sql needs both key_cols and value_cols")
     cols = [_check_identifier(c) for c in list(key_cols) + list(value_cols)]
-    ph = _PLACEHOLDER[dialect]
+    ph = _dialect_placeholder(dialect)
     placeholders = ", ".join(ph for _ in cols)
     head = (
         f"INSERT INTO {_check_identifier(table)} ({', '.join(cols)}) "

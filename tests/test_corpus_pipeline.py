@@ -254,17 +254,24 @@ def test_span_excise_step(spark):
         [
             (1, f"{shared} own words here", "web", 40),
             (2, f"intro {shared} outro", "web", 40),
-            (3, "completely unrelated content stands alone", "web", 40),
+            (3, "Completely UNRELATED content, stands alone!", "web", 40),
         ],
     )
     ctx = SpanExciseStep(COLS, n=5)(_ctx(docs))
     by_id = {r.doc_id: r.text for r in ctx.raw_data.collect()}
     assert by_id[1] == "own words here"
     assert by_id[2] == "intro outro"
-    assert by_id[3] == "completely unrelated content stands alone"
+    # a doc with nothing to cut keeps its ORIGINAL text — casing and
+    # punctuation intact, not the normalized form
+    assert by_id[3] == "Completely UNRELATED content, stands alone!"
     removed = {r.doc_id: r.n_removed
                for r in ctx.processed_data["corpus.spans"].collect()}
     assert removed == {1: 6, 2: 6, 3: 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="span_excise n"):
+        SpanExciseStep(COLS, n=0)
 
 
 def test_span_excise_condition_in_pipeline(spark):

@@ -490,10 +490,13 @@ def test_image_decode_real_with_pil(spark):
     buf = io.BytesIO()
     Image.new("RGB", (12, 7)).save(buf, format="PNG")
     df = spark.createDataFrame(
-        [("img1", "image", buf.getvalue()), ("aud1", "audio", None)],
+        [("img1", "image", buf.getvalue()), ("aud1", "audio", None),
+         ("img2", "image", None)],  # NULL payload on an image row is legal
         "media_id string, modality string, payload binary",
     )
     rows = {r["media_id"]: r for r in M.decode_image_dims(df).collect()}
-    assert list(rows) == ["img1"]  # audio rows filtered out
+    assert sorted(rows) == ["img1", "img2"]  # audio rows filtered out
     assert (rows["img1"]["dec_width"], rows["img1"]["dec_height"]) == (12, 7)
     assert rows["img1"]["dec_mode"] == "RGB"
+    # NULL payload null-fills instead of crashing the task
+    assert rows["img2"]["dec_width"] is None and rows["img2"]["dec_mode"] is None

@@ -147,11 +147,22 @@ def test_semantic_dedup_cap_shards_pathological_cluster(spark):
         emb, cents, threshold=0.0, max_cluster_size=8
     ).collect()
     n_shards = 64 // 8
+
+    def shard(i):  # mirror of the operator's md5_int60(id) % n_shards
+        import hashlib
+
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % n_shards
+
     assert pairs  # within-shard pairs exist
     for r in pairs:
-        assert r.id_a % n_shards == r.id_b % n_shards  # never cross-shard
-    # every shard contributes: 8 rows per shard -> C(8,2)=28 pairs each
-    assert len(pairs) == n_shards * 28
+        assert shard(r.id_a) == shard(r.id_b)  # never cross-shard
+    # the pathological cluster spreads over every shard, and the pair
+    # count is exactly sum-over-shards of C(|shard|, 2)
+    from collections import Counter
+
+    sizes = Counter(shard(i) for i in range(64))
+    assert len(sizes) == n_shards
+    assert len(pairs) == sum(c * (c - 1) // 2 for c in sizes.values())
 
 
 def test_kmeans_fit_trains_usable_codebook(spark):

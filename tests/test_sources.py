@@ -380,3 +380,15 @@ def test_jdbc_dml_executes_against_real_database(spark, tmp_path):
         (3, 30.0, "u3"),
         (4, 40.0, "m4"),
     ]
+
+
+def test_dml_sql_rejects_unknown_dialect():
+    from meshinsights_data_pipeline_spark.sources.factories import (
+        update_sql,
+        upsert_sql,
+    )
+
+    with pytest.raises(ValueError, match="unsupported DML dialect"):
+        update_sql("t", ["id"], ["v"], dialect="postgres")
+    with pytest.raises(ValueError, match="unsupported DML dialect"):
+        upsert_sql("t", ["id"], ["v"], dialect="postgres")
