@@ -35,6 +35,7 @@ from meshinsights_data_pipeline_spark.operators.components import dedup_survivor
 from meshinsights_data_pipeline_spark.operators.corpus import (
     chunk_documents,
     contamination_check,
+    corpus_report,
     duplicate_spans,
     excise_spans,
     gopher_quality,
@@ -238,6 +239,24 @@ class SpanExciseStep(CorpusStep):
                 F.col(self.cols.text)
             ),
         ).drop("clean_text", "n_removed")
+        self._record(context)
+        return context
+
+
+class CorpusReportStep(CorpusStep):
+    """Stash the per-source dataset report card (corpus.corpus_report) as
+    "corpus.report" over the SURVIVING documents — the summary a dataset
+    card publishes after curation. Pure stash: raw_data flows through
+    untouched and the report frame stays lazy (no action here), so the
+    step is free unless the report is actually consumed."""
+
+    def __init__(self, cols: CorpusColumns, **kw):
+        super().__init__(cols, name="corpus_report", **kw)
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        context.processed_data["corpus.report"] = corpus_report(
+            context.raw_data, self.cols.source, self.cols.id, self.cols.text
+        )
         self._record(context)
         return context
 
@@ -461,6 +480,7 @@ def build_corpus_pipeline(
             QuotaSampleStep(cols, n=quota_n or 0, salt_buckets=quota_salt_buckets),
             DatasetSplitStep(cols, weights=split_weights),
             ShuffleShardsStep(cols, n_shards=n_shards or 0, seed=shard_seed),
+            CorpusReportStep(cols),
             ChunkDocumentsStep(cols, chunk_tokens=chunk_tokens),
         ],
         conditions={

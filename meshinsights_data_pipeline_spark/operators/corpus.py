@@ -249,6 +249,65 @@ def excise_spans(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source dataset report card — the summary table a training-data
+    card publishes: [source, n_docs, total_tokens, avg_tokens,
+    mean_quality, n_distinct, dup_frac]. ONE aggregation pass over the
+    corpus: token counts, the composite quality score and the exact-dedup
+    fingerprint are all map-side expressions feeding a single
+    groupBy(source).
+
+    Cross-engine numeric discipline (same as the declared q-set): counts
+    and token totals are integer-exact; mean_quality sums the per-doc
+    ROUNDED quality in exact DECIMAL (a float sum is
+    partition-order-dependent) and divides once in double; ratios are one
+    IEEE division of exact integers.
+    """
+    from meshinsights_data_pipeline_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("bigint").alias("_tok"),
+        F.round(quality_score(text_col), 6).cast("decimal(18,6)").alias("_q"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("total_tokens"),
+            F.sum("_q").alias("_sq"),
+            F.countDistinct("_fp").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "avg_tokens"
+            ),
+            F.round(F.col("_sq").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_quality"
+            ),
+            "n_distinct",
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -2087,6 +2087,59 @@ ORDER BY t.doc_id
 """
 
 
+def x50_corpus_report(spark: SparkSession, sf_dir: str):
+    """Per-source dataset report card (corpus.corpus_report): doc count,
+    exact token totals, DECIMAL-summed mean quality, exact-dedup distinct
+    fingerprints and duplicate fraction — the one-pass summary a training
+    dataset card publishes. Oracle mirrors x08's token/quality exprs plus
+    the md5-of-normalized-text fingerprint per source."""
+    from meshinsights_data_pipeline_spark.operators.corpus import corpus_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_report(docs, "source", "doc_id", "text").orderBy("source")
+
+
+_X50_NORM = _NORM_SQL.format(col="text")
+X50_SQL = f"""
+WITH base AS (
+    SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+                     / length(text) END AS punct_ratio,
+           CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t IN ({_STOP_LIST}))) * 1.0
+                     / len(string_split_regex(lower(trim(text)), '\\s+')) END AS stopword_ratio,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+                ELSE list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                             t -> length(t))) * 1.0
+                     / len(string_split_regex(trim(text), '\\s+')) END AS mwl,
+           md5({_X50_NORM}) AS fp
+    FROM documents
+),
+scored AS (
+    SELECT source, n_tokens, fp,
+           CAST(ROUND((
+               LEAST(n_tokens / 50.0, 1.0)
+             + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+             + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
+             + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END)
+           ) / 4.0, 6) AS DECIMAL(18,6)) AS q
+    FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_frac
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2137,4 +2190,5 @@ EXTENSION_BUILDERS = {
     "x47_length_ranks": (x47_length_ranks, X47_SQL),
     "x48_duplicate_spans": (x48_duplicate_spans, X48_SQL),
     "x49_span_excision": (x49_span_excision, X49_SQL),
+    "x50_corpus_report": (x50_corpus_report, X50_SQL),
 }

@@ -1138,10 +1138,10 @@ _DRIVER_WINDOW_R5 = [
     # the 7 queries ADDED this round — equally never driver-checked, so
     # they take window slots ahead of re-checks
     "q37", "q38", "q39", "q40", "q41", "x48_duplicate_spans",
-    "x49_span_excision",
+    "x49_span_excision", "x50_corpus_report",
     # 10 load-bearing re-checks (driver-green in r4; several touched this
     # round by the two-phase top-k / skew-cap work, so re-verify)
-    "q10", "q15", "q25", "q26", "q34", "x01_exact_dedup",
+    "q15", "q25", "q26", "q34", "x01_exact_dedup",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x06_cosine_topk",
     "x11_minhash_dedup_pairs",
 ]

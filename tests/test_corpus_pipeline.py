@@ -282,3 +282,22 @@ def test_span_excise_condition_in_pipeline(spark):
     assert "corpus.spans" not in ctx_off.processed_data
     ctx_on = build_corpus_pipeline(quota_n=None, span_excise_n=5).run(_ctx(docs))
     assert "corpus.spans" in ctx_on.processed_data
+
+
+def test_corpus_report_step(spark):
+    from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+        CorpusReportStep,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, GOOD, "s0", 100), (2, GOOD, "s0", 100), (3, GOOD2, "s1", 90)],
+    )
+    ctx = CorpusReportStep(COLS)(_ctx(docs))
+    rep = {r.source: r for r in ctx.processed_data["corpus.report"].collect()}
+    assert rep["s0"].n_docs == 2 and rep["s0"].n_distinct == 1
+    assert rep["s0"].dup_frac == 0.5
+    assert rep["s1"].n_docs == 1 and rep["s1"].dup_frac == 0.0
+    assert rep["s0"].total_tokens == 50  # 25 tokens x 2 docs
+    # raw_data flows through untouched
+    assert ctx.raw_data.count() == 3
