@@ -231,14 +231,16 @@ class SpanExciseStep(CorpusStep):
         # corpus-wide rewrite to normalized form for n_removed=0 rows
         # would silently strip casing/punctuation from training text the
         # step had no reason to touch.
-        context.raw_data = docs.join(
-            cleaned.select(self.cols.id, "clean_text", "n_removed"), self.cols.id
-        ).withColumn(
+        # Join ONLY the affected rows (n_removed > 0): shipping the full
+        # normalized clean_text for every doc would ~double the shuffled
+        # text bytes for the usually-tiny excised fraction.
+        touched = cleaned.filter(F.col("n_removed") > 0).select(
+            self.cols.id, "clean_text"
+        )
+        context.raw_data = docs.join(touched, self.cols.id, "left").withColumn(
             self.cols.text,
-            F.when(F.col("n_removed") > 0, F.col("clean_text")).otherwise(
-                F.col(self.cols.text)
-            ),
-        ).drop("clean_text", "n_removed")
+            F.coalesce(F.col("clean_text"), F.col(self.cols.text)),
+        ).drop("clean_text")
         self._record(context)
         return context
 
@@ -252,6 +254,9 @@ class CorpusReportStep(CorpusStep):
 
     def __init__(self, cols: CorpusColumns, **kw):
         super().__init__(cols, name="corpus_report", **kw)
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.id, self.cols.text, self.cols.source]
 
     def process(self, context: PipelineContext) -> PipelineContext:
         context.processed_data["corpus.report"] = corpus_report(

@@ -69,14 +69,24 @@ def positional_shingle_hashes(
     0-based over the shingle sequence (duplicates kept — winnowing needs
     the positional sequence, unlike the distinct set in
     dedup.shingle_hashes). Docs with fewer than n tokens contribute the
-    whole normalized text as their single position-0 shingle.
+    whole normalized text as their single position-0 shingle. ``n=1``
+    degenerates to per-token hashes (no lead window needed); ``n < 1``
+    raises.
     """
+    if n < 1:
+        raise ValueError(f"shingle width n must be >= 1, got {n}")
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
             "pos", "tok"
         ),
     )
+    if n == 1:
+        return toks.select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            md5_int60(F.col("tok")).alias("h"),
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
     grams = (
@@ -277,7 +287,7 @@ def corpus_report(
     per_doc = df.select(
         F.col(source_col).alias("source"),
         token_count(text_col).cast("bigint").alias("_tok"),
-        F.round(quality_score(text_col), 6).cast("decimal(18,6)").alias("_q"),
+        quality_score(text_col).cast("decimal(18,6)").alias("_q"),  # already round-6
         fingerprint(F.col(text_col)).alias("_fp"),
     )
     n = F.count(F.lit(1)).cast("bigint")

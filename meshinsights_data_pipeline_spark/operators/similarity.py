@@ -393,7 +393,9 @@ def semantic_dedup_pairs(
     table and assignment is map-side. The known failure mode is a skewed
     (huge) cluster whose |c|^2 pair space lands in a handful of tasks:
     ``max_cluster_size`` caps it by deterministically sharding any cluster
-    of n rows into ceil(n / max_cluster_size) shards on ``id %% n_shards``
+    of n rows into ceil(n / max_cluster_size) shards on
+    ``md5_int60(id) %% n_shards`` (a HASH of the id — see the inline
+    comment for why raw id-modulo is wrong)
     and pairing only WITHIN a shard — the paper's fixed-size cluster
     shards (Abbas et al. §3: dedup within shards of a cluster). The
     explicit recall trade: a pair split across shards of the same cluster

@@ -1547,7 +1547,8 @@ def x38_semantic_dedup(spark: SparkSession, sf_dir: str):
     Threshold 0.4 for the same reason as x07: the synthetic embeddings top
     out near cosine 0.51, so 0.4 yields a non-degenerate result.
     max_cluster_size=16 activates the skew cap (clusters here run ~31
-    rows, so every cluster shards into >= 2 deterministic id%%n_shards
+    rows, so every cluster shards into >= 2 deterministic
+    md5_int60(id)%%n_shards
     shards) — the capped path is what the oracle verifies."""
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 16).select(

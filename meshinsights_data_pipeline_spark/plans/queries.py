@@ -1119,8 +1119,10 @@ _register_extensions()
 # q01..q36 + x01..x14 first, so x15-x47 (33 queries) never received a
 # driver-side correctness row (they pass the local DuckDB oracle harness in
 # tests/test_queries_oracle.py). Rotate for round 5: the 33 never-checked
-# entries first, then the 17 most load-bearing previously-green queries to
-# round out the 50-slot window, then everything else. Rotation does not
+# entries first, the queries ADDED this round next (equally never
+# driver-checked), then load-bearing previously-green re-checks to round
+# out the 50-slot window, then everything else. _rotate_for_driver
+# validates membership; keep the list at EXACTLY 50 names. Rotation does not
 # change any query; it only reorders the dict.
 _DRIVER_WINDOW_R5 = [
     # never driver-checked (registration order preserved)
@@ -1135,11 +1137,11 @@ _DRIVER_WINDOW_R5 = [
     "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
     "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
     "x47_length_ranks",
-    # the 7 queries ADDED this round — equally never driver-checked, so
+    # the 8 queries ADDED this round — equally never driver-checked, so
     # they take window slots ahead of re-checks
     "q37", "q38", "q39", "q40", "q41", "x48_duplicate_spans",
     "x49_span_excision", "x50_corpus_report",
-    # 10 load-bearing re-checks (driver-green in r4; several touched this
+    # 9 load-bearing re-checks (driver-green in r4; several touched this
     # round by the two-phase top-k / skew-cap work, so re-verify)
     "q15", "q25", "q26", "q34", "x01_exact_dedup",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x06_cosine_topk",

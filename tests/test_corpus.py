@@ -499,3 +499,26 @@ def test_excise_spans_edges(spark):
     assert out[3].clean_text == "keep keep2" and out[3].n_removed == 5
     assert out[4].clean_text == "independent text with no twin"
     assert out[4].n_removed == 0
+
+
+def test_positional_shingles_n1_and_invalid(spark):
+    """n=1 degenerates to per-token hashes (was an unresolved-column crash);
+    n=0 raises; duplicate_spans works end-to-end at n=1."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        duplicate_spans,
+        positional_shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    rows = positional_shingle_hashes(df, "doc_id", "text", n=1).collect()
+    assert len(rows) == 4 and all(r.h is not None for r in rows)
+    spans = duplicate_spans(df, "doc_id", "text", n=1, min_docs=2).collect()
+    # "beta" is shared: doc1 tokens[1:2], doc2 tokens[0:1]
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans}
+    assert got == {(1, 1, 2), (2, 0, 1)}
+    import pytest as pt
+
+    with pt.raises(ValueError, match="shingle width"):
+        positional_shingle_hashes(df, "doc_id", "text", n=0)

@@ -268,9 +268,7 @@ def test_span_excise_step(spark):
                for r in ctx.processed_data["corpus.spans"].collect()}
     assert removed == {1: 6, 2: 6, 3: 0}
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="span_excise n"):
+    with pytest.raises(ValueError, match="span_excise n"):
         SpanExciseStep(COLS, n=0)
 
 
