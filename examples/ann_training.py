@@ -2,8 +2,9 @@
 ANN lifecycle on one page:
 
     seed centroids (lowest-id vectors)
-      -> 3 Lloyd rounds                (similarity.kmeans_update:
-                                        cosine assign -> per-dim mean)
+      -> Lloyd to convergence          (similarity.kmeans_fit:
+                                        cosine assign -> per-dim mean,
+                                        stop on max centroid shift)
       -> IVF inverted-list search      (similarity.ivf_topk, nprobe=4)
       -> recall vs exact cosine top-k  (similarity.cosine_topk)
 
@@ -28,7 +29,7 @@ from meshinsights_data_pipeline_spark.operators.similarity import (  # noqa: E40
     cosine_topk,
     ivf_topk,
     ivf_topk_indexed,
-    kmeans_update,
+    kmeans_fit,
     write_ivf_index,
 )
 from meshinsights_data_pipeline_spark.session import get_spark, read_table  # noqa: E402
@@ -41,16 +42,10 @@ def main() -> None:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5)
 
-    centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
-    )
-    for rnd in range(3):
-        # localCheckpoint per round: the next round's plan would otherwise
-        # nest the previous assignment window (plan doubling, same
-        # rationale as connected_components).
-        centroids = kmeans_update(emb, centroids).localCheckpoint()
-        print(f"lloyd round {rnd + 1} done ({centroids.count()} centroids)")
+    # Deterministic lowest-id init, per-round checkpoints and the
+    # convergence check all live inside kmeans_fit.
+    centroids = kmeans_fit(emb, k=16, max_iter=5)
+    print(f"kmeans_fit trained {centroids.count()} centroids")
 
     k = 10
     exact = {

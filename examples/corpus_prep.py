@@ -71,6 +71,7 @@ def main() -> None:
         quota_n=10,
         quota_salt_buckets=4,
         chunk_tokens=64,
+        span_excise_n=5,  # ExactSubstr span cut between dedup and decontam
     )
     n0 = docs.count()
     ctx = pipe.run(ctx)
@@ -79,6 +80,10 @@ def main() -> None:
     for step, meta in ctx.stages.items():
         print(f"{step:<32}: {meta['rows']}")
     print(f"training chunks      : {ctx.processed_data['corpus.chunks'].count()}")
+    print("per-source report card:")
+    for r in ctx.processed_data["corpus.report"].orderBy("source").collect():
+        print(f"  {r.source}: docs={r.n_docs} tokens={r.total_tokens} "
+              f"quality={r.mean_quality} dup_frac={round(r.dup_frac, 3)}")
     for entry in ctx.execution_log:
         status = "skipped" if entry.get("skipped") else entry.get("status")
         t = entry.get("execution_time")
