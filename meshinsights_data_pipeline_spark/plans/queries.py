@@ -1086,6 +1086,46 @@ _ORACLES["q41"] = """
 """
 
 
+def q42(spark, sf_dir):
+    """Time-RANGE window frame: per event, the user's trailing-7-day
+    event count and value sum — the interval-frame shape (RANGE BETWEEN
+    INTERVAL ... PRECEDING) none of the other windows exercise. Spark
+    expresses the interval as rangeBetween over unix seconds, exactly
+    equivalent to DuckDB's INTERVAL 7 DAY frame because read_table pins
+    the session to UTC (naive timestamps, no DST), so 7 days is exactly
+    604800 epoch seconds in both engines. The value sum runs in exact
+    DECIMAL inside the frame; RANGE peers (same-instant rows) are
+    included by definition on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ORACLES["q42"] = """
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(value::DECIMAL(12,2)) OVER w AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1095,7 +1135,7 @@ _BUILDERS = {
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
-    "q41": q41,
+    "q41": q41, "q42": q42,
 }
 
 QUERIES: dict[str, Query] = {
