@@ -522,3 +522,20 @@ def test_positional_shingles_n1_and_invalid(spark):
 
     with pt.raises(ValueError, match="shingle width"):
         positional_shingle_hashes(df, "doc_id", "text", n=0)
+
+
+def test_corpus_report_approx_tier(spark):
+    """approx=True (HLL++ distinct) keeps the schema and, at unit size,
+    the exact values — the stats.py exact-beside-approx pattern."""
+    from meshinsights_data_pipeline_spark.operators.corpus import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "a b c", "s0"), (3, "x y z", "s1")],
+        "doc_id long, text string, source string",
+    )
+    exact = {r.source: r for r in corpus_report(docs).collect()}
+    ap = {r.source: r for r in corpus_report(docs, approx=True).collect()}
+    assert exact.keys() == ap.keys()
+    for s in exact:
+        assert exact[s].n_docs == ap[s].n_docs
+        assert exact[s].n_distinct == ap[s].n_distinct  # HLL exact at tiny n

@@ -283,3 +283,39 @@ def test_duplicate_spans_invariants(spark, docs, n):
     docs_with_spans = set(by_doc)
     docs_with_shared = {i for i, gs in grams_by_doc.items() if gs & shared}
     assert docs_with_spans == docs_with_shared
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),        # user
+            st.integers(0, 50),       # minutes offset
+            st.integers(0, 2),        # step index -> type
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@SLOW
+def test_funnel_counts_monotone_and_complete(spark, events):
+    """funnel_counts always emits one row per declared step, and the user
+    counts are monotonically non-increasing down the funnel (a user
+    reaches step k only through step k-1)."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.funnel import funnel_counts
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        (u, datetime(2026, 3, 1) + timedelta(minutes=m), steps[t])
+        for u, m, t in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ) if rows else spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step: r.users for r in
+           funnel_counts(df, "user_id", "ts", "event_type", steps).collect()}
+    assert sorted(out) == [1, 2, 3]  # every step present, even all-zero
+    assert out[1] >= out[2] >= out[3] >= 0
