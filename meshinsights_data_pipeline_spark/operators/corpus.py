@@ -280,7 +280,8 @@ def corpus_report(
     IEEE division of exact integers.
 
     ``approx=True`` swaps the distinct-fingerprint count for HLL++
-    (approx_count_distinct, default ~2.3%% rsd) — the 100 TB tier, same
+    (approx_count_distinct, default rsd 0.05 = 5% relative error) — the
+    100 TB tier, same
     exact-beside-approx pattern as operators.stats: the exact
     count-distinct shuffles every fingerprint to its source's reducers,
     the sketch merges map-side. Only x50's oracle pins the exact tier.
@@ -320,9 +321,12 @@ def corpus_report(
                 "mean_quality"
             ),
             "n_distinct",
-            (
+            # greatest-0 clamp: an HLL overestimate (n_distinct > n_docs)
+            # must not publish a negative duplicate fraction
+            F.greatest(
+                F.lit(0.0),
                 (F.col("n_docs") - F.col("n_distinct")).cast("double")
-                / F.col("n_docs")
+                / F.col("n_docs"),
             ).alias("dup_frac"),
         )
     )

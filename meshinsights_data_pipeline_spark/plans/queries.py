@@ -1090,17 +1090,22 @@ def q42(spark, sf_dir):
     """Time-RANGE window frame: per event, the user's trailing-7-day
     event count and value sum — the interval-frame shape (RANGE BETWEEN
     INTERVAL ... PRECEDING) none of the other windows exercise. Spark
-    expresses the interval as rangeBetween over unix seconds, exactly
-    equivalent to DuckDB's INTERVAL 7 DAY frame because read_table pins
-    the session to UTC (naive timestamps, no DST), so 7 days is exactly
-    604800 epoch seconds in both engines. The value sum runs in exact
-    DECIMAL inside the frame; RANGE peers (same-instant rows) are
-    included by definition on both sides."""
+    expresses the interval as rangeBetween over unix MICROseconds (the
+    NTZ ts casts through TIMESTAMP under the pinned-UTC session, so the
+    epoch value IS the naive value) —
+    full timestamp precision; ordering by unix_timestamp (whole seconds)
+    would make same-second events RANGE peers that DuckDB's INTERVAL
+    frame rightly excludes, a divergence that actually occurs at sf0.1.
+    Exactly equivalent to the INTERVAL 7 DAY frame because read_table
+    pins the session to UTC (naive timestamps, no DST), so 7 days is
+    exactly 604800e6 epoch microseconds in both engines. The value sum
+    runs in exact DECIMAL inside the frame; RANGE peers (identical
+    timestamps) are included by definition on both sides."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return (
         ev.select(
@@ -1177,14 +1182,15 @@ _DRIVER_WINDOW_R5 = [
     "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
     "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
     "x47_length_ranks",
-    # the 8 queries ADDED this round — equally never driver-checked, so
+    # the 9 queries ADDED this round — equally never driver-checked, so
     # they take window slots ahead of re-checks
-    "q37", "q38", "q39", "q40", "q41", "x48_duplicate_spans",
+    "q37", "q38", "q39", "q40", "q41", "q42", "x48_duplicate_spans",
     "x49_span_excision", "x50_corpus_report",
-    # 9 load-bearing re-checks (driver-green in r4; several touched this
-    # round by the two-phase top-k / skew-cap work, so re-verify)
+    # 8 load-bearing re-checks (driver-green in r4; several touched this
+    # round by the two-phase top-k / skew-cap work, so re-verify; x02 is
+    # exercised transitively by the x03/x11 LSH re-checks)
     "q15", "q25", "q26", "q34", "x01_exact_dedup",
-    "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x06_cosine_topk",
+    "x03_minhash_lsh_pairs", "x06_cosine_topk",
     "x11_minhash_dedup_pairs",
 ]
 
