@@ -495,6 +495,10 @@ def build_corpus_pipeline(
             "boilerplate_filter": lambda ctx: max_boiler_frac is not None,
             "span_excise": lambda ctx: span_excise_n is not None,
             "shuffle_shards": lambda ctx: bool(n_shards),
+            # the report needs a source column; a corpus bound without one
+            # (sourceless frames ran fine before the step existed) skips
+            # the report instead of failing prerequisite validation
+            "corpus_report": lambda ctx: cols.source in ctx.raw_data.columns,
         },
         config=config,
         name="corpus_prep",

@@ -320,13 +320,16 @@ def corpus_report(
             F.round(F.col("_sq").cast("double") / F.col("n_docs"), 6).alias(
                 "mean_quality"
             ),
-            "n_distinct",
-            # greatest-0 clamp: an HLL overestimate (n_distinct > n_docs)
-            # must not publish a negative duplicate fraction
-            F.greatest(
-                F.lit(0.0),
-                (F.col("n_docs") - F.col("n_distinct")).cast("double")
-                / F.col("n_docs"),
+            # least-n_docs clamp: an HLL overestimate must not publish the
+            # impossible n_distinct > n_docs (and dup_frac derives from the
+            # clamped value, so the row stays self-consistent)
+            F.least(F.col("n_docs"), F.col("n_distinct")).alias("n_distinct"),
+            (
+                (
+                    F.col("n_docs")
+                    - F.least(F.col("n_docs"), F.col("n_distinct"))
+                ).cast("double")
+                / F.col("n_docs")
             ).alias("dup_frac"),
         )
     )

@@ -1973,64 +1973,12 @@ def x48_duplicate_spans(spark: SparkSession, sf_dir: str):
 
 
 _X48_NORM = _NORM_SQL.format(col="text")
-X48_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split({_X48_NORM}, ' ') AS w FROM documents),
-grams AS (
-  SELECT doc_id, i - 1 AS pos,
-         {_H60_SQL.format(s="array_to_string(w[i:i+4], ' ')")} AS h
-  FROM toks, UNNEST(range(1, len(w) - 3)) AS r(i)
-  WHERE len(w) >= 5
-  UNION ALL
-  SELECT doc_id, 0 AS pos, {_H60_SQL.format(s="array_to_string(w, ' ')")} AS h
-  FROM toks WHERE len(w) < 5
-),
-dup AS (
-  SELECT h FROM (
-    SELECT h, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY h
-  ) WHERE d >= 2
-),
-hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
-merged AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
-                  PARTITION BY doc_id ORDER BY pos
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS nw
-  FROM hits
-),
-spans AS (
-  SELECT doc_id, pos,
-         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS UNBOUNDED PRECEDING) AS sp
-  FROM merged
-)
-SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS dup_grams
-FROM spans GROUP BY doc_id, sp
-ORDER BY doc_id, span_start
-"""
-
-
-def x49_span_excision(spark: SparkSession, sf_dir: str):
-    """ExactSubstr removal end-to-end: detect cross-document duplicate
-    spans (x48 semantics) then CUT them from the normalized text
-    (corpus.excise_spans) — [doc_id, clean_text, n_removed] for every
-    document, n_removed = 0 where nothing was shared. The oracle chains
-    the x48 span CTEs into an anti-range token filter with ordered
-    string_agg reassembly."""
-    from meshinsights_data_pipeline_spark.operators.corpus import (
-        duplicate_spans,
-        excise_spans,
-    )
-
-    docs = read_table(spark, sf_dir, "documents")
-    spans = duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
-    return excise_spans(docs, spans, "doc_id", "text").orderBy("doc_id")
-
-
-X49_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split({_X48_NORM}, ' ') AS w FROM documents),
+# Span-detection CTE chain shared VERBATIM by the x48 and x49 oracles
+# (x49 chains excision on top of exactly these semantics): word-5-gram
+# positions -> cross-doc dup set -> hit positions -> running-max interval
+# merge -> span ids. One definition so the two oracles cannot
+# desynchronize.
+_X48_SPAN_CTES = f"""toks AS (SELECT doc_id, string_split({_X48_NORM}, ' ') AS w FROM documents),
 grams AS (
   SELECT doc_id, i - 1 AS pos,
          {_H60_SQL.format(s="array_to_string(w[i:i+4], ' ')")} AS h
@@ -2059,7 +2007,37 @@ numbered AS (
          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
                        ROWS UNBOUNDED PRECEDING) AS sp
   FROM merged
-),
+)"""
+
+X48_SQL = f"""
+WITH {_X48_SPAN_CTES}
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS dup_grams
+FROM numbered GROUP BY doc_id, sp
+ORDER BY doc_id, span_start
+"""
+
+
+def x49_span_excision(spark: SparkSession, sf_dir: str):
+    """ExactSubstr removal end-to-end: detect cross-document duplicate
+    spans (x48 semantics) then CUT them from the normalized text
+    (corpus.excise_spans) — [doc_id, clean_text, n_removed] for every
+    document, n_removed = 0 where nothing was shared. The oracle chains
+    the x48 span CTEs into an anti-range token filter with ordered
+    string_agg reassembly."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        duplicate_spans,
+        excise_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+    return excise_spans(docs, spans, "doc_id", "text").orderBy("doc_id")
+
+
+X49_SQL = f"""
+WITH {_X48_SPAN_CTES},
 spans AS (
   SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
   FROM numbered GROUP BY doc_id, sp

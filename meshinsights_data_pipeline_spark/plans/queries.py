@@ -960,18 +960,22 @@ def q39(spark, sf_dir):
     The filtered-orders side is NOT hinted: ~40% of orders pass the
     price filter, so forcing a broadcast would ship a fact-sized set to
     every executor at scale — AQE picks broadcast only when the side is
-    actually small. Balances sum in exact DECIMAL per nation."""
+    actually small. The above-average predicate is phrased as
+    balance * count > sum in exact DECIMAL (the q33 idiom): a double
+    average is partition-order-dependent, so a boundary customer within
+    one ulp could flip in/out across runs or engines. Balances sum in
+    exact DECIMAL per nation."""
     cu = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
     avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg")
+        F.sum(bal).alias("_sum"), F.count(F.lit(1)).alias("_n")
     )
     big_orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 300000
     ).select(F.col("o_custkey").alias("c_custkey"))
-    bal = F.col("c_acctbal").cast("decimal(12,2)")
     return (
         cu.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .filter(bal * F.col("_n") > F.col("_sum"))
         .join(big_orders, "c_custkey", "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -987,7 +991,10 @@ _ORACLES["q39"] = """
            CAST(COUNT(*) AS BIGINT) AS numcust,
            CAST(SUM(c_acctbal::DECIMAL(12,2)) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal::DECIMAL(12,2) *
+          (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(c_acctbal::DECIMAL(12,2)) FROM customer
+             WHERE c_acctbal > 0)
       AND NOT EXISTS (
           SELECT 1 FROM orders
           WHERE o_custkey = c_custkey AND o_totalprice > 300000

@@ -210,8 +210,9 @@ class JdbcSource(Source):
         batch_size: int = 1000,
         dialect: str = "mysql",
     ) -> None:
-        """MERGE-equivalent: ``INSERT ... ON DUPLICATE KEY UPDATE`` (MySQL
-        dialect; ``key_cols`` must be the table's unique key)."""
+        """MERGE-equivalent, per ``dialect``: MySQL ``INSERT ... ON
+        DUPLICATE KEY UPDATE`` or sqlite ``ON CONFLICT ... DO UPDATE``
+        (``key_cols`` must be the table's unique key)."""
         if self.table is None:
             raise ValueError("JDBC upsert requires table=")
         sql = upsert_sql(self.table, key_cols, value_cols, dialect)
