@@ -392,3 +392,45 @@ def test_dml_sql_rejects_unknown_dialect():
         update_sql("t", ["id"], ["v"], dialect="postgres")
     with pytest.raises(ValueError, match="unsupported DML dialect"):
         upsert_sql("t", ["id"], ["v"], dialect="postgres")
+
+
+def test_jdbc_read_write_against_real_database(spark, tmp_path):
+    """S3/S4 execution signal for the READ side: Spark's bundled Derby
+    embedded database gives a real JDBC endpoint without any external
+    server, so the write sink, the table scan, the full-query pushdown
+    path and the partitioned parallel scan all execute end-to-end."""
+    from meshinsights_data_pipeline_spark.sources.factories import JdbcSource
+
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/scores;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 9)], "id bigint, v double"
+    )
+    sink = JdbcSource(url=url, table="scores", driver=driver)
+    sink.write(df, mode="overwrite")
+
+    # plain table scan
+    back = JdbcSource(url=url, table="scores", driver=driver).read(spark)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, i * 10.0) for i in range(1, 9)
+    ]
+
+    # full-query pushdown: only matching rows cross the wire
+    q = JdbcSource(
+        # the Spark JDBC writer creates case-preserving QUOTED columns,
+        # so the pushdown query must quote them too (unquoted folds to
+        # uppercase in Derby)
+        url=url, query='SELECT "id", "v" FROM scores WHERE "v" > 50',
+        driver=driver
+    ).read(spark)
+    assert sorted(r.id for r in q.collect()) == [6, 7, 8]
+
+    # partitioned parallel scan: 2 concurrent connections, same rows
+    part = JdbcSource(
+        url=url, table="scores", driver=driver,
+        partition_column="id", lower_bound=1, upper_bound=9, num_partitions=2,
+    ).read(spark)
+    assert part.rdd.getNumPartitions() == 2
+    assert sorted(r.id for r in part.collect()) == list(range(1, 9))
