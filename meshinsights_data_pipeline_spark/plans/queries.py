@@ -1138,6 +1138,71 @@ _ORACLES["q42"] = """
 """
 
 
+def q43(spark, sf_dir):
+    """UNPIVOT / melt: lineitem's three pricing measures rotate into
+    (measure, val) rows via the native DataFrame.unpivot (wide-to-long is
+    a pure map-side Expand — 3x the rows, zero shuffle; the oracle
+    phrases the same rotation as the engine-portable UNION ALL). Sliced
+    to one order-key band so the result stays display-sized."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+_ORACLES["q43"] = """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+def q44(spark, sf_dir):
+    """Ordered array aggregation: each user's full event-type sequence as
+    one array column, ordered by (ts, event_id) — the collect-to-array
+    shape (session replay / sequence-model input). Spark has no ORDER BY
+    inside collect_list, so the deterministic form is sort_array over
+    (ts, event_id, type) structs, then a transform down to the types —
+    identical to DuckDB's list(... ORDER BY ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            seq.alias("type_seq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLES["q44"] = """
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS type_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1147,7 +1212,7 @@ _BUILDERS = {
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
-    "q41": q41, "q42": q42,
+    "q41": q41, "q42": q42, "q43": q43, "q44": q44,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1189,15 +1254,15 @@ _DRIVER_WINDOW_R5 = [
     "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
     "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
     "x47_length_ranks",
-    # the 9 queries ADDED this round — equally never driver-checked, so
+    # the 11 queries ADDED this round — equally never driver-checked, so
     # they take window slots ahead of re-checks
-    "q37", "q38", "q39", "q40", "q41", "q42", "x48_duplicate_spans",
-    "x49_span_excision", "x50_corpus_report",
-    # 8 load-bearing re-checks (driver-green in r4; several touched this
-    # round by the two-phase top-k / skew-cap work, so re-verify; x02 is
-    # exercised transitively by the x03/x11 LSH re-checks)
-    "q15", "q25", "q26", "q34", "x01_exact_dedup",
-    "x03_minhash_lsh_pairs", "x06_cosine_topk",
+    "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
+    "x48_duplicate_spans", "x49_span_excision", "x50_corpus_report",
+    # 6 load-bearing re-checks (driver-green in r4; several touched this
+    # round by the two-phase top-k / skew-cap work, so re-verify; x02/x03
+    # are exercised transitively by the x11 LSH->verify re-check, q34 was
+    # r4-green and untouched)
+    "q15", "q25", "q26", "x01_exact_dedup", "x06_cosine_topk",
     "x11_minhash_dedup_pairs",
 ]
 
