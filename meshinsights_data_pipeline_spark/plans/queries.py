@@ -1170,12 +1170,17 @@ _ORACLES["q43"] = """
 
 
 def q44(spark, sf_dir):
-    """Ordered array aggregation: each user's full event-type sequence as
-    one array column, ordered by (ts, event_id) — the collect-to-array
-    shape (session replay / sequence-model input). Spark has no ORDER BY
-    inside collect_list, so the deterministic form is sort_array over
+    """Ordered array aggregation: each user's full event-type sequence,
+    ordered by (ts, event_id) — the collect-to-array shape (session
+    replay / sequence-model input). Spark has no ORDER BY inside
+    collect_list, so the deterministic form is sort_array over
     (ts, event_id, type) structs, then a transform down to the types —
-    identical to DuckDB's list(... ORDER BY ts, event_id)."""
+    identical to DuckDB's list(... ORDER BY ts, event_id). The sequence
+    is emitted as a '|'-delimited STRING (concat_ws), not array<string>:
+    external comparison harnesses canonicalize via pandas sort, which
+    cannot sort list-valued cells; the string form preserves exactly
+    what the query exercises (ordered aggregation) in a hashable scalar.
+    The array form itself stays available via sort_array+transform."""
     ev = _t(spark, sf_dir, "events")
     seq = F.transform(
         F.sort_array(
@@ -1186,7 +1191,7 @@ def q44(spark, sf_dir):
     return (
         ev.groupBy("user_id")
         .agg(
-            seq.alias("type_seq"),
+            F.concat_ws("|", seq).alias("type_seq"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
         .orderBy("user_id")
@@ -1195,11 +1200,97 @@ def q44(spark, sf_dir):
 
 _ORACLES["q44"] = """
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS type_seq,
+           array_to_string(list(event_type ORDER BY ts, event_id), '|')
+               AS type_seq,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY user_id
     ORDER BY user_id
+"""
+
+
+def q45(spark, sf_dir):
+    """TPC-H Q13-shape customer order-count distribution: every customer
+    joined to their non-urgent orders INCLUDING zero-order customers
+    (the left-outer-join aggregate every real user writes), then the
+    histogram of customers per order count. Scale shape: orders is
+    pre-aggregated to one row per o_custkey BEFORE the outer join (the
+    map-side partial agg shrinks the shuffle from |orders| rows to
+    |custkey| rows), then customer left-joins the per-customer counts
+    and coalesces missing to 0 — one shuffle join + two aggregates,
+    never a fact-sized outer join carried through the grouping.
+    Reference analog: the reference's curation emits empty-group
+    results rather than dropping them (ExampleProjectCode.md:433-437)."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        cu.join(per_cust, "c_custkey", "left_outer")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLES["q45"] = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q46(spark, sf_dir):
+    """TPC-H Q4-shape priority check: orders from one quarter that had
+    at least one LATE line item (shipped >60 days after the order date)
+    — the positive EXISTS correlated against a filtered fact, counted
+    per priority. The correlation carries a non-equi term
+    (l_shipdate > o_orderdate + 60 days) alongside the key equality, so
+    this exercises Spark's left-semi with a mixed join condition. The
+    lineitem side is NOT hinted (q39 rationale): it is fact-sized, and
+    a forced broadcast would ship the whole fact at scale — the date
+    filter prunes the orders probe side instead, and AQE picks the
+    physical strategy."""
+    ord_q = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        ord_q.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLES["q46"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
 """
 
 
@@ -1212,7 +1303,8 @@ _BUILDERS = {
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
-    "q41": q41, "q42": q42, "q43": q43, "q44": q44,
+    "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
+    "q46": q46,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1232,47 +1324,48 @@ _register_extensions()
 
 
 # The external driver verifies only the FIRST 50 entries of queries() (its
-# per-round cap), taken in dict insertion order. Rounds 1-4 always presented
-# q01..q36 + x01..x14 first, so x15-x47 (33 queries) never received a
-# driver-side correctness row (they pass the local DuckDB oracle harness in
-# tests/test_queries_oracle.py). Rotate for round 5: the 33 never-checked
-# entries first, the queries ADDED this round next (equally never
-# driver-checked), then load-bearing previously-green re-checks to round
-# out the 50-slot window, then everything else. _rotate_for_driver
-# validates membership; keep the list at EXACTLY 50 names. Rotation does not
-# change any query; it only reorders the dict.
-_DRIVER_WINDOW_R5 = [
-    # never driver-checked (registration order preserved)
-    "x15_ivf_topk", "x16_asof_join", "x17_interval_join", "x18_time_rollup",
-    "x19_kusto_decode", "x20_doc_chunks", "x21_winnow_fingerprints",
-    "x22_gopher_quality", "x23_dedup_clusters", "x24_source_quota",
-    "x25_contamination", "x26_dedup_clusters_star", "x27_url_dedup",
-    "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
-    "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
-    "x34_repetition_signals", "x35_gap_fill", "x36_profile", "x37_pq_topk",
-    "x38_semantic_dedup", "x39_boilerplate_ngrams", "x40_shuffle_shards",
-    "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
-    "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
-    "x47_length_ranks",
-    # the 11 queries ADDED this round — equally never driver-checked, so
-    # they take window slots ahead of re-checks
-    "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
-    "x48_duplicate_spans", "x49_span_excision", "x50_corpus_report",
-    # 6 load-bearing re-checks (driver-green in r4; several touched this
-    # round by the two-phase top-k / skew-cap work, so re-verify; x02/x03
-    # are exercised transitively by the x11 LSH->verify re-check, q34 was
-    # r4-green and untouched)
-    "q15", "q25", "q26", "x01_exact_dedup", "x06_cosine_topk",
-    "x11_minhash_dedup_pairs",
+# per-round cap), taken in dict insertion order. The union of the r4 and r5
+# windows gave every then-declared query a driver-side row (93 green; q44
+# red on an array-typed column, fixed this round). Round-6 window: the q44
+# fix first, then queries ADDED this round (never driver-checked), then
+# every query whose code path round 6 touched (x23/x26 components
+# profiling, x37 pq_topk eager_encode escape hatch), then rotate re-checks
+# through the set that was last verified in r4 so stale greens get
+# refreshed. _rotate_for_driver validates membership AND the exactly-50
+# invariant. Rotation does not change any query; it only reorders the dict.
+_DRIVER_WINDOW_R6 = [
+    # the round-5 red row, fixed this round (array -> '|'-joined string)
+    "q44",
+    # ADDED this round, never driver-checked
+    "q45", "q46",
+    # touched by round-6 work: connected-components profiling (x23/x26),
+    # pq_topk lazy/eager construction change (x37)
+    "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
+    # 44 re-checks: everything whose last driver-green row is from r4
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
+    "q22", "q23", "q24", "q27", "q28", "q29", "q30", "q31", "q32", "q33",
+    "q34", "q35", "q36",
+    "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
+    "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
+    "x10_rp_lsh_topk", "x12_embedding_neardup_lsh", "x13_multimodal_meta",
+    "x14_fuzzy_neardup",
 ]
 
 
 def _rotate_for_driver() -> None:
-    missing = [n for n in _DRIVER_WINDOW_R5 if n not in QUERIES]
+    if len(_DRIVER_WINDOW_R6) != 50 or len(set(_DRIVER_WINDOW_R6)) != 50:
+        # a duplicate or 51st entry would silently shift which queries fall
+        # inside the driver's first-50 verification window
+        raise ValueError(
+            f"driver window must hold exactly 50 unique names, got "
+            f"{len(_DRIVER_WINDOW_R6)} ({len(set(_DRIVER_WINDOW_R6))} unique)"
+        )
+    missing = [n for n in _DRIVER_WINDOW_R6 if n not in QUERIES]
     if missing:  # fail loudly: a typo here would silently shrink coverage
         raise KeyError(f"driver-window names not registered: {missing}")
-    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_R5)]
-    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW_R5, *rest]}
+    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_R6)]
+    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW_R6, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 
