@@ -2,10 +2,12 @@
 
 North-star extension. Image/audio/video payloads are opaque ``binary``
 columns with a typed metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages. The decode step
-itself is STUBBED (no image/audio libraries in this container — marked
-clearly below); everything Spark-side is real and tested: schemas,
-batch iteration, partition sizing, UDF signatures.
+frame-sample run as Arrow-batched ``mapInPandas`` stages. Image
+DIMENSIONS are real everywhere via a pure-stdlib container-header probe
+(PNG/JPEG/GIF/BMP — probe_image_dims); full PIXEL decode is tiered
+behind PIL and raises a clearly-marked NotImplementedError where no
+imaging library exists. Everything Spark-side is real and tested:
+schemas, batch iteration, partition sizing, UDF signatures.
 
 Scale notes: binary payloads dominate row size, so
 - partition by (modality, shard) at write time to keep scan parallelism;
@@ -84,13 +86,79 @@ def _decode_image(payload: bytes) -> "object":
     return _PILImage.open(io.BytesIO(payload))
 
 
-def decode_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def probe_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
+    """(width, height, format) from the container HEADER alone — pure
+    stdlib ``struct``, no imaging library. Supports PNG (IHDR), JPEG
+    (SOF0/1/2/... frame headers), GIF (logical screen descriptor) and BMP
+    (BITMAPINFOHEADER). Returns None for unrecognized / truncated
+    payloads rather than raising: a corrupt blob in a 100 TB media table
+    must null-fill its row, not kill the task. This is the dimensions
+    tier that works everywhere; full pixel decode stays behind PIL."""
+    import struct
+
+    if not payload or len(payload) < 10:
+        return None
+    # PNG: 8-byte signature; IHDR data (width, height as BE uint32) at 16.
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:
+            return None
+        w, h = struct.unpack(">II", payload[16:24])
+        return (w, h, "PNG")
+    # GIF87a / GIF89a: LE uint16 width, height at offset 6.
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h, "GIF")
+    # BMP: 'BM' + BITMAPINFOHEADER; LE int32 width, height at offset 18
+    # (height may be negative for top-down DIBs).
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return (w, abs(h), "BMP")
+    # JPEG: walk the marker segments to the first frame header (SOFn,
+    # 0xC0-0xCF excluding DHT 0xC4, JPG 0xC8, DAC 0xCC); height then
+    # width as BE uint16 after the 2-byte length + 1-byte precision.
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:  # desynced: not a marker where expected
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return (w, h, "JPEG")
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def decode_image_dims(
+    df: DataFrame, payload_col: str = "payload", backend: str = "auto"
+) -> DataFrame:
     """mapInPandas image-decode stage: [media_id, dec_width, dec_height,
-    dec_mode] per decodable image row (real decode via PIL where present;
-    raises the stub NotImplementedError otherwise — call sites gate on
-    ``HAS_PIL``). Same Arrow-batched shape as extract_features: one batch
-    in memory at a time, blobs never shuffle."""
-    if not HAS_PIL:
+    dec_mode] per image row. Two tiers:
+
+    - ``pil``: full decode via PIL (dec_mode = pixel mode, e.g. 'RGB');
+      raises NotImplementedError where no imaging library exists.
+    - ``probe``: pure-Python container-header parse (probe_image_dims) —
+      dimensions + format string everywhere, no third-party libs
+      (dec_mode = container format, e.g. 'PNG').
+
+    ``auto`` picks pil when available, probe otherwise, so the stage is
+    real in every environment. Same Arrow-batched shape as
+    extract_features: one batch in memory at a time, blobs never shuffle."""
+    if backend not in ("auto", "pil", "probe"):
+        raise ValueError(f"unknown backend: {backend!r}")
+    if backend == "auto":
+        backend = "pil" if HAS_PIL else "probe"
+    if backend == "pil" and not HAS_PIL:
         raise NotImplementedError(
             "image decode requires an imaging library not present in this environment"
         )
@@ -103,15 +171,21 @@ def decode_image_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             # payload is nullable in MEDIA_SCHEMA: an image row with a
             # NULL payload null-fills its dims instead of crashing the
             # task (io.BytesIO(None) would raise TypeError).
-            decoded = pdf[payload_col].map(
-                lambda p: None if p is None else _decode_image(p)
-            )
+            if backend == "pil":
+                decoded = pdf[payload_col].map(
+                    lambda p: None if p is None else _decode_image(p)
+                )
+                triples = decoded.map(
+                    lambda im: None if im is None else (im.width, im.height, im.mode)
+                )
+            else:
+                triples = pdf[payload_col].map(probe_image_dims)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "dec_width": decoded.map(lambda im: None if im is None else im.width),
-                    "dec_height": decoded.map(lambda im: None if im is None else im.height),
-                    "dec_mode": decoded.map(lambda im: None if im is None else im.mode),
+                    "dec_width": triples.map(lambda t: None if t is None else t[0]),
+                    "dec_height": triples.map(lambda t: None if t is None else t[1]),
+                    "dec_mode": triples.map(lambda t: None if t is None else t[2]),
                 }
             )
 

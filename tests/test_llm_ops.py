@@ -456,47 +456,102 @@ def test_ivf_index_persisted_search(spark, vectors, tmp_path):
     assert any("list_id" in ln and "IN" in ln for ln in scan_lines), scan_lines
 
 
-def test_image_decode_stub_raises_without_pil(spark):
-    """The stub path: without an imaging library, both the per-payload
-    decoder and the mapInPandas stage fail loudly (never silently skip)."""
-    import pytest
+def _synthetic_payloads() -> dict[str, bytes]:
+    """Minimal valid container headers built with struct alone — no
+    imaging library needed to GENERATE them either, so this test is real
+    in every environment."""
+    import struct
 
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480)      # width, height
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4  # bit depth/color + fake CRC
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 256, -128, 1, 24)  # negative = top-down
+        + b"\x00" * 24
+    )
+    # JPEG: SOI, APP0 stub, a DHT segment (must be SKIPPED, 0xC4 is not a
+    # frame marker), then SOF0 with height=77, width=123.
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 77, 123) + b"\x03\x00\x00\x00"
+    )
+    return {"png": png, "gif": gif, "bmp": bmp, "jpeg": jpeg}
+
+
+def test_probe_image_dims_headers():
+    """The pure-stdlib header probe reads dimensions from PNG/GIF/BMP/JPEG
+    containers and returns None (never raises) on garbage/truncation."""
     from meshinsights_data_pipeline_spark.operators import multimodal as M
 
-    if M.HAS_PIL:
-        pytest.skip("PIL present: the real-decode test covers this env")
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        M._decode_image(b"\x89PNG")
+    p = _synthetic_payloads()
+    assert M.probe_image_dims(p["png"]) == (640, 480, "PNG")
+    assert M.probe_image_dims(p["gif"]) == (320, 200, "GIF")
+    assert M.probe_image_dims(p["bmp"]) == (256, 128, "BMP")  # abs(height)
+    assert M.probe_image_dims(p["jpeg"]) == (123, 77, "JPEG")
+    assert M.probe_image_dims(None) is None
+    assert M.probe_image_dims(b"") is None
+    assert M.probe_image_dims(b"not an image at all") is None
+    assert M.probe_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated
+    assert M.probe_image_dims(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+
+
+def test_image_decode_dims_probe_tier(spark):
+    """decode_image_dims is real in THIS container via backend='probe':
+    dimensions come off the Arrow-batched stage with no imaging library."""
+    from meshinsights_data_pipeline_spark.operators import multimodal as M
+
+    p = _synthetic_payloads()
     df = spark.createDataFrame(
-        [("img1", "image", b"\x00")], "media_id string, modality string, payload binary"
+        [("img1", "image", p["png"]), ("img2", "image", p["jpeg"]),
+         ("aud1", "audio", p["png"]),   # non-image rows filtered out
+         ("img3", "image", None),       # NULL payload null-fills
+         ("img4", "image", b"garbage")],  # unrecognized null-fills
+        "media_id string, modality string, payload binary",
     )
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        M.decode_image_dims(df)
+    rows = {r["media_id"]: r for r in M.decode_image_dims(df, backend="probe").collect()}
+    assert sorted(rows) == ["img1", "img2", "img3", "img4"]
+    assert (rows["img1"]["dec_width"], rows["img1"]["dec_height"], rows["img1"]["dec_mode"]) == (640, 480, "PNG")
+    assert (rows["img2"]["dec_width"], rows["img2"]["dec_height"], rows["img2"]["dec_mode"]) == (123, 77, "JPEG")
+    assert rows["img3"]["dec_width"] is None
+    assert rows["img4"]["dec_width"] is None
 
 
-def test_image_decode_real_with_pil(spark):
-    """Real decode where PIL exists: a generated PNG round-trips through
-    the Arrow-batched decode stage with correct dimensions."""
-    import io
-
+def test_image_decode_pil_tier(spark):
+    """The PIL tier: full decode where PIL exists; a loud
+    NotImplementedError (never a silent fallback) where it doesn't."""
     import pytest
 
     from meshinsights_data_pipeline_spark.operators import multimodal as M
 
     if not M.HAS_PIL:
-        pytest.skip("no imaging library in this environment")
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            M._decode_image(b"\x89PNG")
+        df = spark.createDataFrame(
+            [("img1", "image", b"\x00")],
+            "media_id string, modality string, payload binary",
+        )
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            M.decode_image_dims(df, backend="pil")
+        return
+    import io
+
     from PIL import Image
 
     buf = io.BytesIO()
     Image.new("RGB", (12, 7)).save(buf, format="PNG")
     df = spark.createDataFrame(
-        [("img1", "image", buf.getvalue()), ("aud1", "audio", None),
-         ("img2", "image", None)],  # NULL payload on an image row is legal
+        [("img1", "image", buf.getvalue()), ("img2", "image", None)],
         "media_id string, modality string, payload binary",
     )
-    rows = {r["media_id"]: r for r in M.decode_image_dims(df).collect()}
-    assert sorted(rows) == ["img1", "img2"]  # audio rows filtered out
+    rows = {r["media_id"]: r for r in M.decode_image_dims(df, backend="pil").collect()}
     assert (rows["img1"]["dec_width"], rows["img1"]["dec_height"]) == (12, 7)
     assert rows["img1"]["dec_mode"] == "RGB"
-    # NULL payload null-fills instead of crashing the task
     assert rows["img2"]["dec_width"] is None and rows["img2"]["dec_mode"] is None
