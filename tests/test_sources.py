@@ -434,3 +434,73 @@ def test_jdbc_read_write_against_real_database(spark, tmp_path):
     ).read(spark)
     assert part.rdd.getNumPartitions() == 2
     assert sorted(r.id for r in part.collect()) == list(range(1, 9))
+
+
+def test_generated_dml_passes_mysql_grammar():
+    """Every statement shape the sink can generate parses under the
+    MySQL 8.0 grammar subset (tests/mysql_grammar.py) — the dialect-string
+    check standing in for a real MySQL wire in this container."""
+    from mysql_grammar import validate_mysql_update, validate_mysql_upsert
+
+    from meshinsights_data_pipeline_spark.sources.factories import (
+        update_sql,
+        upsert_sql,
+    )
+
+    validate_mysql_update(update_sql("t1", ["id"], ["score", "label"]))
+    validate_mysql_update(
+        update_sql("db1.metrics", ["site_id", "week"], ["cv", "n_cycles"])
+    )
+    validate_mysql_upsert(upsert_sql("t1", ["id"], ["v"]))
+    validate_mysql_upsert(
+        upsert_sql("db1.metrics", ["site_id", "week"], ["cv", "n_cycles", "flag"])
+    )
+
+
+def test_mysql_grammar_rejects_invalid_dml():
+    """The validator must actually reject bad MySQL — a permissive checker
+    would pass the test above vacuously."""
+    import pytest
+    from mysql_grammar import (
+        MySQLSyntaxError,
+        validate_mysql_update,
+        validate_mysql_upsert,
+    )
+
+    bad_upserts = [
+        # sqlite/postgres dialect leaking into the mysql path
+        "INSERT INTO t (id, v) VALUES (%s, %s) "
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v",
+        # qmark placeholders (sqlite paramstyle) in a mysql statement
+        "INSERT INTO t (id, v) VALUES (?, ?) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)",
+        # arity mismatch: 3 placeholders for 2 columns
+        "INSERT INTO t (id, v) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)",
+        # update side references a column that was never inserted
+        "INSERT INTO t (id, v) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE w = VALUES(w)",
+        # trailing comma in the column list
+        "INSERT INTO t (id, v,) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)",
+        # reserved word unquoted as a column
+        "INSERT INTO t (`id`, order) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE `id` = VALUES(`id`)",
+        # missing VALUES() wrapper on the update side
+        "INSERT INTO t (id, v) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE v = %s",
+    ]
+    for sql in bad_upserts:
+        with pytest.raises(MySQLSyntaxError):
+            validate_mysql_upsert(sql)
+
+    bad_updates = [
+        "UPDATE t SET v = %s",                       # no WHERE: sink must never mass-update
+        "UPDATE t SET v = ? WHERE id = ?",           # qmark placeholders
+        "UPDATE t SET v = %s, WHERE id = %s",        # trailing comma
+        "UPDATE t SET v = %s WHERE id = %s OR 1=1",  # non-AND predicate
+        "UPDATE t SET select = %s WHERE id = %s",    # reserved word column
+    ]
+    for sql in bad_updates:
+        with pytest.raises(MySQLSyntaxError):
+            validate_mysql_update(sql)
