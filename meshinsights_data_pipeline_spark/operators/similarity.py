@@ -871,6 +871,7 @@ def pq_topk(
     ks: int = 16,
     k: int = 10,
     seed: int = 11,
+    eager_encode: bool = True,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: [query_id, neighbor_id, adist, rank]
     (ascending approximate squared distance, ties to the lowest id).
@@ -881,25 +882,32 @@ def pq_topk(
     encoding — that is PQ's memory story at scale. One generated SQL
     statement for the same plan-cost reasons as pq_encode; the
     query-side self-dot dq_i stays a sequential fold (only m of them,
-    value-order identical to list_dot_product(sub, sub))."""
+    value-order identical to list_dot_product(sub, sub)).
+
+    ``eager_encode``: the escape hatch for long-lived drivers. True
+    (default) runs the corpus encode job AT BUILD TIME and pins the
+    codes via an eager localCheckpoint, whose RDD is freed only when the
+    returned frame is garbage-collected; False keeps construction fully
+    lazy (no job, no pinned storage) at a measured ~1s/call analysis
+    cost at sf0.1, for callers that build many frames or may never
+    execute one."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
     books = _deterministic_codebooks(dim, m, ks, seed)
     n = next(_PQ_VIEW_SEQ)
     e_view, q_view = f"_pq_codes_{n}", f"_pq_queries_{n}"
-    # Encode ONCE and EAGERLY localCheckpoint the codes: the encode tree
-    # is ~10k expression nodes, and only an eager checkpoint hides it
-    # behind a resolved RDD scan — measured: eager=False leaves the full
+    # Encode ONCE and (by default) EAGERLY localCheckpoint the codes: the
+    # encode tree is ~10k expression nodes, and only an eager checkpoint
+    # hides it behind a resolved RDD scan — measured: lazy leaves the full
     # tree visible to the search statement's analysis/optimization and
     # costs ~1s/call MORE than eager (4.5s vs 3.5s warm at sf0.1), so the
     # documented trade is: BUILDING a pq_topk frame runs the corpus
-    # encode job immediately, even if the frame is never executed. The
-    # checkpointed codes RDD is released when the returned frame is
-    # garbage-collected; per-micro-batch callers should drop references
-    # between batches.
-    pq_encode(corpus, id_col, vec_col, dim, m, ks, seed).localCheckpoint(
-    ).createOrReplaceTempView(e_view)
+    # encode job immediately, even if the frame is never executed.
+    codes = pq_encode(corpus, id_col, vec_col, dim, m, ks, seed)
+    if eager_encode:
+        codes = codes.localCheckpoint()
+    codes.createOrReplaceTempView(e_view)
     queries.createOrReplaceTempView(q_view)
 
     q_slices = ", ".join(

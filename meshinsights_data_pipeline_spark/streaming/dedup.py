@@ -177,7 +177,7 @@ def streaming_span_ingest(
     spans_dir: str,
     n: int = 5,
     min_docs: int = 2,
-    idempotent: bool = False,
+    idempotent: bool = True,
 ):
     """Incremental cross-document duplicate-span detection — the streaming
     twin of ``operators.corpus.duplicate_spans`` (ExactSubstr-style span
@@ -213,9 +213,11 @@ def streaming_span_ingest(
     Scale notes: state is gram-cardinality (the n-gram vocabulary), the
     same order as the LSH signature table; per-batch work is one
     micro-batch gram pass + a gram-keyed join against the counts table.
-    Appends are at-least-once on retry unless ``idempotent=True``
-    (epoch-keyed dynamic partition overwrite, exactly-once per epoch);
-    the counts snapshot is already exactly-once via the version floor.
+    Span appends default to ``idempotent=True`` (epoch-keyed dynamic
+    partition overwrite, exactly-once per epoch), mirroring the counts
+    snapshot's exactly-once version floor — a micro-batch retry must not
+    re-append identical span rows. ``idempotent=False`` opts into plain
+    at-least-once appends for sinks that cannot host the epoch layout.
     Docs are assumed to arrive once (dedup the stream upstream with
     ``streaming_exact_dedup`` otherwise — a re-arriving doc would count
     itself as its own duplicate).
