@@ -117,7 +117,7 @@ def main() -> None:
             t0 = time.perf_counter()
             ctx = run_corpus_prep(
                 docs, benchmark=bench_slice, contamination_threshold=0.8,
-                quota_n=1000, chunk_tokens=64,
+                quota_n=1000, chunk_tokens=64, span_excise_n=5,
             )
             ctx.processed_data["corpus.chunks"].write.format("noop").mode(
                 "overwrite"
@@ -127,6 +127,43 @@ def main() -> None:
         extras["corpus_pipeline_e2e"] = runs[1]
     except Exception as exc:  # noqa: BLE001
         print(f"bench: corpus pipeline failed: {exc}", file=sys.stderr)
+
+    # Per-step breakdown of the corpus pipeline (same config as the e2e
+    # run). The e2e number times ONE fused plan — Catalyst collapses the
+    # steps, which is the production execution and stays the headline.
+    # This pass instead materializes after every step (noop write +
+    # localCheckpoint barrier, so step N+1 starts from N's materialized
+    # output and each delta is additive and attributable). The barrier
+    # overhead means the step sum is expected to EXCEED the fused e2e
+    # time; the value of the breakdown is the per-step ratio, not the sum.
+    corpus_steps: dict[str, float] = {}
+    try:
+        from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+            BENCHMARK_KEY,
+            build_corpus_pipeline,
+        )
+        from meshinsights_data_pipeline_spark.core.context import PipelineContext
+
+        pipe = build_corpus_pipeline(
+            contamination_threshold=0.8, quota_n=1000, chunk_tokens=64,
+            span_excise_n=5,
+        )
+        ctx = PipelineContext(
+            pipeline_name="corpus_prep_steps", correlation_id="bench",
+            raw_data=read_table(spark, sf_dir, "documents"),
+        )
+        ctx.processed_data[BENCHMARK_KEY] = bench_slice
+        for proc in pipe.processors:
+            if not pipe.should_execute(proc, ctx):
+                continue
+            t0 = time.perf_counter()
+            ctx = proc(ctx)
+            out = ctx.processed_data.get("corpus.chunks", ctx.raw_data)
+            out.write.format("noop").mode("overwrite").save()
+            ctx.raw_data = ctx.raw_data.localCheckpoint()
+            corpus_steps[proc.name] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: corpus step breakdown failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_cold = round(sum(t for t in timings_cold.values() if t >= 0), 3)
@@ -144,6 +181,7 @@ def main() -> None:
         "value_cold": total_cold,
         "extras": extras,
         "extras_cold": extras_cold,
+        "corpus_steps": corpus_steps,
         "sf": sf,
     }
     try:
@@ -154,21 +192,34 @@ def main() -> None:
         pass
     print(json.dumps(detail), file=sys.stderr)
 
+    def _short(name: str) -> str:
+        # Compact-line keys only: extension queries collapse to their
+        # unique xNN prefix ("x26_dedup_clusters_star" -> "x26") to keep
+        # the one-line JSON inside the driver's ~2000-char stdout tail.
+        # Full names always live in BENCH_DETAIL.json.
+        if name[0] == "x" and name[1:3].isdigit():
+            return name[:3]
+        return name
+
     compact = {
         "metric": "declared_query_set_total",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {_short(k): round(v, 2) for k, v in timings.items()},
         "extras": {k: round(v, 2) for k, v in extras.items()},
+        "corpus_steps": {k: round(v, 2) for k, v in corpus_steps.items()},
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # still too long: drop per-query detail to the
-        compact.pop("extras", None)  # floor rather than emit an unparseable line
+    if len(line) > 1900:  # too long: shed detail blocks before per-query
+        compact.pop("corpus_steps", None)  # times, never an unparseable line
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("extras", None)
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact["queries"] = {
-            k: round(v, 2)
+            _short(k): round(v, 2)
             for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:40]
         }
         line = json.dumps(compact, separators=(",", ":"))

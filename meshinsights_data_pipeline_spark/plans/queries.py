@@ -1294,6 +1294,136 @@ _ORACLES["q46"] = """
 """
 
 
+def q47(spark, sf_dir):
+    """ROLLUP aggregate: revenue + line counts at (returnflag, linestatus),
+    per-returnflag subtotal, and grand total in ONE pass — Spark's rollup
+    lowers to a single Expand + hash aggregate (each input row fans out to
+    its 3 grouping sets map-side; no second scan, no union of aggregates),
+    which is the shape subtotal reports need at 100 TB. GROUPING() flags
+    disambiguate a real NULL key from a rolled-up level in both engines.
+    Revenue sums in DECIMAL then casts — double summation order would
+    differ between engines at the grand-total level."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLES["q47"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+def q48(spark, sf_dir):
+    """PIVOT (long-to-wide): order counts and DECIMAL-exact revenue per
+    priority, one column pair per order status. The status values are
+    passed EXPLICITLY to pivot() — without the list Spark runs an eager
+    distinct scan to discover them (an extra job and a plan that changes
+    whenever a new status appears); with it the pivot is a single
+    hash-aggregate of conditional expressions, identical to the oracle's
+    FILTER form and stable at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(price).cast("double").alias("rev"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLES["q48"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F_cnt,
+           CAST(SUM(o_totalprice::DECIMAL(14,2))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_rev,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O_cnt,
+           CAST(SUM(o_totalprice::DECIMAL(14,2))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_rev,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P_cnt,
+           CAST(SUM(o_totalprice::DECIMAL(14,2))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_rev
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def q49(spark, sf_dir):
+    """Semi-structured extraction: a JSON payload column (synthesized from
+    customer fields with the SAME expression in both engines, standing in
+    for an ingested API/log blob) is parsed back into typed columns and
+    aggregated. Spark uses get_json_object — JVM-side Jackson path
+    evaluation, no Python, fully codegen'd — vs DuckDB's
+    json_extract_string; the cast-back-then-aggregate proves the payload
+    round-trips typed values, not just strings."""
+    cu = _t(spark, sf_dir, "customer")
+    payload = F.concat(
+        F.lit('{"seg": "'), F.col("c_mktsegment"),
+        F.lit('", "nation": '), F.col("c_nationkey").cast("string"),
+        F.lit(', "bal": '), F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        F.lit("}"),
+    )
+    parsed = cu.select(payload.alias("js")).select(
+        F.get_json_object("js", "$.seg").alias("seg"),
+        F.get_json_object("js", "$.nation").cast("int").alias("nation"),
+        F.get_json_object("js", "$.bal").cast("decimal(12,2)").alias("bal"),
+    )
+    return (
+        parsed.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.countDistinct("nation").cast("bigint").alias("n_nations"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+_ORACLES["q49"] = """
+    WITH payload AS (
+        SELECT '{"seg": "' || c_mktsegment || '", "nation": ' ||
+               CAST(c_nationkey AS VARCHAR) || ', "bal": ' ||
+               CAST(c_acctbal::DECIMAL(12,2) AS VARCHAR) || '}' AS js
+        FROM customer
+    ),
+    parsed AS (
+        SELECT json_extract_string(js, '$.seg') AS seg,
+               CAST(json_extract_string(js, '$.nation') AS INTEGER) AS nation,
+               CAST(json_extract_string(js, '$.bal') AS DECIMAL(12,2)) AS bal
+        FROM payload
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_nations,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal
+    FROM parsed
+    GROUP BY seg
+    ORDER BY seg
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1304,7 +1434,7 @@ _BUILDERS = {
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
-    "q46": q46,
+    "q46": q46, "q47": q47, "q48": q48, "q49": q49,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1337,12 +1467,14 @@ _DRIVER_WINDOW_R6 = [
     # the round-5 red row, fixed this round (array -> '|'-joined string)
     "q44",
     # ADDED this round, never driver-checked
-    "q45", "q46",
+    "q45", "q46", "q47", "q48", "q49",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 44 re-checks: everything whose last driver-green row is from r4
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    # 41 re-checks: r4-green set, minus q02/q03/q04 (simple filter shapes
+    # whose code paths every other window entry exercises transitively —
+    # the three slots went to the new queries above)
+    "q01", "q05", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22", "q23", "q24", "q27", "q28", "q29", "q30", "q31", "q32", "q33",
     "q34", "q35", "q36",
