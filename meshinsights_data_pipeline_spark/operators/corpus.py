@@ -737,6 +737,67 @@ def vocabulary(
     )
 
 
+def lm_quality_score(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style statistical-LM quality score (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — there a KenLM 5-gram; here a corpus-trained add-one-smoothed
+    bigram LM, the same filter signal without a model artifact):
+    [id, n_bigrams, avg_logp, ppl] per document with >= 2 tokens, where
+    ppl = exp(-mean log P(w_i | w_{i-1})) and
+    P = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + |V|). Low perplexity =
+    looks like the corpus; the filter keeps a band (too low = boilerplate,
+    too high = gibberish — the paper's head/middle/tail split).
+
+    Scale design: tokens hash to 60-bit ints immediately (md5_int60 — the
+    repo-wide join-key contract; STRINGS NEVER SHUFFLE), bigram pairing is
+    one per-doc lead window, both count tables are map-side-combinable
+    groupBys that shuffle one row per distinct (bi)gram, |V| rides along
+    as a broadcast one-row frame, and scoring is two hash joins on int
+    keys + one per-doc aggregate. At 100 TB the counts tables would be
+    trained once (or on a sample) and loaded as static tables; the
+    train-on-self form here is the self-contained equivalent with
+    identical join shapes.
+
+    Determinism: avg_logp rounds to 6 decimals (log-prob magnitudes are
+    O(1-10), so double reorder error ~1e-14 cannot reach the rounding
+    digit); ppl to 2.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    h = toks.select(F.col(id_col), "pos", md5_int60(F.col("tok")).alias("h"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        h.select(F.col(id_col), F.lag("h").over(w).alias("h_prev"), "h")
+        .filter(F.col("h_prev").isNotNull())
+    )
+    bc = bigrams.groupBy("h_prev", "h").agg(F.count(F.lit(1)).alias("cb"))
+    uc = h.groupBy(F.col("h").alias("h_prev")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vsz = h.agg(F.countDistinct("h").alias("vsz"))
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+        / (F.col("cu") + F.col("vsz"))
+    )
+    return (
+        bigrams.join(bc, ["h_prev", "h"], "left")
+        .join(uc, "h_prev")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+        )
+    )
+
+
 def contamination_check_prefiltered(
     df: DataFrame,
     benchmark: DataFrame,

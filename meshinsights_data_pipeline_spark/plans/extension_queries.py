@@ -2119,6 +2119,59 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def x51_lm_quality(spark: SparkSession, sf_dir: str):
+    """CCNet-style LM quality scoring (corpus-trained add-one bigram LM;
+    Wenzek et al. 2020): per-doc mean log-prob + perplexity, sliced to
+    doc_id < 200 for a display-sized result — the TRAINING side still
+    sees the whole corpus, which is what the query exercises."""
+    from meshinsights_data_pipeline_spark.operators.corpus import lm_quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        lm_quality_score(docs, "doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+_X51_NORM = _NORM_SQL.format(col="text")
+X51_SQL = f"""
+WITH words AS (SELECT doc_id, string_split({_X51_NORM}, ' ') AS w FROM documents),
+toks AS (
+    SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok FROM (
+        SELECT doc_id,
+               [{{'pos': i, 'tok': w[i]}} FOR i IN range(1, len(w) + 1)] AS ps
+        FROM words
+    ), UNNEST(ps) AS u(s)
+    WHERE u.s.tok <> ''
+),
+h AS (
+    SELECT doc_id, pos, {_H60_SQL.format(s='tok')} AS h FROM toks
+),
+bi AS (
+    SELECT doc_id, LAG(h) OVER (PARTITION BY doc_id ORDER BY pos) AS h_prev, h
+    FROM h
+),
+bigrams AS (SELECT * FROM bi WHERE h_prev IS NOT NULL),
+bc AS (SELECT h_prev, h, COUNT(*) AS cb FROM bigrams GROUP BY h_prev, h),
+uc AS (SELECT h AS h_prev, COUNT(*) AS cu FROM h GROUP BY h),
+v AS (SELECT COUNT(DISTINCT h) AS vsz FROM h)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN((COALESCE(bc.cb, 0) + 1.0) / (uc.cu + v.vsz))), 6)
+           AS avg_logp,
+       ROUND(EXP(-AVG(LN((COALESCE(bc.cb, 0) + 1.0) / (uc.cu + v.vsz)))), 2)
+           AS ppl
+FROM bigrams b
+LEFT JOIN bc ON b.h_prev = bc.h_prev AND b.h = bc.h
+JOIN uc ON b.h_prev = uc.h_prev
+CROSS JOIN v
+WHERE b.doc_id < 200
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2170,4 +2223,5 @@ EXTENSION_BUILDERS = {
     "x48_duplicate_spans": (x48_duplicate_spans, X48_SQL),
     "x49_span_excision": (x49_span_excision, X49_SQL),
     "x50_corpus_report": (x50_corpus_report, X50_SQL),
+    "x51_lm_quality": (x51_lm_quality, X51_SQL),
 }

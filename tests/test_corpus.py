@@ -539,3 +539,31 @@ def test_corpus_report_approx_tier(spark):
     for s in exact:
         assert exact[s].n_docs == ap[s].n_docs
         assert exact[s].n_distinct == ap[s].n_distinct  # HLL exact at tiny n
+
+
+def test_lm_quality_score_hand_computed(spark):
+    """Add-one bigram LM checked against hand arithmetic. Corpus:
+    "a b a b" + "a b" + "solo" -> V=3 (the 1-token doc gets no score but
+    its token DOES count toward the vocabulary and unigram table),
+    unigrams a:3 b:3 solo:1, bigrams (a,b):3 (b,a):1.
+    P(b|a)=(3+1)/(3+3)=2/3, P(a|b)=(1+1)/(3+3)=1/3."""
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.corpus import lm_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],  # 1-token doc: no score
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_quality_score(docs, "doc_id", "text").collect()}
+    assert sorted(rows) == [1, 2]  # the 1-token doc has no bigrams
+    avg1 = (math.log(2 / 3) + math.log(1 / 3) + math.log(2 / 3)) / 3
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_logp == round(avg1, 6)
+    assert rows[1].ppl == round(math.exp(-avg1), 2)
+    assert rows[2].n_bigrams == 1
+    assert rows[2].avg_logp == round(math.log(2 / 3), 6)
+    assert rows[2].ppl == 1.5
+    # the filter signal orders as expected: the doc made of the corpus's
+    # dominant bigram scores lower perplexity than the mixed one
+    assert rows[2].ppl < rows[1].ppl
