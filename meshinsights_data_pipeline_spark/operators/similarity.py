@@ -626,6 +626,51 @@ def ivf_topk(
     ).select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
 
 
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int | None = None,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact one:
+    [query_id, n_truth, n_hits, recall] per query, where recall =
+    |approx ∩ exact_top_k| / |exact_top_k|. The quality gate every ANN
+    deployment needs next to its index build — run it on a sampled query
+    set before trusting an IVF/PQ/LSH configuration at full scale.
+
+    Both inputs are the [query_id, neighbor_id, ..., rank] frames the
+    topk family returns; ``k`` truncates BOTH sides (pass None to trust
+    the inputs' own k). Plan: one left-semi join on the two int key
+    columns + two per-query counts — work scales with |queries| x k,
+    never with the corpus.
+    """
+    qc, nc = F.col(query_col), F.col(neighbor_col)
+    truth = exact if k is None else exact.filter(F.col(rank_col) <= k)
+    cand = approx if k is None else approx.filter(F.col(rank_col) <= k)
+    truth = truth.select(qc.alias("query_id"), nc.alias("neighbor_id"))
+    cand = cand.select(qc.alias("query_id"), nc.alias("neighbor_id"))
+    hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi")
+    n_truth = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    n_hits = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        n_truth.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def _deterministic_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Fixed pseudo-random unit-free hyperplanes (LCG-based, seedable,
     reproducible across runs without numpy RNG state)."""

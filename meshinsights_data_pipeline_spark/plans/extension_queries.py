@@ -2172,6 +2172,76 @@ ORDER BY b.doc_id
 """
 
 
+def x52_ann_recall(spark: SparkSession, sf_dir: str):
+    """ANN quality gate: recall@10 of the RP-LSH path (x10's exact
+    configuration) against the exact cosine top-10 (x06's), per query —
+    the evaluation every index deployment runs on a sampled query set
+    before trusting a configuration at scale. Composes three existing
+    operators; the oracle recomputes both sides in SQL and the same
+    set-intersection."""
+    from meshinsights_data_pipeline_spark.operators.similarity import ann_recall
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10, dim=_EMB_DIM)
+    approx = S.rp_lsh_topk(emb, queries, k=10, bits=8, seed=7, dim=_EMB_DIM)
+    return ann_recall(exact, approx, k=10).orderBy("query_id")
+
+
+X52_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+exact_scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+                 6) AS score
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM exact_scored
+    ) WHERE rank <= 10
+),
+b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+lsh_scored AS (
+    SELECT qb.query_id, b.vec_id AS neighbor_id,
+           ROUND(list_dot_product(qb.qv, b.v) /
+                 (sqrt(list_dot_product(qb.qv, qb.qv)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS score
+    FROM b JOIN qb USING (bucket) WHERE b.vec_id <> qb.query_id
+),
+lsh_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM lsh_scored
+    ) WHERE rank <= 10
+),
+n_truth AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+    FROM exact_topk GROUP BY query_id
+),
+n_hits AS (
+    SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM exact_topk t
+    JOIN lsh_topk l ON t.query_id = l.query_id
+                   AND t.neighbor_id = l.neighbor_id
+    GROUP BY t.query_id
+)
+SELECT n_truth.query_id, n_truth.n_truth,
+       CAST(COALESCE(n_hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(n_hits.n_hits, 0) * 1.0 / n_truth.n_truth, 6) AS recall
+FROM n_truth LEFT JOIN n_hits ON n_truth.query_id = n_hits.query_id
+ORDER BY n_truth.query_id
+""".replace("{bucket}", _bucket_sql('v', bits=8, seed=7))
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2224,4 +2294,5 @@ EXTENSION_BUILDERS = {
     "x49_span_excision": (x49_span_excision, X49_SQL),
     "x50_corpus_report": (x50_corpus_report, X50_SQL),
     "x51_lm_quality": (x51_lm_quality, X51_SQL),
+    "x52_ann_recall": (x52_ann_recall, X52_SQL),
 }

@@ -1467,17 +1467,17 @@ _DRIVER_WINDOW_R6 = [
     # the round-5 red row, fixed this round (array -> '|'-joined string)
     "q44",
     # ADDED this round, never driver-checked
-    "q45", "q46", "q47", "q48", "q49", "x51_lm_quality",
+    "q45", "q46", "q47", "q48", "q49", "x51_lm_quality", "x52_ann_recall",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 40 re-checks: r4-green set, minus q02/q03/q04/q05 (simple
-    # filter/HAVING shapes whose code paths other window entries exercise
-    # transitively — q23 covers the HAVING path; the slots went to the
-    # new queries above)
+    # 39 re-checks: r4-green set, minus q02/q03/q04/q05/q24 (simple
+    # filter/HAVING/limit shapes whose code paths other window entries
+    # exercise transitively — q23 covers the HAVING path, q16's tail
+    # limit covers limiting; the slots went to the new queries above)
     "q01", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "q23", "q24", "q27", "q28", "q29", "q30", "q31", "q32", "q33",
+    "q22", "q23", "q27", "q28", "q29", "q30", "q31", "q32", "q33",
     "q34", "q35", "q36",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",

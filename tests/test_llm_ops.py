@@ -555,3 +555,27 @@ def test_image_decode_pil_tier(spark):
     assert (rows["img1"]["dec_width"], rows["img1"]["dec_height"]) == (12, 7)
     assert rows["img1"]["dec_mode"] == "RGB"
     assert rows["img2"]["dec_width"] is None and rows["img2"]["dec_mode"] is None
+
+
+def test_ann_recall_hand_computed(spark):
+    """recall@k arithmetic on synthetic top-k frames, including a query
+    the approximate index missed entirely (0 hits -> recall 0.0) and k
+    truncation of an over-long input."""
+    from meshinsights_data_pipeline_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (2, 99, 3)],  # rank 3 cut away by k=2
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (1, 77, 2), (1, 10, 3),
+         (3, 30, 1)],  # query 3 has no exact row -> absent from output
+        "query_id long, neighbor_id long, rank int",
+    )
+    rows = {r.query_id: r for r in ann_recall(exact, approx, k=2).collect()}
+    assert sorted(rows) == [1, 2]
+    # k=2 truth for q1 = {10, 11}; approx top-2 = {11, 77} -> 1 hit
+    assert (rows[1].n_truth, rows[1].n_hits, rows[1].recall) == (2, 1, 0.5)
+    assert (rows[2].n_truth, rows[2].n_hits, rows[2].recall) == (2, 0, 0.0)
