@@ -1424,6 +1424,43 @@ _ORACLES["q49"] = """
 """
 
 
+def q50(spark, sf_dir):
+    """Debounce / time-proximity dedup: keep a (user, event_type) event
+    only when the previous one of the same key is > 24h older — the
+    retry-storm/heartbeat cleanup every telemetry pipeline runs before
+    sessionization. One LAG window per key + a gap filter; the user
+    slice is applied BEFORE the window (same result — the window
+    partitions on user — and the predicate reaches the parquet scan)."""
+    from meshinsights_data_pipeline_spark.operators.debounce import debounce
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        debounce(
+            ev,
+            partition_by=["user_id", "event_type"],
+            order_by=["ts", "event_id"],
+            ts_col="ts",
+            min_gap_seconds=24 * 3600,
+        )
+        .select("user_id", "event_id", "event_type", "ts")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_ORACLES["q50"] = """
+    WITH lagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 50
+    )
+    SELECT user_id, event_id, event_type, ts
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 24 HOUR
+    ORDER BY user_id, ts, event_id
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1434,7 +1471,7 @@ _BUILDERS = {
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
-    "q46": q46, "q47": q47, "q48": q48, "q49": q49,
+    "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1467,17 +1504,18 @@ _DRIVER_WINDOW_R6 = [
     # the round-5 red row, fixed this round (array -> '|'-joined string)
     "q44",
     # ADDED this round, never driver-checked
-    "q45", "q46", "q47", "q48", "q49", "x51_lm_quality", "x52_ann_recall",
+    "q45", "q46", "q47", "q48", "q49", "q50", "x51_lm_quality",
+    "x52_ann_recall",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 39 re-checks: r4-green set, minus q02/q03/q04/q05/q24 (simple
-    # filter/HAVING/limit shapes whose code paths other window entries
-    # exercise transitively — q23 covers the HAVING path, q16's tail
-    # limit covers limiting; the slots went to the new queries above)
+    # 38 re-checks: r4-green set, minus q02/q03/q04/q05/q24/q27 (simple
+    # filter/HAVING/limit shapes other window entries exercise
+    # transitively — q23 covers HAVING, q16 covers limits, q49 covers the
+    # JSON-path surface; the slots went to the new queries above)
     "q01", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "q23", "q27", "q28", "q29", "q30", "q31", "q32", "q33",
+    "q22", "q23", "q28", "q29", "q30", "q31", "q32", "q33",
     "q34", "q35", "q36",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",

@@ -156,3 +156,39 @@ def test_funnel_no_entrants(spark):
     # nobody entered the funnel -> one zero row per declared step (matches
     # the X44 oracle, which emits every step), not an empty frame
     assert out == {1: 0, 2: 0}
+
+
+def test_debounce_semantics(spark):
+    """Raw-relative debounce: a burst collapses to its first event, a
+    boundary gap EXACTLY equal to min_gap is dropped (strict >), keys
+    don't interfere, and a 1-row key always survives."""
+    import datetime as dt
+
+    from meshinsights_data_pipeline_spark.operators.debounce import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, "a", s(0)),    # keep (first)
+        (1, 2, "a", s(5)),    # drop (5 <= 10)
+        (1, 3, "a", s(10)),   # drop (gap to raw prev = 5)
+        (1, 4, "a", s(21)),   # keep (gap 11 > 10)
+        (1, 5, "a", s(31)),   # drop (gap exactly 10: strict >)
+        (1, 6, "b", s(1)),    # keep (different key)
+        (2, 7, "a", s(2)),    # keep (different user)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    )
+    kept = sorted(
+        r.event_id
+        for r in debounce(
+            df, ["user_id", "event_type"], ["ts", "event_id"], "ts", 10
+        ).collect()
+    )
+    assert kept == [1, 4, 6, 7]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        debounce(df, ["user_id"], ["ts"], "ts", 0)
