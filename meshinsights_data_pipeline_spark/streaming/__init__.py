@@ -14,6 +14,10 @@ from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_lsh_ingest,
     streaming_span_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.report import (
+    report_from_state,
+    streaming_report_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.stateful import (
     streaming_funnel,
     streaming_state_change_sessions,
@@ -36,4 +40,6 @@ __all__ = [
     "streaming_lsh_ingest",
     "streaming_span_ingest",
     "streaming_ivf_ingest",
+    "streaming_report_ingest",
+    "report_from_state",
 ]

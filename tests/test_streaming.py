@@ -638,3 +638,66 @@ def test_span_ingest_retry_does_not_double_count(spark, tmp_path):
     import glob
 
     assert not glob.glob(f"{spans_dir}/**/*.parquet", recursive=True)
+
+
+def test_streaming_report_parity_and_retry(spark, tmp_path):
+    """The incremental report card must (a) equal the batch corpus_report
+    (exact tier) over everything ingested, including cross-batch
+    duplicate fingerprints, and (b) be unchanged by a retried epoch."""
+    from meshinsights_data_pipeline_spark.operators.corpus import corpus_report
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import (
+        report_from_state,
+        streaming_report_ingest,
+    )
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "web"),  # dup of 1
+        (3, "some completely different text about engines", "web"),
+        (4, "academic paper abstract with formal words", "papers"),
+    ]
+    rows2 = [
+        (5, "the quick brown fox jumps over the lazy dog", "web"),  # cross-batch dup
+        (6, "another unique document body entirely", "papers"),
+    ]
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    fp_dir, tot_dir = str(tmp_path / "fp"), str(tmp_path / "tot")
+    snapshot_overwrite(
+        spark.createDataFrame([], "source string, fp string, n_docs long"),
+        fp_dir, version=-1,
+    )
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], "source string, total_tokens long, sum_quality decimal(28,6)"
+        ),
+        tot_dir, version=-1,
+    )
+    process = streaming_report_ingest(
+        b1, fp_counts_dir=fp_dir, totals_dir=tot_dir
+    )
+    process(b1, 0)
+    process(b2, 1)
+
+    def canon(df):
+        return sorted(
+            (r.source, r.n_docs, r.total_tokens, round(r.avg_tokens, 9),
+             r.mean_quality, r.n_distinct, round(r.dup_frac, 9))
+            for r in df.collect()
+        )
+
+    streamed = canon(report_from_state(
+        spark, fp_counts_dir=fp_dir, totals_dir=tot_dir
+    ))
+    batch = canon(corpus_report(b1.unionByName(b2)))
+    assert streamed == batch
+    # the cross-batch duplicate is visible: web has 4 docs, 2 distinct fps
+    web = [r for r in streamed if r[0] == "web"][0]
+    assert (web[1], web[5]) == (4, 2)
+
+    process(b2, 1)  # simulated micro-batch retry of epoch 1
+    assert canon(report_from_state(
+        spark, fp_counts_dir=fp_dir, totals_dir=tot_dir
+    )) == batch
