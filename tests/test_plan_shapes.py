@@ -191,3 +191,59 @@ def test_kmeans_fit_trains_usable_codebook(spark):
     v1 = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c1.collect())
     v2 = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c2.collect())
     assert v1 == v2  # deterministic
+
+
+def test_lm_quality_plan_shape(docs):
+    """The LM scorer must stay JVM-side (no Python eval) and never grow a
+    cartesian/nested-loop join — |V| is the only cross join and must be
+    a broadcast one-row scalar."""
+    from meshinsights_data_pipeline_spark.operators.corpus import lm_quality_score
+
+    p = _plan(lm_quality_score(docs, "doc_id", "text"))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the scalar |V| cross join is the broadcast nested-loop form; any
+    # OTHER BNLJ (e.g. the count-table joins degrading) would add more
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q45_preaggregates_before_outer_join(spark, sf_smoke):
+    """q45's scale contract: orders are aggregated to per-custkey rows
+    BELOW the outer join (the shuffle carries customer-cardinality, not
+    the fact table)."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["q45"].spark(spark, sf_smoke)._jdf.queryExecution()
+        .optimizedPlan().toString()
+    )
+    join_at = plan.index("Join LeftOuter")
+    # an Aggregate must appear BELOW the join (later in the tree dump);
+    # the final histogram aggregate sits above it (earlier)
+    assert "Aggregate" in plan[join_at:], plan
+    assert "Aggregate" in plan[:join_at], plan
+
+
+def test_q46_semi_join_is_hash_based(spark, sf_smoke):
+    """The mixed equi/non-equi EXISTS must plan as a hash- or sort-based
+    LeftSemi on the key equality (the non-equi term rides as a join
+    condition), never a nested-loop over the fact side."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q46"].spark(spark, sf_smoke))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_debounce_single_exchange(spark, sf_smoke):
+    """Debounce is one window shuffle on the key - a refactor that adds a
+    second Exchange (e.g. a separate sort or join) fails here."""
+    from meshinsights_data_pipeline_spark.operators.debounce import debounce
+
+    ev = read_table(spark, sf_smoke, "events")
+    p = _plan(
+        debounce(ev, ["user_id", "event_type"], ["ts", "event_id"], "ts", 3600)
+    )
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 1
+    assert "EvalPython" not in p
