@@ -505,6 +505,48 @@ def quota_sample(
     return _topn(df, [key_col])
 
 
+def quality_top_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Docs in the top ``keep_frac`` quality band of their source:
+    [id, source, q] for rows whose composite quality score is >= their
+    source's exact (1 - keep_frac) quantile — "keep the best half of
+    every source", the per-domain quality gate a pretraining mixture
+    applies before token budgeting.
+
+    Scale shape: the threshold is ONE aggregate per source (exact
+    interpolated percentile — quantile_cont semantics, the repo-wide
+    definition) joined back as a broadcast-sized dim, then a map-side
+    filter — never a full percent_rank window sort of the corpus
+    (ordering the whole corpus per source is the 100 TB anti-shape; the
+    aggregate ships one threshold row per source). Ties at the threshold
+    are KEPT (>=), so the fraction retained can exceed keep_frac on
+    plateaued scores — a filter must be deterministic, not exact-sized;
+    use quota_sample for an exact-count cut.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from meshinsights_data_pipeline_spark.operators.text import quality_score
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        quality_score(text_col).alias("q"),
+    )
+    thresholds = scored.groupBy("source").agg(
+        F.percentile(F.col("q"), F.lit(1.0 - keep_frac)).alias("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "source")
+        .filter(F.col("q") >= F.col("_thr"))
+        .select(F.col(id_col), "source", "q")
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -2079,10 +2079,14 @@ def x50_corpus_report(spark: SparkSession, sf_dir: str):
 
 
 _X50_NORM = _NORM_SQL.format(col="text")
-X50_SQL = f"""
+# Shared quality-scored CTE (x50 report card + x53 quantile filter): the
+# DuckDB twin of text.quality_score plus token counts / fingerprint.
+_QUALITY_BASE_HEAD = """
 WITH base AS (
-    SELECT source,
-           CASE WHEN trim(text) = '' THEN 0
+    SELECT doc_id, source,
+"""
+
+X50_SQL = f"""{_QUALITY_BASE_HEAD}           CASE WHEN trim(text) = '' THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
            CASE WHEN length(text) = 0 THEN 0.0
                 ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
@@ -2099,7 +2103,7 @@ WITH base AS (
     FROM documents
 ),
 scored AS (
-    SELECT source, n_tokens, fp,
+    SELECT doc_id, source, n_tokens, fp,
            CAST(ROUND((
                LEAST(n_tokens / 50.0, 1.0)
              + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
@@ -2242,6 +2246,42 @@ ORDER BY n_truth.query_id
 """.replace("{bucket}", _bucket_sql('v', bits=8, seed=7))
 
 
+def x53_quality_top_fraction(spark: SparkSession, sf_dir: str):
+    """Per-source quantile quality gate: keep each source's top-half
+    quality band via ONE exact-percentile aggregate per source broadcast
+    back as a threshold dim + map-side filter — never a full
+    percent-rank window sort of the corpus. Sliced to doc_id < 500 for
+    display; thresholds still compute over every doc."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        quality_top_fraction,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        quality_top_fraction(docs, "doc_id", "text", keep_frac=0.5)
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "source", F.round(F.col("q"), 6).alias("q"))
+        .orderBy("doc_id")
+    )
+
+
+# Reuses x50's scored CTE text (same quality arithmetic); the threshold is
+# quantile_cont over the score cast to DOUBLE in both engines.
+_X53_SCORED = X50_SQL[: X50_SQL.index("SELECT source,\n       CAST(COUNT(*)")]
+X53_SQL = (
+    _X53_SCORED
+    + """SELECT s.doc_id, s.source, CAST(s.q AS DOUBLE) AS q
+FROM scored s
+JOIN (
+    SELECT source, quantile_cont(CAST(q AS DOUBLE), 0.5) AS thr
+    FROM scored GROUP BY source
+) t ON s.source = t.source
+WHERE CAST(s.q AS DOUBLE) >= t.thr AND s.doc_id < 500
+ORDER BY s.doc_id
+"""
+)
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2295,4 +2335,5 @@ EXTENSION_BUILDERS = {
     "x50_corpus_report": (x50_corpus_report, X50_SQL),
     "x51_lm_quality": (x51_lm_quality, X51_SQL),
     "x52_ann_recall": (x52_ann_recall, X52_SQL),
+    "x53_quality_top_fraction": (x53_quality_top_fraction, X53_SQL),
 }
