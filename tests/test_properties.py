@@ -319,3 +319,65 @@ def test_funnel_counts_monotone_and_complete(spark, events):
            funnel_counts(df, "user_id", "ts", "event_type", steps).collect()}
     assert sorted(out) == [1, 2, 3]  # every step present, even all-zero
     assert out[1] >= out[2] >= out[3] >= 0
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)),  # (user, seconds)
+        min_size=0,
+        max_size=30,
+    ),
+    gap=st.integers(1, 40),
+)
+@SLOW
+def test_debounce_idempotent_and_gap_respecting(spark, events, gap):
+    """Debounce is idempotent (consecutive SURVIVORS are always > gap
+    apart, so a second pass keeps exactly the same rows) and every
+    surviving consecutive pair within a key respects the gap."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.debounce import debounce
+
+    rows = [
+        (u, i, datetime(2026, 3, 1) + timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    ) if rows else spark.createDataFrame([], "user_id long, event_id long, ts timestamp")
+    once = debounce(df, ["user_id"], ["ts", "event_id"], "ts", gap)
+    kept = sorted((r.user_id, r.ts, r.event_id) for r in once.collect())
+    twice = debounce(once, ["user_id"], ["ts", "event_id"], "ts", gap)
+    assert sorted((r.user_id, r.ts, r.event_id) for r in twice.collect()) == kept
+    by_user: dict[int, list] = {}
+    for u, ts, _ in kept:
+        by_user.setdefault(u, []).append(ts)
+    for series in by_user.values():
+        for a, b in zip(series, series[1:]):
+            assert (b - a).total_seconds() > gap
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_lm_quality_bounds(spark, texts):
+    """Smoothed bigram probabilities live in (0, 1], so avg_logp <= 0 and
+    ppl >= 1 for every scored doc; docs with < 2 tokens are absent."""
+    from meshinsights_data_pipeline_spark.operators.corpus import lm_quality_score
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_quality_score(df, "doc_id", "text").collect()
+    scoreable = {
+        i for i, t in rows if len([w for w in t.split() if w]) >= 2
+    }
+    assert {r.doc_id for r in out} == scoreable
+    for r in out:
+        assert r.n_bigrams >= 1
+        assert r.avg_logp <= 0
+        assert r.ppl >= 1.0
