@@ -806,23 +806,53 @@ def lm_quality_score(
     O(1-10), so double reorder error ~1e-14 cannot reach the rounding
     digit); ppl to 2.
     """
+    h = lm_token_hashes(df, id_col, text_col)
+    bigrams = lm_bigrams(h, id_col)
+    bc = bigrams.groupBy("h_prev", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    uc = h.groupBy(F.col("h").alias("h_prev")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu")
+    )
+    vsz = uc.agg(F.count(F.lit(1)).alias("vsz"))
+    return lm_score_bigrams(bigrams, bc, uc, vsz, id_col)
+
+
+def lm_token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional 60-bit token hashes per doc: [id, pos, h] — the shared
+    input of LM training (count tables) and scoring (bigram pairing)."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
             "pos", "tok"
         ),
     ).filter(F.col("tok") != "")
-    h = toks.select(F.col(id_col), "pos", md5_int60(F.col("tok")).alias("h"))
+    return toks.select(F.col(id_col), "pos", md5_int60(F.col("tok")).alias("h"))
+
+
+def lm_bigrams(token_hashes: DataFrame, id_col: str) -> DataFrame:
+    """[id, h_prev, h] consecutive-token pairs (one per-doc lead window)."""
     w = Window.partitionBy(id_col).orderBy("pos")
-    bigrams = (
-        h.select(F.col(id_col), F.lag("h").over(w).alias("h_prev"), "h")
+    return (
+        token_hashes.select(
+            F.col(id_col), F.lag("h").over(w).alias("h_prev"), "h"
+        )
         .filter(F.col("h_prev").isNotNull())
     )
-    bc = bigrams.groupBy("h_prev", "h").agg(F.count(F.lit(1)).alias("cb"))
-    uc = h.groupBy(F.col("h").alias("h_prev")).agg(
-        F.count(F.lit(1)).alias("cu")
-    )
-    vsz = h.agg(F.countDistinct("h").alias("vsz"))
+
+
+def lm_score_bigrams(
+    bigrams: DataFrame,
+    bc: DataFrame,
+    uc: DataFrame,
+    vsz: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Score [id, h_prev, h] rows against an add-one bigram LM given as
+    count tables — bc [h_prev, h, cb], uc [h_prev, cu], vsz a one-row
+    [vsz] frame (broadcast). Shared by the batch operator (counts from
+    the same corpus) and the streaming twin (counts from accumulated
+    snapshot state)."""
     logp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
         / (F.col("cu") + F.col("vsz"))

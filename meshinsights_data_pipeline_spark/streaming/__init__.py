@@ -14,6 +14,9 @@ from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_lsh_ingest,
     streaming_span_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.lm import (
+    streaming_lm_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.report import (
     report_from_state,
     streaming_report_ingest,
@@ -42,4 +45,5 @@ __all__ = [
     "streaming_ivf_ingest",
     "streaming_report_ingest",
     "report_from_state",
+    "streaming_lm_ingest",
 ]

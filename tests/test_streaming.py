@@ -701,3 +701,53 @@ def test_streaming_report_parity_and_retry(spark, tmp_path):
     assert canon(report_from_state(
         spark, fp_counts_dir=fp_dir, totals_dir=tot_dir
     )) == batch
+
+
+def test_streaming_lm_parity_and_retry(spark, tmp_path):
+    """Single-batch scores must equal the batch operator exactly; a
+    second batch's docs score against the MERGED (history+batch) model,
+    i.e. equal the batch operator over the union filtered to the new
+    docs; a retried epoch leaves state and scores unchanged."""
+    from meshinsights_data_pipeline_spark.operators.corpus import lm_quality_score
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import streaming_lm_ingest
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps the fence"),
+         (2, "the quick brown dog naps all day"),
+         (3, "unrelated words entirely here today")], schema)
+    b2 = spark.createDataFrame(
+        [(4, "the quick brown fox naps too"),
+         (5, "fresh vocabulary expands the model")], schema)
+    bi_dir, un_dir, sc_dir = (str(tmp_path / d) for d in ("bi", "un", "sc"))
+    snapshot_overwrite(
+        spark.createDataFrame([], "h_prev long, h long, cb long"), bi_dir, -1)
+    snapshot_overwrite(
+        spark.createDataFrame([], "h long, cu long"), un_dir, -1)
+
+    process = streaming_lm_ingest(
+        b1, bigram_dir=bi_dir, unigram_dir=un_dir, scores_dir=sc_dir)
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, r.n_bigrams, r.avg_logp, r.ppl) for r in df.collect())
+
+    process(b1, 0)
+    got1 = canon(spark.read.parquet(sc_dir))
+    assert got1 == canon(lm_quality_score(b1, "doc_id", "text"))
+
+    process(b2, 1)
+    all_scores = spark.read.parquet(sc_dir)
+    got2 = canon(all_scores.filter(F.col("doc_id") >= 4))
+    expect2 = canon(
+        lm_quality_score(b1.unionByName(b2), "doc_id", "text")
+        .filter(F.col("doc_id") >= 4))
+    assert got2 == expect2
+    # batch-1 docs keep their epoch-0 scores (forward-looking, no re-score)
+    assert canon(all_scores.filter(F.col("doc_id") < 4)) == got1
+
+    process(b2, 1)  # simulated retry
+    after = spark.read.parquet(sc_dir)
+    assert canon(after.filter(F.col("doc_id") >= 4)) == got2
+    assert after.count() == 5  # no duplicated score rows
