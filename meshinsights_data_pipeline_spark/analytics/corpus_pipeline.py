@@ -139,6 +139,72 @@ class BoilerplateFilterStep(CorpusStep):
         return context
 
 
+class PerplexityFilterStep(CorpusStep):
+    """CCNet-style LM band filter: train the add-one bigram LM on the
+    surviving corpus, keep docs whose perplexity falls inside
+    ``(min_ppl, max_ppl]`` — too low is boilerplate, too high is
+    gibberish (Wenzek et al. 2020's head/middle split). Docs too short
+    to score (< 2 tokens) are KEPT (no evidence either way — the Gopher
+    token-count gate owns length policy). Per-doc scores stash as
+    "corpus.lm_scores"."""
+
+    def __init__(self, cols: CorpusColumns, min_ppl: float = 0.0,
+                 max_ppl: float = float("inf"), **kw):
+        super().__init__(cols, name="perplexity_filter", **kw)
+        if min_ppl >= max_ppl:
+            raise ValueError(
+                f"min_ppl {min_ppl} must be below max_ppl {max_ppl}"
+            )
+        self.min_ppl = min_ppl
+        self.max_ppl = max_ppl
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            lm_quality_score,
+        )
+
+        docs = context.raw_data
+        scores = lm_quality_score(docs, self.cols.id, self.cols.text)
+        context.processed_data["corpus.lm_scores"] = scores
+        rejects = scores.filter(
+            (F.col("ppl") <= self.min_ppl) | (F.col("ppl") > self.max_ppl)
+        ).select(self.cols.id)
+        context.raw_data = docs.join(rejects, self.cols.id, "left_anti")
+        self._record(context)
+        return context
+
+
+class QualityTopFractionStep(CorpusStep):
+    """Per-source quantile gate: keep each source's top ``keep_frac``
+    quality band (exact per-source percentile threshold broadcast back —
+    never a corpus-wide window sort). Needs the source column; scores
+    stash as "corpus.quality_band"."""
+
+    def __init__(self, cols: CorpusColumns, keep_frac: float = 0.5, **kw):
+        super().__init__(cols, name="quality_top_fraction", **kw)
+        self.keep_frac = keep_frac
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.id, self.cols.text, self.cols.source]
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            quality_top_fraction,
+        )
+
+        docs = context.raw_data
+        kept = quality_top_fraction(
+            docs, self.cols.id, self.cols.text, self.cols.source,
+            keep_frac=self.keep_frac,
+        )
+        context.processed_data["corpus.quality_band"] = kept
+        context.raw_data = docs.join(
+            kept.select(self.cols.id), self.cols.id, "left_semi"
+        )
+        self._record(context)
+        return context
+
+
 class UrlDedupStep(CorpusStep):
     """One survivor per canonical URL (crawl-level dedup). Composed only
     when the corpus has a URL column (see build_corpus_pipeline)."""
@@ -438,6 +504,8 @@ def build_corpus_pipeline(
     shard_seed: int = 0,
     span_excise_n: int | None = None,
     span_min_docs: int = 2,
+    lm_ppl_band: tuple[float, float] | None = None,
+    quality_keep_frac: float | None = None,
 ) -> Pipeline:
     """Assemble the corpus-prep workload with the canonical conditions:
     URL dedup runs iff the corpus binds a URL column, decontamination iff
@@ -462,6 +530,12 @@ def build_corpus_pipeline(
                 cols,
                 max_frac=1.0 if max_boiler_frac is None else max_boiler_frac,
             ),
+            PerplexityFilterStep(
+                cols,
+                min_ppl=(lm_ppl_band or (0.0, float("inf")))[0],
+                max_ppl=(lm_ppl_band or (0.0, float("inf")))[1],
+            ),
+            QualityTopFractionStep(cols, keep_frac=quality_keep_frac or 0.5),
             UrlDedupStep(cols),
             ExactDedupStep(cols),
             NearDupCollapseStep(
@@ -493,6 +567,11 @@ def build_corpus_pipeline(
             "decontamination": has_benchmark,
             "quota_sample": lambda ctx: bool(quota_n),
             "boilerplate_filter": lambda ctx: max_boiler_frac is not None,
+            "perplexity_filter": lambda ctx: lm_ppl_band is not None,
+            "quality_top_fraction": lambda ctx: (
+                quality_keep_frac is not None
+                and cols.source in ctx.raw_data.columns
+            ),
             "span_excise": lambda ctx: span_excise_n is not None,
             "shuffle_shards": lambda ctx: bool(n_shards),
             # the report needs a source column; a corpus bound without one

@@ -164,7 +164,8 @@ def test_full_pipeline_conditions_and_flow(spark):
     assert "url_dedup" in logged  # skipped (no url column) but logged
     skipped = [e for e in ctx.execution_log if e.get("skipped")]
     assert {e["processor"] for e in skipped} == {
-        "url_dedup", "boilerplate_filter", "shuffle_shards", "span_excise"
+        "url_dedup", "boilerplate_filter", "shuffle_shards", "span_excise",
+        "perplexity_filter", "quality_top_fraction",
     }
 
 
@@ -174,7 +175,7 @@ def test_full_pipeline_skips_decontamination_without_benchmark(spark):
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
     assert skipped == {
         "url_dedup", "decontamination", "boilerplate_filter", "shuffle_shards",
-        "span_excise",
+        "span_excise", "perplexity_filter", "quality_top_fraction",
     }
     assert ctx.raw_data.count() == 1
 
@@ -237,7 +238,8 @@ def test_full_pipeline_with_boilerplate_and_shards(spark):
     docs = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
     ctx = run_corpus_prep(docs, max_boiler_frac=0.9, n_shards=2)
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
-    assert skipped == {"url_dedup", "decontamination", "span_excise"}
+    assert skipped == {"url_dedup", "decontamination", "span_excise",
+                       "perplexity_filter", "quality_top_fraction"}
     rows = ctx.raw_data.collect()
     assert sorted(r.doc_id for r in rows) == [1, 2]
     assert all(r.shard in (0, 1) and r.pos == 0 or r.pos >= 0 for r in rows)
@@ -299,3 +301,55 @@ def test_corpus_report_step(spark):
     assert rep["s0"].total_tokens == 50  # 25 tokens x 2 docs
     # raw_data flows through untouched
     assert ctx.raw_data.count() == 3
+
+
+def test_perplexity_and_quality_band_steps(spark):
+    """Both new quality gates, driven directly (the composed pipeline's
+    Gopher gate owns length policy, so step tests bind tiny docs): the
+    perplexity band rejects out-of-band docs but KEEPS unscoreable
+    (<2 token) ones; the per-source band keeps the top fraction; both
+    stash their score frames; default pipeline skips both."""
+    from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+        PerplexityFilterStep,
+        QualityTopFractionStep,
+    )
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        lm_quality_score,
+        quality_top_fraction,
+    )
+
+    base = "the cat and the dog walk to the house in the morning"
+    rows = [(i, base + f" route {i}", "s0", 60) for i in range(6)]
+    rows += [(100, "zz qq xx vv ww yy kk jj", "s0", 20),  # out-of-model -> high ppl
+             (101, "solo", "s0", 4)]                       # unscoreable, kept
+    docs = _docs(spark, rows)
+
+    scores = {r.doc_id: r.ppl for r in
+              lm_quality_score(docs, "doc_id", "text").collect()}
+    cut = sorted(scores.values())[len(scores) // 2]
+    assert scores[100] > cut  # the gibberish doc really is out-of-band
+
+    ctx = PerplexityFilterStep(COLS, min_ppl=0.0, max_ppl=cut)(_ctx(docs))
+    kept = {r.doc_id for r in ctx.raw_data.select("doc_id").collect()}
+    assert 101 in kept and 100 not in kept
+    assert kept - {101} == {d for d, p in scores.items() if p <= cut}
+    assert "corpus.lm_scores" in ctx.processed_data
+
+    ctx2 = QualityTopFractionStep(COLS, keep_frac=0.5)(_ctx(docs))
+    kept2 = {r.doc_id for r in ctx2.raw_data.select("doc_id").collect()}
+    assert kept2 == {r.doc_id for r in
+                     quality_top_fraction(docs, "doc_id", "text",
+                                          keep_frac=0.5).collect()}
+    assert "corpus.quality_band" in ctx2.processed_data
+
+    with pytest.raises(ValueError, match="below max_ppl"):
+        PerplexityFilterStep(COLS, min_ppl=5.0, max_ppl=2.0)
+
+    # composed pipeline: both steps OFF by default, ON when configured
+    ctx3 = run_corpus_prep(
+        _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)]),
+        lm_ppl_band=(0.0, float("inf")), quality_keep_frac=1.0,
+    )
+    ran = {e["processor"] for e in ctx3.execution_log if not e.get("skipped")}
+    assert {"perplexity_filter", "quality_top_fraction"} <= ran
+    assert sorted(r.doc_id for r in ctx3.raw_data.collect()) == [1, 2]
