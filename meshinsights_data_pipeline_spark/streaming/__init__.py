@@ -22,6 +22,7 @@ from meshinsights_data_pipeline_spark.streaming.report import (
     streaming_report_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.stateful import (
+    streaming_debounce,
     streaming_funnel,
     streaming_state_change_sessions,
 )
@@ -46,4 +47,5 @@ __all__ = [
     "streaming_report_ingest",
     "report_from_state",
     "streaming_lm_ingest",
+    "streaming_debounce",
 ]

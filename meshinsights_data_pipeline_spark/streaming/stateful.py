@@ -167,3 +167,57 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_debounce(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Cross-batch time-proximity dedup — the streaming twin of
+    ``operators.debounce.debounce`` (raw-relative: the gap compares to
+    the previous RAW event of the key, kept or not, so a burst collapses
+    to its first row). Per-key state is ONE epoch-nano long (the last
+    raw timestamp), which is what lets a burst SPANNING micro-batches
+    stay collapsed — a per-batch window cannot see the previous batch's
+    tail. Same ordering caveat as the other stateful twins: feed batches
+    in event-time order or reconcile with the batch operator downstream.
+
+    Output: the input columns, filtered. State is bounded by the number
+    of distinct keys; add a state timeout for unbounded key populations.
+    """
+    if min_gap_seconds <= 0:
+        raise ValueError(f"min_gap_seconds must be positive, got {min_gap_seconds}")
+    out_schema = StructType(list(stream.schema.fields))
+    state_schema = StructType([StructField("last_ns", LongType())])
+    gap_ns = int(min_gap_seconds) * 1_000_000_000
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    field_names = [f.name for f in stream.schema.fields]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ns = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        keep = []
+        for ts in batch[ts_col]:
+            t = int(ts.value)  # epoch nanos
+            keep.append(last_ns is None or t - last_ns > gap_ns)
+            last_ns = t  # raw-relative: advance on EVERY row, kept or not
+        state.update((last_ns,))
+        kept = batch.loc[keep, field_names]
+        if not kept.empty:
+            yield kept
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

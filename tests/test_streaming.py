@@ -751,3 +751,64 @@ def test_streaming_lm_parity_and_retry(spark, tmp_path):
     after = spark.read.parquet(sc_dir)
     assert canon(after.filter(F.col("doc_id") >= 4)) == got2
     assert after.count() == 5  # no duplicated score rows
+
+
+def test_streaming_debounce_parity_and_cross_batch(spark, bounded_stream_dir, tmp_path):
+    """The stateful debounce twin must keep exactly the batch operator's
+    rows on a bounded in-order stream, and a burst SPLIT ACROSS
+    micro-batches must still collapse (the per-key last-raw-ts state)."""
+    from meshinsights_data_pipeline_spark.operators.debounce import debounce
+    from meshinsights_data_pipeline_spark.streaming import streaming_debounce
+
+    schema = spark.read.parquet(bounded_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(bounded_stream_dir)
+    gap = 24 * 3600
+    streamed = _run_stream(
+        spark,
+        streaming_debounce(
+            stream, ["user_id", "event_type"], "ts", gap, tiebreak_col="event_id"
+        ),
+        tmp_path,
+        mode="append",
+    )
+    got = sorted(r["event_id"] for r in streamed if r["user_id"] != -1)
+    ev = spark.read.parquet(bounded_stream_dir).filter(F.col("user_id") != -1)
+    expected = sorted(
+        r["event_id"]
+        for r in debounce(
+            ev, ["user_id", "event_type"], ["ts", "event_id"], "ts", gap
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
+
+    # cross-batch burst: one file per micro-batch, burst spans the boundary
+    import datetime as dt
+
+    src = str(tmp_path / "burst_src")
+    t0 = dt.datetime(2026, 1, 1)
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", t0), (2, 1, "a", t0 + dt.timedelta(seconds=5))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    b2 = spark.createDataFrame(
+        [(3, 1, "a", t0 + dt.timedelta(seconds=9)),   # close to batch-1 tail
+         (4, 1, "a", t0 + dt.timedelta(seconds=40))],  # far from raw pred
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    b2.coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    stream2 = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    streamed2 = _run_stream(
+        spark,
+        streaming_debounce(stream2, ["user_id", "event_type"], "ts", 10,
+                           tiebreak_col="event_id"),
+        tmp_path / "ckpt2",
+        mode="append",
+    )
+    # raw-relative: 1 kept; 2 dropped (5s); 3 dropped (4s after 2, across
+    # the batch boundary); 4 kept (31s after 3)
+    assert sorted(r["event_id"] for r in streamed2) == [1, 4]
