@@ -1461,6 +1461,56 @@ _ORACLES["q50"] = """
 """
 
 
+def q51(spark, sf_dir):
+    """Fixed-bin histogram of order totals: global min/max as a broadcast
+    one-row aggregate (never a driver collect), then a pure map-side
+    bucket expression + one count/sum groupBy — the classic two-pass
+    distributed histogram (a per-row width_bucket against engine-native
+    bounds would need the same two passes; this form keeps the
+    arithmetic engine-portable). The max value clamps into the last
+    bucket via least(). Bin edges are derived in double with identical
+    expression order in both engines, so bucket assignment can't drift."""
+    o = _t(spark, sf_dir, "orders")
+    n_bins = 20
+    stats = o.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("_mn"))
+            * n_bins
+            / (F.col("_mx") - F.col("_mn"))
+        ),
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), F.col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLES["q51"] = """
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    )
+    SELECT CAST(LEAST(19, FLOOR((o_totalprice - mn) * 20 / (mx - mn)))
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM orders CROSS JOIN stats
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1472,6 +1522,7 @@ _BUILDERS = {
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
+    "q51": q51,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1504,19 +1555,20 @@ _DRIVER_WINDOW_R6 = [
     # the round-5 red row, fixed this round (array -> '|'-joined string)
     "q44",
     # ADDED this round, never driver-checked
-    "q45", "q46", "q47", "q48", "q49", "q50", "x51_lm_quality",
+    "q45", "q46", "q47", "q48", "q49", "q50", "q51", "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 37 re-checks: r4-green set, minus q02/q03/q04/q05/q24/q27/q28
-    # (simple filter/HAVING/limit/star shapes other window entries
-    # exercise transitively — q23 covers HAVING, q16 covers limits, q49
-    # covers the JSON-path surface, q37/q38 cover broadcast star joins;
-    # the slots went to the new queries above)
+    # 36 re-checks: r4-green set, minus q02/q03/q04/q05/q24/q27/q28/q29
+    # (simple filter/HAVING/limit/star/rollup shapes other window
+    # entries exercise transitively — q23 covers HAVING, q16 covers
+    # limits, q49 covers the JSON-path surface, q37/q38 cover broadcast
+    # star joins, q47 covers rollup grouping sets; the slots went to the
+    # new queries above)
     "q01", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "q23", "q29", "q30", "q31", "q32", "q33",
+    "q22", "q23", "q30", "q31", "q32", "q33",
     "q34", "q35", "q36",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
