@@ -171,3 +171,84 @@ def snapshot_before(spark: SparkSession, path: str, version: int) -> DataFrame:
             "with snapshot_overwrite(df, path, version=-1)"
         )
     return spark.read.parquet(f"{path}/_v={versions[-1]}")
+
+
+def zorder_value(
+    cols: list, bits: int = 8
+) -> "F.Column":
+    """Interleaved-bit (Morton / Z-order) value over 2+ pre-bucketed
+    dimension columns — each input must already be an integer bucket
+    index in [0, 2^bits). Bit i of dimension d lands at position
+    i * n_dims + d, so the combined key preserves locality in EVERY
+    dimension at once: sorting/range-partitioning by it clusters rows
+    that are close in any dimension into the same files.
+
+    Pure integer expression (shifts via multiplication, masks via
+    pmod/floor) — map-side, engine-portable, no UDF.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs at least 2 dimension columns")
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        v = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        for i in range(bits):
+            bit = F.floor(v / F.lit(1 << i)) % 2
+            z = z + bit * F.lit(1 << (i * n + d))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_cols: list[str],
+    dim_bounds: dict[str, tuple[float, float]],
+    bits: int = 8,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering for data skipping: bucket each
+    dimension into 2^bits equal-width bins over ``dim_bounds``
+    (pre-computed bounds — pass stats from a prior aggregate, not a
+    driver-side scan here), range-partition by the interleaved Z-value
+    into ``n_files`` output files, and sort within files by it.
+
+    Why this beats sorting by one column at 100 TB: a lexicographic sort
+    on (a, b) prunes scans filtered on ``a`` but does nothing for
+    filters on ``b`` alone — its worst-case dimension scans every file.
+    The Z-order curve trades a little locality on each dimension for
+    min/max locality on ALL of them simultaneously (a filter fixing the
+    top b bits of one dimension touches ~min(2^b, n_files) files instead
+    of all of them), so parquet statistics prune selective filters on
+    any clustered column — the same technique behind Delta/Iceberg
+    OPTIMIZE ZORDER.
+    """
+    mx = (1 << bits) - 1
+    bucketed = df
+    bcols = []
+    for c in dim_cols:
+        lo, hi = dim_bounds[c]
+        if not hi > lo:
+            raise ValueError(f"bounds for {c} must satisfy hi > lo, got {lo}, {hi}")
+        b = F.least(
+            F.lit(mx),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    * (1 << bits)
+                    / F.lit(float(hi) - float(lo))
+                ),
+            ),
+        )
+        bc = f"_zb_{c}"
+        bucketed = bucketed.withColumn(bc, b.cast("long"))
+        bcols.append(bc)
+    with_z = bucketed.withColumn("_z", zorder_value(bcols, bits))
+    (
+        with_z.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z", *bcols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -504,3 +504,78 @@ def test_mysql_grammar_rejects_invalid_dml():
     for sql in bad_updates:
         with pytest.raises(MySQLSyntaxError):
             validate_mysql_update(sql)
+
+
+def test_zorder_layout_clusters_every_dimension(spark, sf_smoke, tmp_path):
+    """Z-order's win is the balanced WORST CASE: a selective filter on
+    EITHER clustered column touches a strict subset of the files,
+    whereas a single-column lexicographic sort localizes its own column
+    perfectly and leaves the other scattered across every file.
+    (Files-containing-matches is the proxy: parquet min/max pruning
+    follows the same per-file value ranges.)"""
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.session import read_table
+    from meshinsights_data_pipeline_spark.sources.layout import write_zordered
+
+    orders = read_table(spark, sf_smoke, "orders")
+    lo_hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    bounds = {
+        "o_custkey": (lo_hi[0], lo_hi[1] + 1),
+        "o_totalprice": (lo_hi[2], lo_hi[3] + 1),
+    }
+    n_files = 8
+    zpath = str(tmp_path / "zord")
+    write_zordered(
+        orders, zpath, ["o_custkey", "o_totalprice"], bounds, n_files=n_files
+    )
+    # single-column sorted baseline: same file count, ordered by custkey
+    lpath = str(tmp_path / "lex")
+    (orders.repartitionByRange(n_files, F.col("o_custkey"))
+     .sortWithinPartitions("o_custkey").write.parquet(lpath))
+
+    def files_touched(path, cond):
+        df = spark.read.parquet(path).filter(cond)
+        return df.select(F.input_file_name()).distinct().count()
+
+    ck_lo, ck_hi = lo_hi[0], lo_hi[0] + (lo_hi[1] - lo_hi[0]) / 16
+    tp_lo, tp_hi = lo_hi[2], lo_hi[2] + (lo_hi[3] - lo_hi[2]) / 16
+    ck_cond = (F.col("o_custkey") >= ck_lo) & (F.col("o_custkey") < ck_hi)
+    tp_cond = (F.col("o_totalprice") >= tp_lo) & (F.col("o_totalprice") < tp_hi)
+
+    z_worst = max(files_touched(zpath, ck_cond), files_touched(zpath, tp_cond))
+    lex_worst = max(files_touched(lpath, ck_cond), files_touched(lpath, tp_cond))
+    # z-order: BOTH dimensions prune below full scan; balanced worst case
+    assert z_worst <= n_files - 2
+    # lexicographic: its own column localizes...
+    assert files_touched(lpath, ck_cond) <= 2
+    # ...but the other column is scattered over (almost) every file, so
+    # the worst-case dimension is strictly worse than z-order's
+    assert lex_worst >= n_files - 1
+    assert z_worst < lex_worst
+    # and the layout loses no rows
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """zorder_value must interleave exactly: bit i of dim d at position
+    i*n+d. For (a=0b11, b=0b00) -> 0b0101; (a=0b00, b=0b11) -> 0b1010."""
+    from meshinsights_data_pipeline_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (1, 1), (2, 3)], "a long, b long"
+    )
+    got = {(r.a, r.b): r.z for r in
+           df.withColumn("z", zorder_value(["a", "b"], bits=2)).collect()}
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(1, 1)] == 0b0011
+    assert got[(2, 3)] == 0b1110  # a=10,b=11 -> b1 a1 b0 a0 = 1 1 1 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_value(["a"])
