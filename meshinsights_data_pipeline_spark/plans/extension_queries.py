@@ -2282,6 +2282,91 @@ ORDER BY s.doc_id
 )
 
 
+def x54_zorder_keys(spark: SparkSession, sf_dir: str):
+    """Z-order (Morton) clustering keys over (custkey, totalprice):
+    equal-width bucket each dimension over its global min/max (broadcast
+    one-row stats, the q51 idiom), interleave the bucket bits with pure
+    integer arithmetic (sources.layout.zorder_value), return the lowest
+    50 keys — the write-layout clustering value under the correctness
+    gate. 6 bits/dim keeps the oracle's unrolled bit arithmetic compact;
+    the operator itself defaults to 8."""
+    from meshinsights_data_pipeline_spark.sources.layout import zorder_value
+
+    bits = 6
+    mx = (1 << bits) - 1
+    o = read_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("_cmn"),
+        (F.max("o_custkey") + 1).alias("_cmx"),
+        F.min("o_totalprice").alias("_pmn"),
+        (F.max("o_totalprice") + 1).alias("_pmx"),
+    )
+
+    def bucket(col, lo, hi):
+        return F.least(
+            F.lit(mx),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(col).cast("double") - F.col(lo))
+                    * (1 << bits)
+                    / (F.col(hi) - F.col(lo))
+                ),
+            ),
+        ).cast("long")
+
+    zb = (
+        o.crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            bucket("o_custkey", "_cmn", "_cmx").alias("b_cust"),
+            bucket("o_totalprice", "_pmn", "_pmx").alias("b_price"),
+        )
+    )
+    return (
+        zb.withColumn(
+            "z", zorder_value([F.col("b_cust"), F.col("b_price")], bits=bits)
+        )
+        .select("o_orderkey", "b_cust", "b_price", "z")
+        .orderBy("z", "o_orderkey")
+        .limit(50)
+    )
+
+
+def _zorder_sql_terms(bits: int, n_dims: int) -> str:
+    terms = []
+    for d, col in enumerate(["b_cust", "b_price"][:n_dims]):
+        for i in range(bits):
+            terms.append(
+                f"(CAST(FLOOR({col} / {1 << i}) AS BIGINT) % 2) * {1 << (i * n_dims + d)}"
+            )
+    return " + ".join(terms)
+
+
+X54_SQL = f"""
+WITH stats AS (
+    SELECT MIN(o_custkey) AS cmn, MAX(o_custkey) + 1 AS cmx,
+           MIN(o_totalprice) AS pmn, MAX(o_totalprice) + 1 AS pmx
+    FROM orders
+),
+zb AS (
+    SELECT o_orderkey,
+           CAST(LEAST(63, GREATEST(0,
+               FLOOR((CAST(o_custkey AS DOUBLE) - cmn) * 64 / (cmx - cmn))
+           )) AS BIGINT) AS b_cust,
+           CAST(LEAST(63, GREATEST(0,
+               FLOOR((CAST(o_totalprice AS DOUBLE) - pmn) * 64 / (pmx - pmn))
+           )) AS BIGINT) AS b_price
+    FROM orders CROSS JOIN stats
+)
+SELECT o_orderkey, b_cust, b_price,
+       CAST({_zorder_sql_terms(6, 2)} AS BIGINT) AS z
+FROM zb
+ORDER BY z, o_orderkey
+LIMIT 50
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2336,4 +2421,5 @@ EXTENSION_BUILDERS = {
     "x51_lm_quality": (x51_lm_quality, X51_SQL),
     "x52_ann_recall": (x52_ann_recall, X52_SQL),
     "x53_quality_top_fraction": (x53_quality_top_fraction, X53_SQL),
+    "x54_zorder_keys": (x54_zorder_keys, X54_SQL),
 }
