@@ -252,3 +252,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    old_version: int,
+    new_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level delta between two committed snapshot versions of a
+    layout table: [key_cols..., change] with change in
+    ('added', 'removed', 'changed') — the audit every incremental
+    pipeline wants after an ingest epoch ("what did this batch actually
+    do to the table?").
+
+    One full outer join on the key columns; non-key columns compare via
+    a single xxhash64 over all of them (computed map-side on each
+    snapshot scan, so the join carries keys + one long — never wide
+    rows). Unchanged rows are omitted. Work scales with the two
+    snapshot sizes, not table history.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+
+    def keyed(version: int, tag: str) -> DataFrame:
+        df = snapshot_before(spark, path, version + 1)
+        non_key = [c for c in df.columns if c not in key_cols]
+        row_hash = (
+            F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.lit(0)
+        )
+        return df.select(
+            *[F.col(c) for c in key_cols], row_hash.alias(f"_h_{tag}")
+        )
+
+    old = keyed(old_version, "old")
+    new = keyed(new_version, "new")
+    joined = old.join(new, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

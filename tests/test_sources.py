@@ -579,3 +579,46 @@ def test_zorder_value_interleaves_bits(spark):
 
     with pytest.raises(ValueError, match="at least 2"):
         zorder_value(["a"])
+
+
+def test_snapshot_diff_added_removed_changed(spark, tmp_path):
+    """Row-level delta between two snapshot versions: added / removed /
+    changed detected via key join + non-key row hash; unchanged rows
+    omitted; key-only tables diff on presence alone."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_diff,
+        snapshot_overwrite,
+    )
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "b", 99),        # changed
+         (4, "d", 40)],       # added (3 removed)
+        "id long, s string, v long",
+    )
+    path = str(tmp_path / "tbl")
+    snapshot_overwrite(v0, path, version=0)
+    snapshot_overwrite(v1, path, version=1)
+    got = {r.id: r.change for r in
+           snapshot_diff(spark, path, 0, 1, ["id"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    # key-only snapshot: presence diff, nothing spuriously 'changed'
+    k0 = spark.createDataFrame([(1,), (2,)], "id long")
+    k1 = spark.createDataFrame([(2,), (3,)], "id long")
+    kpath = str(tmp_path / "keys")
+    snapshot_overwrite(k0, kpath, version=0)
+    snapshot_overwrite(k1, kpath, version=1)
+    got_k = {r.id: r.change for r in
+             snapshot_diff(spark, kpath, 0, 1, ["id"]).collect()}
+    assert got_k == {1: "removed", 3: "added"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key column"):
+        snapshot_diff(spark, path, 0, 1, [])
