@@ -547,6 +547,48 @@ def quality_top_fraction(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+    draws u in (0, 1] from a hash of its id (+ salt for independent
+    draws) and ranks by u^(1/w); the top ``n`` keys are the sample, with
+    inclusion probability proportional to weight. Computed as
+    ln(u)/w — the same ordering (ln is monotone on (0,1]) without pow's
+    larger cross-engine libm variance. Rows with weight <= 0 are
+    excluded (zero weight = never sampled; A-ES is undefined there).
+
+    Scale shape: the key is one map-side expression; the global top-n
+    lowers to Spark's TakeOrderedAndProject (per-partition top-n, then a
+    single merge of n*partitions candidates) — no full sort, no window.
+    Deterministic: same corpus + salt => same sample, across engines
+    (the 60-bit md5 hash contract).
+
+    Returns [id, weight, key] ordered by key desc, id asc.
+    """
+    if n <= 0:
+        raise ValueError(f"sample size n must be positive, got {n}")
+    u = (md5_int60(F.concat(F.col(id_col).cast("string"), F.lit(salt))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            F.round(key, 9).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.col(id_col))
+        .limit(n)
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -2367,6 +2367,38 @@ LIMIT 50
 """
 
 
+def x55_weighted_sample(spark: SparkSession, sf_dir: str):
+    """Quality-weighted corpus sampling (Efraimidis-Spirakis A-ES,
+    deterministic via the md5 hash contract): 200 docs drawn without
+    replacement with inclusion probability proportional to the composite
+    quality score — the 'sample better docs more' primitive between
+    uniform quotas (x24) and hard quality gates (x53)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import weighted_sample
+    from meshinsights_data_pipeline_spark.operators.text import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    return weighted_sample(scored, "doc_id", "q", n=200).orderBy(
+        F.desc("key"), "doc_id"
+    )
+
+
+X55_SQL = (
+    _X53_SCORED
+    + """SELECT doc_id, CAST(q AS DOUBLE) AS weight,
+       ROUND(LN((('0x' || substring(md5(doc_id::VARCHAR || 'aes'), 1, 15))::BIGINT + 1)
+                / 1152921504606846976.0)
+             / CAST(q AS DOUBLE), 9) AS key
+FROM scored
+WHERE CAST(q AS DOUBLE) > 0
+ORDER BY key DESC, doc_id
+LIMIT 200
+"""
+)
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2422,4 +2454,5 @@ EXTENSION_BUILDERS = {
     "x52_ann_recall": (x52_ann_recall, X52_SQL),
     "x53_quality_top_fraction": (x53_quality_top_fraction, X53_SQL),
     "x54_zorder_keys": (x54_zorder_keys, X54_SQL),
+    "x55_weighted_sample": (x55_weighted_sample, X55_SQL),
 }

@@ -1557,19 +1557,21 @@ _DRIVER_WINDOW_R6 = [
     # ADDED this round, never driver-checked
     "q45", "q46", "q47", "q48", "q49", "q50", "q51", "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
+    "x55_weighted_sample",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 35 re-checks: r4-green set, minus q02-q05/q24/q27/q28/q29/q32
+    # 34 re-checks: r4-green set, minus q02-q05/q24/q27-q29/q32/q36
     # (simple filter/HAVING/limit/star/rollup shapes other window
     # entries exercise transitively — q23 covers HAVING, q16 covers
     # limits, q49 covers the JSON-path surface, q37/q38 cover broadcast
-    # star joins, q47 covers rollup grouping sets, q48 covers explicit
-    # pivot; the slots went to the new queries above)
+    # star joins and the multi-join + top-k family (q36's shape), q47
+    # covers rollup grouping sets, q48 covers explicit pivot; the slots
+    # went to the new queries above)
     "q01", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22", "q23", "q30", "q31", "q33",
-    "q34", "q35", "q36",
+    "q34", "q35",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
     "x10_rp_lsh_topk", "x12_embedding_neardup_lsh", "x13_multimodal_meta",
