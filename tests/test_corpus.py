@@ -567,3 +567,35 @@ def test_lm_quality_score_hand_computed(spark):
     # the filter signal orders as expected: the doc made of the corpus's
     # dominant bigram scores lower perplexity than the mixed one
     assert rows[2].ppl < rows[1].ppl
+
+
+def test_weighted_sample_aes_arithmetic(spark):
+    """A-ES ordering recomputed row-by-row in Python (same md5-60bit
+    uniform, same ln(u)/w key) must match the operator's sample exactly;
+    non-positive weights are excluded; n bounds the sample."""
+    import hashlib
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.corpus import weighted_sample
+
+    rows = [(i, [0.5, 1.0, 2.0, 4.0][i % 4]) for i in range(40)]
+    rows += [(100, 0.0), (101, -1.0)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}aes".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / w, 9)
+
+    expected = sorted(
+        ((key(i, w), i, w) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(r.key, r.doc_id, r.weight)
+           for r in weighted_sample(df, "doc_id", "w", n=10).collect()]
+    assert got == [(k, i, w) for k, i, w in expected]
+    assert all(i not in (100, 101) for _, i, _ in got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample(df, "doc_id", "w", n=0)
