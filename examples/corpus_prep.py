@@ -5,6 +5,8 @@ conditions, checkpoints, run_partial.
 
     raw documents
       -> Gopher quality gate          (map-side, codegen)
+      -> LM perplexity band           (CCNet-style bigram LM, optional)
+      -> per-source quality band      (exact quantile threshold, optional)
       -> URL-level dedup              (canonicalize + min-id survivor)
       -> exact dedup                  (md5 fingerprint, one shuffle)
       -> near-dup cluster collapse    (MinHash-LSH -> verified Jaccard
@@ -72,6 +74,10 @@ def main() -> None:
         quota_salt_buckets=4,
         chunk_tokens=64,
         span_excise_n=5,  # ExactSubstr span cut between dedup and decontam
+        lm_ppl_band=(0.0, 1e6),   # CCNet band: reject nothing here, but
+                                  # the per-doc scores land in
+                                  # processed_data["corpus.lm_scores"]
+        quality_keep_frac=0.9,    # keep each source's top 90% band
     )
     n0 = docs.count()
     ctx = pipe.run(ctx)
