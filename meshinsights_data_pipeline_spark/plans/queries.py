@@ -1511,6 +1511,45 @@ _ORACLES["q51"] = """
 """
 
 
+def q52(spark, sf_dir):
+    """Explicit GROUPING SETS — two independent reports in ONE scan: the
+    per-returnflag aggregate AND the per-linestatus aggregate from a
+    single Expand + hash aggregate (rollup's q47 emits hierarchical
+    levels; sets (a),(b) are non-hierarchical — you cannot express this
+    as a rollup, and running two groupBys would scan the fact twice).
+    GROUPING() flags mark which report each row belongs to."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_flag", "l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLES["q52"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY g_flag, l_returnflag, l_linestatus
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1522,7 +1561,7 @@ _BUILDERS = {
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
-    "q51": q51,
+    "q51": q51, "q52": q52,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1555,13 +1594,14 @@ _DRIVER_WINDOW_R6 = [
     # the round-5 red row, fixed this round (array -> '|'-joined string)
     "q44",
     # ADDED this round, never driver-checked
-    "q45", "q46", "q47", "q48", "q49", "q50", "q51", "x51_lm_quality",
+    "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52",
+    "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
     "x55_weighted_sample",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 34 re-checks: r4-green set, minus q02-q05/q24/q27-q29/q32/q36
+    # 33 re-checks: r4-green set, minus q02-q05/q24/q27-q29/q31/q32/q36
     # (simple filter/HAVING/limit/star/rollup shapes other window
     # entries exercise transitively — q23 covers HAVING, q16 covers
     # limits, q49 covers the JSON-path surface, q37/q38 cover broadcast
@@ -1570,7 +1610,7 @@ _DRIVER_WINDOW_R6 = [
     # went to the new queries above)
     "q01", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "q23", "q30", "q31", "q33",
+    "q22", "q23", "q30", "q33",
     "q34", "q35",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
