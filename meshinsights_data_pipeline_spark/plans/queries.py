@@ -1550,6 +1550,99 @@ _ORACLES["q52"] = """
 """
 
 
+def q53(spark, sf_dir):
+    """TPC-H Q19-shape disjunctive predicate: revenue from three
+    alternative (brand x size-range x quantity-band) clauses OR-ed
+    together across the part join. The optimizer shape under test:
+    Catalyst extracts the common conjuncts and pushes the
+    partkey-independent part filters below the join while the mixed
+    lineitem/part disjunction evaluates post-join — a filter written as
+    OR-of-ANDs must not defeat scan pruning entirely."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return j.filter(clause).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+_ORACLES["q53"] = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q54(spark, sf_dir):
+    """TPC-H Q12-shape conditional aggregation: per return-flag counts of
+    high- vs low-priority orders among late-shipped lines — the
+    CASE-WHEN-inside-SUM idiom that folds what would be two filtered
+    aggregates into ONE pass over the join (the oracle phrases the same
+    thing with portable CASE arithmetic). The membership filter and date
+    window push to the scans; the join is a plain equi-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "R")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(1 - high).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLES["q54"] = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1561,7 +1654,7 @@ _BUILDERS = {
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
-    "q51": q51, "q52": q52,
+    "q51": q51, "q52": q52, "q53": q53, "q54": q54,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1594,14 +1687,14 @@ _DRIVER_WINDOW_R6 = [
     # the round-5 red row, fixed this round (array -> '|'-joined string)
     "q44",
     # ADDED this round, never driver-checked
-    "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52",
+    "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52", "q53", "q54",
     "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
     "x55_weighted_sample",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 33 re-checks: r4-green set, minus q02-q05/q24/q27-q29/q31/q32/q36
+    # 31 re-checks: r4-green set, minus q02-q05/q24/q27-q29/q31/q32/q34-q36
     # (simple filter/HAVING/limit/star/rollup shapes other window
     # entries exercise transitively — q23 covers HAVING, q16 covers
     # limits, q49 covers the JSON-path surface, q37/q38 cover broadcast
@@ -1611,7 +1704,6 @@ _DRIVER_WINDOW_R6 = [
     "q01", "q06", "q07", "q08", "q09", "q10",
     "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22", "q23", "q30", "q33",
-    "q34", "q35",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
     "x10_rp_lsh_topk", "x12_embedding_neardup_lsh", "x13_multimodal_meta",
