@@ -14,6 +14,9 @@ from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_lsh_ingest,
     streaming_span_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.joins import (
+    streaming_interval_join,
+)
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
@@ -48,4 +51,5 @@ __all__ = [
     "report_from_state",
     "streaming_lm_ingest",
     "streaming_debounce",
+    "streaming_interval_join",
 ]

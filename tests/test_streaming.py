@@ -812,3 +812,53 @@ def test_streaming_debounce_parity_and_cross_batch(spark, bounded_stream_dir, tm
     # raw-relative: 1 kept; 2 dropped (5s); 3 dropped (4s after 2, across
     # the batch boundary); 4 kept (31s after 3)
     assert sorted(r["event_id"] for r in streamed2) == [1, 4]
+
+
+def test_streaming_interval_join_parity(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch interval_join's (point, interval) matches on a bounded stream,
+    including inclusive bounds, and reject overlapping column names."""
+    import datetime as dt
+
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators.rangejoin import interval_join
+    from meshinsights_data_pipeline_spark.streaming import streaming_interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    pts = [(i, t0 + dt.timedelta(hours=i * 7)) for i in range(12)]
+    ivs = [
+        (100, t0, t0 + dt.timedelta(hours=14)),                # covers 0,1,2
+        (101, t0 + dt.timedelta(hours=21),
+              t0 + dt.timedelta(hours=21)),                    # exactly pt 3
+        (102, t0 + dt.timedelta(hours=50),
+              t0 + dt.timedelta(hours=80)),                    # covers 8-11
+    ]
+    points = spark.createDataFrame(pts, "event_id long, ts timestamp")
+    intervals = spark.createDataFrame(ivs, "iv_id long, t_start timestamp, t_end timestamp")
+    psrc, isrc = str(tmp_path / "pts"), str(tmp_path / "ivs")
+    points.coalesce(1).write.parquet(psrc)
+    intervals.coalesce(1).write.parquet(isrc)
+
+    joined = streaming_interval_join(
+        spark.readStream.schema(points.schema).parquet(psrc),
+        spark.readStream.schema(intervals.schema).parquet(isrc),
+        "ts", "t_start", "t_end", max_interval="2 days",
+    )
+    streamed = _run_stream(spark, joined, tmp_path, mode="append")
+    got = sorted((r.event_id, r.iv_id) for r in streamed)
+
+    expected = sorted(
+        (r.event_id, r.iv_id)
+        for r in interval_join(points, intervals, "ts", "t_start", "t_end",
+                               bucket_seconds=3600).collect()
+    )
+    assert got == expected and len(got) > 0
+    assert (3, 101) in got  # inclusive on both bounds (start == end == point)
+
+    with pytest.raises(ValueError, match="disjoint"):
+        streaming_interval_join(
+            spark.readStream.schema(points.schema).parquet(psrc),
+            spark.readStream.schema(points.schema).parquet(psrc),
+            "ts", "ts", "ts",
+        )
