@@ -247,3 +247,45 @@ def test_debounce_single_exchange(spark, sf_smoke):
     )
     assert p.count("Exchange") - p.count("ReusedExchange") <= 1
     assert "EvalPython" not in p
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_smoke):
+    """At 100 TB a selective dim filter on a shuffle join should inject a
+    runtime bloom filter that prunes the fact side before the shuffle
+    (Spark's runtime.bloomFilter rewrite). The size thresholds that gate
+    it are calibrated for real tables (10 GB application-side scans), so
+    this test lowers them to prove OUR join shapes stay eligible — a
+    refactor that hides the join key behind an expression or breaks the
+    shuffle-join shape would stop the injection and fail here."""
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_smoke, "lineitem")
+        o = read_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
