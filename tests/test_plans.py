@@ -192,3 +192,25 @@ def test_debounce_semantics(spark):
 
     with pytest.raises(ValueError, match="positive"):
         debounce(df, ["user_id"], ["ts"], "ts", 0)
+
+
+def test_no_query_returns_complex_typed_columns(spark, sf_smoke):
+    """Driver-harness contract: external result canonicalizers load rows
+    into pandas and sort them, which crashes on list/dict-valued cells
+    (the q44 round-5 red row). Every declared query must therefore
+    return only scalar-typed columns — emit arrays as delimited strings
+    (concat_ws) and maps/structs as JSON."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    offenders = {}
+    for name, q in QUERIES.items():
+        schema = q.spark(spark, sf_smoke).schema
+        bad = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
