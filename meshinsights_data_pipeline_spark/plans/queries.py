@@ -1643,6 +1643,131 @@ _ORACLES["q54"] = """
 """
 
 
+def q55(spark, sf_dir):
+    """TPC-H Q7-shape bilateral trade volume: revenue shipped between two
+    specific nations in either direction, by (supplier nation, customer
+    nation, ship year). Exercises the 4-fact-join star with ONE dim in
+    TWO roles (nation self-aliased and broadcast for both the supplier
+    and customer legs) plus the OR'd nation-pair predicate, which
+    Catalyst pushes as an IN(two names) filter onto EACH broadcast dim
+    leg while the pair constraint evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = "NATION_3", "NATION_17"
+    pair = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_ORACLES["q55"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_17')
+       OR (n1.n_name = 'NATION_17' AND n2.n_name = 'NATION_3')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q56(spark, sf_dir):
+    """TPC-H Q8-shape market share: one supplier nation's share of the
+    ASIA customer market's revenue per ship year — the
+    ratio-of-conditional-sum-to-total-sum inside one aggregate (share =
+    sum(CASE nation THEN volume END) / sum(volume)), so the numerator
+    and denominator come from a single pass; both sums in exact DECIMAL
+    and ONE final double division, since a ratio of
+    partition-order-dependent doubles could differ in the 9th digit
+    across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").join(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    target = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(target).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("l_year")
+    )
+
+
+_ORACLES["q56"] = """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_7'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region
+        ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+    )
+    GROUP BY l_year
+    ORDER BY l_year
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1654,7 +1779,8 @@ _BUILDERS = {
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
-    "q51": q51, "q52": q52, "q53": q53, "q54": q54,
+    "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
+    "q56": q56,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1688,21 +1814,24 @@ _DRIVER_WINDOW_R6 = [
     "q44",
     # ADDED this round, never driver-checked
     "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52", "q53", "q54",
-    "x51_lm_quality",
+    "q55", "q56", "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
     "x55_weighted_sample",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 31 re-checks: r4-green set, minus q02-q05/q24/q27-q29/q31/q32/q34-q36
-    # (simple filter/HAVING/limit/star/rollup shapes other window
-    # entries exercise transitively — q23 covers HAVING, q16 covers
-    # limits, q49 covers the JSON-path surface, q37/q38 cover broadcast
-    # star joins and the multi-join + top-k family (q36's shape), q47
-    # covers rollup grouping sets, q48 covers explicit pivot; the slots
-    # went to the new queries above)
-    "q01", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
+    # 29 re-checks: the rest of the r4-green set, keeping one
+    # representative per distinct code path and dropping shapes that
+    # in-window entries exercise transitively — q02-q05 (simple
+    # filters/HAVING; q23 covers HAVING), q06 (equi-join; q54/q55 are
+    # multi-equi-joins), q12 (exact distinct; q38 counts distinct),
+    # q24 (limit; q16 covers), q27-q29/q31/q32/q34-q36 (JSON path via
+    # q49, star joins + top-k via q37/q38, rollup via q47, pivot via
+    # q48, Q1-scan via q47/q52's full-scan DECIMAL aggregates); kept
+    # q30/q33 (moving-average window, correlated scalar — no in-window
+    # twin). The freed slots went to the new queries above.
+    "q01", "q07", "q08", "q09", "q10",
+    "q11", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22", "q23", "q30", "q33",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
     "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
