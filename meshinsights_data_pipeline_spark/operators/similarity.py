@@ -671,6 +671,49 @@ def ann_recall(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Embedding-space train/test decontamination (the semantic
+    complement of the n-gram contamination_check): each corpus doc's
+    MAX cosine against any benchmark embedding, flagged when it reaches
+    ``threshold`` — catches paraphrased/reformatted eval leakage that
+    exact n-gram overlap misses.
+
+    Scale shape: the benchmark side is broadcast (eval suites are tiny
+    next to a 100 TB corpus), scoring is map-side, and the per-doc max
+    is a map-side-combinable aggregate — the shuffle carries ONE row per
+    corpus doc. For benchmarks too large to broadcast, bucket with
+    rp_lsh_buckets and join on bucket instead (the x12 shape).
+
+    Returns [id, max_sim, contaminated].
+    """
+    c = _prep(corpus, id_col, vec_col, "c", dim).withColumnRenamed("c_id", "id")
+    b = _prep(benchmark, id_col, vec_col, "b", dim).withColumnRenamed(
+        "b_id", "bench_id"
+    )
+    score = F.round(
+        _pair_dot(F.col("c_vec"), F.col("b_vec"), dim)
+        / (F.col("c_norm") * F.col("b_norm")),
+        round_scores,
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select("id", score.alias("_s"))
+        .groupBy("id")
+        .agg(F.max("_s").alias("max_sim"))
+        .select(
+            "id", "max_sim", (F.col("max_sim") >= threshold).alias("contaminated")
+        )
+    )
+
+
 def _deterministic_hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     """Fixed pseudo-random unit-free hyperplanes (LCG-based, seedable,
     reproducible across runs without numpy RNG state)."""

@@ -2399,6 +2399,41 @@ LIMIT 200
 )
 
 
+def x56_semantic_decontamination(spark: SparkSession, sf_dir: str):
+    """Embedding-space decontamination: max cosine of each corpus vector
+    against a broadcast 'benchmark' slice (vec_id < 20 stands in for the
+    eval set), flagged at 0.35 — catches paraphrased eval leakage that
+    exact n-gram contamination (x25/x29) misses. Corpus sliced to
+    vec_id < 500 for display; the per-doc max aggregate ships one row
+    per doc regardless of benchmark size."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 500))
+    return semantic_decontamination(
+        corpus, bench, threshold=0.35, dim=_EMB_DIM
+    ).orderBy("id")
+
+
+X56_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS id, v AS cv FROM e WHERE vec_id >= 20 AND vec_id < 500),
+scored AS (
+    SELECT c.id,
+           ROUND(list_dot_product(c.cv, b.bv) /
+                 (sqrt(list_dot_product(c.cv, c.cv)) *
+                  sqrt(list_dot_product(b.bv, b.bv))), 6) AS s
+    FROM c CROSS JOIN b
+)
+SELECT id, MAX(s) AS max_sim, MAX(s) >= 0.35 AS contaminated
+FROM scored GROUP BY id ORDER BY id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2455,4 +2490,5 @@ EXTENSION_BUILDERS = {
     "x53_quality_top_fraction": (x53_quality_top_fraction, X53_SQL),
     "x54_zorder_keys": (x54_zorder_keys, X54_SQL),
     "x55_weighted_sample": (x55_weighted_sample, X55_SQL),
+    "x56_semantic_decontamination": (x56_semantic_decontamination, X56_SQL),
 }

@@ -1816,21 +1816,22 @@ _DRIVER_WINDOW_R6 = [
     "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52", "q53", "q54",
     "q55", "q56", "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
-    "x55_weighted_sample",
+    "x55_weighted_sample", "x56_semantic_decontamination",
     # touched by round-6 work: connected-components profiling (x23/x26),
     # pq_topk lazy/eager construction change (x37)
     "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
     # 29 re-checks: the rest of the r4-green set, keeping one
     # representative per distinct code path and dropping shapes that
     # in-window entries exercise transitively — q02-q05 (simple
-    # filters/HAVING; q23 covers HAVING), q06 (equi-join; q54/q55 are
+    # filters/HAVING; q23 covers HAVING), q01 (projection — every
+    # in-window query projects), q06 (equi-join; q54/q55 are
     # multi-equi-joins), q12 (exact distinct; q38 counts distinct),
     # q24 (limit; q16 covers), q27-q29/q31/q32/q34-q36 (JSON path via
     # q49, star joins + top-k via q37/q38, rollup via q47, pivot via
     # q48, Q1-scan via q47/q52's full-scan DECIMAL aggregates); kept
     # q30/q33 (moving-average window, correlated scalar — no in-window
     # twin). The freed slots went to the new queries above.
-    "q01", "q07", "q08", "q09", "q10",
+    "q07", "q08", "q09", "q10",
     "q11", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22", "q23", "q30", "q33",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
