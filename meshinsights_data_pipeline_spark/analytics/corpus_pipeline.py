@@ -182,6 +182,8 @@ class QualityTopFractionStep(CorpusStep):
 
     def __init__(self, cols: CorpusColumns, keep_frac: float = 0.5, **kw):
         super().__init__(cols, name="quality_top_fraction", **kw)
+        if not 0.0 < keep_frac <= 1.0:  # fail at build, not mid-pipeline
+            raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
         self.keep_frac = keep_frac
 
     def required_columns(self) -> list[str]:
@@ -535,7 +537,14 @@ def build_corpus_pipeline(
                 min_ppl=(lm_ppl_band or (0.0, float("inf")))[0],
                 max_ppl=(lm_ppl_band or (0.0, float("inf")))[1],
             ),
-            QualityTopFractionStep(cols, keep_frac=quality_keep_frac or 0.5),
+            QualityTopFractionStep(
+                # `or 0.5` would silently turn an explicit invalid 0.0 into
+                # 0.5 while the is-not-None condition still enables the
+                # step; the explicit form routes 0.0 to
+                # quality_top_fraction's own (0, 1] validation at run time.
+                cols,
+                keep_frac=0.5 if quality_keep_frac is None else quality_keep_frac,
+            ),
             UrlDedupStep(cols),
             ExactDedupStep(cols),
             NearDupCollapseStep(

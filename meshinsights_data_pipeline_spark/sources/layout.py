@@ -275,9 +275,17 @@ def snapshot_diff(
     """
     if not key_cols:
         raise ValueError("snapshot_diff needs at least one key column")
+    committed = set(snapshot_versions(spark, path))
+    for v in (old_version, new_version):
+        if v not in committed:  # an implicit older-version fallback would
+            # silently diff the wrong snapshot pair
+            raise FileNotFoundError(
+                f"snapshot _v={v} not committed under {path}; "
+                f"committed: {sorted(committed)}"
+            )
 
     def keyed(version: int, tag: str) -> DataFrame:
-        df = snapshot_before(spark, path, version + 1)
+        df = spark.read.parquet(f"{path}/_v={version}")
         non_key = [c for c in df.columns if c not in key_cols]
         row_hash = (
             F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.lit(0)
