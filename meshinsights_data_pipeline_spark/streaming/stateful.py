@@ -175,6 +175,8 @@ def streaming_debounce(
     ts_col: str,
     min_gap_seconds: int,
     tiebreak_col: str | None = None,
+    state_ttl_seconds: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Cross-batch time-proximity dedup — the streaming twin of
     ``operators.debounce.debounce`` (raw-relative: the gap compares to
@@ -185,20 +187,35 @@ def streaming_debounce(
     tail. Same ordering caveat as the other stateful twins: feed batches
     in event-time order or reconcile with the batch operator downstream.
 
-    Output: the input columns, filtered. State is bounded by the number
-    of distinct keys; add a state timeout for unbounded key populations.
+    Output: the input columns, filtered. State is one long per distinct
+    key — for UNBOUNDED key populations pass ``state_ttl_seconds``: a
+    key whose last event is more than the TTL behind the watermark has
+    its state dropped (event-time timeout). Any TTL >= min_gap is
+    semantically free: once a key is TTL-quiet, its state could only
+    have KEPT the next event anyway, which is exactly what fresh state
+    does. Requires a watermark on ``ts_col`` (``watermark`` sets the
+    lateness bound, same meaning as DataFrame.withWatermark).
     """
     if min_gap_seconds <= 0:
         raise ValueError(f"min_gap_seconds must be positive, got {min_gap_seconds}")
+    if state_ttl_seconds is not None and state_ttl_seconds < min_gap_seconds:
+        raise ValueError(
+            f"state_ttl_seconds {state_ttl_seconds} below min_gap_seconds "
+            f"{min_gap_seconds} would forget a burst mid-gap and re-emit it"
+        )
     out_schema = StructType(list(stream.schema.fields))
     state_schema = StructType([StructField("last_ns", LongType())])
     gap_ns = int(min_gap_seconds) * 1_000_000_000
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     field_names = [f.name for f in stream.schema.fields]
+    use_ttl = state_ttl_seconds is not None
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()  # key went TTL-quiet; fresh state keeps the
+            return          # next event, identical to a live empty state
         last_ns = state.get[0] if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
         if batch.empty:
@@ -210,14 +227,23 @@ def streaming_debounce(
             keep.append(last_ns is None or t - last_ns > gap_ns)
             last_ns = t  # raw-relative: advance on EVERY row, kept or not
         state.update((last_ns,))
+        if use_ttl:
+            state.setTimeoutTimestamp(
+                last_ns // 1_000_000 + int(state_ttl_seconds) * 1000
+            )
         kept = batch.loc[keep, field_names]
         if not kept.empty:
             yield kept
 
-    return stream.groupBy(*keys).applyInPandasWithState(
+    src = stream.withWatermark(ts_col, watermark) if use_ttl else stream
+    return src.groupBy(*keys).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )

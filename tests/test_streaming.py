@@ -862,3 +862,58 @@ def test_streaming_interval_join_parity(spark, tmp_path):
             spark.readStream.schema(points.schema).parquet(psrc),
             "ts", "ts", "ts",
         )
+
+
+def test_streaming_debounce_state_ttl(spark, tmp_path):
+    """Event-time TTL: quiet keys' state is dropped once the watermark
+    passes last_event + ttl (observed via the state store's row count),
+    while kept-row output is unchanged vs the no-TTL run; a TTL below
+    the gap is rejected (it would re-emit a burst mid-gap)."""
+    import datetime as dt
+
+    import pytest
+
+    from meshinsights_data_pipeline_spark.streaming import streaming_debounce
+
+    t0 = dt.datetime(2026, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "src")
+    # f1: three keys fire; f2: only key 3 fires, far in the future, so
+    # the watermark passes keys 1/2's TTL and their state expires.
+    spark.createDataFrame(
+        [(1, 1, t0), (2, 2, t0 + dt.timedelta(seconds=3)),
+         (3, 3, t0 + dt.timedelta(seconds=5))], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(4, 3, t0 + dt.timedelta(hours=10))], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    def run(ttl):
+        stream = (spark.readStream.schema(spark.read.parquet(src + "/f1").schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        out = streaming_debounce(
+            stream, ["user_id"], "ts", 10, tiebreak_col="event_id",
+            state_ttl_seconds=ttl,
+        )
+        rows = []
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(lambda df, _id: rows.append(df.collect()))
+             .option("checkpointLocation", str(tmp_path / f"ckpt{ttl}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        progress = q.lastProgress
+        n_state = progress["stateOperators"][0]["numRowsTotal"]
+        return sorted(r.event_id for b in rows for r in b), n_state
+
+    got_ttl, state_ttl = run(3600)       # 1h TTL: keys 1/2 expire
+    got_none, state_none = run(None)     # no TTL: all three keys retained
+    assert got_ttl == got_none == [1, 2, 3, 4]
+    assert state_none == 3
+    assert state_ttl == 1  # only the still-active key survives
+
+    with pytest.raises(ValueError, match="below min_gap"):
+        streaming_debounce(
+            spark.readStream.schema(spark.read.parquet(src + "/f1").schema)
+            .parquet(src + "/*"),
+            ["user_id"], "ts", 600, state_ttl_seconds=60,
+        )
