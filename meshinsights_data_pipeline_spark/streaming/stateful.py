@@ -104,6 +104,8 @@ def streaming_funnel(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    state_ttl_seconds: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Cross-batch funnel progression — the streaming twin of
     ``operators.funnel.funnel_times``: per-user state carries the
@@ -121,8 +123,16 @@ def streaming_funnel(
     order or reconcile downstream.
 
     State is one row of k epoch-nano longs per ACTIVE funnel user —
-    bounded by funnel entrants, not event volume; add a state timeout for
-    unbounded user populations.
+    bounded by funnel entrants, not event volume. For unbounded user
+    populations pass ``state_ttl_seconds`` (event-time timeout, requires
+    the ``watermark``): once the watermark passes last_event + TTL, a
+    quiet user's partial funnel is dropped at the next timeout-processing
+    micro-batch, and a return after that restarts from step one — the
+    conversion-window semantic (a funnel allowing unbounded
+    time-to-convert needs unbounded state by definition). Engine note:
+    timeouts fire only for groups WITHOUT data in a batch, so a user
+    whose return lands before any timeout-processing batch still
+    completes against their pre-expiry state.
     """
     k = len(steps)
     if k < 2:
@@ -137,17 +147,26 @@ def streaming_funnel(
         [StructField(f"t{i + 1}", LongType()) for i in range(k)]
     )
 
+    use_ttl = state_ttl_seconds is not None
+    if use_ttl and state_ttl_seconds <= 0:
+        raise ValueError(f"state_ttl_seconds must be positive, got {state_ttl_seconds}")
+
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()  # conversion window closed; partial funnel dropped
+            return
         times: list[Any] = list(state.get) if state.exists else [None] * k
         batch = pd.concat(list(pdfs), ignore_index=True)
         if batch.empty:
             return
         batch = batch.sort_values(ts_col, kind="mergesort")
         advanced = False
+        last_ns = None
         for ts, et in zip(batch[ts_col], batch[type_col]):
             t = int(ts.value)  # epoch nanos
+            last_ns = t
             for i, s in enumerate(steps):
                 if times[i] is not None or et != s:
                     continue
@@ -157,15 +176,25 @@ def streaming_funnel(
                 break  # an event matches at most its first incomplete step
         if advanced:
             state.update(tuple(times))
+        if use_ttl and (advanced or state.exists) and last_ns is not None:
+            state.setTimeoutTimestamp(
+                last_ns // 1_000_000 + int(state_ttl_seconds) * 1000
+            )
+        if advanced:
             reached = sum(1 for t in times if t is not None)
             yield pd.DataFrame({"user": [key[0]], "step_reached": [reached]})
 
-    return stream.groupBy(user_col).applyInPandasWithState(
+    src = stream.withWatermark(ts_col, watermark) if use_ttl else stream
+    return src.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -917,3 +917,63 @@ def test_streaming_debounce_state_ttl(spark, tmp_path):
             .parquet(src + "/*"),
             ["user_id"], "ts", 600, state_ttl_seconds=60,
         )
+
+
+def test_streaming_funnel_state_ttl(spark, tmp_path):
+    """Conversion-window TTL for the funnel: users quiet past the TTL
+    have their partial funnel state dropped once the watermark passes
+    (observed via the state store row count); emitted progressions are
+    unchanged; TTL must be positive."""
+    import datetime as dt
+
+    import pytest
+
+    from meshinsights_data_pipeline_spark.streaming import streaming_funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "src")
+    # f1: user 1 reaches step 2, user 2 reaches step 1.
+    spark.createDataFrame(
+        [(1, t0, "view"), (1, t0 + dt.timedelta(seconds=2), "click"),
+         (2, t0 + dt.timedelta(seconds=3), "view")], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    # f2: user 3 fires 10h later — the watermark passes users 1/2's TTL,
+    # so their partial funnels expire at the next timeout processing.
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=10), "view")], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    def run(ttl, ckpt):
+        stream = (spark.readStream.schema(spark.read.parquet(src + "/f1").schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        out = streaming_funnel(
+            stream, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], state_ttl_seconds=ttl,
+        )
+        rows = []
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(lambda df, _id: rows.append(df.collect()))
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        by_user = {}
+        for b in rows:
+            for r in b:
+                by_user[r.user] = max(by_user.get(r.user, 0), r.step_reached)
+        return by_user, n_state
+
+    got, n_state = run(3600, "ckpt_ttl")
+    got_none, n_none = run(None, "ckpt_none")
+    assert got == got_none == {1: 2, 2: 1, 3: 1}  # progressions unchanged
+    assert n_none == 3
+    assert n_state == 1  # users 1/2 expired; only the fresh user remains
+
+    with pytest.raises(ValueError, match="positive"):
+        streaming_funnel(
+            spark.readStream.schema(spark.read.parquet(src + "/f1").schema)
+            .parquet(src + "/*"),
+            "user_id", "ts", "event_type", ["view", "click"],
+            state_ttl_seconds=0,
+        )
