@@ -13,6 +13,15 @@ corpus pipeline, end to end on a bounded stream.
    retries replace rather than duplicate.
 3. Report cluster stats and a search over the accumulated index.
 
+Further streaming twins in the package (same foreachBatch/stateful
+patterns, each parity- and retry-tested): streaming_span_ingest
+(cross-doc duplicate spans), streaming_report_ingest +
+report_from_state (live per-source dataset card), streaming_lm_ingest
+(perplexity scoring against an evolving corpus LM), streaming_debounce
+and streaming_funnel (stateful, with optional event-time TTL state
+expiry), and streaming_interval_join (watermarked stream-stream range
+join via the bucketization rewrite).
+
 Run: python examples/streaming_ingest.py [sf_dir]
 """
 

@@ -44,6 +44,12 @@ def streaming_state_change_sessions(
 
     Output: input columns + ``cycle`` (long, starts at 1 per key — batch
     sessionize parity).
+
+    No TTL option on purpose: dropping a key's state forgets its cycle
+    COUNTER, and a returning key would restart at cycle 1 — duplicating
+    ids already emitted for that key. A deployment that must bound state
+    should make keys naturally finite instead (e.g. key by
+    (entity, day)), which retires old state without id collisions.
     """
     out_schema = StructType(
         list(stream.schema.fields) + [StructField("cycle", LongType())]
