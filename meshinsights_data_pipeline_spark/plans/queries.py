@@ -1768,6 +1768,46 @@ _ORACLES["q56"] = """
 """
 
 
+def q57(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT with set semantics): customers
+    active in both 1996 and 1997 ('retained') vs active in 1996 but
+    gone in 1997 ('churned') — the year-over-year retention report.
+    Spark lowers intersect/subtract to left-semi/left-anti joins over
+    distinct-ed inputs, which is exactly the plan the semi-join form
+    would hand-build; the set-op form keeps the intent declarative."""
+    o = _t(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return o.filter(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("c_custkey")
+        ).distinct()
+
+    y96, y97 = active(1996), active(1997)
+    retained = y96.intersect(y97).withColumn("status", F.lit("retained"))
+    churned = y96.subtract(y97).withColumn("status", F.lit("churned"))
+    return retained.unionByName(churned).orderBy("status", "c_custkey")
+
+
+_ORACLES["q57"] = """
+    SELECT c_custkey, 'retained' AS status FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    UNION ALL
+    SELECT c_custkey, 'churned' AS status FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    ORDER BY status, c_custkey
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1780,7 +1820,7 @@ _BUILDERS = {
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
-    "q56": q56,
+    "q56": q56, "q57": q57,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1814,7 +1854,7 @@ _DRIVER_WINDOW_R6 = [
     "q44",
     # ADDED this round, never driver-checked
     "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52", "q53", "q54",
-    "q55", "q56", "x51_lm_quality",
+    "q55", "q56", "q57", "x51_lm_quality",
     "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
     "x55_weighted_sample", "x56_semantic_decontamination",
     # touched by round-6 work: connected-components profiling (x23/x26),
@@ -1823,7 +1863,8 @@ _DRIVER_WINDOW_R6 = [
     # 29 re-checks: the rest of the r4-green set, keeping one
     # representative per distinct code path and dropping shapes that
     # in-window entries exercise transitively — q02-q05 (simple
-    # filters/HAVING; q23 covers HAVING), q01 (projection — every
+    # filters/HAVING; q23 covers HAVING), q07 (semi-join; q46's EXISTS
+    # and q57's INTERSECT lower to semi-joins), q01 (projection — every
     # in-window query projects), q06 (equi-join; q54/q55 are
     # multi-equi-joins), q12 (exact distinct; q38 counts distinct),
     # q24 (limit; q16 covers), q27-q29/q31/q32/q34-q36 (JSON path via
@@ -1831,7 +1872,7 @@ _DRIVER_WINDOW_R6 = [
     # q48, Q1-scan via q47/q52's full-scan DECIMAL aggregates); kept
     # q30/q33 (moving-average window, correlated scalar — no in-window
     # twin). The freed slots went to the new queries above.
-    "q07", "q08", "q09", "q10",
+    "q08", "q09", "q10",
     "q11", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
     "q22", "q23", "q30", "q33",
     "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
