@@ -622,3 +622,17 @@ def test_snapshot_diff_added_removed_changed(spark, tmp_path):
 
     with pytest.raises(ValueError, match="key column"):
         snapshot_diff(spark, path, 0, 1, [])
+
+
+def test_write_zordered_rejects_degenerate_bounds(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from meshinsights_data_pipeline_spark.sources.layout import write_zordered
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "a long, b double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        write_zordered(
+            df, str(tmp_path / "z"), ["a", "b"],
+            {"a": (5, 5), "b": (0, 10)},
+        )

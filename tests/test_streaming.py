@@ -977,3 +977,39 @@ def test_streaming_funnel_state_ttl(spark, tmp_path):
             "user_id", "ts", "event_type", ["view", "click"],
             state_ttl_seconds=0,
         )
+
+
+def test_streaming_interval_join_with_keys(spark, tmp_path):
+    """The keyed form: equality key columns join alongside the bucket id,
+    matching only same-key (point, interval) pairs, and the duplicated
+    right-side key column is dropped from the output."""
+    import datetime as dt
+
+    from meshinsights_data_pipeline_spark.streaming import streaming_interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, 10, t0 + dt.timedelta(hours=1)),
+         (2, 20, t0 + dt.timedelta(hours=1))],
+        "event_id long, site long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(100, 10, t0, t0 + dt.timedelta(hours=2)),
+         (200, 20, t0, t0 + dt.timedelta(hours=2)),
+         (300, 30, t0, t0 + dt.timedelta(hours=2))],
+        "iv_id long, site long, t_start timestamp, t_end timestamp",
+    )
+    psrc, isrc = str(tmp_path / "p"), str(tmp_path / "i")
+    pts.coalesce(1).write.parquet(psrc)
+    ivs.coalesce(1).write.parquet(isrc)
+    joined = streaming_interval_join(
+        spark.readStream.schema(pts.schema).parquet(psrc),
+        spark.readStream.schema(ivs.schema).parquet(isrc),
+        "ts", "t_start", "t_end", bucket_seconds=3600,
+        max_interval="1 day", on=["site"],
+    )
+    rows = _run_stream(spark, joined, tmp_path, mode="append")
+    assert sorted((r.event_id, r.iv_id, r.site) for r in rows) == [
+        (1, 100, 10), (2, 200, 20),  # same-key only; site appears once
+    ]
+    assert joined.columns.count("site") == 1
