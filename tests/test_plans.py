@@ -214,3 +214,15 @@ def test_no_query_returns_complex_typed_columns(spark, sf_smoke):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_every_query_has_an_oracle():
+    """Every declared query ships with its DuckDB oracle SQL: a missing
+    oracle silently downgrades the external correctness check to a
+    rows-only signal. (Genuinely non-SQL-expressible operators live
+    outside queries() — streaming twins, GMM — so inside it, no oracle
+    means a mistake, not a design choice.)"""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    missing = [n for n, q in QUERIES.items() if not q.oracle]
+    assert not missing, missing
