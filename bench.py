@@ -128,6 +128,53 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: corpus pipeline failed: {exc}", file=sys.stderr)
 
+    # Streaming tier: bounded-stream exact dedup over the documents table
+    # (one micro-batch run, availableNow) — the §2.10 throughput signal.
+    # No warm pass: a fresh checkpoint per run IS the streaming cost
+    # model (state rebuild + watermark bookkeeping), so cold is reported.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.session import read_table
+        from meshinsights_data_pipeline_spark.streaming import (
+            streaming_exact_dedup,
+        )
+
+        stage_dir = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            docs = read_table(spark, sf_dir, "documents").withColumn(
+                "ts",
+                F.expr(
+                    "timestamp'2024-01-01 00:00:00' + "
+                    "make_interval(0,0,0,0,0,0,doc_id)"
+                ),
+            )
+            src = f"{stage_dir}/src"
+            docs.write.parquet(src)
+            t0 = time.perf_counter()
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            out = streaming_exact_dedup(stream, "doc_id", "text", ts_col="ts")
+            q = (
+                out.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", f"{stage_dir}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            extras["streaming_exact_dedup_e2e"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: streaming dedup failed: {exc}", file=sys.stderr)
+
     # Per-step breakdown of the corpus pipeline (same config as the e2e
     # run). The e2e number times ONE fused plan — Catalyst collapses the
     # steps, which is the production execution and stays the headline.
