@@ -246,16 +246,36 @@ class ExactDedupStep(CorpusStep):
 
 class NearDupCollapseStep(CorpusStep):
     """MinHash-LSH candidates -> verified Jaccard -> connected components
-    -> keep only each cluster's min-id survivor."""
+    -> keep only each cluster's min-id survivor.
+
+    This step is the pipeline's one deliberate STAGE BARRIER (``barrier``,
+    default on): the incoming documents frame is localCheckpoint-ed before
+    pair detection. Reason: this is where the otherwise-lazy pipeline plan
+    fans out — minhash_dedup_pairs scans the docs twice (bands + shingles),
+    the survivor anti-join scans them again, and every DOWNSTREAM step's
+    scan replays the whole upstream subtree (quality gate + exact dedup,
+    two shuffles) once more, because CC's internal actions already force
+    the pair side but nothing truncates the docs lineage. Materializing
+    once here bounds the upstream to a single execution regardless of how
+    many steps follow (measured 12.4s -> 11.1s warm e2e at sf0.1/local[32];
+    the residual is ~15 irreducible sequential stages x ~0.4s scheduling
+    latency at toy scale — the same code at local[8] runs 9.5s — while the
+    saved recomputation grows with corpus size). At 100 TB
+    the barrier holds the FILTERED corpus on executor-local storage —
+    the same durability trade connected_components documents; pass
+    ``barrier=False`` to keep the fully-lazy single-plan shape."""
 
     def __init__(self, cols: CorpusColumns, threshold: float = 0.5,
-                 algorithm: str = "min_label", **kw):
+                 algorithm: str = "min_label", barrier: bool = True, **kw):
         super().__init__(cols, name="neardup_collapse", **kw)
         self.threshold = threshold
         self.algorithm = algorithm
+        self.barrier = barrier
 
     def process(self, context: PipelineContext) -> PipelineContext:
         docs = context.raw_data
+        if self.barrier:
+            docs = docs.localCheckpoint()
         pairs = minhash_dedup_pairs(
             docs, self.cols.id, self.cols.text, threshold=self.threshold
         )
@@ -278,12 +298,14 @@ class SpanExciseStep(CorpusStep):
     with nothing to cut keep their ORIGINAL text untouched. Per-doc
     removal counts stash as "corpus.spans"."""
 
-    def __init__(self, cols: CorpusColumns, n: int = 5, min_docs: int = 2, **kw):
+    def __init__(self, cols: CorpusColumns, n: int = 5, min_docs: int = 2,
+                 barrier: bool = True, **kw):
         super().__init__(cols, name="span_excise", **kw)
         if n < 1:
             raise ValueError(f"span_excise n must be >= 1, got {n}")
         self.n = n
         self.min_docs = min_docs
+        self.barrier = barrier
 
     def process(self, context: PipelineContext) -> PipelineContext:
         docs = context.raw_data
@@ -305,10 +327,16 @@ class SpanExciseStep(CorpusStep):
         touched = cleaned.filter(F.col("n_removed") > 0).select(
             self.cols.id, "clean_text"
         )
-        context.raw_data = docs.join(touched, self.cols.id, "left").withColumn(
+        out = docs.join(touched, self.cols.id, "left").withColumn(
             self.cols.text,
             F.coalesce(F.col("clean_text"), F.col(self.cols.text)),
         ).drop("clean_text")
+        # Second (and last) stage barrier: the excision subtree (gram
+        # window + span merge + HOF token filter over full text) is the
+        # priciest replayed unit — decontamination scans the docs twice
+        # and pii/quota/chunks once each, so leaving this lazy replays it
+        # ~4x in the terminal plan. Same trade as NearDupCollapseStep.
+        context.raw_data = out.localCheckpoint() if self.barrier else out
         self._record(context)
         return context
 
@@ -495,6 +523,7 @@ def build_corpus_pipeline(
     config: PipelineConfig | None = None,
     neardup_threshold: float = 0.5,
     neardup_algorithm: str = "min_label",
+    neardup_barrier: bool = True,
     contamination_threshold: float = 0.05,
     broadcast_benchmark: bool = True,
     quota_n: int | None = 1000,
@@ -548,7 +577,8 @@ def build_corpus_pipeline(
             UrlDedupStep(cols),
             ExactDedupStep(cols),
             NearDupCollapseStep(
-                cols, threshold=neardup_threshold, algorithm=neardup_algorithm
+                cols, threshold=neardup_threshold,
+                algorithm=neardup_algorithm, barrier=neardup_barrier,
             ),
             SpanExciseStep(
                 # `or 5` would silently turn an explicit 0 into 5 while

@@ -692,7 +692,12 @@ def semantic_decontamination(
     corpus doc. For benchmarks too large to broadcast, bucket with
     rp_lsh_buckets and join on bucket instead (the x12 shape).
 
-    Returns [id, max_sim, contaminated].
+    The join is a LEFT join, not a cross join: with an EMPTY benchmark
+    frame every corpus doc still surfaces, with ``max_sim`` NULL and
+    ``contaminated=false`` — a cross join would return an empty frame,
+    indistinguishable from "checked and clean".
+
+    Returns [id, max_sim, contaminated] — exactly one row per corpus doc.
     """
     c = _prep(corpus, id_col, vec_col, "c", dim).withColumnRenamed("c_id", "id")
     b = _prep(benchmark, id_col, vec_col, "b", dim).withColumnRenamed(
@@ -704,12 +709,16 @@ def semantic_decontamination(
         round_scores,
     )
     return (
-        c.crossJoin(F.broadcast(b))
+        c.join(F.broadcast(b), F.lit(True), "left")
         .select("id", score.alias("_s"))
         .groupBy("id")
         .agg(F.max("_s").alias("max_sim"))
         .select(
-            "id", "max_sim", (F.col("max_sim") >= threshold).alias("contaminated")
+            "id",
+            "max_sim",
+            F.coalesce(F.col("max_sim") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )
 

@@ -2086,7 +2086,11 @@ WITH base AS (
     SELECT doc_id, source,
 """
 
-X50_SQL = f"""{_QUALITY_BASE_HEAD}           CASE WHEN trim(text) = '' THEN 0
+# The scored CTE (base -> quality score q per doc) is shared verbatim by
+# X50 (per-source report), X53 (per-source quantile gate) and X55
+# (weighted sampling) — composed from this constant, never sliced out of
+# a sibling query string.
+_X50_SCORED_CTE = f"""{_QUALITY_BASE_HEAD}           CASE WHEN trim(text) = '' THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
            CASE WHEN length(text) = 0 THEN 0.0
                 ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
@@ -2112,7 +2116,11 @@ scored AS (
            ) / 4.0, 6) AS DECIMAL(18,6)) AS q
     FROM base
 )
-SELECT source,
+"""
+
+X50_SQL = (
+    _X50_SCORED_CTE
+    + """SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
@@ -2121,6 +2129,7 @@ SELECT source,
        CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_frac
 FROM scored GROUP BY source ORDER BY source
 """
+)
 
 
 def x51_lm_quality(spark: SparkSession, sf_dir: str):
@@ -2265,11 +2274,10 @@ def x53_quality_top_fraction(spark: SparkSession, sf_dir: str):
     )
 
 
-# Reuses x50's scored CTE text (same quality arithmetic); the threshold is
+# Reuses x50's scored CTE (same quality arithmetic); the threshold is
 # quantile_cont over the score cast to DOUBLE in both engines.
-_X53_SCORED = X50_SQL[: X50_SQL.index("SELECT source,\n       CAST(COUNT(*)")]
 X53_SQL = (
-    _X53_SCORED
+    _X50_SCORED_CTE
     + """SELECT s.doc_id, s.source, CAST(s.q AS DOUBLE) AS q
 FROM scored s
 JOIN (
@@ -2386,7 +2394,7 @@ def x55_weighted_sample(spark: SparkSession, sf_dir: str):
 
 
 X55_SQL = (
-    _X53_SCORED
+    _X50_SCORED_CTE
     + """SELECT doc_id, CAST(q AS DOUBLE) AS weight,
        ROUND(LN((('0x' || substring(md5(doc_id::VARCHAR || 'aes'), 1, 15))::BIGINT + 1)
                 / 1152921504606846976.0)

@@ -49,7 +49,7 @@ def streaming_lsh_ingest(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    idempotent: bool = False,
+    idempotent: bool = True,
 ):
     """Incremental near-dup candidate detection for a continuous ingest
     stream — the streaming twin of ``operators.dedup.minhash_lsh_candidates``.
@@ -86,17 +86,19 @@ def streaming_lsh_ingest(
 
     Scale notes: the per-batch work is micro-batch x bucket-mates — never
     table^2; the (band, sig) join is broadcast-eligible while batches are
-    small and AQE-planned once they are not. Plain parquet appends are
-    at-least-once on batch retry (downstream consumers should distinct).
-    With ``idempotent=True`` both appends go through
-    ``sources.layout.idempotent_epoch_append`` — epoch-keyed dynamic
-    partition overwrite, so a retried micro-batch REPLACES its own files
-    and the sink is exactly-once per epoch (the labels rewrite is already
-    idempotent: re-merging the same pairs is a labeling no-op). In that
-    mode, seed ``signature_dir`` with ``idempotent_epoch_append(seed,
+    small and AQE-planned once they are not. Appends default to
+    ``idempotent=True`` (matching ``streaming_span_ingest``): both appends
+    go through ``sources.layout.idempotent_epoch_append`` — epoch-keyed
+    dynamic partition overwrite, so a retried micro-batch REPLACES its own
+    files and the sink is exactly-once per epoch (the labels rewrite is
+    already idempotent: re-merging the same pairs is a labeling no-op). In
+    that mode, seed ``signature_dir`` with ``idempotent_epoch_append(seed,
     dir, epoch_id=-1)`` so the directory layout is uniformly
     epoch-partitioned, and expect an ``_epoch`` partition column when
-    reading the tables.
+    reading the tables. ``idempotent=False`` opts into plain at-least-once
+    parquet appends (duplicate pair/signature ROWS on micro-batch retry;
+    downstream consumers must distinct) for sinks that cannot host the
+    epoch layout.
 
     Returns a callable for ``stream.writeStream.foreachBatch(...)``; the
     caller owns trigger/checkpoint wiring.

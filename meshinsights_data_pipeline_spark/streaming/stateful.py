@@ -139,6 +139,13 @@ def streaming_funnel(
     timeouts fire only for groups WITHOUT data in a batch, so a user
     whose return lands before any timeout-processing batch still
     completes against their pre-expiry state.
+
+    WARNING — enabling TTL changes which EVENTS are processed, not just
+    which state expires: the watermark it installs makes Spark DISCARD
+    any event older than the watermark BEFORE it reaches this function
+    (standard late-data semantics) — with TTL off, every event is
+    processed regardless of lateness. Pick ``watermark`` to cover your
+    stream's real out-of-orderness, or late funnel steps vanish silently.
     """
     k = len(steps)
     if k < 2:
@@ -230,6 +237,13 @@ def streaming_debounce(
     have KEPT the next event anyway, which is exactly what fresh state
     does. Requires a watermark on ``ts_col`` (``watermark`` sets the
     lateness bound, same meaning as DataFrame.withWatermark).
+
+    WARNING — enabling TTL changes which EVENTS are processed, not just
+    which state expires: the watermark it installs makes Spark DISCARD
+    any event older than the watermark BEFORE it reaches the debounce
+    function (standard late-data semantics) — it is dropped entirely,
+    not merely debounced. With TTL off every event is processed. Pick
+    ``watermark`` to cover the stream's real out-of-orderness.
     """
     if min_gap_seconds <= 0:
         raise ValueError(f"min_gap_seconds must be positive, got {min_gap_seconds}")

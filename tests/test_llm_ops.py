@@ -404,6 +404,24 @@ def test_similarity_new_ops_empty_inputs(spark, vectors):
     assert kept == 2
 
 
+def test_semantic_decontamination_empty_benchmark(spark, vectors):
+    """An EMPTY benchmark must not vanish the corpus: every corpus doc
+    surfaces with max_sim NULL and contaminated=false (a cross-join shape
+    would return an empty frame — indistinguishable from 'checked and
+    clean'). Non-empty benchmark: one row per corpus doc, flags set."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = S.semantic_decontamination(vectors, empty).collect()
+    assert len(out) == vectors.count()
+    assert all(r.max_sim is None and r.contaminated is False for r in out)
+
+    bench = vectors.filter(F.col("vec_id") < 2)
+    out2 = S.semantic_decontamination(vectors, bench, threshold=0.999)
+    rows = {r.id: r for r in out2.collect()}
+    assert len(rows) == vectors.count()
+    # a corpus vector identical to a benchmark vector flags itself
+    assert rows[0].contaminated and rows[1].contaminated
+
+
 def test_html_to_text_and_title(spark):
     cases = [
         (1, "<html><head><title>T1</title><script>if (a<b) alert('x');"

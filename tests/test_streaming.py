@@ -209,6 +209,7 @@ def test_streaming_lsh_ingest_parity(spark, tmp_path):
         minhash_lsh_candidates,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
         latest_snapshot,
         snapshot_overwrite,
     )
@@ -221,7 +222,11 @@ def test_streaming_lsh_ingest_parity(spark, tmp_path):
     sig_dir = str(tmp_path / "signatures")
     pairs_dir = str(tmp_path / "pairs")
     src = str(tmp_path / "src")
-    banded_signatures(seed, "doc_id", "text").write.parquet(sig_dir)
+    # idempotent=True default: the signature table is epoch-partitioned,
+    # so the seed goes in via idempotent_epoch_append (epoch -1).
+    idempotent_epoch_append(
+        banded_signatures(seed, "doc_id", "text"), sig_dir, -1
+    )
     # 4 input files -> maxFilesPerTrigger=1 forces 4 micro-batches
     arriving.repartition(4).write.parquet(src)
 
@@ -267,6 +272,7 @@ def test_streaming_cluster_maintenance_parity(spark, tmp_path):
         minhash_lsh_candidates,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
         latest_snapshot,
         snapshot_overwrite,
     )
@@ -280,7 +286,9 @@ def test_streaming_cluster_maintenance_parity(spark, tmp_path):
     pairs_dir = str(tmp_path / "pairs")
     labels_dir = str(tmp_path / "labels")
     src = str(tmp_path / "src")
-    banded_signatures(seed, "doc_id", "text").write.parquet(sig_dir)
+    idempotent_epoch_append(
+        banded_signatures(seed, "doc_id", "text"), sig_dir, -1
+    )
     seed_pairs = minhash_lsh_candidates(seed, "doc_id", "text").localCheckpoint()
     snapshot_overwrite(connected_components(seed_pairs), labels_dir, version=-1)
     arriving.repartition(4).write.parquet(src)
@@ -862,6 +870,64 @@ def test_streaming_interval_join_parity(spark, tmp_path):
             spark.readStream.schema(points.schema).parquet(psrc),
             "ts", "ts", "ts",
         )
+
+
+def test_streaming_interval_join_left_outer(spark, tmp_path):
+    """how='left_outer': points with NO containing interval surface with
+    NULL right-side columns (the unmatched-telemetry report), matching a
+    left-outer batch join; null-match rows are produced even when the
+    unmatched point and the watermark-advancing traffic arrive in
+    DIFFERENT micro-batches. Malformed intervals (end < start) are
+    dropped, and oversize='drop' excludes intervals longer than
+    max_interval entirely."""
+    import datetime as dt
+
+    from meshinsights_data_pipeline_spark.streaming import streaming_interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    # Batch 1: points 0..3 (0,1 covered by iv 100; 2,3 uncovered).
+    # Batch 2: a far-future sentinel point advances the watermark past
+    # every batch-1 point's expiry so their outer rows flush.
+    psrc = str(tmp_path / "pts")
+    pts1 = [(i, t0 + dt.timedelta(hours=i * 7)) for i in range(4)]
+    pts2 = [(99, t0 + dt.timedelta(days=30))]
+    pschema = "event_id long, ts timestamp"
+    spark.createDataFrame(pts1, pschema).coalesce(1).write.parquet(psrc + "/f1")
+    spark.createDataFrame(pts2, pschema).coalesce(1).write.parquet(psrc + "/f2")
+    ivs = [
+        (100, t0, t0 + dt.timedelta(hours=14)),             # covers 0,1,2
+        (200, t0 + dt.timedelta(hours=20), t0),             # end < start: dropped
+        (300, t0, t0 + dt.timedelta(days=20)),              # oversize
+        # far-future interval: advances the RIGHT watermark (the global
+        # watermark is the min across inputs) so batch-1 unmatched points
+        # can be proven final and their outer rows flushed.
+        (999, t0 + dt.timedelta(days=40), t0 + dt.timedelta(days=40)),
+    ]
+    intervals = spark.createDataFrame(
+        ivs, "iv_id long, t_start timestamp, t_end timestamp"
+    )
+    isrc = str(tmp_path / "ivs")
+    intervals.coalesce(1).write.parquet(isrc)
+
+    joined = streaming_interval_join(
+        spark.readStream.schema(pschema).option("maxFilesPerTrigger", 1)
+        .parquet(psrc + "/*"),
+        spark.readStream.schema(intervals.schema).parquet(isrc),
+        "ts", "t_start", "t_end",
+        max_interval="2 days", how="left_outer", oversize="drop",
+    )
+    streamed = _run_stream(spark, joined, tmp_path, mode="append")
+    # iv 200 malformed, iv 300 oversize-dropped -> only iv 100 matches;
+    # point 3 (arriving in batch 1, unmatched, finalized only after later
+    # batches advance the watermark) surfaces with NULL interval columns.
+    # The sentinel point 99 sits AT the final watermark — its own outer
+    # row is legitimately still pending, so assert on points 0..3 only.
+    got = sorted(
+        (r.event_id, r.iv_id) for r in streamed if r.event_id < 10
+    )
+    assert got == [(0, 100), (1, 100), (2, 100), (3, None)]
+    null_rows = [r for r in streamed if r.iv_id is None]
+    assert all(r.t_start is None and r.t_end is None for r in null_rows)
 
 
 def test_streaming_debounce_state_ttl(spark, tmp_path):
