@@ -1808,6 +1808,69 @@ _ORACLES["q57"] = """
 """
 
 
+def q58(spark, sf_dir):
+    """Set operations with BAG semantics (INTERSECT ALL / EXCEPT ALL):
+    multiset retention over (customer, order count) events — how many
+    1996 orders per customer are 'matched' by a 1997 order (INTERSECT ALL
+    keeps min(n96, n97) copies) and how many are surplus (EXCEPT ALL
+    keeps n96 - n97 copies). This is the query set semantics gets wrong:
+    a 5-order customer retaining 1 order is not 'retained' wholesale.
+    Spark lowers intersectAll/exceptAll to a count-pairing aggregate +
+    generator (one shuffle per input, no join explosion), which DuckDB's
+    INTERSECT ALL / EXCEPT ALL mirrors exactly. Output aggregates the
+    multiset back to per-customer copy counts so the result is scalar-
+    typed and order-insensitive."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_orders(year: int):
+        # one row PER ORDER (the multiset element is the customer key,
+        # repeated once per order that year)
+        return o.filter(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+
+    y96, y97 = year_orders(1996), year_orders(1997)
+    matched = (
+        y96.intersectAll(y97)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .withColumn("kind", F.lit("matched"))
+    )
+    surplus = (
+        y96.exceptAll(y97)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .withColumn("kind", F.lit("surplus"))
+    )
+    return matched.unionByName(surplus).orderBy("kind", "c_custkey")
+
+
+_ORACLES["q58"] = """
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           'matched' AS kind
+    FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+        INTERSECT ALL
+        SELECT o_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    GROUP BY c_custkey
+    UNION ALL
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           'surplus' AS kind
+    FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+        EXCEPT ALL
+        SELECT o_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    GROUP BY c_custkey
+    ORDER BY kind, c_custkey
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1820,7 +1883,7 @@ _BUILDERS = {
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
-    "q56": q56, "q57": q57,
+    "q56": q56, "q57": q57, "q58": q58,
 }
 
 QUERIES: dict[str, Query] = {

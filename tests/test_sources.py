@@ -560,6 +560,84 @@ def test_zorder_layout_clusters_every_dimension(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(zpath).count() == orders.count()
 
 
+def test_zorder_layout_actually_skips_by_parquet_stats(spark, sf_smoke, tmp_path):
+    """Data skipping, asserted at the level the scanner actually prunes:
+    per-file parquet min/max statistics. For each output file we read the
+    footer stats of the two clustered columns (pyarrow, no Spark) and
+    count files whose [min, max] box INTERSECTS a selective 2-D predicate
+    box — exactly the test parquet row-group/file pruning applies. The
+    z-ordered layout must keep that count a strict fraction of the file
+    count, while an UNCLUSTERED layout of the same data cannot prune
+    (every file's stats box spans the predicate). Fails if write_zordered
+    stops producing stats-prunable files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.session import read_table
+    from meshinsights_data_pipeline_spark.sources.layout import write_zordered
+
+    orders = read_table(spark, sf_smoke, "orders")
+    lo_hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    bounds = {
+        "o_custkey": (lo_hi[0], lo_hi[1] + 1),
+        "o_totalprice": (lo_hi[2], lo_hi[3] + 1),
+    }
+    n_files = 8
+    zpath = str(tmp_path / "zord")
+    write_zordered(
+        orders, zpath, ["o_custkey", "o_totalprice"], bounds, n_files=n_files
+    )
+    upath = str(tmp_path / "unclustered")
+    orders.repartition(n_files).write.parquet(upath)
+
+    def stats_boxes(path):
+        boxes = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = {c: None for c in ("o_custkey", "o_totalprice")}
+            hi = {c: None for c in ("o_custkey", "o_totalprice")}
+            for rg in range(md.num_row_groups):
+                for c in lo:
+                    st = md.row_group(rg).column(names[c]).statistics
+                    assert st is not None and st.has_min_max
+                    lo[c] = st.min if lo[c] is None else min(lo[c], st.min)
+                    hi[c] = st.max if hi[c] is None else max(hi[c], st.max)
+            boxes.append((lo, hi))
+        return boxes
+
+    # selective 2-D predicate box: the lowest 1/8 of each dimension
+    ck_lo, ck_hi = lo_hi[0], lo_hi[0] + (lo_hi[1] - lo_hi[0]) / 8
+    tp_lo, tp_hi = lo_hi[2], lo_hi[2] + (lo_hi[3] - lo_hi[2]) / 8
+
+    def intersecting(boxes):
+        return sum(
+            1 for lo, hi in boxes
+            if hi["o_custkey"] >= ck_lo and lo["o_custkey"] <= ck_hi
+            and hi["o_totalprice"] >= tp_lo and lo["o_totalprice"] <= tp_hi
+        )
+
+    z_boxes, u_boxes = stats_boxes(zpath), stats_boxes(upath)
+    assert len(z_boxes) >= n_files - 1  # range partitioner may merge one
+    # unclustered: every file spans the value space -> zero pruning
+    assert intersecting(u_boxes) == len(u_boxes)
+    # z-ordered: the 2-D box intersects at most half the files (with
+    # bits=8 / 8 files the observed value is 1-2; <= half is the loose
+    # bound that still fails if clustering degrades to no-op)
+    assert intersecting(z_boxes) <= len(z_boxes) // 2
+    # single-dimension predicates must also prune (the multi-dim promise)
+    ck_only = sum(1 for lo, hi in z_boxes
+                  if hi["o_custkey"] >= ck_lo and lo["o_custkey"] <= ck_hi)
+    tp_only = sum(1 for lo, hi in z_boxes
+                  if hi["o_totalprice"] >= tp_lo and lo["o_totalprice"] <= tp_hi)
+    assert ck_only < len(z_boxes) and tp_only < len(z_boxes)
+
+
 def test_zorder_value_interleaves_bits(spark):
     """zorder_value must interleave exactly: bit i of dim d at position
     i*n+d. For (a=0b11, b=0b00) -> 0b0101; (a=0b00, b=0b11) -> 0b1010."""
