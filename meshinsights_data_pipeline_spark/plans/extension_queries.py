@@ -413,7 +413,11 @@ def x11_minhash_dedup_pairs(spark: SparkSession, sf_dir: str):
     )
 
 
-def _minhash_dedup_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+def _minhash_pairs_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    """CTE chain ending in ``pairs`` = verified near-dup pairs
+    [id_a, id_b, jaccard] (LSH candidates, exact Jaccard >= threshold).
+    Shared by X11 (the pairs themselves) and X57 (the cross-source
+    overlap matrix) — composed as a named constant, never sliced."""
     r = num_hashes // bands
     mins = ", ".join(
         f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}" for i in range(num_hashes)
@@ -440,20 +444,22 @@ def _minhash_dedup_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 
         JOIN sh a ON a.doc_id = c.id_a
         JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
         GROUP BY c.id_a, c.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b,
-               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-    )
-    WHERE jaccard >= {threshold}
-    ORDER BY id_a, id_b
-    """
+    ),
+    pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        )
+        WHERE jaccard >= {threshold}
+    )"""
 
 
-X11_SQL = _minhash_dedup_sql()
+X11_SQL = f"""{_minhash_pairs_ctes()}
+    SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
 
 
 def x12_embedding_neardup_lsh(spark: SparkSession, sf_dir: str):
@@ -2442,6 +2448,44 @@ FROM scored GROUP BY id ORDER BY id
 """
 
 
+def x57_source_overlap(spark: SparkSession, sf_dir: str):
+    """Cross-source near-dup overlap matrix: for every (source, source)
+    pair, how many verified near-dup pairs (LSH candidates -> exact
+    Jaccard >= 0.2, the x11 path) span them — the corpus diagnostic that
+    tells you which crawls/feeds duplicate each other before you mix
+    them. Pairs are tiny next to the corpus, so the source lookup joins
+    broadcast the pair side under AQE; sources are canonicalized
+    (least, greatest) so the matrix is one deterministic triangle."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+X57_SQL = f"""{_minhash_pairs_ctes()}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.id_a
+    JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2499,4 +2543,5 @@ EXTENSION_BUILDERS = {
     "x54_zorder_keys": (x54_zorder_keys, X54_SQL),
     "x55_weighted_sample": (x55_weighted_sample, X55_SQL),
     "x56_semantic_decontamination": (x56_semantic_decontamination, X56_SQL),
+    "x57_source_overlap": (x57_source_overlap, X57_SQL),
 }

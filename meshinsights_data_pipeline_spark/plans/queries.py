@@ -1871,6 +1871,251 @@ _ORACLES["q58"] = """
 """
 
 
+def q59(spark, sf_dir):
+    """CUBE aggregate: order counts + total price over ALL 2^2 grouping
+    sets of (orderpriority, orderstatus) — per-pair, per-priority,
+    per-status, and grand total in ONE pass. Like ROLLUP (q47) this is a
+    single Expand + hash aggregate (each row fans out to its 4 grouping
+    sets map-side), not four scans unioned; CUBE is the shape behind
+    every-slice dashboard matrices. GROUPING() flags mark rolled-up
+    levels; DECIMAL sums keep cross-level totals drift-free across
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
+    )
+
+
+_ORACLES["q59"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+"""
+
+
+def q60(spark, sf_dir):
+    """FULL OUTER reconciliation: align per-customer 1996 vs 1997 order
+    counts, keeping customers present in EITHER year — the two-ledger
+    diff report (the join shape snapshot_diff uses, here as a declared
+    query). Both inputs pre-aggregate to customer cardinality BEFORE the
+    full join (the q45 discipline: the shuffle never carries raw orders
+    through the outer join), then COALESCE exposes missing sides as 0
+    with a status column."""
+    o = _t(spark, sf_dir, "orders")
+
+    def per_year(year: int, alias: str):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    a, b = per_year(1996, "n_1996"), per_year(1997, "n_1997")
+    joined = a.join(b, "c_custkey", "full_outer")
+    status = (
+        F.when(F.col("n_1996").isNull(), F.lit("new"))
+        .when(F.col("n_1997").isNull(), F.lit("lost"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        joined.select(
+            "c_custkey",
+            F.coalesce("n_1996", F.lit(0)).cast("bigint").alias("n_1996"),
+            F.coalesce("n_1997", F.lit(0)).cast("bigint").alias("n_1997"),
+            status.alias("status"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLES["q60"] = """
+    WITH a AS (
+        SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_1996
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_1997
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           CAST(COALESCE(n_1996, 0) AS BIGINT) AS n_1996,
+           CAST(COALESCE(n_1997, 0) AS BIGINT) AS n_1997,
+           CASE WHEN n_1996 IS NULL THEN 'new'
+                WHEN n_1997 IS NULL THEN 'lost'
+                ELSE 'both' END AS status
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    ORDER BY c_custkey
+"""
+
+
+def q61(spark, sf_dir):
+    """UNPIVOT (wide -> long): per-nation customer counts vs supplier
+    counts as (nation, metric, value) rows — the inverse of q48's pivot,
+    via DataFrame.unpivot (SQL stack()): a map-side generator, one output
+    row per (input row x metric), no shuffle beyond the source
+    aggregates. Long form is what chart/metric sinks ingest."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cc = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    ss = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers")
+    )
+    wide = (
+        n.select("n_nationkey", "n_name")
+        .join(cc, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .join(ss, F.col("n_nationkey") == F.col("s_nationkey"), "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_customers", "n_suppliers"], "metric", "value"
+    ).orderBy("n_name", "metric")
+
+
+_ORACLES["q61"] = """
+    WITH cc AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    ss AS (
+        SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    ),
+    wide AS (
+        SELECT n_name,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM nation
+        LEFT JOIN cc ON n_nationkey = c_nationkey
+        LEFT JOIN ss ON n_nationkey = s_nationkey
+    )
+    SELECT n_name, metric, CAST(value AS BIGINT) AS value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_customers, n_suppliers))
+    ORDER BY n_name, metric
+"""
+
+
+def q62(spark, sf_dir):
+    """RANGE-frame window (value range, not row count): per customer,
+    trailing-31-day order count and revenue at each order date. The
+    order column is epoch-days (integer) so ``rangeBetween(-30, 0)`` is
+    a calendar window in both engines; RANGE frames include ALL peers of
+    the current value, so same-day ties are deterministic without a
+    tiebreaker (the property ROWS frames lack — q30 needed a tie-free
+    series instead). Revenue sums in DECIMAL inside the frame, one cast
+    out. Sliced to custkey < 200 for a display-sized result; the window
+    still computes per-customer over each kept customer's full history."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("_day"))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            day.alias("_day"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("_p"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+            F.sum("_p").over(w).cast("double").alias("rev_trailing"),
+        )
+        .distinct()  # same-day peers produce identical rows by design
+        .orderBy("o_custkey", "o_orderdate")
+    )
+
+
+_ORACLES["q62"] = """
+    SELECT DISTINCT o_custkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS rev_trailing
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY o_custkey, o_orderdate
+"""
+
+
+def q63(spark, sf_dir):
+    """NTILE distribution report: split orders into 10 equal-depth price
+    deciles (ntile over a TIE-BROKEN total order — ntile is row-positional,
+    so (price, orderkey) ordering is what makes the split deterministic
+    and engine-identical), then one aggregate per decile: count, min/max
+    price, DECIMAL-summed revenue. The two-step shape (window then
+    reaggregate) is the standard equal-depth histogram at scale — one
+    window sort + one hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_totalprice").cast("double").alias("_p"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.min("_p"), 2).alias("min_price"),
+            F.round(F.max("_p"), 2).alias("max_price"),
+            F.sum(F.col("_p").cast("decimal(18,6)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+_ORACLES["q63"] = """
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(p), 2) AS min_price,
+           ROUND(MAX(p), 2) AS max_price,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM (
+        SELECT CAST(o_totalprice AS DOUBLE) AS p,
+               CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS INTEGER) AS decile
+        FROM orders
+    )
+    GROUP BY decile
+    ORDER BY decile
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -1883,7 +2128,8 @@ _BUILDERS = {
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
-    "q56": q56, "q57": q57, "q58": q58,
+    "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
+    "q61": q61, "q62": q62, "q63": q63,
 }
 
 QUERIES: dict[str, Query] = {
@@ -1903,61 +2149,48 @@ _register_extensions()
 
 
 # The external driver verifies only the FIRST 50 entries of queries() (its
-# per-round cap), taken in dict insertion order. The union of the r4 and r5
-# windows gave every then-declared query a driver-side row (93 green; q44
-# red on an array-typed column, fixed this round). Round-6 window: the q44
-# fix first, then queries ADDED this round (never driver-checked), then
-# every query whose code path round 6 touched (x23/x26 components
-# profiling, x37 pq_topk eager_encode escape hatch), then rotate re-checks
-# through the set that was last verified in r4 so stale greens get
-# refreshed. _rotate_for_driver validates membership AND the exactly-50
-# invariant. Rotation does not change any query; it only reorders the dict.
-_DRIVER_WINDOW_R6 = [
-    # the round-5 red row, fixed this round (array -> '|'-joined string)
-    "q44",
+# per-round cap), taken in dict insertion order. After r6, every declared
+# query's LATEST driver check is green (r4+r5+r6 window union = 113/113).
+# Round-7 window: queries ADDED this round first (never driver-checked),
+# then every query whose code path round 7 touched (x37 pq_topk codegen
+# rewrite; x56 semantic_decontamination left-join; x50/x53/x55 oracle
+# recomposition from the shared scored-CTE constant), then re-checks
+# rotated through the STALEST green cohort — the queries last verified in
+# r5, oldest-first (q01..q43 slice, then x01..x27); the r5-checked
+# remainder (x28-x36, x38-x49) rotates next round. _rotate_for_driver
+# validates membership AND the exactly-50 invariant. Rotation does not
+# change any query; it only reorders the dict.
+_DRIVER_WINDOW_R7 = [
     # ADDED this round, never driver-checked
-    "q45", "q46", "q47", "q48", "q49", "q50", "q51", "q52", "q53", "q54",
-    "q55", "q56", "q57", "x51_lm_quality",
-    "x52_ann_recall", "x53_quality_top_fraction", "x54_zorder_keys",
-    "x55_weighted_sample", "x56_semantic_decontamination",
-    # touched by round-6 work: connected-components profiling (x23/x26),
-    # pq_topk lazy/eager construction change (x37)
-    "x23_dedup_clusters", "x26_dedup_clusters_star", "x37_pq_topk",
-    # 29 re-checks: the rest of the r4-green set, keeping one
-    # representative per distinct code path and dropping shapes that
-    # in-window entries exercise transitively — q02-q05 (simple
-    # filters/HAVING; q23 covers HAVING), q07 (semi-join; q46's EXISTS
-    # and q57's INTERSECT lower to semi-joins), q01 (projection — every
-    # in-window query projects), q06 (equi-join; q54/q55 are
-    # multi-equi-joins), q12 (exact distinct; q38 counts distinct),
-    # q24 (limit; q16 covers), q27-q29/q31/q32/q34-q36 (JSON path via
-    # q49, star joins + top-k via q37/q38, rollup via q47, pivot via
-    # q48, Q1-scan via q47/q52's full-scan DECIMAL aggregates); kept
-    # q30/q33 (moving-average window, correlated scalar — no in-window
-    # twin). The freed slots went to the new queries above.
-    "q08", "q09", "q10",
-    "q11", "q13", "q14", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "q23", "q30", "q33",
-    "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
-    "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
-    "x10_rp_lsh_topk", "x12_embedding_neardup_lsh", "x13_multimodal_meta",
-    "x14_fuzzy_neardup",
+    "q58", "q59", "q60", "q61", "q62", "q63", "x57_source_overlap",
+    # touched by round-7 work
+    "x37_pq_topk", "x56_semantic_decontamination", "x50_corpus_report",
+    "x53_quality_top_fraction", "x55_weighted_sample",
+    # 38 re-checks: the r5-verified cohort, oldest-first (the remainder —
+    # x24/x25, x27-x36, x38-x49 — rotates next round)
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q12", "q15",
+    "q24", "q25", "q26", "q27", "q28", "q29", "q31", "q32",
+    "q34", "q35", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43",
+    "x01_exact_dedup", "x06_cosine_topk", "x11_minhash_dedup_pairs",
+    "x15_ivf_topk", "x16_asof_join", "x17_interval_join",
+    "x18_time_rollup", "x19_kusto_decode", "x20_doc_chunks",
+    "x21_winnow_fingerprints", "x22_gopher_quality",
 ]
 
 
 def _rotate_for_driver() -> None:
-    if len(_DRIVER_WINDOW_R6) != 50 or len(set(_DRIVER_WINDOW_R6)) != 50:
+    if len(_DRIVER_WINDOW_R7) != 50 or len(set(_DRIVER_WINDOW_R7)) != 50:
         # a duplicate or 51st entry would silently shift which queries fall
         # inside the driver's first-50 verification window
         raise ValueError(
             f"driver window must hold exactly 50 unique names, got "
-            f"{len(_DRIVER_WINDOW_R6)} ({len(set(_DRIVER_WINDOW_R6))} unique)"
+            f"{len(_DRIVER_WINDOW_R7)} ({len(set(_DRIVER_WINDOW_R7))} unique)"
         )
-    missing = [n for n in _DRIVER_WINDOW_R6 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW_R7 if n not in QUERIES]
     if missing:  # fail loudly: a typo here would silently shrink coverage
         raise KeyError(f"driver-window names not registered: {missing}")
-    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_R6)]
-    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW_R6, *rest]}
+    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_R7)]
+    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW_R7, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 

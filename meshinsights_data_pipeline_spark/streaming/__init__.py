@@ -8,6 +8,7 @@ for PARITY against it via foreachBatch collection over a bounded stream.
 
 from meshinsights_data_pipeline_spark.streaming.ann import (
     streaming_ivf_ingest,
+    streaming_pq_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_exact_dedup,
@@ -47,6 +48,7 @@ __all__ = [
     "streaming_lsh_ingest",
     "streaming_span_ingest",
     "streaming_ivf_ingest",
+    "streaming_pq_ingest",
     "streaming_report_ingest",
     "report_from_state",
     "streaming_lm_ingest",

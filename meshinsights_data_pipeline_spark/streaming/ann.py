@@ -31,16 +31,19 @@ def streaming_ivf_ingest(
     vectors_dir: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    idempotent: bool = False,
+    idempotent: bool = True,
 ):
     """foreachBatch builder: per micro-batch, IVF-assign the new vectors
     (broadcast centroid argmax — map-side) and append [id, list_id] to
     ``lists_dir``; with ``vectors_dir`` set, also append the raw vectors
-    so searches need only the accumulated tables. ``idempotent=True``
-    routes both appends through epoch-keyed dynamic partition overwrite
+    so searches need only the accumulated tables. ``idempotent`` defaults
+    True (exactly-once per epoch, matching the LSH/span ingest twins):
+    both appends route through epoch-keyed dynamic partition overwrite
     (sources.layout.idempotent_epoch_append) so micro-batch retries
     replace rather than duplicate — seed pre-existing tables with
     ``idempotent_epoch_append(df, dir, epoch_id=-1)`` in that mode.
+    ``idempotent=False`` opts into plain at-least-once parquet appends
+    (duplicate rows on retry) for sinks that cannot host the epoch layout.
 
     Returns a callable for ``stream.writeStream.foreachBatch(...)``.
     """
@@ -63,5 +66,59 @@ def streaming_ivf_ingest(
                 batch_df.select(id_col, vec_col).write.mode("append").parquet(
                     vectors_dir
                 )
+
+    return _process
+
+
+def streaming_pq_ingest(
+    stream: DataFrame,
+    *,
+    codes_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 11,
+    idempotent: bool = True,
+):
+    """foreachBatch builder: PQ-encode each micro-batch of arriving
+    vectors against the FIXED deterministic codebooks (the same
+    ``similarity.pq_encode`` the batch path uses — map-side, no shuffle)
+    and append [id, codes] to the accumulated ``codes_dir`` table. A
+    ``similarity.pq_topk``-style ADC search can then run against the
+    accumulated codes at any point; because the codebooks are fixed and
+    encoding is deterministic, the accumulated table is bit-identical to
+    a batch ``pq_encode`` rebuild over the same vectors (the parity the
+    test pins). Like IVF centroids, codebooks stay fixed between offline
+    retrainings — drifting them online would silently re-interpret past
+    codes.
+
+    ``idempotent`` defaults True (exactly-once per epoch, matching the
+    other ingest twins): appends route through epoch-keyed dynamic
+    partition overwrite; seed pre-existing tables with
+    ``idempotent_epoch_append(df, dir, epoch_id=-1)``. The per-batch
+    encode job runs under the same no-wholestage scope as the batch
+    operator (the PQ expression tree overflows whole-stage codegen's
+    method limit; per-operator codegen compiles it).
+
+    Returns a callable for ``stream.writeStream.foreachBatch(...)``.
+    """
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        _no_wholestage,
+        pq_encode,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        codes = pq_encode(batch_df, id_col, vec_col, dim, m, ks, seed)
+        with _no_wholestage(batch_df.sparkSession):
+            if idempotent:
+                from meshinsights_data_pipeline_spark.sources.layout import (
+                    idempotent_epoch_append,
+                )
+
+                idempotent_epoch_append(codes, codes_dir, epoch_id)
+            else:
+                codes.write.mode("append").parquet(codes_dir)
 
     return _process

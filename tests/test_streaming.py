@@ -414,6 +414,57 @@ def test_lsh_ingest_idempotent_epoch_retry(spark, tmp_path):
     assert len(first_pairs) == len(set(first_pairs))  # no duplicates at all
 
 
+def test_streaming_pq_ingest_parity_and_retry(spark, tmp_path):
+    """Accumulated PQ codes after streaming ingest must be bit-identical
+    to a batch pq_encode rebuild over the same vectors (fixed codebooks,
+    deterministic encode), and with the idempotent default a retried
+    epoch replaces rather than duplicates its rows."""
+    from meshinsights_data_pipeline_spark.operators.similarity import pq_encode
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_pq_ingest
+
+    emb = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+
+    codes_dir = str(tmp_path / "codes")
+    src = str(tmp_path / "src")
+    idempotent_epoch_append(pq_encode(seed), codes_dir, -1)
+    arriving.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_pq_ingest(stream, codes_dir=codes_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(codes_dir).select("vec_id", "codes").collect()
+    }
+    want = {
+        (r.vec_id, tuple(r.codes)) for r in pq_encode(emb).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # retry: re-running an epoch must not change the table
+    process = streaming_pq_ingest(arriving, codes_dir=codes_dir)
+    process(arriving.limit(5), 99)
+    once = spark.read.parquet(codes_dir).count()
+    process(arriving.limit(5), 99)
+    assert spark.read.parquet(codes_dir).count() == once
+
+
 def test_streaming_ivf_ingest_parity(spark, tmp_path):
     """Accumulated (vec -> list) assignments after streaming ingest must
     equal a batch ivf_assign rebuild over the same vectors, and a search
