@@ -236,6 +236,66 @@ def test_q46_semi_join_is_hash_based(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q59_cube_is_single_expand_aggregate(spark, sf_smoke):
+    """q59's CUBE must stay ONE Expand + hash aggregate (each row fans
+    out to its 4 grouping sets map-side) — never a union of per-slice
+    scans."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q59"].spark(spark, sf_smoke))
+    assert p.count("Expand") >= 1
+    # one parquet scan of orders, not one per grouping set
+    assert p.count("FileScan parquet") == 1, p
+
+
+def test_q58_bag_setops_no_join_explosion(spark, sf_smoke):
+    """intersectAll/exceptAll must lower to count-pairing aggregates +
+    generators — no cartesian/nested-loop join of the two year slices."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q58"].spark(spark, sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the replicate-rows generator of the ALL lowering
+
+
+def test_q60_full_outer_preaggregated(spark, sf_smoke):
+    """q60's scale contract (the q45 discipline on both sides): each year
+    slice aggregates to customer cardinality BELOW the full outer join."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["q60"].spark(spark, sf_smoke)._jdf.queryExecution()
+        .optimizedPlan().toString()
+    )
+    join_at = plan.index("Join FullOuter")
+    below = plan[join_at:]
+    assert below.count("Aggregate") >= 2, plan  # one per input side
+
+
+def test_q62_range_frame_single_window_exchange(spark, sf_smoke):
+    """q62 is one window over one hash exchange on the partition key; the
+    RANGE frame must appear in the plan (specifiedwindowframe RangeFrame)
+    rather than silently degrading to a ROWS frame."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q62"].spark(spark, sf_smoke)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RangeFrame" in opt, opt
+    p = _plan(df)
+    assert p.count("Window") == 1, p
+
+
+def test_x57_source_overlap_joins_pairs_not_corpus(spark, sf_smoke):
+    """x57's source lookups must join the TINY pair frame to the docs
+    table — no corpus-level cartesian and no per-row Python anywhere."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x57_source_overlap"].spark(spark, sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_debounce_single_exchange(spark, sf_smoke):
     """Debounce is one window shuffle on the key - a refactor that adds a
     second Exchange (e.g. a separate sort or join) fails here."""
