@@ -313,6 +313,18 @@ class SpanExciseStep(CorpusStep):
             docs, self.cols.id, self.cols.text, n=self.n, min_docs=self.min_docs
         )
         cleaned = excise_spans(docs, spans, self.cols.id, self.cols.text)
+        # Second (and last) stage barrier: the excision subtree (gram
+        # window + span merge + HOF token filter over full text) is the
+        # priciest replayed unit — decontamination scans the docs twice
+        # and pii/quota/chunks once each, so leaving it lazy replays it
+        # ~4x in the terminal plan. Checkpointing CLEANED (not the joined
+        # output) bounds BOTH consumers — the survivors path below and
+        # the "corpus.spans" stash — with one materialization; the join
+        # back to docs stays lazy but is cheap (both inputs truncated,
+        # touched side tiny and broadcast-eligible). Same trade as
+        # NearDupCollapseStep.
+        if self.barrier:
+            cleaned = cleaned.localCheckpoint()
         context.processed_data["corpus.spans"] = cleaned.select(
             self.cols.id, "n_removed"
         )
@@ -327,16 +339,10 @@ class SpanExciseStep(CorpusStep):
         touched = cleaned.filter(F.col("n_removed") > 0).select(
             self.cols.id, "clean_text"
         )
-        out = docs.join(touched, self.cols.id, "left").withColumn(
+        context.raw_data = docs.join(touched, self.cols.id, "left").withColumn(
             self.cols.text,
             F.coalesce(F.col("clean_text"), F.col(self.cols.text)),
         ).drop("clean_text")
-        # Second (and last) stage barrier: the excision subtree (gram
-        # window + span merge + HOF token filter over full text) is the
-        # priciest replayed unit — decontamination scans the docs twice
-        # and pii/quota/chunks once each, so leaving this lazy replays it
-        # ~4x in the terminal plan. Same trade as NearDupCollapseStep.
-        context.raw_data = out.localCheckpoint() if self.barrier else out
         self._record(context)
         return context
 
@@ -535,6 +541,7 @@ def build_corpus_pipeline(
     shard_seed: int = 0,
     span_excise_n: int | None = None,
     span_min_docs: int = 2,
+    span_barrier: bool = True,
     lm_ppl_band: tuple[float, float] | None = None,
     quality_keep_frac: float | None = None,
 ) -> Pipeline:
@@ -588,6 +595,7 @@ def build_corpus_pipeline(
                 cols,
                 n=5 if span_excise_n is None else span_excise_n,
                 min_docs=span_min_docs,
+                barrier=span_barrier,
             ),
             DecontaminationStep(
                 cols,

@@ -18,6 +18,7 @@ query with bucket-local work — the standard billion-scale ANN layouts.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from itertools import count
 
@@ -884,6 +885,10 @@ def _unrolled_dot_sql(s: str, w: list[float]) -> str:
 _PQ_VIEW_SEQ = count()
 
 
+_NO_WHOLESTAGE_LOCK = threading.Lock()
+_NO_WHOLESTAGE_STATE: dict = {}  # session id -> {"depth": int, "prev": str}
+
+
 @contextmanager
 def _no_wholestage(spark):
     """Scope whole-stage codegen OFF around an eager PQ job.
@@ -895,19 +900,37 @@ def _no_wholestage(spark):
     Spark then logs a full InternalCompilerException stack trace and
     silently falls back to INTERPRETED evaluation for the whole stage —
     measured at sf0.1/local[32]: encode 1.55s interpreted vs 0.75s
-    per-operator codegen; ADC search 2.9s vs 1.6s. Only the PQ map
-    stages executed inside this scope are affected; the setting is
-    restored immediately after the eager action returns."""
+    per-operator codegen; ADC search 2.9s vs 1.6s.
+
+    Reentrancy/concurrency: the conf is session-global, so nesting or
+    concurrent scopes (e.g. two streaming foreachBatch threads running
+    streaming_pq_ingest) are depth-counted per session under a lock —
+    only the OUTERMOST enter records the previous value and only the
+    last exit restores it, so a racing pair can never 'restore' the
+    temporary false and leave codegen off for the whole session.
+    Unrelated queries PLANNED while a scope is open do lose whole-stage
+    codegen for that plan (perf only, never correctness) — the scopes
+    here are tight around short eager actions."""
     key = "spark.sql.codegen.wholeStage"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:  # noqa: BLE001 - conf key always exists in practice
-        prev = "true"
-    spark.conf.set(key, "false")
+    sid = id(spark)
+    with _NO_WHOLESTAGE_LOCK:
+        st = _NO_WHOLESTAGE_STATE.setdefault(sid, {"depth": 0, "prev": "true"})
+        if st["depth"] == 0:
+            try:
+                st["prev"] = spark.conf.get(key)
+            except Exception:  # noqa: BLE001 - key always exists in practice
+                st["prev"] = "true"
+            spark.conf.set(key, "false")
+        st["depth"] += 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _NO_WHOLESTAGE_LOCK:
+            st = _NO_WHOLESTAGE_STATE[sid]
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                spark.conf.set(key, st["prev"])
+                del _NO_WHOLESTAGE_STATE[sid]
 
 
 def _pq_encode_ctes(view: str, id_col: str, vec_col: str, dim: int, m: int,

@@ -54,11 +54,17 @@ def streaming_lsh_ingest(
     """Incremental near-dup candidate detection for a continuous ingest
     stream — the streaming twin of ``operators.dedup.minhash_lsh_candidates``.
 
-    ``signature_dir`` is the accumulated banded-signature TABLE (seed it
-    with the existing corpus via ``banded_signatures(corpus, ...).write``;
-    an empty frame with the right schema for a cold start). Each
-    micro-batch, inside ``foreachBatch`` (batch semantics — the signature
-    window functions are unsupported on streaming frames):
+    ``signature_dir`` is the accumulated banded-signature TABLE. Seed it
+    with the existing corpus via ``idempotent_epoch_append(
+    banded_signatures(corpus, ...), signature_dir, epoch_id=-1)`` (an
+    empty frame with the right schema for a cold start) — with the
+    default ``idempotent=True`` the table is epoch-partitioned, and a
+    plain flat ``banded_signatures(...).write`` seed would collide with
+    the first batch's ``_epoch=...`` directories (mixed flat+partitioned
+    layout fails partition discovery). Only with ``idempotent=False``
+    is a flat parquet seed correct. Each micro-batch, inside
+    ``foreachBatch`` (batch semantics — the signature window functions
+    are unsupported on streaming frames):
 
     1. band the new docs (one grouped min-aggregate over the micro-batch),
     2. join new-vs-TABLE on (band, sig) + a new-vs-new self-join, so a

@@ -404,6 +404,26 @@ def test_similarity_new_ops_empty_inputs(spark, vectors):
     assert kept == 2
 
 
+def test_no_wholestage_scope_reentrant(spark):
+    """Nested/raced _no_wholestage scopes must restore the ORIGINAL conf
+    value on the last exit — a naive prev-capture would 'restore' the
+    inner scope's temporary false and leave whole-stage codegen off for
+    the whole session."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        _no_wholestage,
+    )
+
+    key = "spark.sql.codegen.wholeStage"
+    orig = spark.conf.get(key)
+    with _no_wholestage(spark):
+        assert spark.conf.get(key) == "false"
+        with _no_wholestage(spark):  # the T1/T2 interleave, serialized
+            assert spark.conf.get(key) == "false"
+        # inner exit must NOT restore yet (outer scope still open)
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == orig
+
+
 def test_semantic_decontamination_empty_benchmark(spark, vectors):
     """An EMPTY benchmark must not vanish the corpus: every corpus doc
     surfaces with max_sim NULL and contaminated=false (a cross-join shape

@@ -936,7 +936,8 @@ def test_streaming_interval_join_left_outer(spark, tmp_path):
     from meshinsights_data_pipeline_spark.streaming import streaming_interval_join
 
     t0 = dt.datetime(2026, 1, 1)
-    # Batch 1: points 0..3 (0,1 covered by iv 100; 2,3 uncovered).
+    # Batch 1: points 0..3 at hours 0/7/14/21 (0,1,2 covered by iv 100,
+    # whose inclusive end is hour 14; point 3 uncovered).
     # Batch 2: a far-future sentinel point advances the watermark past
     # every batch-1 point's expiry so their outer rows flush.
     psrc = str(tmp_path / "pts")
