@@ -2486,6 +2486,104 @@ X57_SQL = f"""{_minhash_pairs_ctes()}
 """
 
 
+def x58_dq_checks(spark: SparkSession, sf_dir: str):
+    """Data-quality rule report over lineitem (operators.dq.dq_checks):
+    one aggregation pass scores every rule over every row — quantity
+    bounds, discount domain, date ordering ship<=receipt, non-negative
+    price, non-null key. NULL predicate results count as violations
+    (made explicit with coalesce so engines cannot drift on NULL boolean
+    semantics)."""
+    from meshinsights_data_pipeline_spark.operators.dq import dq_checks
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return dq_checks(
+        li,
+        {
+            "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+            "discount_in_0_0.1": F.col("l_discount").between(0.0, 0.1),
+            "tax_in_0_0.08": F.col("l_tax").between(0.0, 0.08),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        },
+    ).orderBy("rule")
+
+
+X58_SQL = """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+               CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN COALESCE(l_tax BETWEEN 0.0 AND 0.08, FALSE)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
+               CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+               CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                        THEN 0 ELSE 1 END) AS BIGINT) AS v_key
+        FROM lineitem
+    )
+    SELECT rule, n AS n_rows, v AS n_violations,
+           CAST(v AS DOUBLE) / n AS violation_frac
+    FROM agg
+    UNPIVOT (v FOR rule IN (
+        v_qty AS "quantity_in_1_50",
+        v_disc AS "discount_in_0_0.1",
+        v_tax AS "tax_in_0_0.08",
+        v_price AS "price_positive",
+        v_key AS "orderkey_not_null"
+    ))
+    ORDER BY rule
+"""
+
+
+def x59_vector_stats(spark: SparkSession, sf_dir: str):
+    """Per-vector component statistics via array higher-order functions —
+    the map-side normalize/inspect pass every embedding pipeline runs
+    before indexing: L2 norm (sequential aggregate fold — value-order
+    identical to DuckDB's list fold), component min/max, mean, and the
+    count of near-zero components (F.filter + size). All JVM column
+    expressions over the array; zero shuffles before the display sort.
+    Sliced to vec_id < 300 for a display-sized result."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    mean = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    near_zero = F.size(F.filter(v, lambda x: F.abs(x) < 0.05))
+    return (
+        emb.filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.round(l2, 6).alias("l2_norm"),
+            F.round(F.array_min(v), 6).alias("c_min"),
+            F.round(F.array_max(v), 6).alias("c_max"),
+            F.round(mean, 6).alias("c_mean"),
+            near_zero.cast("bigint").alias("n_near_zero"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+X59_SQL = """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+           ROUND(list_min(v), 6) AS c_min,
+           ROUND(list_max(v), 6) AS c_max,
+           ROUND(list_sum(v) / len(v), 6) AS c_mean,
+           CAST(len(list_filter(v, x -> abs(x) < 0.05)) AS BIGINT)
+               AS n_near_zero
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WHERE vec_id < 300
+    ORDER BY vec_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2544,4 +2642,6 @@ EXTENSION_BUILDERS = {
     "x55_weighted_sample": (x55_weighted_sample, X55_SQL),
     "x56_semantic_decontamination": (x56_semantic_decontamination, X56_SQL),
     "x57_source_overlap": (x57_source_overlap, X57_SQL),
+    "x58_dq_checks": (x58_dq_checks, X58_SQL),
+    "x59_vector_stats": (x59_vector_stats, X59_SQL),
 }

@@ -2116,6 +2116,56 @@ _ORACLES["q63"] = """
 """
 
 
+def q64(spark, sf_dir):
+    """Hopping (sliding) window aggregate: 7-day windows sliding 1 day
+    over events — each event lands in 7 overlapping windows. Spark's
+    F.window(ts, "7 days", "1 day") IS the generator-based rewrite (one
+    Expand per event, then a plain hash aggregate keyed on window start);
+    the oracle builds the same windows with a day-spine range join. The
+    struct-typed window column is projected to its scalar start date
+    (declared-set scalar-types rule). Sliced to the first 20 window
+    starts for a display-sized result — the aggregate still computes
+    over every event."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.to_date(F.col("_w.start")).alias("win_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("win_start")
+        .limit(20)
+    )
+
+
+# The oracle mirrors Spark's window alignment: windows are aligned to the
+# epoch (1970-01-01), so a 7-day/1-day hop puts event t in the 7 windows
+# starting at floor_day(t) - 6 .. floor_day(t).
+_ORACLES["q64"] = """
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    hopped AS (
+        SELECT d - INTERVAL (off) DAY AS win_start, user_id
+        FROM ev CROSS JOIN (
+            SELECT UNNEST(range(7)) AS off
+        )
+    )
+    SELECT CAST(win_start AS DATE) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hopped
+    GROUP BY win_start
+    ORDER BY win_start
+    LIMIT 20
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -2129,7 +2179,7 @@ _BUILDERS = {
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
-    "q61": q61, "q62": q62, "q63": q63,
+    "q61": q61, "q62": q62, "q63": q63, "q64": q64,
 }
 
 QUERIES: dict[str, Query] = {
