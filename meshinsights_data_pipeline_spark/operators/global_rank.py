@@ -1,0 +1,128 @@
+"""Distributed global ranking: total-order row numbers and equal-depth
+tiles WITHOUT a single-partition window sort.
+
+Why this exists: ``F.ntile(k).over(Window.orderBy(...))`` — and any
+window whose partition spec is empty — collapses the entire input onto
+ONE task (Exchange SinglePartition + local sort). That is the classic
+100 TB cliff: correct at sf0.1, dead at scale. The same total order is
+available distributed for exactly the price of a global sort:
+
+1. ``repartitionByRange`` on the sort key — ONE shuffle, identical to
+   what any global sort pays — then ``sortWithinPartitions``. Range
+   partitions are ordered: every row in partition *i* sorts before
+   every row in partition *i+1*.
+2. ``monotonically_increasing_id`` right above the sort: its documented
+   layout is ``partition_id * 2^33 + local_row_index``, so both the
+   partition id and the 0-based offset of each row inside its sorted
+   partition fall out of ONE narrow projection — no second shuffle, no
+   per-partition window.
+3. Per-partition row counts (map-side-combined aggregate, #partitions
+   rows) turned into cumulative offsets with a window — the ONLY
+   unpartitioned window in the plan, over a frame the size of the
+   shuffle-partition count, never the data.
+4. Broadcast-join the offsets back: ``global_rank = offset[pid] +
+   local_index + 1``.
+
+``equal_depth_tile`` layers NTILE's exact positional split on top: with
+N rows and k tiles, q = N div k and m = N mod k, the first m tiles hold
+q+1 rows — a row of rank r lands in tile ``ceil(r/(q+1))`` if
+``r <= m*(q+1)`` else ``m + ceil((r - m*(q+1))/q)``. Ties are governed
+by the caller's ``order_by`` (include a unique tiebreaker for an
+engine-stable split, same as NTILE itself needs).
+
+Reference anchor: the reference's ordering discipline (explicit total
+order before positional ops, EPC:141-158) — re-expressed as the plan
+shape Spark needs for that discipline to survive a 1000-executor scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# monotonically_increasing_id(): upper 31 bits partition id, lower 33 bits
+# the per-partition record index (Spark API contract).
+_MID_INDEX_BITS = 33
+_MID_INDEX_MASK = (1 << _MID_INDEX_BITS) - 1
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: list[str | Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Add a 1-based global row number under the total order ``order_by``.
+
+    ``order_by`` should reach a unique key (append a tiebreaker column)
+    or the numbering of tied rows is partition-placement-dependent.
+    ``total_col`` optionally also attaches the global row count to every
+    row (broadcast-joined alongside the offsets — free, and what tile /
+    percentile-style consumers need next).
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    ).sortWithinPartitions(*order_by)
+    mid = parts.select(
+        "*",
+        F.shiftright(F.monotonically_increasing_id(), _MID_INDEX_BITS).alias(
+            "_gr_pid"
+        ),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit(_MID_INDEX_MASK))
+        .alias("_gr_loc"),
+    )
+    counts = mid.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_cnt"))
+    # Range partition i holds keys strictly below partition i+1, so the
+    # cumulative count over ascending pid IS the global offset. Both
+    # windows run on the counts frame (#shuffle-partitions rows).
+    w_prev = Window.orderBy("_gr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_gr_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_gr_pid",
+        F.coalesce(F.sum("_gr_cnt").over(w_prev), F.lit(0)).alias("_gr_off"),
+        F.sum("_gr_cnt").over(w_all).alias("_gr_total"),
+    )
+    out = (
+        mid.join(F.broadcast(offsets), "_gr_pid")
+        .withColumn(out_col, (F.col("_gr_off") + F.col("_gr_loc") + 1))
+    )
+    if total_col:
+        out = out.withColumn(total_col, F.col("_gr_total"))
+    return out.drop("_gr_pid", "_gr_loc", "_gr_off", "_gr_cnt", "_gr_total")
+
+
+def equal_depth_tile(
+    df: DataFrame,
+    order_by: list[str | Column],
+    k: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row its NTILE(k)-exact equal-depth tile (1-based),
+    distributed. Bit-identical to ``ntile(k) OVER (ORDER BY order_by)``
+    for any N and k, including N < k and non-divisible splits."""
+    if k < 1:
+        raise ValueError(f"equal_depth_tile needs k >= 1, got {k}")
+    ranked = with_global_row_number(
+        df, order_by, out_col="_gr_rn", num_partitions=num_partitions,
+        total_col="_gr_n",
+    )
+    q = F.floor(F.col("_gr_n") / k)  # base tile depth
+    m = F.col("_gr_n") % k  # first m tiles get one extra row
+    r = F.col("_gr_rn")
+    fat_span = m * (q + 1)
+    tile = F.when(
+        r <= fat_span, F.ceil(r / (q + 1))
+    ).otherwise(m + F.ceil((r - fat_span) / F.greatest(q, F.lit(1))))
+    return (
+        ranked.withColumn(out_col, tile.cast("int"))
+        .drop("_gr_rn", "_gr_n")
+    )

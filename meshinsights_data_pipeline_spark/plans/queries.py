@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from meshinsights_data_pipeline_spark.session import read_table
 
 from meshinsights_data_pipeline_spark.functions.scalars import string_tail_lower
+from meshinsights_data_pipeline_spark.operators.global_rank import equal_depth_tile
 from meshinsights_data_pipeline_spark.operators.mode import grouped_mode
 from meshinsights_data_pipeline_spark.operators.recent_n import recent_n
 from meshinsights_data_pipeline_spark.operators.rcv import robust_cv
@@ -2073,20 +2074,26 @@ _ORACLES["q62"] = """
 
 def q63(spark, sf_dir):
     """NTILE distribution report: split orders into 10 equal-depth price
-    deciles (ntile over a TIE-BROKEN total order — ntile is row-positional,
-    so (price, orderkey) ordering is what makes the split deterministic
-    and engine-identical), then one aggregate per decile: count, min/max
-    price, DECIMAL-summed revenue. The two-step shape (window then
-    reaggregate) is the standard equal-depth histogram at scale — one
-    window sort + one hash aggregate."""
+    deciles over a TIE-BROKEN total order (price, orderkey), then one
+    aggregate per decile: count, min/max price, DECIMAL-summed revenue.
+    The Spark side does NOT use ntile — a global ntile window is an
+    Exchange SinglePartition (one task sorts everything, the 100 TB
+    cliff). ``equal_depth_tile`` produces the bit-identical positional
+    split distributed: range-repartition + local sort (the same shuffle
+    a global sort pays), per-partition offsets from a broadcast counts
+    frame, and the exact NTILE depth formula as a map-side expression.
+    The ntile form stays as the DuckDB oracle, proving equivalence."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (
+    tiled = equal_depth_tile(
         o.select(
-            F.col("o_totalprice").cast("double").alias("_p"),
-            F.ntile(10).over(w).cast("int").alias("decile"),
-        )
-        .groupBy("decile")
+            F.col("o_totalprice").cast("double").alias("_p"), "o_orderkey"
+        ),
+        order_by=["_p", "o_orderkey"],
+        k=10,
+        out_col="decile",
+    )
+    return (
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.round(F.min("_p"), 2).alias("min_price"),

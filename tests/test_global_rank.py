@@ -1,0 +1,68 @@
+"""global_rank operator: exact parity with row_number/ntile semantics,
+verified against the single-partition window forms on small frames (the
+operator exists precisely so production plans never run those forms)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.global_rank import (
+    equal_depth_tile,
+    with_global_row_number,
+)
+
+
+def _frame(spark, n, seed=7):
+    # deliberately collides on `v` so the tiebreaker column matters
+    return spark.range(n).select(
+        F.col("id"),
+        (F.hash(F.col("id") + seed) % 13).alias("v"),
+    )
+
+
+def test_global_row_number_matches_window(spark):
+    df = _frame(spark, 500)
+    got = with_global_row_number(df, ["v", "id"], out_col="rn", num_partitions=7)
+    w = Window.orderBy("v", "id")
+    want = df.select("id", F.row_number().over(w).alias("rn"))
+    diff = (
+        got.select("id", "rn")
+        .join(want.withColumnRenamed("rn", "rn2"), "id")
+        .filter(F.col("rn") != F.col("rn2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_global_row_number_total_col(spark):
+    df = _frame(spark, 123)
+    out = with_global_row_number(
+        df, ["v", "id"], out_col="rn", total_col="n_total", num_partitions=5
+    )
+    rows = out.select("n_total").distinct().collect()
+    assert [r.n_total for r in rows] == [123]
+
+
+@pytest.mark.parametrize(
+    ("n", "k"),
+    [(100, 10), (101, 10), (109, 10), (7, 10), (1, 3), (50, 7), (64, 1)],
+)
+def test_equal_depth_tile_is_exact_ntile(spark, n, k):
+    df = _frame(spark, n)
+    got = equal_depth_tile(df, ["v", "id"], k, out_col="t", num_partitions=4)
+    w = Window.orderBy("v", "id")
+    want = df.select("id", F.ntile(k).over(w).alias("t2"))
+    diff = (
+        got.select("id", "t")
+        .join(want, "id")
+        .filter(F.col("t") != F.col("t2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_equal_depth_tile_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        equal_depth_tile(_frame(spark, 10), ["v", "id"], 0)

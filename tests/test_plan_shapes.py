@@ -349,3 +349,25 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_smoke):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_q63_decile_no_single_partition_fact_sort(spark, sf_smoke):
+    """q63's equal-depth decile must NOT be a global ntile window (one
+    task sorts all orders). Required shape: the fact flows through an
+    Exchange rangepartitioning + LOCAL sort into a broadcast join of the
+    per-partition offsets; the only SinglePartition exchange allowed is
+    the one above the tiny counts aggregate — so every SinglePartition
+    in the plan must sit over a HashAggregate, never over the scan."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q63"].spark(spark, sf_smoke)
+    p = _plan(df)
+    assert "ntile" not in p.lower(), p
+    assert "rangepartitioning" in p, p
+    assert "BroadcastHashJoin" in p, p
+    for below in p.split("Exchange SinglePartition")[1:]:
+        # the subtree beneath a SinglePartition exchange must begin with
+        # the counts aggregate (tiny), not a raw file scan
+        assert below.lstrip().splitlines()[0].strip().startswith(
+            ("+- HashAggregate", "+- ShuffleQueryStage", "+- AQEShuffleRead")
+        ) or "HashAggregate" in below.splitlines()[1], p
