@@ -33,6 +33,13 @@ def dq_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
     Returns [rule, n_rows, n_violations, violation_frac] with one row
     per rule, violation_frac a single IEEE division of exact counts.
+
+    Empty input: every rule reports n_rows=0, n_violations=0 (the SUMs
+    coalesce — never NULL), violation_frac=0.0. An empty feed therefore
+    PASSES a pure violation-rate threshold by definition; a gate that
+    must also reject empty batches has the explicit n_rows column for
+    exactly that check (``n_rows > 0 AND violation_frac < t``), rather
+    than relying on NULL-comparison behavior to fail closed.
     """
     if not rules:
         raise ValueError("dq_checks needs at least one rule")
@@ -49,10 +56,13 @@ def dq_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             F.struct(
                 F.lit(name).alias("rule"),
                 F.col("_n").alias("n_rows"),
-                F.col(f"_v{i}").alias("n_violations"),
-                (F.col(f"_v{i}").cast("double") / F.col("_n")).alias(
-                    "violation_frac"
+                F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("bigint").alias(
+                    "n_violations"
                 ),
+                F.when(
+                    F.col("_n") > 0,
+                    F.col(f"_v{i}").cast("double") / F.col("_n"),
+                ).otherwise(F.lit(0.0)).alias("violation_frac"),
             )
             for i, name in enumerate(rules)
         ]

@@ -2584,6 +2584,60 @@ X59_SQL = """
 """
 
 
+def x60_skew_salted_agg(spark, sf_dir):
+    """Skew-mitigated aggregation end-to-end: events are grouped by a
+    deliberately skewed key (two of the five event types collapse into
+    one 'hot' bucket holding ~40% of all rows — the viral-duplicate /
+    hot-device shape) and aggregated through operators.skew.salted_agg:
+    phase 1 groups by (key, salt) so the hot key's rows spread over 32
+    partial groups on 32 tasks, phase 2 merges the partials per key.
+    For decomposable aggregates the result is EXACTLY the plain groupBy
+    (the oracle), whatever the salt assignment — count merges via sum,
+    and the value sum runs in DECIMAL so merge order cannot drift the
+    hash. At local[32]/sf0.1 the plain form is fine (Spark's partial
+    aggregation already combines map-side); the salted plan is the shape
+    that survives when partial aggregation is unavailable or the hot
+    key's merge state itself is the bottleneck — and this query pins
+    that plan + its equivalence."""
+    from meshinsights_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.lit("hot")
+        ).otherwise(F.col("event_type")).alias("bucket"),
+        F.col("value").cast("decimal(18,6)").alias("_v"),
+        "event_id",
+    )
+    out = salted_agg(
+        ev,
+        keys=["bucket"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "_v"),
+            "max_value": ("max", "_v"),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "bucket",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("bucket")
+
+
+X60_SQL = """
+    SELECT CASE WHEN event_type IN ('click', 'view') THEN 'hot'
+                ELSE event_type END AS bucket,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2644,4 +2698,5 @@ EXTENSION_BUILDERS = {
     "x57_source_overlap": (x57_source_overlap, X57_SQL),
     "x58_dq_checks": (x58_dq_checks, X58_SQL),
     "x59_vector_stats": (x59_vector_stats, X59_SQL),
+    "x60_skew_salted_agg": (x60_skew_salted_agg, X60_SQL),
 }

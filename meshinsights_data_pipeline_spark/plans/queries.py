@@ -2173,6 +2173,164 @@ _ORACLES["q64"] = """
 """
 
 
+def q65(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery per part: revenue
+    from 'small' order lines, where small means quantity below 20% of
+    that part's own average line quantity. Decorrelated Spark plan: all
+    predicates live on `part`, so the brand/size slice broadcast-joins
+    into lineitem FIRST (the per-part average over the joined subset
+    equals the average over all of that part's lines); the per-part AVG
+    is then a hash aggregate at part cardinality that broadcast-joins
+    back onto the same slice — no per-row subquery, two broadcast joins
+    and one small aggregate total. Oracle keeps the correlated-subquery
+    form, proving the decorrelation is semantics-preserving."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    sliced = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey
+    )
+    part_avg = sliced.groupBy("p_partkey").agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        sliced.join(F.broadcast(part_avg), "p_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0
+            ).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        )
+    )
+
+
+_ORACLES["q65"] = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE)
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size < 15
+      AND l_quantity < 0.2 * (
+          SELECT AVG(l_quantity) FROM lineitem WHERE l_partkey = p_partkey
+      )
+"""
+
+
+def q66(spark, sf_dir):
+    """TPC-H Q20 shape — nested semi-join over an aggregate: suppliers
+    (in the first five nations) who shipped MORE than 50 units of any
+    single 'red'-named part during 1996. Decorrelation order matters at
+    scale: the part-name slice is tiny so it broadcast-SEMI-joins into
+    lineitem before anything aggregates; the (suppkey, partkey) HAVING
+    aggregate then collapses the fact to pair cardinality; suppliers
+    semi-join that small distinct-suppkey set (broadcast again). The
+    fact table is touched once, filtered first, aggregated second —
+    never joined raw to either dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    hot = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(red.select("p_partkey")),
+              li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    return (
+        s.join(F.broadcast(hot), s.s_suppkey == hot.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLES["q66"] = """
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    WHERE s_nationkey < 5
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND EXTRACT(year FROM l_shipdate) = 1996
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 50
+      )
+    ORDER BY s_suppkey
+"""
+
+
+def q67(spark, sf_dir):
+    """TPC-H Q21 shape — EXISTS + NOT-EXISTS self-joins on the fact:
+    for finalized ('F') orders involving MORE than one supplier, count
+    per supplier the orders where that supplier was the ONLY one whose
+    line was returned (l_returnflag = 'R'). The textbook form is two
+    correlated self-joins of lineitem; the scale-safe decorrelation is
+    ONE per-order aggregate — n_supp = countDistinct(suppkey) and
+    n_ret_supp = countDistinct(suppkey) over returned lines — joined
+    back to the returned lines: EXISTS(other supplier) = n_supp > 1,
+    NOT EXISTS(other returned supplier) = n_ret_supp = 1. The fact is
+    read once and shuffles once on orderkey; orders and supplier
+    broadcast. Oracle keeps the EXISTS/NOT-EXISTS form."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    o_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    # no distinct: Q21 counts qualifying LINES (a supplier with two
+    # returned lines in one order contributes two), same as the oracle's
+    # per-l1-row semantics
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1))
+        .join(F.broadcast(o_f), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        ret.join(F.broadcast(s), ret.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+_ORACLES["q67"] = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -2186,7 +2344,8 @@ _BUILDERS = {
     "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
-    "q61": q61, "q62": q62, "q63": q63, "q64": q64,
+    "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
+    "q66": q66, "q67": q67,
 }
 
 QUERIES: dict[str, Query] = {
@@ -2206,48 +2365,56 @@ _register_extensions()
 
 
 # The external driver verifies only the FIRST 50 entries of queries() (its
-# per-round cap), taken in dict insertion order. After r6, every declared
-# query's LATEST driver check is green (r4+r5+r6 window union = 113/113).
-# Round-7 window: queries ADDED this round first (never driver-checked),
-# then every query whose code path round 7 touched (x37 pq_topk codegen
-# rewrite; x56 semantic_decontamination left-join; x50/x53/x55 oracle
-# recomposition from the shared scored-CTE constant), then re-checks
-# rotated through the STALEST green cohort — the queries last verified in
-# r5, oldest-first (q01..q43 slice, then x01..x27); the r5-checked
-# remainder (x28-x36, x38-x49) rotates next round. _rotate_for_driver
-# validates membership AND the exactly-50 invariant. Rotation does not
-# change any query; it only reorders the dict.
-_DRIVER_WINDOW_R7 = [
-    # ADDED this round, never driver-checked
-    "q58", "q59", "q60", "q61", "q62", "q63", "x57_source_overlap",
-    # touched by round-7 work
-    "x37_pq_topk", "x56_semantic_decontamination", "x50_corpus_report",
-    "x53_quality_top_fraction", "x55_weighted_sample",
-    # 38 re-checks: the r5-verified cohort, oldest-first (the remainder —
-    # x24/x25, x27-x36, x38-x49 — rotates next round)
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q12", "q15",
-    "q24", "q25", "q26", "q27", "q28", "q29", "q31", "q32",
-    "q34", "q35", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43",
-    "x01_exact_dedup", "x06_cosine_topk", "x11_minhash_dedup_pairs",
-    "x15_ivf_topk", "x16_asof_join", "x17_interval_join",
-    "x18_time_rollup", "x19_kusto_decode", "x20_doc_chunks",
-    "x21_winnow_fingerprints", "x22_gopher_quality",
+# per-round cap), taken in dict insertion order. Round-8 window, in
+# priority order: (1) the three registered queries that have NEVER had a
+# driver row — q64, x58, x59 landed after the r7 window was frozen (the
+# r7 comment under-called this; they shipped r7 with local-oracle green
+# only); (2) queries ADDED this round (q65/q66/q67 TPC-H Q17/Q20/Q21
+# decorrelation shapes, x60 salted-skew aggregate); (3) q63, whose Spark
+# side was RESHAPED this round (global ntile -> distributed
+# equal_depth_tile) and needs re-verification; (4) the stalest green
+# cohort — everything last driver-checked in r5 (x24/x25, x27-x36,
+# x38-x49); (5) fill to 50 from the r6-checked cohort oldest-first
+# (q08-q45 slice; the r6 remainder — q46-q57, x02-x14, x23, x26,
+# x51/x52/x54 — rotates in r9). _rotate_for_driver validates membership
+# AND the exactly-50 invariant. Rotation does not change any query; it
+# only reorders the dict.
+_DRIVER_WINDOW_R8 = [
+    # (1) never driver-checked
+    "q64", "x58_dq_checks", "x59_vector_stats",
+    # (2) added this round
+    "q65", "q66", "q67", "x60_skew_salted_agg",
+    # (3) reshaped this round
+    "q63",
+    # (4) stalest green cohort (last checked r5)
+    "x24_source_quota", "x25_contamination", "x27_url_dedup",
+    "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
+    "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
+    "x34_repetition_signals", "x35_gap_fill", "x36_profile",
+    "x38_semantic_dedup", "x39_boilerplate_ngrams", "x40_shuffle_shards",
+    "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
+    "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
+    "x47_length_ranks", "x48_duplicate_spans", "x49_span_excision",
+    # (5) r6-checked cohort, oldest-first, filling to exactly 50
+    "q08", "q09", "q10", "q11", "q13", "q14", "q16", "q17", "q18",
+    "q19", "q20", "q21", "q22", "q23", "q30", "q33", "q44", "q45",
 ]
+_DRIVER_WINDOW = _DRIVER_WINDOW_R8
 
 
 def _rotate_for_driver() -> None:
-    if len(_DRIVER_WINDOW_R7) != 50 or len(set(_DRIVER_WINDOW_R7)) != 50:
+    if len(_DRIVER_WINDOW) != 50 or len(set(_DRIVER_WINDOW)) != 50:
         # a duplicate or 51st entry would silently shift which queries fall
         # inside the driver's first-50 verification window
         raise ValueError(
             f"driver window must hold exactly 50 unique names, got "
-            f"{len(_DRIVER_WINDOW_R7)} ({len(set(_DRIVER_WINDOW_R7))} unique)"
+            f"{len(_DRIVER_WINDOW)} ({len(set(_DRIVER_WINDOW))} unique)"
         )
-    missing = [n for n in _DRIVER_WINDOW_R7 if n not in QUERIES]
+    missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
     if missing:  # fail loudly: a typo here would silently shrink coverage
         raise KeyError(f"driver-window names not registered: {missing}")
-    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_R7)]
-    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW_R7, *rest]}
+    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW)]
+    reordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 

@@ -59,7 +59,15 @@ def idempotent_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
     ``partitionOverwriteMode`` races with any concurrent write sharing the
     same SQLConf, and a partitioned overwrite observed under ``static``
     would delete every other ``_epoch`` partition in the target table.
+
+    Layout guard: a table seeded under the old at-least-once default is
+    FLAT parquet (data files directly under ``path``). Appending
+    ``_epoch=`` partition directories next to flat files would only blow
+    up LATER, at read time, as a partition-discovery error far from the
+    cause — so a flat pre-existing table is rejected here, at the first
+    idempotent write, with the migration step in the message.
     """
+    _reject_flat_table(df.sparkSession, path)
     (
         df.withColumn("_epoch", F.lit(int(epoch_id)))
         .write.mode("overwrite")
@@ -67,6 +75,34 @@ def idempotent_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
         .partitionBy("_epoch")
         .parquet(path)
     )
+
+
+def _reject_flat_table(spark: SparkSession, path: str) -> None:
+    """Raise if ``path`` holds a FLAT parquet table (top-level data
+    files, no ``_epoch=`` directories): mixing the epoch layout into it
+    would fail partition discovery on the next read. Migration: re-seed
+    once with ``idempotent_epoch_append(spark.read.parquet(old), new_dir,
+    epoch_id=-1)`` (or move the flat files under ``_epoch=-1/``)."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return
+    has_epoch_dir = False
+    flat_file = None
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_epoch="):
+            has_epoch_dir = True
+        elif st.isFile() and not name.startswith("_") and name != "_SUCCESS":
+            flat_file = name
+    if flat_file and not has_epoch_dir:
+        raise ValueError(
+            f"{path} holds a flat parquet table (e.g. {flat_file!r}) — "
+            "appending _epoch= partitions to it would break partition "
+            "discovery at read time. Migrate the seed first: "
+            "idempotent_epoch_append(spark.read.parquet(path), new_dir, "
+            "epoch_id=-1), or pass idempotent=False to keep the legacy "
+            "flat at-least-once layout."
+        )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

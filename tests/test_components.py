@@ -188,3 +188,22 @@ def test_incremental_components_long_chain_merge(spark):
     }
     assert inc == full
     assert {c for _, c in inc} == {0}  # everything collapses to min id 0
+
+
+def test_dq_checks_empty_input_defined_not_null(spark):
+    """The quality gate on an empty feed must be DEFINED: zero counts
+    and violation_frac 0.0, never NULLs that silently pass (or fail)
+    threshold comparisons. Callers reject empty batches via n_rows."""
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.operators.dq import dq_checks
+
+    df = spark.createDataFrame([], "id long, v double").filter("id > 0")
+    rows = dq_checks(
+        df, {"v_nonneg": F.col("v") >= 0, "id_set": F.col("id").isNotNull()}
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_rows == 0
+        assert r.n_violations == 0
+        assert r.violation_frac == 0.0

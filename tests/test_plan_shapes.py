@@ -371,3 +371,49 @@ def test_q63_decile_no_single_partition_fact_sort(spark, sf_smoke):
         assert below.lstrip().splitlines()[0].strip().startswith(
             ("+- HashAggregate", "+- ShuffleQueryStage", "+- AQEShuffleRead")
         ) or "HashAggregate" in below.splitlines()[1], p
+
+
+def test_q65_decorrelated_no_per_row_subquery(spark, sf_smoke):
+    """Q17 shape: the correlated scalar AVG must decorrelate to hash
+    aggregate + broadcast joins — never a nested-loop/cartesian re-scan
+    of lineitem per part."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q65"].spark(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q66_nested_semi_shape(spark, sf_smoke):
+    """Q20 shape: both membership predicates must lower to semi joins
+    (part slice into the fact, hot-supplier set into supplier), with the
+    HAVING aggregate BETWEEN them — the fact is filtered before it is
+    aggregated and never joined raw to a dimension."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q66"].spark(spark, sf_smoke))
+    assert p.count("LeftSemi") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q67_exists_pair_single_fact_aggregate(spark, sf_smoke):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair must decorrelate into ONE
+    per-order aggregate joined back on orderkey — no correlated
+    self-join blowup; orders and supplier ride broadcast joins."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q67"].spark(spark, sf_smoke))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_x60_salted_agg_two_stage_plan(spark, sf_smoke):
+    """The salted path must show BOTH aggregation stages — a (key, salt)
+    exchange+aggregate, then a key-only exchange+aggregate — so a
+    refactor that collapses it back to a plain groupBy (losing the skew
+    spread) fails here."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x60_skew_salted_agg"].spark(spark, sf_smoke))
+    assert p.count("Exchange hashpartitioning") >= 2, p
+    assert "_salt" in p, p

@@ -1131,3 +1131,28 @@ def test_streaming_interval_join_with_keys(spark, tmp_path):
         (1, 100, 10), (2, 200, 20),  # same-key only; site appears once
     ]
     assert joined.columns.count("site") == 1
+
+
+def test_idempotent_epoch_append_rejects_flat_seed(spark, tmp_path):
+    """A table seeded flat (the legacy at-least-once layout) must be
+    rejected at WRITE time with the migration step — not discovered as
+    a partition-layout error at some later read."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
+    )
+
+    flat = str(tmp_path / "flat")
+    df = spark.range(10).select(F.col("id").alias("vec_id"))
+    df.write.parquet(flat)
+    with pytest.raises(ValueError, match="flat parquet table"):
+        idempotent_epoch_append(df, flat, epoch_id=0)
+    # an epoch-layout table keeps accepting writes (including re-seeds)
+    epoch = str(tmp_path / "epoch")
+    idempotent_epoch_append(df, epoch, epoch_id=-1)
+    idempotent_epoch_append(df, epoch, epoch_id=0)
+    got = spark.read.parquet(epoch)
+    assert got.count() == 20
+    assert set(r._epoch for r in got.select("_epoch").distinct().collect()) == {-1, 0}
