@@ -32,6 +32,24 @@ from pyspark.sql.types import (
 )
 
 
+def _drop_late_rows(
+    batch: pd.DataFrame, ts_col: str, state: GroupState
+) -> pd.DataFrame:
+    """Filter rows behind the current watermark. Spark does NOT do this
+    for applyInPandasWithState — its watermark only drives event-time
+    timeouts (probed by test_streaming_ttl_watermark_drops_late_events)
+    — so the TTL'd operators enforce the standard late-data contract
+    here. Without it, a late event landing after its key's state expired
+    would be processed against FRESH state (a debounce re-emit, a funnel
+    restart), breaking the monotone-expiry semantics the TTL documents.
+    A watermark of 0 (first batch, nothing observed yet) filters nothing.
+    """
+    wm_ms = state.getCurrentWatermarkMs()
+    if wm_ms <= 0 or batch.empty:
+        return batch
+    return batch[batch[ts_col].astype("int64") >= wm_ms * 1_000_000]
+
+
 def streaming_state_change_sessions(
     stream: DataFrame,
     keys: list[str],
@@ -141,11 +159,17 @@ def streaming_funnel(
     completes against their pre-expiry state.
 
     WARNING — enabling TTL changes which EVENTS are processed, not just
-    which state expires: the watermark it installs makes Spark DISCARD
-    any event older than the watermark BEFORE it reaches this function
-    (standard late-data semantics) — with TTL off, every event is
-    processed regardless of lateness. Pick ``watermark`` to cover your
-    stream's real out-of-orderness, or late funnel steps vanish silently.
+    which state expires: events behind the current watermark are
+    DISCARDED (dropped entirely, a late funnel step vanishes) — with
+    TTL off, every event is processed regardless of lateness. Pick
+    ``watermark`` to cover your stream's real out-of-orderness. Engine
+    note: Spark does NOT auto-filter late input for
+    applyInPandasWithState (its watermark only drives timeouts — probed
+    by test_streaming_ttl_watermark_drops_late_events), so THIS OPERATOR
+    enforces the drop via ``state.getCurrentWatermarkMs()``. Without
+    that, a late event arriving after its user's state timed out would
+    silently restart the funnel at step one — the drop keeps expiry
+    monotone: once the conversion window closes, it stays closed.
     """
     k = len(steps)
     if k < 2:
@@ -172,6 +196,8 @@ def streaming_funnel(
             return
         times: list[Any] = list(state.get) if state.exists else [None] * k
         batch = pd.concat(list(pdfs), ignore_index=True)
+        if use_ttl:
+            batch = _drop_late_rows(batch, ts_col, state)
         if batch.empty:
             return
         batch = batch.sort_values(ts_col, kind="mergesort")
@@ -239,11 +265,14 @@ def streaming_debounce(
     lateness bound, same meaning as DataFrame.withWatermark).
 
     WARNING — enabling TTL changes which EVENTS are processed, not just
-    which state expires: the watermark it installs makes Spark DISCARD
-    any event older than the watermark BEFORE it reaches the debounce
-    function (standard late-data semantics) — it is dropped entirely,
-    not merely debounced. With TTL off every event is processed. Pick
-    ``watermark`` to cover the stream's real out-of-orderness.
+    which state expires: an event behind the current watermark is
+    dropped ENTIRELY, not merely debounced. With TTL off every event is
+    processed. Pick ``watermark`` to cover the stream's real
+    out-of-orderness. Engine note: Spark does NOT auto-filter late input
+    for applyInPandasWithState (its watermark only drives timeouts) —
+    the operator enforces the drop itself via
+    ``state.getCurrentWatermarkMs()``; otherwise a late burst arriving
+    after its key's state expired would re-emit against fresh state.
     """
     if min_gap_seconds <= 0:
         raise ValueError(f"min_gap_seconds must be positive, got {min_gap_seconds}")
@@ -267,6 +296,8 @@ def streaming_debounce(
             return          # next event, identical to a live empty state
         last_ns = state.get[0] if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
+        if use_ttl:
+            batch = _drop_late_rows(batch, ts_col, state)
         if batch.empty:
             return
         batch = batch.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)

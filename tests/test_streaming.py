@@ -1156,3 +1156,86 @@ def test_idempotent_epoch_append_rejects_flat_seed(spark, tmp_path):
     got = spark.read.parquet(epoch)
     assert got.count() == 20
     assert set(r._epoch for r in got.select("_epoch").distinct().collect()) == {-1, 0}
+
+
+def test_streaming_ttl_watermark_drops_late_events(spark, tmp_path):
+    """Pins the TTL late-data contract with an ACTUAL late batch.
+    Engine probe first: Spark does NOT auto-filter late input for
+    applyInPandasWithState (numRowsDroppedByWatermark stays 0 even with
+    an hour-late event), so the operators enforce the documented drop
+    themselves via state.getCurrentWatermarkMs() — a late event is
+    absent from the output entirely. The same feed with TTL off (no
+    watermark) processes every event regardless of lateness."""
+    import datetime as dt
+
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_debounce,
+        streaming_funnel,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "src")
+    # f1 advances the watermark to ~t0+1h; f2 then delivers an event at
+    # t0 (an hour late, far beyond the 10s lateness bound) plus one
+    # on-time event proving batch 2 itself is processed.
+    spark.createDataFrame(
+        [(1, 1, t0 + dt.timedelta(hours=1), "view")], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(2, 2, t0, "view"),
+         (3, 1, t0 + dt.timedelta(hours=2), "view")], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    def run(build, ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/f1").schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        rows = []
+        q = (build(stream).writeStream.outputMode("append")
+             .foreachBatch(lambda df, _id: rows.append(df.collect()))
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        return rows, dropped
+
+    # debounce, TTL on: the late event never reaches the function
+    rows, dropped = run(
+        lambda s: streaming_debounce(
+            s, ["user_id"], "ts", 10, tiebreak_col="event_id",
+            state_ttl_seconds=3600, watermark="10 seconds",
+        ),
+        "ckpt_deb_ttl",
+    )
+    got = sorted(r.event_id for b in rows for r in b)
+    assert got == [1, 3]  # event 2 dropped entirely, not merely debounced
+    # the engine itself filtered nothing — the operator did the drop
+    assert dropped == 0
+
+    # debounce, TTL off: no watermark, the late event IS processed
+    rows, dropped = run(
+        lambda s: streaming_debounce(
+            s, ["user_id"], "ts", 10, tiebreak_col="event_id"
+        ),
+        "ckpt_deb_nottl",
+    )
+    assert sorted(r.event_id for b in rows for r in b) == [1, 2, 3]
+    assert dropped == 0
+
+    # funnel, TTL on: the late user's step-1 arrival is discarded — no
+    # funnel row for user 2, and the drop shows in the metric
+    rows, dropped = run(
+        lambda s: streaming_funnel(
+            s, "user_id", "ts", "event_type", ["view", "click"],
+            state_ttl_seconds=3600, watermark="10 seconds",
+        ),
+        "ckpt_fun_ttl",
+    )
+    assert sorted({r.user for b in rows for r in b}) == [1]
+    assert dropped == 0  # same: the drop is the operator's, not Spark's
