@@ -99,6 +99,80 @@ def with_global_row_number(
     return out.drop("_gr_pid", "_gr_loc", "_gr_off", "_gr_cnt", "_gr_total")
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str | Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Per-group 1-based row numbers that survive HOT groups.
+
+    ``row_number().over(Window.partitionBy(g).orderBy(...))`` hash-
+    partitions by group — parallelism equals group COUNT, so one giant
+    group (a hot source, a viral key) lands on one task no matter how
+    many executors exist. This form range-partitions on
+    (group_by + order_by) instead: a huge group SPANS partitions in
+    order, each partition sorts locally, and per-(partition, group)
+    counts + first-row offsets — a broadcast-sized frame of
+    #partitions x #groups rows — stitch the per-group numbering back
+    together, exactly the ``with_global_row_number`` construction with
+    the offset bookkeeping keyed by group.
+
+    Use when groups are FEW and LARGE (the skew case); the broadcast
+    frame scales with #partitions x #groups, so for high-cardinality
+    group keys the plain window is already well-distributed and this
+    buys nothing. ``order_by`` must reach a unique key within a group
+    for a deterministic numbering. ``total_col`` optionally attaches the
+    group's total row count (what rank-derived statistics need).
+    """
+    sort_cols = [*group_by, *order_by]
+    parts = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        if num_partitions
+        else df.repartitionByRange(*sort_cols)
+    ).sortWithinPartitions(*sort_cols)
+    mid = parts.select(
+        "*",
+        F.shiftright(F.monotonically_increasing_id(), _MID_INDEX_BITS).alias(
+            "_gr_pid"
+        ),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit(_MID_INDEX_MASK))
+        .alias("_gr_loc"),
+    )
+    stats = mid.groupBy("_gr_pid", *group_by).agg(
+        F.count(F.lit(1)).alias("_gr_cnt"),
+        F.min("_gr_loc").alias("_gr_first"),
+    )
+    # cumulative per-group counts over ascending pid: windows over the
+    # tiny stats frame, partitioned by group (parallel, never a cliff)
+    w_prev = (
+        Window.partitionBy(*group_by)
+        .orderBy("_gr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*group_by)
+        .orderBy("_gr_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = stats.select(
+        "_gr_pid",
+        *group_by,
+        "_gr_first",
+        F.coalesce(F.sum("_gr_cnt").over(w_prev), F.lit(0)).alias("_gr_off"),
+        F.sum("_gr_cnt").over(w_all).alias("_gr_total"),
+    )
+    out = mid.join(F.broadcast(offsets), ["_gr_pid", *group_by]).withColumn(
+        out_col, F.col("_gr_off") + (F.col("_gr_loc") - F.col("_gr_first")) + 1
+    )
+    if total_col:
+        out = out.withColumn(total_col, F.col("_gr_total"))
+    return out.drop("_gr_pid", "_gr_loc", "_gr_first", "_gr_off", "_gr_total")
+
+
 def equal_depth_tile(
     df: DataFrame,
     order_by: list[str | Column],

@@ -1936,19 +1936,45 @@ X46_SQL = (
 def x47_length_ranks(spark: SparkSession, sf_dir: str):
     """Distribution window functions over documents: per-source
     percent_rank, cume_dist, and quartile (ntile(4)) of doc length —
-    the ranking family x16/x30's row_number/lag coverage lacks. One
-    window shuffle on (source); deterministic (n_chars, doc_id) order."""
-    docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
+    the ranking family x16/x30's row_number/lag coverage lacks.
+
+    Scale shape: NOT a ``partitionBy(source)`` window — that caps
+    parallelism at the source count, so one giant source sorts on one
+    task. ``grouped_row_number`` range-partitions on (source, length,
+    id) so a hot source spans partitions; percent_rank, cume_dist and
+    ntile then fall out of (rank, group_total) as map-side arithmetic —
+    exactly the window functions' definitions under a fully tie-broken
+    order (rank = row_number, no peers): pr = (rn-1)/(n-1) (0 for a
+    1-row group), cd = rn/n, and NTILE's positional depth formula. The
+    oracle keeps the real window functions, proving equivalence."""
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_row_number,
     )
-    return docs.select(
+
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = grouped_row_number(
+        docs.select("doc_id", "source", "n_chars"),
+        group_by=["source"],
+        order_by=[F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out_col="_rn",
+        total_col="_n",
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    q = F.floor(n / 4)
+    m = n % 4
+    fat = m * (q + 1)
+    quartile = F.when(rn <= fat, F.ceil(rn / (q + 1))).otherwise(
+        m + F.ceil((rn - fat) / F.greatest(q, F.lit(1)))
+    )
+    return ranked.select(
         "doc_id",
         "source",
         "n_chars",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(
+            F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(0.0), 6
+        ).alias("pr"),
+        F.round(rn.cast("double") / n, 6).alias("cd"),
+        quartile.cast("bigint").alias("quartile"),
     ).orderBy("doc_id")
 
 

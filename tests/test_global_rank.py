@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.operators.global_rank import (
     equal_depth_tile,
+    grouped_row_number,
     with_global_row_number,
 )
 
@@ -66,3 +67,37 @@ def test_equal_depth_tile_is_exact_ntile(spark, n, k):
 def test_equal_depth_tile_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         equal_depth_tile(_frame(spark, 10), ["v", "id"], 0)
+
+
+def test_grouped_row_number_matches_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.hash(F.col("id") + 1) % 11).alias("v"),
+    )
+    # plus a degenerate one-row group
+    df = df.unionByName(
+        spark.createDataFrame([(9999, 77, 5)], "id long, g long, v int")
+    )
+    got = grouped_row_number(
+        df, ["g"], ["v", "id"], out_col="rn", num_partitions=6,
+        total_col="n",
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn2"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n2"),
+    )
+    diff = (
+        got.join(want, "id")
+        .filter((F.col("rn") != F.col("rn2")) | (F.col("n") != F.col("n2")))
+        .count()
+    )
+    assert diff == 0

@@ -417,3 +417,16 @@ def test_x60_salted_agg_two_stage_plan(spark, sf_smoke):
     p = _plan(QUERIES["x60_skew_salted_agg"].spark(spark, sf_smoke))
     assert p.count("Exchange hashpartitioning") >= 2, p
     assert "_salt" in p, p
+
+
+def test_x47_no_per_source_window_sort(spark, sf_smoke):
+    """x47's per-source ranks must come from the range-partitioned
+    grouped_row_number — no window FUNCTION over a partitionBy(source)
+    of the fact (one hot source = one task), and no ntile/percent_rank
+    calls anywhere in the plan."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x47_length_ranks"].spark(spark, sf_smoke))
+    assert "rangepartitioning" in p, p
+    assert "percent_rank" not in p and "cume_dist" not in p, p
+    assert "ntile" not in p.lower(), p
