@@ -99,6 +99,69 @@ def with_global_row_number(
     return out.drop("_gr_pid", "_gr_loc", "_gr_off", "_gr_cnt", "_gr_total")
 
 
+def ranked_percentiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT interpolated percentiles (quantile_cont / Spark
+    ``percentile`` semantics) without any operator ever buffering the
+    column: rank every non-null value with ``with_global_row_number``
+    (one range shuffle of one double), keep only the <= 2 bracketing
+    ranks per probability, interpolate. Memory per task is bounded by
+    the partition sort — a 10^11-row column profiles with the same plan
+    shape as 10^5 — unlike ``F.percentile``, whose single aggregate
+    buffer collects EVERY value of the column.
+
+    Returns one row: [p_0, p_1, ...] aliased ``p{i}`` in ``probs``
+    order (NULL for an empty/all-null column, matching quantile_cont).
+    Ties need no tiebreaker: ranks among equal values are arbitrary but
+    the value AT a rank is the sorted multiset's, which is unique.
+    """
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    ranked = with_global_row_number(
+        vals, ["_v"], out_col="_rn", num_partitions=num_partitions,
+        total_col="_n",
+    )
+    # keep only bracketing ranks: position pos = (n-1)*p, rows at ranks
+    # floor(pos)+1 and ceil(pos)+1
+    keep = F.lit(False)
+    for p in probs:
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        keep = (
+            keep
+            | (F.col("_rn") == F.floor(pos) + 1)
+            | (F.col("_rn") == F.ceil(pos) + 1)
+        )
+    picked = ranked.filter(keep)
+    aggs = [F.max("_n").alias("_n")]
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        aggs += [
+            F.min(F.when(F.col("_rn") == F.floor(pos) + 1, F.col("_v"))).alias(
+                f"_lo{i}"
+            ),
+            F.min(F.when(F.col("_rn") == F.ceil(pos) + 1, F.col("_v"))).alias(
+                f"_hi{i}"
+            ),
+        ]
+    one = picked.agg(*aggs)
+    outs = []
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        frac = pos - F.floor(pos)
+        outs.append(
+            (
+                F.col(f"_lo{i}")
+                + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac
+            ).alias(f"p{i}")
+        )
+    return one.select(*outs)
+
+
 def grouped_row_number(
     df: DataFrame,
     group_by: list[str],

@@ -155,20 +155,31 @@ def profile_columns(
 
 
 def profile_numeric(
-    df: DataFrame, cols: Sequence[str], approx: bool = False
+    df: DataFrame, cols: Sequence[str], approx: bool = False,
+    ranked: bool = False,
 ) -> DataFrame:
     """Numeric data-quality profile: one row per column with
     [col_name, n, n_null, vmin, vmax, vmean, p50, p95].
 
-    Exact tier (default): the mean is an exact DECIMAL sum divided once
-    (float sums are partition-order-dependent; this is engine-stable),
-    and p50/p95 are exact interpolated percentiles — the same definition
-    as DuckDB ``quantile_cont``, so the profile is oracle-checkable.
-    ``approx=True`` swaps the percentiles for Greenwald-Khanna
-    ``approx_percentile`` — the 100 TB tier; exact percentiles collect
-    every value per aggregate. One aggregation job either way; rows are
-    unpivoted from the 1-row result (profile_columns pattern).
+    The mean is an exact DECIMAL sum divided once in every tier (float
+    sums are partition-order-dependent; this is engine-stable). Three
+    percentile tiers:
+
+    - default: exact interpolated ``F.percentile`` — same definition as
+      DuckDB ``quantile_cont``, so the profile is oracle-checkable; the
+      aggregate buffers EVERY value of the column, fine to ~10^8 rows.
+    - ``ranked=True``: the SAME exact values via
+      ``global_rank.ranked_percentiles`` — one range shuffle per column,
+      bracketing-rank pick, interpolation; no operator ever holds the
+      column, so this is the exact tier that survives 100 TB.
+    - ``approx=True``: Greenwald-Khanna ``approx_percentile`` when an
+      error bound is acceptable — cheapest, single pass.
+
+    Base stats are always one aggregation pass; rows are unpivoted from
+    the 1-row result (profile_columns pattern).
     """
+    if approx and ranked:
+        raise ValueError("pick one percentile tier: approx or ranked")
     pct = F.percentile_approx if approx else F.percentile
     probs = F.array(F.lit(0.5), F.lit(0.95))
     aggs = []
@@ -181,12 +192,23 @@ def profile_numeric(
             F.min(v).alias(f"_min_{c}"),
             F.max(v).alias(f"_max_{c}"),
             (F.sum(dec).cast("double") / F.count(v)).alias(f"_mean_{c}"),
+        ]
+        if not ranked:
             # ONE percentile aggregate per column: each exact percentile
             # call collects the full column independently, so two scalar
             # calls pay the value collection twice (measured 2x at sf0.1).
-            pct(v, probs).alias(f"_pq_{c}"),
-        ]
+            aggs.append(pct(v, probs).alias(f"_pq_{c}"))
     one = df.agg(*aggs)
+    if ranked:
+        from meshinsights_data_pipeline_spark.operators.global_rank import (
+            ranked_percentiles,
+        )
+
+        for c in cols:
+            pq = ranked_percentiles(df, c, [0.5, 0.95]).select(
+                F.array("p0", "p1").alias(f"_pq_{c}")
+            )
+            one = one.crossJoin(F.broadcast(pq))
     rows = F.array(
         *[
             F.struct(

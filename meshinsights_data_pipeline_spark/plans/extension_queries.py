@@ -1901,14 +1901,17 @@ ORDER BY c.cohort_week, week_offset
 
 def x46_numeric_profile(spark: SparkSession, sf_dir: str):
     """Numeric column profile over lineitem (stats.profile_numeric,
-    exact tier): count/nulls/min/max plus engine-stable mean (DECIMAL
-    sum, one division) and exact interpolated p50/p95 (Spark percentile
-    == DuckDB quantile_cont). One aggregation pass for all columns."""
+    ranked-exact tier): count/nulls/min/max plus engine-stable mean
+    (DECIMAL sum, one division) and exact interpolated p50/p95 computed
+    via global_rank.ranked_percentiles — identical values to Spark
+    ``percentile`` / DuckDB ``quantile_cont`` (the oracle), but no
+    aggregate ever buffers the column: one range shuffle per column,
+    bracketing-rank pick, interpolation. Base stats stay one pass."""
     from meshinsights_data_pipeline_spark.operators.stats import profile_numeric
 
     li = read_table(spark, sf_dir, "lineitem")
     return profile_numeric(
-        li, ["l_quantity", "l_extendedprice", "l_discount"]
+        li, ["l_quantity", "l_extendedprice", "l_discount"], ranked=True
     ).orderBy("col_name")
 
 

@@ -101,3 +101,34 @@ def test_grouped_row_number_matches_window(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_ranked_percentiles_match_exact_aggregate(spark):
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        ranked_percentiles,
+    )
+
+    df = spark.range(1000).select(
+        (F.hash("id") % 997).cast("double").alias("v")
+    )
+    probs = [0.0, 0.25, 0.5, 0.95, 1.0]
+    got = ranked_percentiles(df, "v", probs, num_partitions=5).first()
+    want = df.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("q")
+    ).first().q
+    for i, w in enumerate(want):
+        assert abs(got[f"p{i}"] - w) < 1e-9, (i, got, want)
+
+
+def test_ranked_percentiles_nulls_and_empty(spark):
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        ranked_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (2.0,)], "v double"
+    )
+    got = ranked_percentiles(df, "v", [0.5]).first()
+    assert got.p0 == 2.0  # nulls ignored, exact median of {1,2,3}
+    empty = spark.createDataFrame([], "v double")
+    assert ranked_percentiles(empty, "v", [0.5]).first().p0 is None
