@@ -236,6 +236,67 @@ def grouped_row_number(
     return out.drop("_gr_pid", "_gr_loc", "_gr_first", "_gr_off", "_gr_total")
 
 
+def grouped_ranked_percentiles(
+    df: DataFrame,
+    group_by: list[str],
+    col: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT interpolated percentiles (grouped quantile_cont)
+    that survive hot groups: ``percentile(...) GROUP BY g`` buffers each
+    group's every value in one aggregation buffer — a viral key OOMs its
+    task. Here ``grouped_row_number`` ranks within groups distributed
+    (a hot group spans partitions), only the <= 2 bracketing ranks per
+    (group, probability) survive the filter, and a group-keyed aggregate
+    interpolates. Returns [group_by..., p0, p1, ...] in ``probs`` order;
+    groups whose column is all-null vanish (same as quantile_cont's
+    GROUP BY row with NULL — callers left-join if they need them).
+
+    Same applicability note as grouped_row_number: built for FEW, LARGE
+    groups; for high-cardinality small groups the plain grouped
+    percentile aggregate is already well-distributed and cheaper.
+    """
+    vals = df.select(
+        *group_by, F.col(col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    ranked = grouped_row_number(
+        vals, group_by, ["_v"], out_col="_rn",
+        num_partitions=num_partitions, total_col="_n",
+    )
+    keep = F.lit(False)
+    for p in probs:
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        keep = (
+            keep
+            | (F.col("_rn") == F.floor(pos) + 1)
+            | (F.col("_rn") == F.ceil(pos) + 1)
+        )
+    aggs = [F.max("_n").alias("_n")]
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        aggs += [
+            F.min(F.when(F.col("_rn") == F.floor(pos) + 1, F.col("_v"))).alias(
+                f"_lo{i}"
+            ),
+            F.min(F.when(F.col("_rn") == F.ceil(pos) + 1, F.col("_v"))).alias(
+                f"_hi{i}"
+            ),
+        ]
+    per_group = ranked.filter(keep).groupBy(*group_by).agg(*aggs)
+    outs = [*group_by]
+    for i, p in enumerate(probs):
+        pos = (F.col("_n") - 1) * F.lit(float(p))
+        frac = pos - F.floor(pos)
+        outs.append(
+            (
+                F.col(f"_lo{i}")
+                + (F.col(f"_hi{i}") - F.col(f"_lo{i}")) * frac
+            ).alias(f"p{i}")
+        )
+    return per_group.select(*outs)
+
+
 def equal_depth_tile(
     df: DataFrame,
     order_by: list[str | Column],

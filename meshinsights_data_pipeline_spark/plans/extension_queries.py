@@ -2667,6 +2667,42 @@ X60_SQL = """
 """
 
 
+def x61_grouped_percentiles(spark, sf_dir):
+    """Per-source exact length percentiles over documents — grouped
+    quantile_cont through global_rank.grouped_ranked_percentiles: a
+    ``percentile(..) GROUP BY source`` buffers each source's every value
+    in one aggregation buffer (a hot source OOMs its task at corpus
+    scale); the ranked form spreads each group across range partitions
+    and only the bracketing ranks reach the final group aggregate. The
+    oracle runs the plain grouped quantile_cont, proving the values are
+    bit-identical."""
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_ranked_percentiles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pq = grouped_ranked_percentiles(
+        docs, ["source"], "n_chars", [0.25, 0.5, 0.95]
+    )
+    return pq.select(
+        "source",
+        F.round("p0", 6).alias("p25"),
+        F.round("p1", 6).alias("p50"),
+        F.round("p2", 6).alias("p95"),
+    ).orderBy("source")
+
+
+X61_SQL = """
+    SELECT source,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.95), 6) AS p95
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2728,4 +2764,5 @@ EXTENSION_BUILDERS = {
     "x58_dq_checks": (x58_dq_checks, X58_SQL),
     "x59_vector_stats": (x59_vector_stats, X59_SQL),
     "x60_skew_salted_agg": (x60_skew_salted_agg, X60_SQL),
+    "x61_grouped_percentiles": (x61_grouped_percentiles, X61_SQL),
 }

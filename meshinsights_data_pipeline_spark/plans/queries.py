@@ -200,8 +200,21 @@ def q12(spark, sf_dir):
 
 
 def q13(spark, sf_dir):
-    """A6/F3 rounded global median (EPC:482 baseline threshold idiom)."""
-    return _t(spark, sf_dir, "lineitem").agg(F.round(F.median("l_extendedprice"), 0).alias("m"))
+    """A6/F3 rounded global median (EPC:482 baseline threshold idiom).
+    Computed via global_rank.ranked_percentiles rather than F.median:
+    identical exact interpolated value (the oracle is unchanged), but a
+    GLOBAL median aggregate buffers the whole column in one task —
+    the ranked form is one range shuffle + bracketing-rank pick, the
+    same plan at 10^5 rows and 10^11. (Per-GROUP medians — q14 — keep
+    F.median: group size bounds the buffer there.)"""
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        ranked_percentiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ranked_percentiles(li, "l_extendedprice", [0.5]).select(
+        F.round(F.col("p0"), 0).alias("m")
+    )
 
 
 def q14(spark, sf_dir):
@@ -2375,7 +2388,7 @@ _register_extensions()
 # equal_depth_tile) and needs re-verification; (4) the stalest green
 # cohort — everything last driver-checked in r5 (x24/x25, x27-x36,
 # x38-x49); (5) fill to 50 from the r6-checked cohort oldest-first
-# (q08-q45 slice; the r6 remainder — q46-q57, x02-x14, x23, x26,
+# (q08-q44 slice; the r6 remainder — q45-q57, x02-x14, x23, x26,
 # x51/x52/x54 — rotates in r9). _rotate_for_driver validates membership
 # AND the exactly-50 invariant. Rotation does not change any query; it
 # only reorders the dict.
@@ -2383,7 +2396,7 @@ _DRIVER_WINDOW_R8 = [
     # (1) never driver-checked
     "q64", "x58_dq_checks", "x59_vector_stats",
     # (2) added this round
-    "q65", "q66", "q67", "x60_skew_salted_agg",
+    "q65", "q66", "q67", "x60_skew_salted_agg", "x61_grouped_percentiles",
     # (3) reshaped this round
     "q63",
     # (4) stalest green cohort (last checked r5)
@@ -2397,7 +2410,7 @@ _DRIVER_WINDOW_R8 = [
     "x47_length_ranks", "x48_duplicate_spans", "x49_span_excision",
     # (5) r6-checked cohort, oldest-first, filling to exactly 50
     "q08", "q09", "q10", "q11", "q13", "q14", "q16", "q17", "q18",
-    "q19", "q20", "q21", "q22", "q23", "q30", "q33", "q44", "q45",
+    "q19", "q20", "q21", "q22", "q23", "q30", "q33", "q44",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R8
 

@@ -132,3 +132,33 @@ def test_ranked_percentiles_nulls_and_empty(spark):
     assert got.p0 == 2.0  # nulls ignored, exact median of {1,2,3}
     empty = spark.createDataFrame([], "v double")
     assert ranked_percentiles(empty, "v", [0.5]).first().p0 is None
+
+
+def test_grouped_ranked_percentiles_match_grouped_aggregate(spark):
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_ranked_percentiles,
+    )
+
+    df = spark.range(600).select(
+        (F.col("id") % 4).alias("g"),
+        F.when(F.col("id") % 37 == 0, None)
+        .otherwise((F.hash("id") % 503).cast("double"))
+        .alias("v"),
+    )
+    probs = [0.1, 0.5, 0.9]
+    got = {
+        r.g: (r.p0, r.p1, r.p2)
+        for r in grouped_ranked_percentiles(
+            df, ["g"], "v", probs, num_partitions=5
+        ).collect()
+    }
+    want = {
+        r.g: tuple(r.q)
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("q"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
