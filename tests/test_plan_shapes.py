@@ -430,3 +430,24 @@ def test_x47_no_per_source_window_sort(spark, sf_smoke):
     assert "rangepartitioning" in p, p
     assert "percent_rank" not in p and "cume_dist" not in p, p
     assert "ntile" not in p.lower(), p
+
+
+def test_x46_ranked_profile_no_percentile_buffering(spark, sf_smoke):
+    """x46's ranked tier must contain NO percentile aggregate (the
+    buffering form) — percentiles arrive via range-partitioned rank
+    picks and broadcast scalar joins."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x46_numeric_profile"].spark(spark, sf_smoke))
+    assert "percentile" not in p.lower(), p
+    assert "rangepartitioning" in p, p
+
+
+def test_x61_grouped_percentiles_no_buffering_aggregate(spark, sf_smoke):
+    """x61 must never lower to percentile(...) GROUP BY source — the
+    hot-group-safe shape is grouped ranks + bracketing picks."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x61_grouped_percentiles"].spark(spark, sf_smoke))
+    assert "percentile" not in p.lower(), p
+    assert "rangepartitioning" in p, p
