@@ -451,3 +451,55 @@ def test_x61_grouped_percentiles_no_buffering_aggregate(spark, sf_smoke):
     p = _plan(QUERIES["x61_grouped_percentiles"].spark(spark, sf_smoke))
     assert "percentile" not in p.lower(), p
     assert "rangepartitioning" in p, p
+
+
+def test_q68_predicates_reach_parquet_scan(spark, sf_smoke):
+    """q68 (TPC-H Q6 shape) writes the year filter as date-range
+    literals precisely so every predicate lands in PushedFilters —
+    row-group pruning is the whole point of the Q6 plan at scale."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q68"].spark(spark, sf_smoke))
+    assert "PushedFilters: [" in p, p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, p
+    assert "Exchange hashpartitioning" not in p, p  # global agg: partial+final only
+
+
+def test_q69_broadcasts_both_dims_single_fact_shuffle(spark, sf_smoke):
+    """q69 (TPC-H Q9 shape): part slice and supplier->nation broadcast;
+    the fact shuffles exactly once, for the (nation, year) aggregate."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q69"].spark(spark, sf_smoke))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_q70_threshold_is_broadcast_not_second_scan(spark, sf_smoke):
+    """q70 (TPC-H Q11 shape): the global-total threshold re-aggregates
+    the per-part frame (ReusedExchange / single fact scan) and arrives
+    as a broadcast 1-row join — never a second pass over lineitem."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q70"].spark(spark, sf_smoke)
+    p = _plan(df)
+    assert p.count("BroadcastNestedLoopJoin") == 1, p  # 1-row threshold broadcast
+    assert p.count("FileScan parquet") <= 2, p  # never >1 scan per branch
+    df.collect()  # AQE exchange reuse is a runtime decision
+    final = _plan(df)
+    assert final.count("ReusedExchange") >= 1, final  # one EFFECTIVE fact scan
+
+
+def test_q71_month_filter_pushed_and_part_broadcast(spark, sf_smoke):
+    """q71 (TPC-H Q14 shape): month range in PushedFilters; part joins
+    broadcast; single global aggregate, no hash-partition shuffle."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q71"].spark(spark, sf_smoke))
+    assert "PushedFilters: [" in p, p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
