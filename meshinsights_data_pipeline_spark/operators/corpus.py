@@ -1030,3 +1030,85 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "url_canon")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_doc_frac: float | None = None,
+    min_doc_freq: int | None = None,
+    broadcast_lines: bool = False,
+) -> DataFrame:
+    """Corpus-level line deduplication (the RefinedWeb / CCNet cleaning
+    step): drop every line that occurs in at least ``min_doc_freq``
+    documents (or ``min_doc_frac`` of the corpus) — headers, footers,
+    cookie banners, nav menus — and reassemble each document from its
+    surviving lines in original order.
+
+    Returns ``[id, clean_text, n_lines_removed, n_lines_kept]``; every
+    input document appears exactly once (a fully-boilerplate document
+    comes back with clean_text = '' and n_lines_kept = 0). A line
+    repeated WITHIN one document counts that document once toward its
+    frequency, and non-frequent within-doc repeats are kept — this
+    operator removes cross-document boilerplate, not intra-doc
+    repetition (that is repetition_signals / duplicate_spans).
+
+    Shape at 100 TB: posexplode is map-side; line document-frequency is
+    one count-distinct shuffle on the line value; the frequent-line set
+    is small BY CONSTRUCTION (at most total_lines / min_doc_freq
+    members), so the anti-join is broadcastable (``broadcast_lines``)
+    with the shuffle anti-join as the safe default; reassembly is one
+    groupBy on doc id whose state is bounded by document size. The fact
+    is scanned once. With ``min_doc_frac`` the corpus row count arrives
+    as a broadcast 1-row cross join — never a collect.
+    """
+    if (min_doc_frac is None) == (min_doc_freq is None):
+        raise ValueError("pass exactly one of min_doc_frac / min_doc_freq")
+    import re as _re
+
+    pattern = _re.escape(delim)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pattern, -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    freq = lines.groupBy("_line").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    if min_doc_freq is not None:
+        common = freq.filter(F.col("_df") >= F.lit(int(min_doc_freq)))
+    else:
+        n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+        common = (
+            freq.crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("_df").cast("double")
+                >= F.lit(float(min_doc_frac)) * F.col("_n_docs").cast("double")
+            )
+        )
+    common = common.select("_line")
+    if broadcast_lines:
+        common = F.broadcast(common)
+    kept = lines.join(common, "_line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_clean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+    )
+    n_total = F.size(F.split(F.col(text_col), pattern, -1)).cast("bigint")
+    return df.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        (n_total - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
+            "n_lines_removed"
+        ),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+    )

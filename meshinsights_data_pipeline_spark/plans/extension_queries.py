@@ -2703,6 +2703,55 @@ X61_SQL = """
 """
 
 
+def x62_line_dedup(spark, sf_dir):
+    """Corpus line-dedup (RefinedWeb cleaning) end-to-end: drop every
+    'line' occurring in >= 78% of documents and reassemble the text.
+    The synthetic corpus is newline-free, so the query runs the
+    operator at token granularity (delim=' ') — same mechanics, the
+    boilerplate set is the ~15 near-universal vocabulary tokens. The
+    oracle recomputes the frequent set and filters with order-preserving
+    list HOFs; clean_text must match byte-for-byte, proving the
+    explode -> anti-join -> positional reassembly round-trip is exact."""
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return line_dedup(
+        docs, "doc_id", "text", delim=" ", min_doc_frac=0.78
+    ).orderBy("doc_id")
+
+
+X62_SQL = """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    common AS (
+        SELECT list(tok) AS bl FROM (
+            SELECT tok FROM toks
+            GROUP BY tok
+            HAVING CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                   >= 0.78 * (SELECT CAST(c AS DOUBLE) FROM n)
+        )
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS all_toks,
+               list_filter(
+                   string_split(text, ' '),
+                   x -> NOT list_contains(bl, x)
+               ) AS kept
+        FROM documents, common
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(all_toks) - len(kept) AS BIGINT) AS n_lines_removed,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+    FROM cleaned
+    ORDER BY doc_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2765,4 +2814,5 @@ EXTENSION_BUILDERS = {
     "x59_vector_stats": (x59_vector_stats, X59_SQL),
     "x60_skew_salted_agg": (x60_skew_salted_agg, X60_SQL),
     "x61_grouped_percentiles": (x61_grouped_percentiles, X61_SQL),
+    "x62_line_dedup": (x62_line_dedup, X62_SQL),
 }

@@ -599,3 +599,91 @@ def test_weighted_sample_aes_arithmetic(spark):
 
     with pytest.raises(ValueError, match="positive"):
         weighted_sample(df, "doc_id", "w", n=0)
+
+
+# ---------------------------------------------------------------- line_dedup
+
+
+def _line_docs(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup  # noqa
+
+    rows = [
+        (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+        (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+        (3, "COOKIE BANNER\nunique line\nunique line\nFOOTER"),
+        (4, "COOKIE BANNER\nFOOTER"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            _line_docs(spark), "doc_id", "text", min_doc_freq=4
+        ).collect()
+    }
+    # COOKIE BANNER and FOOTER occur in all 4 docs -> removed everywhere.
+    assert out[1].clean_text == "real content one"
+    assert out[2].clean_text == "real content two"
+    assert out[1].n_lines_removed == 2 and out[1].n_lines_kept == 1
+
+
+def test_line_dedup_keeps_within_doc_repeats_and_order(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            _line_docs(spark), "doc_id", "text", min_doc_freq=4
+        ).collect()
+    }
+    # 'unique line' twice in doc 3 only: df=1 < 4, BOTH instances kept,
+    # original order preserved.
+    assert out[3].clean_text == "unique line\nunique line"
+    assert out[3].n_lines_kept == 2
+
+
+def test_line_dedup_fully_boilerplate_doc_survives_as_empty(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            _line_docs(spark), "doc_id", "text", min_doc_freq=4
+        ).collect()
+    }
+    assert out[4].clean_text == "" and out[4].n_lines_kept == 0
+    assert out[4].n_lines_removed == 2
+    assert len(out) == 4  # every input doc present exactly once
+
+
+def test_line_dedup_frac_and_broadcast_match_freq_path(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    docs = _line_docs(spark)
+    base = sorted(
+        line_dedup(docs, "doc_id", "text", min_doc_freq=4).collect()
+    )
+    # df=4 of 4 docs -> frac 1.0 selects the same boilerplate set.
+    frac = sorted(
+        line_dedup(docs, "doc_id", "text", min_doc_frac=1.0).collect()
+    )
+    bcast = sorted(
+        line_dedup(
+            docs, "doc_id", "text", min_doc_freq=4, broadcast_lines=True
+        ).collect()
+    )
+    assert base == frac == bcast
+
+
+def test_line_dedup_requires_exactly_one_threshold(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    docs = _line_docs(spark)
+    with pytest.raises(ValueError):
+        line_dedup(docs, "doc_id", "text")
+    with pytest.raises(ValueError):
+        line_dedup(docs, "doc_id", "text", min_doc_freq=2, min_doc_frac=0.5)
