@@ -2544,6 +2544,92 @@ _ORACLES["q71"] = """
 """
 
 
+def q72(spark, sf_dir):
+    """Explicit GROUPING SETS — the non-hierarchical multi-slice
+    aggregate that neither ROLLUP (q47) nor CUBE (q59) expresses: the
+    per-priority slice, the per-status slice, and the grand total, but
+    NOT the (priority, status) pairs. Same physical shape as CUBE — one
+    Expand (3-way here, not 2^n) + one hash aggregate, one fact scan —
+    so an every-slice dashboard costs one pass however many sets are
+    declared. DECIMAL sums keep cross-slice totals drift-free."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
+    )
+
+
+_ORACLES["q72"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+"""
+
+
+def q73(spark, sf_dir):
+    """PIVOT with EXPLICIT values — long-to-wide reshaping of yearly
+    order counts/revenue into one column per order status. Declaring
+    the pivot values up front matters at scale: ``pivot(col)`` with no
+    values runs a separate distinct-scan JOB over the fact to discover
+    them before planning; with values given the whole query is ONE
+    conditional hash aggregate (same plan as the oracle's CASE WHEN
+    columns), one scan, one shuffle at year cardinality."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,6)")
+    wide = (
+        o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(price).cast("double").alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_year",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("rev_o"),
+        F.coalesce("P_rev", F.lit(0.0)).alias("rev_p"),
+    ).orderBy("o_year")
+
+
+_ORACLES["q73"] = """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                         FILTER (o_orderstatus = 'F') AS DOUBLE), 0.0) AS rev_f,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                         FILTER (o_orderstatus = 'O') AS DOUBLE), 0.0) AS rev_o,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                         FILTER (o_orderstatus = 'P') AS DOUBLE), 0.0) AS rev_p
+    FROM orders
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
 _BUILDERS = {
     "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
     "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
@@ -2559,7 +2645,7 @@ _BUILDERS = {
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
     "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
-    "q71": q71,
+    "q71": q71, "q72": q72, "q73": q73,
 }
 
 QUERIES: dict[str, Query] = {
@@ -2596,7 +2682,8 @@ _register_extensions()
 #
 # POST-WINDOW this round (window already at its 50 cap when they landed;
 # green in the in-repo DuckDB-oracle harness, must LEAD the r9 window):
-# q68-q71 (TPC-H Q6/Q9/Q11/Q14 shapes), x62+ if any land later.
+# q68-q71 (TPC-H Q6/Q9/Q11/Q14 shapes), q72 GROUPING SETS, q73 PIVOT,
+# x62_line_dedup.
 _DRIVER_WINDOW_R8 = [
     # (1) never driver-checked
     "q64", "x58_dq_checks", "x59_vector_stats",

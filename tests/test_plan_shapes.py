@@ -503,3 +503,23 @@ def test_q71_month_filter_pushed_and_part_broadcast(spark, sf_smoke):
     assert "l_shipdate" in pushed, p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_q72_grouping_sets_single_expand_single_scan(spark, sf_smoke):
+    """q72: three declared slices = ONE Expand + hash aggregate over one
+    fact scan — never a union of per-slice scans."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q72"].spark(spark, sf_smoke))
+    assert p.count("Expand") == 1, p
+    assert p.count("FileScan parquet") == 1, p
+
+
+def test_q73_pivot_explicit_values_is_one_pass(spark, sf_smoke):
+    """q73: explicit pivot values -> no values-discovery distinct scan;
+    the whole reshape is one scan and one aggregate shuffle."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["q73"].spark(spark, sf_smoke))
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
