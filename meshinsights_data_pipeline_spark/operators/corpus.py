@@ -1112,3 +1112,70 @@ def line_dedup(
         ),
         F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
     )
+
+
+def source_drift(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-source token-distribution drift against the whole corpus:
+    for each source, total-variation distance
+    ``0.5 * sum_tok |p_tok|source - p_tok|corpus|`` and the chi-square
+    statistic over the same grid — the mixture monitor a training
+    pipeline runs per ingest batch to catch a source whose content
+    shifted (scraper broke, new template, language flip) before it
+    poisons the mixture.
+
+    Returns ``[source, n_tokens, tv_distance, chi_square]`` with one row
+    per source, metrics over the (source x vocabulary) grid; a token a
+    source never emits still contributes |0 - q| (drift INCLUDES missing
+    mass, the usual bug in naive inner-join implementations).
+
+    Shape at 100 TB: token counting is the classic map-side-combinable
+    aggregate (one shuffle at |source| x |vocab| cardinality); the
+    source-marginal, corpus-marginal and grid frames all live at
+    count-table cardinality, orders of magnitude below the corpus; the
+    full grid is sources x vocab via a broadcast of the (tiny) source
+    marginals; nothing touches the raw corpus twice.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c_st")
+    )
+    src_tot = counts.groupBy("source").agg(
+        F.sum("c_st").alias("c_s")
+    )
+    vocab = counts.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    corpus_total = vocab.agg(F.sum("c_t").alias("c_all"))
+    grid = (
+        vocab.crossJoin(F.broadcast(src_tot))
+        .join(counts, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            "c_s",
+            F.coalesce(F.col("c_st"), F.lit(0.0)).alias("c_st"),
+            (F.col("c_t") / F.col("c_all")).alias("q"),
+        )
+        .withColumn("p", F.col("c_st") / F.col("c_s"))
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.first("c_s").cast("bigint").alias("n_tokens"),
+            F.round(F.lit(0.5) * F.sum(F.abs(F.col("p") - F.col("q"))), 6)
+            .alias("tv_distance"),
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))
+                    / F.col("q")
+                ),
+                6,
+            ).alias("chi_square"),
+        )
+        .select("source", "n_tokens", "tv_distance", "chi_square")
+    )

@@ -2752,6 +2752,52 @@ X62_SQL = """
 """
 
 
+def x63_source_drift(spark, sf_dir):
+    """Per-source token-distribution drift vs the corpus: total-variation
+    distance and chi-square over the (source x vocabulary) grid — the
+    mixture monitor that catches a broken scraper or template flip
+    before it poisons the training mixture. The oracle rebuilds the
+    grid with an explicit vocab x source cross join so missing-token
+    mass (|0 - q|) is included on both sides; metrics round to 6
+    decimals (the repo's float-aggregate convention, X59)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import source_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_drift(docs, "source", "text").orderBy("source")
+
+
+X63_SQL = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({_NORM_SQL.format(col='text')},
+                                           ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c_st
+        FROM toks WHERE tok <> '' GROUP BY source, tok
+    ),
+    src_tot AS (SELECT source, SUM(c_st) AS c_s FROM counts GROUP BY source),
+    vocab AS (SELECT tok, SUM(c_st) AS c_t FROM counts GROUP BY tok),
+    tot AS (SELECT SUM(c_t) AS c_all FROM vocab),
+    grid AS (
+        SELECT s.source, s.c_s,
+               COALESCE(c.c_st, 0.0) AS c_st,
+               v.c_t / (SELECT c_all FROM tot) AS q
+        FROM vocab v
+        CROSS JOIN src_tot s
+        LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok
+    )
+    SELECT source,
+           CAST(MAX(c_s) AS BIGINT) AS n_tokens,
+           ROUND(0.5 * SUM(abs(c_st / c_s - q)), 6) AS tv_distance,
+           ROUND(SUM((c_st / c_s - q) * (c_st / c_s - q) / q), 6)
+               AS chi_square
+    FROM grid
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2815,4 +2861,5 @@ EXTENSION_BUILDERS = {
     "x60_skew_salted_agg": (x60_skew_salted_agg, X60_SQL),
     "x61_grouped_percentiles": (x61_grouped_percentiles, X61_SQL),
     "x62_line_dedup": (x62_line_dedup, X62_SQL),
+    "x63_source_drift": (x63_source_drift, X63_SQL),
 }

@@ -687,3 +687,40 @@ def test_line_dedup_requires_exactly_one_threshold(spark):
         line_dedup(docs, "doc_id", "text")
     with pytest.raises(ValueError):
         line_dedup(docs, "doc_id", "text", min_doc_freq=2, min_doc_frac=0.5)
+
+
+# -------------------------------------------------------------- source_drift
+
+
+def test_source_drift_identical_sources_zero_drift(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import source_drift
+
+    rows = [(1, "a", "x y z"), (2, "b", "x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in source_drift(df, "source", "text").collect()}
+    assert out["a"].tv_distance == 0.0 and out["b"].tv_distance == 0.0
+    assert out["a"].chi_square == 0.0
+    assert out["a"].n_tokens == 3
+
+
+def test_source_drift_disjoint_sources_max_drift(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import source_drift
+
+    # disjoint vocabularies, equal mass -> TV = 1 - overlap = 0.5 here:
+    # each source holds half the corpus mass, sharing nothing.
+    rows = [(1, "a", "x x"), (2, "b", "y y")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in source_drift(df, "source", "text").collect()}
+    # p_a = {x:1}, q = {x:.5, y:.5}; TV = .5*(|1-.5|+|0-.5|) = 0.5 —
+    # the |0 - q| missing-mass term MUST be counted for this to hold.
+    assert out["a"].tv_distance == 0.5 and out["b"].tv_distance == 0.5
+
+
+def test_source_drift_stays_jvm_side(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import source_drift
+
+    rows = [(1, "a", "x y"), (2, "b", "y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    p = source_drift(df, "source", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p  # the grid cross join is broadcast
