@@ -1146,6 +1146,16 @@ def source_drift(
     counts = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("c_st")
     )
+    return drift_from_counts(counts)
+
+
+def drift_from_counts(counts: DataFrame) -> DataFrame:
+    """Drift metrics from a pre-built ``[source, tok, c_st]`` count
+    table — the shared core of :func:`source_drift` (which counts from
+    raw text) and ``streaming.streaming_drift_ingest`` (which folds
+    counts incrementally and recomputes drift per epoch; token identity
+    may be a hash there — TV/chi-square are invariant under injective
+    token renaming). Same output contract as :func:`source_drift`."""
     src_tot = counts.groupBy("source").agg(
         F.sum("c_st").alias("c_s")
     )

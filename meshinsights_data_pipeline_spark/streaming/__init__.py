@@ -15,6 +15,9 @@ from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_lsh_ingest,
     streaming_span_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.drift import (
+    streaming_drift_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.joins import (
     streaming_interval_join,
 )
@@ -52,6 +55,7 @@ __all__ = [
     "streaming_report_ingest",
     "report_from_state",
     "streaming_lm_ingest",
+    "streaming_drift_ingest",
     "streaming_debounce",
     "streaming_interval_join",
 ]

@@ -1239,3 +1239,52 @@ def test_streaming_ttl_watermark_drops_late_events(spark, tmp_path):
     )
     assert sorted({r.user for b in rows for r in b}) == [1]
     assert dropped == 0  # same: the drop is the operator's, not Spark's
+
+
+def test_streaming_drift_parity_accumulation_and_retry(spark, tmp_path):
+    """Single-batch report must equal the batch operator exactly (token
+    hashing is metric-invariant); after a second batch the epoch-1
+    report equals the batch operator over the UNION (state accumulates);
+    a retried epoch leaves state and reports unchanged."""
+    from meshinsights_data_pipeline_spark.operators.corpus import source_drift
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import streaming_drift_ingest
+
+    schema = "doc_id long, source string, text string"
+    b1 = spark.createDataFrame(
+        [(1, "web", "spark rows and columns and rows"),
+         (2, "web", "columns of rows"),
+         (3, "pdf", "entirely different words here")], schema)
+    b2 = spark.createDataFrame(
+        [(4, "pdf", "words drift when scrapers break"),
+         (5, "forum", "fresh source appears mid stream")], schema)
+    cdir, rdir = str(tmp_path / "counts"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "source string, h long, c_st double"),
+        cdir, -1)
+
+    process = streaming_drift_ingest(
+        b1, counts_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r.source, r.n_tokens, r.tv_distance, r.chi_square)
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(source_drift(b1, "source", "text"))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        source_drift(b1.unionByName(b2), "source", "text"))
+    # epoch-0 report is immutable history (the drift time series)
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    # 2 sources in epoch 0 + 3 in epoch 1, no duplicated rows
+    assert after.count() == 5
