@@ -381,3 +381,70 @@ def test_lm_quality_bounds(spark, texts):
         assert r.n_bigrams >= 1
         assert r.avg_logp <= 0
         assert r.ppl >= 1.0
+
+
+_token = st.text(alphabet="abc", min_size=1, max_size=3)
+_line = st.lists(_token, min_size=0, max_size=4).map(" ".join)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_line, min_size=1, max_size=5).map("\n".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 4),
+)
+@SLOW
+def test_line_dedup_matches_python_reference(spark, docs, k):
+    """line_dedup vs a plain-Python reference on random corpora: same
+    surviving lines in order, conservation (removed + kept = total), and
+    every doc present exactly once."""
+    from meshinsights_data_pipeline_spark.operators.corpus import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", min_doc_freq=k,
+        ).collect()
+    }
+    df_count = Counter()
+    for _, t in rows:
+        for line in set(t.split("\n")):
+            df_count[line] += 1
+    common = {l for l, c in df_count.items() if c >= k}
+    assert set(out) == {i for i, _ in rows}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [l for l in lines if l not in common]
+        assert out[i].clean_text == "\n".join(kept)
+        assert out[i].n_lines_kept == len(kept)
+        assert out[i].n_lines_removed == len(lines) - len(kept)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.lists(_token, min_size=1, max_size=5).map(" ".join)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_source_drift_metric_ranges_and_zero_case(spark, rows):
+    """TV distance is always within [0, 1]; chi-square >= 0; a corpus
+    with ONE source has zero drift by definition (p == q)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import source_drift
+
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        ["doc_id", "source", "text"],
+    )
+    for r in source_drift(df, "source", "text").collect():
+        assert 0.0 <= r.tv_distance <= 1.0
+        assert r.chi_square >= 0.0
+    single = df.withColumn("source", F.lit("only"))
+    for r in source_drift(single, "source", "text").collect():
+        assert r.tv_distance == 0.0 and r.chi_square == 0.0
