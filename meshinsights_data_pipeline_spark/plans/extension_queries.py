@@ -2798,6 +2798,162 @@ X63_SQL = f"""
 """
 
 
+def x64_scd2_merge(spark, sf_dir):
+    """SCD type-2 history merge (operators.snapshot.scd2_merge): seed the
+    customer dimension as an all-open history (valid_from 1992-01-01),
+    then apply one keyed update batch derived from orders — per-customer
+    new balance = ROUND(SUM(o_totalprice), 2) at change time
+    MAX(o_orderdate), plus a brand-new-key slice (custkey + 10M for
+    custkey % 7 = 0) to exercise the insert path. Customers with orders
+    get their open row CLOSED (valid_to = change time) and a new open
+    version appended; customers without orders pass through open. The
+    oracle rebuilds the merge as LEFT joins + UNION ALL. One
+    equi-shuffle on the key; closed history never joins."""
+    from meshinsights_data_pipeline_spark.operators.snapshot import scd2_merge
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    history = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("change_ts"),
+            F.round(F.sum("o_totalprice"), 2).alias("bal"),
+        )
+        .join(cust.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+              "c_custkey")
+    )
+    new_keys = upd.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    updates = upd.unionByName(new_keys)
+    return scd2_merge(
+        history, updates, keys=["c_custkey"], attrs=["segment", "bal"],
+        ts_col="change_ts",
+    ).orderBy("c_custkey", "valid_from")
+
+
+X64_SQL = """
+    WITH upd0 AS (
+        SELECT o_custkey AS c_custkey,
+               MAX(o_orderdate) AS change_ts,
+               ROUND(SUM(o_totalprice), 2) AS bal
+        FROM orders GROUP BY o_custkey
+    ),
+    upd AS (
+        SELECT u.c_custkey, u.change_ts, u.bal, c.c_mktsegment AS segment
+        FROM upd0 u JOIN customer c USING (c_custkey)
+    ),
+    updates AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT c_custkey + 10000000, change_ts, bal, segment
+        FROM upd WHERE c_custkey % 7 = 0
+    ),
+    hist AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               ROUND(c_acctbal, 2) AS bal,
+               TIMESTAMP '1992-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    is_change AS (
+        SELECT h.c_custkey
+        FROM hist h JOIN updates u USING (c_custkey)
+        WHERE u.change_ts > h.valid_from
+          AND NOT (u.segment IS NOT DISTINCT FROM h.segment
+                   AND u.bal IS NOT DISTINCT FROM h.bal)
+    )
+    SELECT h.c_custkey, h.segment, h.bal, h.valid_from,
+           CASE WHEN ic.c_custkey IS NOT NULL THEN u.change_ts END
+               AS valid_to
+    FROM hist h
+    LEFT JOIN updates u USING (c_custkey)
+    LEFT JOIN is_change ic ON ic.c_custkey = h.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.segment, u.bal, u.change_ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM updates u
+    LEFT JOIN hist h USING (c_custkey)
+    WHERE h.c_custkey IS NULL
+       OR u.c_custkey IN (SELECT c_custkey FROM is_change)
+    ORDER BY c_custkey, valid_from
+"""
+
+
+def x65_cdc_delta(spark, sf_dir):
+    """CDC delta between two snapshots (operators.snapshot.cdc_delta):
+    old = orders before 1995, new = orders before 1996 minus every 97th
+    key (deletes) with urgent orders repriced +1000 (updates); 1995
+    arrivals are the inserts. Emits only changed keys as
+    [key, change_type, old_*, new_*] — the incremental feed a downstream
+    consumer reads instead of the full snapshot. One full-outer
+    equi-shuffle on the key; change detection is a map-side null-safe
+    struct comparison."""
+    from meshinsights_data_pipeline_spark.operators.snapshot import cdc_delta
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.where(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    new = orders.where(
+        (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        # reprice by an exactly-representable ADDITIVE constant: a
+        # multiplicative bump (x*1.1 then round) lands on .xx5 rounding
+        # ties where Spark (HALF_UP on shortest-decimal) and DuckDB
+        # (round on the raw double) disagree
+        (
+            F.round("o_totalprice", 2)
+            + F.when(F.col("o_orderpriority") == "1-URGENT", 1000.0).otherwise(0.0)
+        ).alias("price"),
+    )
+    return cdc_delta(
+        old, new, keys=["o_orderkey"], compare=["o_orderstatus", "price"]
+    ).orderBy("o_orderkey")
+
+
+X65_SQL = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice, 2)
+                   + CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1000.0 ELSE 0.0 END AS price
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderkey % 97 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.price AS old_price,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.price AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.price IS NOT DISTINCT FROM n.price)
+    ORDER BY o_orderkey
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -2862,4 +3018,6 @@ EXTENSION_BUILDERS = {
     "x61_grouped_percentiles": (x61_grouped_percentiles, X61_SQL),
     "x62_line_dedup": (x62_line_dedup, X62_SQL),
     "x63_source_drift": (x63_source_drift, X63_SQL),
+    "x64_scd2_merge": (x64_scd2_merge, X64_SQL),
+    "x65_cdc_delta": (x65_cdc_delta, X65_SQL),
 }

@@ -2666,32 +2666,30 @@ _register_extensions()
 
 # The external driver verifies only the FIRST 50 entries of queries() (its
 # per-round cap), taken in dict insertion order. Round-8 window, in
-# priority order: (1) the three registered queries that have NEVER had a
-# driver row — q64, x58, x59 landed after the r7 window was frozen (the
-# r7 comment under-called this; they shipped r7 with local-oracle green
-# only); (2) queries ADDED this round (q65/q66/q67 TPC-H Q17/Q20/Q21
-# decorrelation shapes, x60 salted-skew aggregate); (3) q63, whose Spark
-# side was RESHAPED this round (global ntile -> distributed
-# equal_depth_tile) and needs re-verification; (4) the stalest green
+# priority order: (1) EVERY registered query that has never had a driver
+# row — q64/x58/x59 (landed after the r7 window froze) plus everything
+# added this round: q65-q67 (TPC-H Q17/Q20/Q21 decorrelation), q68-q71
+# (TPC-H Q6/Q9/Q11/Q14 shapes), q72 GROUPING SETS, q73 PIVOT, x60
+# salted-skew aggregate, x61 grouped percentiles, x62 line dedup, x63
+# source drift, x64 SCD2 merge, x65 CDC delta — 18 in all, none
+# left post-window this time; (2) q63,
+# whose Spark side was RESHAPED this round (global ntile -> distributed
+# equal_depth_tile) and needs re-verification; (3) the stalest green
 # cohort — everything last driver-checked in r5 (x24/x25, x27-x36,
-# x38-x49); (5) fill to 50 from the r6-checked cohort oldest-first
-# (q08-q44 slice; the r6 remainder — q45-q57, x02-x14, x23, x26,
-# x51/x52/x54 — rotates in r9). _rotate_for_driver validates membership
-# AND the exactly-50 invariant. Rotation does not change any query; it
-# only reorders the dict.
-#
-# POST-WINDOW this round (window already at its 50 cap when they landed;
-# green in the in-repo DuckDB-oracle harness, must LEAD the r9 window):
-# q68-q71 (TPC-H Q6/Q9/Q11/Q14 shapes), q72 GROUPING SETS, q73 PIVOT,
-# x62_line_dedup.
+# x38-x49); (4) fill to exactly 50 from the r6-checked cohort
+# oldest-first (q08-q16 slice; the r6 remainder — q17-q57, x02-x14, x23,
+# x26, x51/x52/x54 — rotates in r9). _rotate_for_driver validates
+# membership AND the exactly-50 invariant. Rotation does not change any
+# query; it only reorders the dict.
 _DRIVER_WINDOW_R8 = [
-    # (1) never driver-checked
+    # (1) never driver-checked: post-r7-window + everything added r8
     "q64", "x58_dq_checks", "x59_vector_stats",
-    # (2) added this round
-    "q65", "q66", "q67", "x60_skew_salted_agg", "x61_grouped_percentiles",
-    # (3) reshaped this round
+    "q65", "q66", "q67", "q68", "q69", "q70", "q71", "q72", "q73",
+    "x60_skew_salted_agg", "x61_grouped_percentiles", "x62_line_dedup",
+    "x63_source_drift", "x64_scd2_merge", "x65_cdc_delta",
+    # (2) reshaped this round
     "q63",
-    # (4) stalest green cohort (last checked r5)
+    # (3) stalest green cohort (last checked r5)
     "x24_source_quota", "x25_contamination", "x27_url_dedup",
     "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
     "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
@@ -2700,9 +2698,8 @@ _DRIVER_WINDOW_R8 = [
     "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
     "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
     "x47_length_ranks", "x48_duplicate_spans", "x49_span_excision",
-    # (5) r6-checked cohort, oldest-first, filling to exactly 50
-    "q08", "q09", "q10", "q11", "q13", "q14", "q16", "q17", "q18",
-    "q19", "q20", "q21", "q22", "q23", "q30", "q33", "q44",
+    # (4) r6-checked cohort, oldest-first, filling to exactly 50
+    "q08", "q09", "q10", "q11", "q13", "q14", "q16",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R8
 
