@@ -24,6 +24,10 @@ from meshinsights_data_pipeline_spark.streaming.joins import (
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.scd2 import (
+    scd2_read,
+    streaming_scd2_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.report import (
     report_from_state,
     streaming_report_ingest,
@@ -58,4 +62,6 @@ __all__ = [
     "streaming_drift_ingest",
     "streaming_debounce",
     "streaming_interval_join",
+    "streaming_scd2_ingest",
+    "scd2_read",
 ]

@@ -189,3 +189,67 @@ def test_cdc_delta_no_compare_cols_raises(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="compare"):
         cdc_delta(df, df, keys=["k"])
+
+
+def test_streaming_scd2_sequential_parity_and_retry(spark, tmp_path):
+    """Streaming SCD2 state after N micro-batches must equal the
+    sequential fold of batch scd2_merge over the same batches (NOT one
+    collapsed merge — cross-batch intermediate versions are real
+    history); a retried epoch leaves both state tables bit-identical;
+    as-of reads pick the version covering the instant."""
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import (
+        scd2_read,
+        streaming_scd2_ingest,
+    )
+
+    odir, cdir = str(tmp_path / "open"), str(tmp_path / "closed")
+    seed = _hist(spark, [(1, "A", 10.0, _t("2024-01-01"), None)])
+    snapshot_overwrite(seed, odir, version=-1)
+
+    b1 = _upd(spark, [(1, "A", 20.0, _t("2024-02-01")),
+                      (2, "B", 5.0, _t("2024-02-01"))])
+    b2 = _upd(spark, [(1, "A", 30.0, _t("2024-03-01"))])
+
+    process = streaming_scd2_ingest(
+        b1, keys=["k"], attrs=["seg", "bal"], ts_col="ts",
+        open_dir=odir, closed_dir=cdir)
+    process(b1, 0)
+    process(b2, 1)
+
+    got = _rows(scd2_read(spark, odir, cdir))
+    expect = _rows(_merge(_merge(seed, b1), b2))
+    assert got == expect
+    # key 1 carries full 3-version history: the one-shot merge of b1+b2
+    # would collapse the 20.0 intermediate — sequential must keep it
+    assert (1, "A", 20.0, _t("2024-02-01"), _t("2024-03-01")) in got
+
+    process(b2, 1)  # simulated micro-batch retry
+    assert _rows(scd2_read(spark, odir, cdir)) == expect
+
+    asof = _rows(scd2_read(spark, odir, cdir, as_of=_t("2024-02-15")))
+    assert asof == [
+        (1, "A", 20.0, _t("2024-02-01"), _t("2024-03-01")),
+        (2, "B", 5.0, _t("2024-02-01"), None),
+    ]
+
+
+def test_streaming_scd2_read_before_any_close(spark, tmp_path):
+    """closed_dir may not exist until the first version closes; reads
+    must see the open slice, not raise."""
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import (
+        scd2_read,
+        streaming_scd2_ingest,
+    )
+
+    odir, cdir = str(tmp_path / "open"), str(tmp_path / "closed")
+    snapshot_overwrite(_hist(spark, []), odir, version=-1)
+    process = streaming_scd2_ingest(
+        None, keys=["k"], attrs=["seg", "bal"], ts_col="ts",
+        open_dir=odir, closed_dir=cdir)
+    # brand-new keys only: nothing closes, closed_dir is never created
+    b1 = _upd(spark, [(7, "Z", 1.0, _t("2024-01-05"))])
+    process(b1, 0)
+    got = _rows(scd2_read(spark, odir, cdir))
+    assert got == [(7, "Z", 1.0, _t("2024-01-05"), None)]
