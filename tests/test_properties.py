@@ -448,3 +448,75 @@ def test_source_drift_metric_ranges_and_zero_case(spark, rows):
     single = df.withColumn("source", F.lit("only"))
     for r in source_drift(single, "source", "text").collect():
         assert r.tv_distance == 0.0 and r.chi_square == 0.0
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),        # key
+                st.integers(0, 2),        # attr value (small domain -> no-ops happen)
+                st.integers(0, 9),        # day offset (collisions -> late/equal-ts paths)
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SLOW
+def test_scd2_fold_invariants_vs_python_reference(spark, batches):
+    """scd2_merge folded over random batches vs a dict-based Python
+    reference: per key, at most one OPEN row; closed intervals CHAIN
+    (each valid_to equals the next valid_from); the open row's attr
+    equals the reference's final state. Random ts collisions exercise
+    the late/equal-timestamp drop and no-op redelivery paths."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.snapshot import scd2_merge
+
+    base = datetime(2024, 1, 1)
+
+    def ts(off):
+        return base + timedelta(days=off)
+
+    hist = spark.createDataFrame(
+        [], "k long, a long, valid_from timestamp, valid_to timestamp"
+    )
+    # Python reference: per key, list of [attr, from, to]
+    ref: dict[int, list[list]] = {}
+    for batch in batches:
+        rows = [(k, a, ts(off)) for k, a, off in batch]
+        bdf = spark.createDataFrame(rows, "k long, a long, ts timestamp")
+        hist = scd2_merge(hist, bdf, keys=["k"], attrs=["a"], ts_col="ts")
+        # reference applies the operator's documented batch resolution:
+        # one row per key, max ts, ties -> greatest (ts, attr)
+        per_key: dict[int, tuple] = {}
+        for k, a, off in batch:
+            cand = (ts(off), a)
+            if k not in per_key or cand > per_key[k]:
+                per_key[k] = cand
+        for k, (t, a) in per_key.items():
+            vers = ref.setdefault(k, [])
+            if not vers:
+                vers.append([a, t, None])
+            else:
+                cur = vers[-1]
+                if t <= cur[1] or a == cur[0]:
+                    continue  # late/equal-ts drop, or no-op redelivery
+                cur[2] = t
+                vers.append([a, t, None])
+    got = hist.collect()
+    by_key: dict[int, list] = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append((r.a, r.valid_from, r.valid_to))
+    assert set(by_key) == set(ref)
+    for k, vers in by_key.items():
+        vers.sort(key=lambda v: v[1])
+        opens = [v for v in vers if v[2] is None]
+        assert len(opens) == 1  # exactly one open row per live key
+        for cur, nxt in zip(vers, vers[1:]):
+            assert cur[2] == nxt[1]  # intervals chain with no gap/overlap
+        expect = [(a, f, t) for a, f, t in ((v[0], v[1], v[2]) for v in ref[k])]
+        assert vers == expect
