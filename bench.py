@@ -294,6 +294,40 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: sf1 scaling row failed: {exc}", file=sys.stderr)
 
+    # x12's fixed-bits LSH is ~quadratic by design (the oracle needs a
+    # deterministic bucket count); the production knob is auto-bits
+    # (constant bucket occupancy). Measure THAT variant at both scales so
+    # the scaling claim is a number, not a docstring.
+    sf1_autobits: dict[str, float] = {}
+    if sf1_timings:
+        try:
+            from meshinsights_data_pipeline_spark.operators.similarity import (
+                embedding_neardup_pairs_lsh,
+            )
+            from meshinsights_data_pipeline_spark.session import read_table
+
+            def _autobits_sec(d: str) -> float:
+                emb = read_table(spark, d, "embeddings")
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    embedding_neardup_pairs_lsh(
+                        emb, threshold=0.4, bits=4, tables=4, seed=7,
+                        target_bucket_rows=64,
+                    ).write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                return min(runs[1:]) if len(runs) > 1 else runs[0]
+
+            base = _autobits_sec(sf_dir)
+            scaled = _autobits_sec(sf1_dir)
+            sf1_autobits = {
+                "sf01_sec": base,
+                "sf1_sec": scaled,
+                "ratio": round(scaled / base, 1) if base > 0 else -1.0,
+            }
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: sf1 autobits row failed: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_cold = round(sum(t for t in timings_cold.values() if t >= 0), 3)
     # The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -314,6 +348,7 @@ def main() -> None:
         "step_regressions": step_regressions,
         "query_regressions": query_regressions,
         "sf1_slowest": sf1_timings,
+        "sf1_autobits_neardup": sf1_autobits,
         "sf1_ratio": {
             n: round(t / timings[n], 1)
             for n, t in sf1_timings.items()

@@ -617,3 +617,36 @@ def test_ann_recall_hand_computed(spark):
     # k=2 truth for q1 = {10, 11}; approx top-2 = {11, 77} -> 1 hit
     assert (rows[1].n_truth, rows[1].n_hits, rows[1].recall) == (2, 1, 0.5)
     assert (rows[2].n_truth, rows[2].n_hits, rows[2].recall) == (2, 0, 0.0)
+
+
+def test_neardup_lsh_autobits_subset_and_sizing(vectors):
+    """target_bucket_rows raises bits to hold occupancy constant; the
+    LCG plane-prefix property makes the higher-bits candidate set a
+    SUBSET of the fixed-bits one at the same seed, and the planted
+    near-dup (nearly identical vectors agree on every hyperplane sign)
+    must survive."""
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs_lsh(
+            vectors, threshold=0.95, bits=2, tables=2, seed=7
+        ).collect()
+    }
+    # 41 rows / target 4 -> ceil(log2(10.25)) = 4 bits > the 2-bit floor
+    auto = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs_lsh(
+            vectors, threshold=0.95, bits=2, tables=2, seed=7,
+            target_bucket_rows=4,
+        ).collect()
+    }
+    assert auto <= fixed
+    assert (0, 100) in auto
+    # a target larger than the corpus leaves bits at the floor: identical output
+    same = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs_lsh(
+            vectors, threshold=0.95, bits=2, tables=2, seed=7,
+            target_bucket_rows=1000,
+        ).collect()
+    }
+    assert same == fixed
