@@ -141,3 +141,52 @@ def funnel_counts(
     return step_rows.join(counted, ["step", "event_type"], "left").select(
         "step", "event_type", F.coalesce("users", F.lit(0)).cast("bigint").alias("users")
     )
+
+
+def state_transitions(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+    round_p: int = 6,
+) -> DataFrame:
+    """First-order state-transition matrix over per-entity event
+    sequences — the Markov-chain view of a behavior log (product
+    analytics "user flows"; reference sibling of the cycle
+    sessionization in EPC:421-422, which segments on the SAME
+    lag-over-entity-window shape this op counts on).
+
+    Orders each entity's events by (ts, tiebreak) and counts
+    (previous state -> state) adjacencies; ``p`` is the row-normalized
+    transition probability. Returns
+    [from_state, to_state, n, p] with n summing to (events - entities)
+    and p summing to 1.0 per from_state (up to rounding).
+
+    Scale shape: ONE window shuffle partitioned by entity (never a
+    global sort), one (from, to) count aggregate at state-cardinality^2,
+    and the row normalization joins against a states-sized total — all
+    tiny after the first aggregate. Skewed entities cost what their
+    event count costs; no driver-side work.
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(entity_col),
+            F.lag(F.col(state_col)).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .where(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wtot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wtot), round_p).alias("p"),
+    )

@@ -2954,6 +2954,45 @@ X65_SQL = """
 """
 
 
+def x66_state_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (operators.funnel.state_transitions): count
+    (previous event_type -> event_type) adjacencies ordered by
+    (ts, event_id) within each user, row-normalized to transition
+    probabilities. One entity-partitioned window shuffle + one
+    state^2-cardinality aggregate — never a global sort."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        state_transitions,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return state_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    ).orderBy("from_state", "to_state")
+
+
+X66_SQL = """
+    WITH seq AS (
+        SELECT user_id,
+               event_type AS to_state,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_state
+        FROM events
+    ),
+    c AS (
+        SELECT from_state, to_state, COUNT(*) AS n
+        FROM seq WHERE from_state IS NOT NULL
+        GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+    FROM c
+    ORDER BY from_state, to_state
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -3020,4 +3059,5 @@ EXTENSION_BUILDERS = {
     "x63_source_drift": (x63_source_drift, X63_SQL),
     "x64_scd2_merge": (x64_scd2_merge, X64_SQL),
     "x65_cdc_delta": (x65_cdc_delta, X65_SQL),
+    "x66_state_transitions": (x66_state_transitions, X66_SQL),
 }

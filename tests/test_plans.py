@@ -226,3 +226,41 @@ def test_every_query_has_an_oracle():
 
     missing = [n for n, q in QUERIES.items() if not q.oracle]
     assert not missing, missing
+
+
+def test_state_transitions_hand_example(spark):
+    """Markov transition counts on a hand-checkable sequence: A->B->A->A
+    for user 1 (transitions AB, BA, AA) and B->B for user 2; ties on ts
+    resolved by the tiebreak column so the sequence is deterministic."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        state_transitions,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (1, 2, "2024-01-01 00:00:01", "B"),
+        (1, 3, "2024-01-01 00:00:02", "A"),
+        (1, 4, "2024-01-01 00:00:02", "A"),  # same ts: event_id breaks tie
+        (2, 5, "2024-01-01 00:00:00", "B"),
+        (2, 6, "2024-01-01 00:00:01", "B"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, state string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    got = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in state_transitions(
+            df, "user_id", "ts", "state", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "A"): (1, 0.5),
+        ("B", "A"): (1, 0.5),
+        ("B", "B"): (1, 0.5),
+    }
+    # row-stochastic: p sums to 1 per from_state
+    for s in ("A", "B"):
+        assert sum(p for (f, _), (_, p) in got.items() if f == s) == 1.0
