@@ -1,0 +1,95 @@
+"""PageRank over an edge list — the link-graph quality signal a
+web-scale pretraining pipeline ranks hosts/URLs with (the OPIC/Common
+Crawl-style crawl-priority and quality-weighting family; sibling of the
+connected-components dedup clustering in operators.components, which
+documents the shared iterative-join discipline).
+
+Scale design: state is one [node, rank] frame at NODE cardinality; each
+iteration is
+
+    ranks  join  edges (on src)      -- shuffle keyed on src
+    groupBy dst, sum contributions   -- shuffle keyed on dst, map-side
+                                        combine
+    left join back onto nodes        -- nodes without in-links keep the
+                                        teleport term
+
+so per-iteration cost is O(|E|) with no corpus^2 shape anywhere. Edges
+partitioned by src are reused every round (persist the edge frame for
+multi-round runs). Like connected_components, each round's plan embeds
+the previous round's, so lineage is truncated with localCheckpoint every
+``checkpoint_every`` rounds — without it the logical plan doubles per
+iteration.
+
+Semantics (documented simplification, standard in bulk implementations):
+dangling nodes (no out-links) do not redistribute their mass; every node
+receives the uniform teleport term (1-d)/N plus d * sum over in-links of
+rank/out-degree. Ranks therefore sum to <= 1 in graphs with dangling
+nodes; rankings are unaffected for quality-signal use. Fixed iteration
+count keeps the result deterministic and lets the DuckDB oracle unroll
+the same rounds exactly (x67).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_to: int | None = 6,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Rank every node of the (deduplicated) edge list after a fixed
+    number of power-iteration rounds. Returns [node, rank].
+
+    ``edges`` is treated as an UNWEIGHTED simple digraph: duplicate
+    (src, dst) rows are collapsed first so a repeated edge does not
+    multiply its contribution. Self-loops count like any other edge.
+    ``round_to`` rounds the final rank (cross-engine float-sum hygiene);
+    pass None for raw doubles.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N and the teleport term are per-run scalars; computing N with one
+    # tiny count here is the documented gating-scalar pattern.
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    teleport = (1.0 - damping) / n_nodes
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    out_edges = e.join(deg, "src")  # [src, dst, _deg], reused every round
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(iterations):
+        contribs = (
+            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks

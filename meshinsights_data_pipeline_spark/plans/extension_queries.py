@@ -2993,6 +2993,61 @@ X66_SQL = """
 """
 
 
+def x67_pagerank(spark, sf_dir):
+    """PageRank (operators.graph.pagerank) over the supplier->customer
+    fulfillment digraph (distinct l_suppkey -> o_custkey edges via the
+    lineitem-orders join; customer ids offset to keep the key spaces
+    disjoint), 3 power-iteration rounds, damping 0.85. The oracle
+    unrolls the same 3 rounds as chained CTEs — fixed iteration count is
+    what makes an iterative algorithm DuckDB-oracle-able. Per-round cost
+    is one src-keyed join + one dst-keyed sum at edge cardinality."""
+    from meshinsights_data_pipeline_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + 1_000_000).alias("dst"),
+    )
+    return (
+        pagerank(edges, iterations=3, damping=0.85)
+        .select("node", F.col("rank").alias("pr"))
+        .orderBy("node")
+    )
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT nd.node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * COALESCE(SUM({prev}.r / deg.d), 0) AS r
+        FROM nodes nd
+        LEFT JOIN e ON e.dst = nd.node
+        LEFT JOIN {prev} ON {prev}.node = e.src
+        LEFT JOIN deg ON deg.src = e.src
+        GROUP BY nd.node
+    )"""
+
+
+X67_SQL = f"""
+    WITH e AS (
+        SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    {_pr_round_sql('r0', 'r1')},
+    {_pr_round_sql('r1', 'r2')},
+    {_pr_round_sql('r2', 'r3')}
+    SELECT node, ROUND(r, 6) AS pr FROM r3 ORDER BY node
+"""
+
+
 EXTENSION_BUILDERS = {
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
@@ -3060,4 +3115,5 @@ EXTENSION_BUILDERS = {
     "x64_scd2_merge": (x64_scd2_merge, X64_SQL),
     "x65_cdc_delta": (x65_cdc_delta, X65_SQL),
     "x66_state_transitions": (x66_state_transitions, X66_SQL),
+    "x67_pagerank": (x67_pagerank, X67_SQL),
 }

@@ -207,3 +207,49 @@ def test_dq_checks_empty_input_defined_not_null(spark):
         assert r.n_rows == 0
         assert r.n_violations == 0
         assert r.violation_frac == 0.0
+
+
+def test_pagerank_two_node_cycle_symmetric(spark):
+    """A<->B with no dangling mass: ranks stay exactly 0.5 each at any
+    iteration count (fixed point), summing to 1."""
+    from meshinsights_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(e, iterations=5).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_star_sink_and_duplicates(spark):
+    """3 spokes -> 1 hub: the hub is dangling (mass not redistributed,
+    total < 1); duplicate edges must not multiply contributions; hand
+    value after 1 round: hub = 0.25*0.15 + 0.85*(3*0.25) = 0.675."""
+    from meshinsights_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (3, 9)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(e, iterations=1).collect()}
+    assert got[9] == round(0.15 / 4 + 0.85 * 0.75, 6)
+    for spoke in (1, 2, 3):
+        assert got[spoke] == round(0.15 / 4, 6)
+    assert sum(got.values()) < 1.0  # dangling hub leaks mass by design
+
+
+def test_pagerank_empty_edges(spark):
+    from meshinsights_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e, iterations=2).count() == 0
+
+
+def test_pagerank_checkpoint_rounds_match_unchecked(spark):
+    """Lineage truncation must not change values: 6 rounds with
+    checkpoint_every=2 equals 6 rounds with no mid-run checkpoint."""
+    from meshinsights_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2)], "src long, dst long"
+    )
+    a = {r.node: r.rank for r in pagerank(e, iterations=6, checkpoint_every=2).collect()}
+    b = {r.node: r.rank for r in pagerank(e, iterations=6, checkpoint_every=99).collect()}
+    assert a == b
