@@ -523,3 +523,43 @@ def test_q73_pivot_explicit_values_is_one_pass(spark, sf_smoke):
     p = _plan(QUERIES["q73"].spark(spark, sf_smoke))
     assert p.count("FileScan parquet") == 1, p
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_x65_cdc_delta_single_fullouter_join(spark, sf_smoke):
+    """cdc_delta claims ONE full-outer equi-shuffle: the executed plan
+    must carry exactly one join node, full-outer, and never a nested-loop
+    or cartesian shape."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x65_cdc_delta"].spark(spark, sf_smoke))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "FullOuter" in p
+    # one logical join total: no operator-internal extra joins sneak in
+    n_joins = sum(p.count(k) for k in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, p
+
+
+def test_x64_scd2_merge_no_cartesian_catalyst_specializes_outer(spark, sf_smoke):
+    """scd2_merge is written as ONE full-outer join feeding three union
+    branches; Catalyst pushes each branch's presence filter into the
+    join and SPECIALIZES it (LeftOuter for surviving-open rows, inner/
+    right for new versions) — assert that rewrite happened (outer joins
+    present, no residual FullOuter needed) and that nothing degraded to
+    a cartesian/nested-loop."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x64_scd2_merge"].spark(spark, sf_smoke))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "Outer" in p  # the open-vs-updates match stays outer-shaped
+
+
+def test_x67_pagerank_no_cartesian_edge_keyed_rounds(spark, sf_smoke):
+    """Every PageRank round is an equi-join + hash aggregate; a
+    refactor that degrades the rank/edge join to nested-loop (e.g. a
+    non-equi condition) must fail here."""
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    p = _plan(QUERIES["x67_pagerank"].spark(spark, sf_smoke))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "HashAggregate" in p
