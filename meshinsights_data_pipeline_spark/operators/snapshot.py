@@ -179,3 +179,54 @@ def cdc_delta(
             *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare],
         )
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup: attach to each fact row the dimension
+    version that was current AT THE FACT'S OWN TIMESTAMP — the read path
+    that makes SCD2 history useful (a 1997 order must see the customer's
+    1997 balance, not today's).
+
+    Joins on ``keys`` with the interval predicate
+    ``valid_from <= fact_ts < valid_to`` (open versions unbounded).
+    Version intervals per key are non-overlapping by scd2_merge's
+    construction, so each fact matches AT MOST one version; facts whose
+    timestamp predates the key's first version (or whose key is absent)
+    keep NULL dimension columns under ``how='left'``.
+
+    Scale shape: the join is EQUI on the business key — one co-located
+    shuffle on both sides, with the interval test applied as a cheap
+    post-join filter on the matched (key) pairs, never a range-join
+    blowup: a key's fact rows meet only that key's few versions. The
+    version interval columns are carried through for auditability.
+    """
+    fcols = set(facts.columns)
+    dim_cols = [c for c in history.columns if c not in set(keys)]
+    clash = [c for c in dim_cols if c in fcols]
+    if clash:
+        raise ValueError(
+            f"history columns {clash} collide with fact columns; rename "
+            "one side before the lookup"
+        )
+    f, h = facts.alias("f"), history.alias("h")
+    cond = None
+    for k in keys:
+        c = f[k].eqNullSafe(h[k])
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (h[valid_from] <= f[fact_ts])
+        & (h[valid_to].isNull() | (h[valid_to] > f[fact_ts]))
+    )
+    return f.join(h, cond, how).select(
+        *[f[c] for c in facts.columns],
+        *[h[c] for c in dim_cols],
+    )

@@ -2798,7 +2798,7 @@ X63_SQL = f"""
 """
 
 
-def x64_scd2_merge(spark, sf_dir):
+def _x64_history(spark, sf_dir):
     """SCD type-2 history merge (operators.snapshot.scd2_merge): seed the
     customer dimension as an all-open history (valid_from 1992-01-01),
     then apply one keyed update batch derived from orders — per-customer
@@ -2836,11 +2836,20 @@ def x64_scd2_merge(spark, sf_dir):
     return scd2_merge(
         history, updates, keys=["c_custkey"], attrs=["segment", "bal"],
         ts_col="change_ts",
-    ).orderBy("c_custkey", "valid_from")
+    )
 
 
-X64_SQL = """
-    WITH upd0 AS (
+def x64_scd2_merge(spark, sf_dir):
+    """Display wrapper for the shared SCD2-merge rebuild (_x64_history,
+    also consumed UNSORTED by the x68 lookup): full new history, sorted
+    on (key, valid_from) for hash-stable oracle compare."""
+    return _x64_history(spark, sf_dir).orderBy("c_custkey", "valid_from")
+
+
+# x64's merge rebuild, shared with the x68 lookup oracle as NAMED
+# constants (the X50/X53/X55 composition discipline — no substring
+# slicing of query text).
+_X64_CTES = """upd0 AS (
         SELECT o_custkey AS c_custkey,
                MAX(o_orderdate) AS change_ts,
                ROUND(SUM(o_totalprice), 2) AS bal
@@ -2869,8 +2878,9 @@ X64_SQL = """
         WHERE u.change_ts > h.valid_from
           AND NOT (u.segment IS NOT DISTINCT FROM h.segment
                    AND u.bal IS NOT DISTINCT FROM h.bal)
-    )
-    SELECT h.c_custkey, h.segment, h.bal, h.valid_from,
+    )"""
+
+_X64_MERGED_BODY = """SELECT h.c_custkey, h.segment, h.bal, h.valid_from,
            CASE WHEN ic.c_custkey IS NOT NULL THEN u.change_ts END
                AS valid_to
     FROM hist h
@@ -2882,7 +2892,11 @@ X64_SQL = """
     FROM updates u
     LEFT JOIN hist h USING (c_custkey)
     WHERE h.c_custkey IS NULL
-       OR u.c_custkey IN (SELECT c_custkey FROM is_change)
+       OR u.c_custkey IN (SELECT c_custkey FROM is_change)"""
+
+X64_SQL = f"""
+    WITH {_X64_CTES}
+    {_X64_MERGED_BODY}
     ORDER BY c_custkey, valid_from
 """
 
@@ -2990,6 +3004,44 @@ X66_SQL = """
                  / SUM(n) OVER (PARTITION BY from_state), 6) AS p
     FROM c
     ORDER BY from_state, to_state
+"""
+
+
+def x68_scd2_lookup(spark, sf_dir):
+    """Temporal dimension lookup (operators.snapshot.scd2_lookup): join
+    every order to the customer SCD2 version current AT THE ORDER'S OWN
+    DATE — the read path of the x64 history (a 1997 order sees the
+    customer's 1997 balance). Orders before a customer's only change
+    land on the seed version; the customer's final order (the change
+    instant itself, valid_from <= ts) lands on the new one. Equi-join on
+    the key with the interval test as a post-join filter — never a
+    range-join blowup."""
+    from meshinsights_data_pipeline_spark.operators.snapshot import scd2_lookup
+
+    history = _x64_history(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+    )
+    return scd2_lookup(
+        orders, history, keys=["c_custkey"], fact_ts="o_orderdate"
+    ).orderBy("o_orderkey")
+
+
+X68_SQL = f"""
+    WITH {_X64_CTES},
+    merged AS (
+    {_X64_MERGED_BODY}
+    )
+    SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate,
+           m.segment, m.bal, m.valid_from, m.valid_to
+    FROM orders o
+    LEFT JOIN merged m
+      ON m.c_custkey = o.o_custkey
+     AND m.valid_from <= o.o_orderdate
+     AND (m.valid_to IS NULL OR m.valid_to > o.o_orderdate)
+    ORDER BY o_orderkey
 """
 
 
@@ -3116,4 +3168,5 @@ EXTENSION_BUILDERS = {
     "x65_cdc_delta": (x65_cdc_delta, X65_SQL),
     "x66_state_transitions": (x66_state_transitions, X66_SQL),
     "x67_pagerank": (x67_pagerank, X67_SQL),
+    "x68_scd2_lookup": (x68_scd2_lookup, X68_SQL),
 }

@@ -253,3 +253,45 @@ def test_streaming_scd2_read_before_any_close(spark, tmp_path):
     process(b1, 0)
     got = _rows(scd2_read(spark, odir, cdir))
     assert got == [(7, "Z", 1.0, _t("2024-01-05"), None)]
+
+
+def test_scd2_lookup_picks_covering_version(spark):
+    """A fact sees the version current at ITS timestamp: before the first
+    version -> NULL dims; inside a closed interval -> that version;
+    at/after the open version's start -> the open one."""
+    from meshinsights_data_pipeline_spark.operators.snapshot import scd2_lookup
+
+    hist = _hist(
+        spark,
+        [
+            (1, "A", 10.0, _t("2024-02-01"), _t("2024-03-01")),
+            (1, "A", 20.0, _t("2024-03-01"), None),
+        ],
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _t("2024-01-15")),  # pre-history
+            (101, 1, _t("2024-02-15")),  # closed interval
+            (102, 1, _t("2024-03-01")),  # boundary: new version from-inclusive
+            (103, 2, _t("2024-02-15")),  # unknown key
+        ],
+        "fid long, k long, fts timestamp",
+    )
+    got = {
+        r.fid: (r.bal, r.valid_from)
+        for r in scd2_lookup(facts, hist, keys=["k"], fact_ts="fts").collect()
+    }
+    assert got[100] == (None, None)
+    assert got[101] == (10.0, _t("2024-02-01"))
+    assert got[102] == (20.0, _t("2024-03-01"))
+    assert got[103] == (None, None)
+    assert len(got) == 4  # exactly one output row per fact — no fan-out
+
+
+def test_scd2_lookup_column_collision_raises(spark):
+    from meshinsights_data_pipeline_spark.operators.snapshot import scd2_lookup
+
+    hist = _hist(spark, [])
+    facts = spark.createDataFrame([], "fid long, k long, bal double, fts timestamp")
+    with pytest.raises(ValueError, match="collide"):
+        scd2_lookup(facts, hist, keys=["k"], fact_ts="fts")
