@@ -24,6 +24,9 @@ from meshinsights_data_pipeline_spark.streaming.joins import (
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.transitions import (
+    streaming_transitions_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.scd2 import (
     scd2_read,
     streaming_scd2_ingest,
@@ -64,4 +67,5 @@ __all__ = [
     "streaming_interval_join",
     "streaming_scd2_ingest",
     "scd2_read",
+    "streaming_transitions_ingest",
 ]

@@ -1288,3 +1288,64 @@ def test_streaming_drift_parity_accumulation_and_retry(spark, tmp_path):
     assert canon(after.filter(F.col("epoch") == 1)) == got1
     # 2 sources in epoch 0 + 3 in epoch 1, no duplicated rows
     assert after.count() == 5
+
+
+def test_streaming_transitions_parity_boundary_and_retry(spark, tmp_path):
+    """Fold over 2 batches == batch operator over the union (the
+    cross-batch boundary transition must be counted via the last-state
+    table); a retried epoch leaves counts and reports unchanged."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        state_transitions,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_transitions_ingest,
+    )
+
+    schema = "user_id long, event_id long, ts timestamp, state string"
+    from datetime import datetime
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    b1 = spark.createDataFrame(
+        [(1, 1, t("2024-01-01 00:00:00"), "A"),
+         (1, 2, t("2024-01-01 00:00:01"), "B"),
+         (2, 3, t("2024-01-01 00:00:00"), "B")], schema)
+    # user 1's B (end of b1) -> A (start of b2) is the boundary transition
+    b2 = spark.createDataFrame(
+        [(1, 4, t("2024-01-01 00:01:00"), "A"),
+         (2, 5, t("2024-01-01 00:01:00"), "B"),
+         (3, 6, t("2024-01-01 00:01:00"), "A")], schema)
+
+    ldir = str(tmp_path / "last")
+    cdir = str(tmp_path / "counts")
+    rdir = str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "entity long, ts timestamp, tb long, state string"),
+        ldir, -1)
+    snapshot_overwrite(
+        spark.createDataFrame([], "from_state string, to_state string, n bigint"),
+        cdir, -1)
+
+    process = streaming_transitions_ingest(
+        b1, "user_id", "ts", "state", "event_id",
+        last_dir=ldir, counts_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted((r.from_state, r.to_state, r.n, r.p) for r in df.collect())
+
+    process(b1, 0)
+    process(b2, 1)
+    got = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 1)
+                .select("from_state", "to_state", "n", "p"))
+    want = canon(state_transitions(
+        b1.unionByName(b2), "user_id", "ts", "state", tiebreak_col="event_id"))
+    assert got == want
+    # the boundary B->A is present (it exists in no single batch)
+    assert any(f == "B" and to == "A" for f, to, _, _ in got)
+
+    process(b2, 1)  # retried micro-batch
+    after = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 1)
+                  .select("from_state", "to_state", "n", "p"))
+    assert after == got
