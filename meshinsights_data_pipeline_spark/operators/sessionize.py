@@ -46,3 +46,45 @@ def sessionize(
     change = (~prev.eqNullSafe(F.col(state_col))).cast("int")
     running = F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(cycle_col, running)
+
+
+def sessionize_by_gap(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    partition_by: Sequence[str | Column],
+    tiebreak: Sequence[str | Column] = (),
+    session_col: str = "session",
+) -> DataFrame:
+    """Idle-gap sessionization (the web-analytics classic, and the batch
+    twin of streaming/windows.py's ``session_window`` sessionizer): a new
+    session starts when the gap to the entity's PREVIOUS event exceeds
+    ``gap_seconds``. Sessions are numbered 1..k per entity in time order.
+
+    Same shape as ``sessionize`` (lag + boundary flag + running sum over
+    ONE entity-partitioned window — a single shuffle on the entity key,
+    never a global sort); the boundary predicate is a time delta instead
+    of a state change. Equal timestamps are ordered by ``tiebreak`` for
+    determinism; a gap of EXACTLY ``gap_seconds`` stays in-session
+    (boundary is strict ``>``, matching Spark's session_window semantics
+    where an event inside [start, start+gap] extends the window).
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    order = [F.col(ts_col), *tiebreak]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # interval arithmetic, not epoch casts: works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike and never touches the session timezone (the
+    # debounce.py discipline)
+    new_session = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col) - prev_ts
+            > F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        )
+    ).cast("int")
+    running = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, running)

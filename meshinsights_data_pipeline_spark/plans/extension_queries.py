@@ -3045,6 +3045,69 @@ X68_SQL = f"""
 """
 
 
+def x69_gap_sessions(spark, sf_dir):
+    """Idle-gap sessionization (operators.sessionize.sessionize_by_gap):
+    a user's new session starts when >12h passed since their previous
+    event (median inter-event gap in the testdata is ~7h, so sessions
+    genuinely split); per-session event count, bounds, and value sum.
+    One entity-partitioned window shuffle + one (user, session)
+    aggregate; a gap of exactly 12h stays in-session (strict >, the
+    session_window convention)."""
+    from meshinsights_data_pipeline_spark.operators.sessionize import (
+        sessionize_by_gap,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    sess = sessionize_by_gap(
+        ev, "ts", 43200, ["user_id"], tiebreak=[F.col("event_id")]
+    )
+    return (
+        sess.groupBy("user_id", "session")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .orderBy("user_id", "session")
+    )
+
+
+X69_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 43200.0
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM seq
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session
+        FROM flagged
+    )
+    SELECT user_id, session,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session
+    ORDER BY user_id, session
+"""
+
+
 def x67_pagerank(spark, sf_dir):
     """PageRank (operators.graph.pagerank) over the supplier->customer
     fulfillment digraph (distinct l_suppkey -> o_custkey edges via the
@@ -3169,4 +3232,5 @@ EXTENSION_BUILDERS = {
     "x66_state_transitions": (x66_state_transitions, X66_SQL),
     "x67_pagerank": (x67_pagerank, X67_SQL),
     "x68_scd2_lookup": (x68_scd2_lookup, X68_SQL),
+    "x69_gap_sessions": (x69_gap_sessions, X69_SQL),
 }

@@ -2672,13 +2672,13 @@ _register_extensions()
 # (TPC-H Q6/Q9/Q11/Q14 shapes), q72 GROUPING SETS, q73 PIVOT, x60
 # salted-skew aggregate, x61 grouped percentiles, x62 line dedup, x63
 # source drift, x64 SCD2 merge, x65 CDC delta, x66 state transitions,
-# x67 PageRank, x68 SCD2 temporal lookup — 21 in all, none left
-# post-window this time; (2) q63,
+# x67 PageRank, x68 SCD2 temporal lookup, x69 gap sessions — 22 in
+# all, none left post-window this time; (2) q63,
 # whose Spark side was RESHAPED this round (global ntile -> distributed
 # equal_depth_tile) and needs re-verification; (3) the stalest green
 # cohort — everything last driver-checked in r5 (x24/x25, x27-x36,
 # x38-x49); (4) fill to exactly 50 from the r6-checked cohort
-# oldest-first (q08-q11 slice; the r6 remainder — q13-q57, x02-x14, x23,
+# oldest-first (q08-q10 slice; the r6 remainder — q11-q57, x02-x14, x23,
 # x26, x51/x52/x54 — rotates in r9). _rotate_for_driver validates
 # membership AND the exactly-50 invariant. Rotation does not change any
 # query; it only reorders the dict.
@@ -2689,6 +2689,7 @@ _DRIVER_WINDOW_R8 = [
     "x60_skew_salted_agg", "x61_grouped_percentiles", "x62_line_dedup",
     "x63_source_drift", "x64_scd2_merge", "x65_cdc_delta",
     "x66_state_transitions", "x67_pagerank", "x68_scd2_lookup",
+    "x69_gap_sessions",
     # (2) reshaped this round
     "q63",
     # (3) stalest green cohort (last checked r5)
@@ -2701,7 +2702,7 @@ _DRIVER_WINDOW_R8 = [
     "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
     "x47_length_ranks", "x48_duplicate_spans", "x49_span_excision",
     # (4) r6-checked cohort, oldest-first, filling to exactly 50
-    "q08", "q09", "q10", "q11",
+    "q08", "q09", "q10",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R8
 

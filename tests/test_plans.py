@@ -264,3 +264,43 @@ def test_state_transitions_hand_example(spark):
     # row-stochastic: p sums to 1 per from_state
     for s in ("A", "B"):
         assert sum(p for (f, _), (_, p) in got.items() if f == s) == 1.0
+
+
+def test_sessionize_by_gap_boundary_semantics(spark):
+    """Exactly-gap stays in-session (strict >); one-over splits; session
+    ids are 1..k per entity in time order."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.operators.sessionize import (
+        sessionize_by_gap,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (1, 2, base + timedelta(seconds=600)),        # exactly gap: same
+        (1, 3, base + timedelta(seconds=1201)),       # 601s later: splits
+        (2, 4, base),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp")
+    got = {
+        r.eid: r.session
+        for r in sessionize_by_gap(
+            df, "ts", 600, ["u"], tiebreak=[F.col("eid")]
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_by_gap_rejects_nonpositive_gap(spark):
+    import pytest as _pytest
+
+    from meshinsights_data_pipeline_spark.operators.sessionize import (
+        sessionize_by_gap,
+    )
+
+    df = spark.createDataFrame([], "u long, ts timestamp")
+    with _pytest.raises(ValueError, match="positive"):
+        sessionize_by_gap(df, "ts", 0, ["u"])
