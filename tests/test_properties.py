@@ -520,3 +520,39 @@ def test_scd2_fold_invariants_vs_python_reference(spark, batches):
             assert cur[2] == nxt[1]  # intervals chain with no gap/overlap
         expect = [(a, f, t) for a, f, t in ((v[0], v[1], v[2]) for v in ref[k])]
         assert vers == expect
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 3))),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 3))),
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+)
+@SLOW
+def test_cdc_delta_round_trip_reconstructs_new(spark, old_rows, new_rows):
+    """Applying cdc_delta's feed to the old snapshot must reconstruct the
+    new one exactly: drop deletes, replace updates, add inserts. Random
+    keyed snapshots with NULL values exercise the null-safe compare."""
+    from meshinsights_data_pipeline_spark.operators.snapshot import cdc_delta
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    delta = cdc_delta(old, new, keys=["k"]).collect()
+
+    state = dict(old_rows)
+    for r in delta:
+        if r.change_type == "delete":
+            del state[r.k]
+        elif r.change_type == "insert":
+            state[r.k] = r.new_v
+        else:
+            assert state[r.k] == r.old_v  # feed carries the true old value
+            state[r.k] = r.new_v
+    assert state == dict(new_rows)
