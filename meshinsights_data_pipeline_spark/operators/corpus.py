@@ -899,6 +899,13 @@ def lm_score_bigrams(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
         / (F.col("cu") + F.col("vsz"))
     )
+    # avg as DECIMAL-exact sum / count (q31 discipline): each log term is
+    # a deterministic double, but a DOUBLE fold over them is partial-
+    # aggregate-order-dependent; the exact-decimal fold makes avg_logp
+    # (and the exp input) bit-identical run-to-run and engine-to-engine.
+    avg_logp = F.sum(logp.cast("decimal(38,18)")).cast("double") / F.count(
+        F.lit(1)
+    )
     return (
         bigrams.join(bc, ["h_prev", "h"], "left")
         .join(uc, "h_prev")
@@ -906,8 +913,8 @@ def lm_score_bigrams(
         .groupBy(F.col(id_col))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(logp), 6).alias("avg_logp"),
-            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+            F.round(avg_logp, 6).alias("avg_logp"),
+            F.round(F.exp(-avg_logp), 2).alias("ppl"),
         )
     )
 
@@ -1173,19 +1180,22 @@ def drift_from_counts(counts: DataFrame) -> DataFrame:
         )
         .withColumn("p", F.col("c_st") / F.col("c_s"))
     )
+    # Each per-token term is a deterministic double (same IEEE ops on
+    # both engines); the SUM over them is cast to DECIMAL(38,18) first so
+    # the fold is exact and partial-aggregate-order-independent — a raw
+    # DOUBLE sum can flip an ulp run-to-run and ROUND(.,6) does not mask
+    # a flip at a rounding boundary (the q31/x65 discipline).
+    tv_term = F.abs(F.col("p") - F.col("q")).cast("decimal(38,18)")
+    chi_term = (
+        (F.col("p") - F.col("q")) * (F.col("p") - F.col("q")) / F.col("q")
+    ).cast("decimal(38,18)")
     return (
         grid.groupBy("source")
         .agg(
             F.first("c_s").cast("bigint").alias("n_tokens"),
-            F.round(F.lit(0.5) * F.sum(F.abs(F.col("p") - F.col("q"))), 6)
+            F.round(F.lit(0.5) * F.sum(tv_term).cast("double"), 6)
             .alias("tv_distance"),
-            F.round(
-                F.sum(
-                    (F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))
-                    / F.col("q")
-                ),
-                6,
-            ).alias("chi_square"),
+            F.round(F.sum(chi_term).cast("double"), 6).alias("chi_square"),
         )
         .select("source", "n_tokens", "tv_distance", "chi_square")
     )

@@ -81,11 +81,20 @@ def pagerank(
     out_edges = _materialize(e.join(deg, "src"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
+        # Each contribution is a deterministic double; the fold over a
+        # node's in-links runs in exact DECIMAL(38,18) so partial-
+        # aggregate order cannot drift an ulp between runs (and the
+        # DuckDB oracle mirrors the same cast) — errors would otherwise
+        # compound across rounds before the final rounding.
         contribs = (
             out_edges.join(ranks, out_edges["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("dst")
-            .agg(F.sum("_c").alias("_in"))
+            .agg(
+                F.sum(F.col("_c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_in")
+            )
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")

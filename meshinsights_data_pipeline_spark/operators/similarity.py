@@ -313,8 +313,15 @@ def kmeans_update(
         df.join(assigned, id_col)
         .select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
     )
+    # DECIMAL-exact sum / count instead of a DOUBLE avg: the fold order
+    # over a list's members varies with partial-aggregate merge order,
+    # and the centroid means feed ROUND(.,6) compares (x41 oracle)
     means = exploded.groupBy("list_id", "pos").agg(
-        F.avg(F.col("val").cast("double")).alias("m")
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
     )
     new_c = (
         means.groupBy("list_id")

@@ -1703,7 +1703,8 @@ exploded AS (
          UNNEST(range(1, len(ev.v) + 1)) AS r(i)
 ),
 means AS (
-    SELECT list_id AS centroid_id, pos, AVG(val) AS m
+    SELECT list_id AS centroid_id, pos,
+           CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
     FROM exploded GROUP BY list_id, pos
 ),
 grid AS (
@@ -2206,9 +2207,13 @@ uc AS (SELECT h AS h_prev, COUNT(*) AS cu FROM h GROUP BY h),
 v AS (SELECT COUNT(DISTINCT h) AS vsz FROM h)
 SELECT b.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(AVG(LN((COALESCE(bc.cb, 0) + 1.0) / (uc.cu + v.vsz))), 6)
+       ROUND(CAST(SUM(CAST(LN((COALESCE(bc.cb, 0) + 1.0) / (uc.cu + v.vsz))
+                           AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
            AS avg_logp,
-       ROUND(EXP(-AVG(LN((COALESCE(bc.cb, 0) + 1.0) / (uc.cu + v.vsz)))), 2)
+       ROUND(EXP(-(CAST(SUM(CAST(LN((COALESCE(bc.cb, 0) + 1.0)
+                                    / (uc.cu + v.vsz))
+                                AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*))), 2)
            AS ppl
 FROM bigrams b
 LEFT JOIN bc ON b.h_prev = bc.h_prev AND b.h = bc.h
@@ -2789,8 +2794,11 @@ X63_SQL = f"""
     )
     SELECT source,
            CAST(MAX(c_s) AS BIGINT) AS n_tokens,
-           ROUND(0.5 * SUM(abs(c_st / c_s - q)), 6) AS tv_distance,
-           ROUND(SUM((c_st / c_s - q) * (c_st / c_s - q) / q), 6)
+           ROUND(0.5 * CAST(SUM(CAST(abs(c_st / c_s - q)
+                                     AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS tv_distance,
+           ROUND(CAST(SUM(CAST((c_st / c_s - q) * (c_st / c_s - q) / q
+                               AS DECIMAL(38,18))) AS DOUBLE), 6)
                AS chi_square
     FROM grid
     GROUP BY source
@@ -2824,7 +2832,12 @@ def _x64_history(spark, sf_dir):
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.max("o_orderdate").alias("change_ts"),
-            F.round(F.sum("o_totalprice"), 2).alias("bal"),
+            # DECIMAL-exact sum (q31/x65 discipline): a DOUBLE sum is
+            # partial-aggregate-order-dependent and ROUND(.,2) can flip
+            # at a boundary ulp
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
         )
         .join(cust.select("c_custkey", F.col("c_mktsegment").alias("segment")),
               "c_custkey")
@@ -2852,7 +2865,8 @@ def x64_scd2_merge(spark, sf_dir):
 _X64_CTES = """upd0 AS (
         SELECT o_custkey AS c_custkey,
                MAX(o_orderdate) AS change_ts,
-               ROUND(SUM(o_totalprice), 2) AS bal
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS bal
         FROM orders GROUP BY o_custkey
     ),
     upd AS (
@@ -3052,7 +3066,10 @@ def x69_gap_sessions(spark, sf_dir):
     genuinely split); per-session event count, bounds, and value sum.
     One entity-partitioned window shuffle + one (user, session)
     aggregate; a gap of exactly 12h stays in-session (strict >, the
-    session_window convention)."""
+    session_window convention). The value sum runs in exact DECIMAL on
+    both sides (the q31/x65 discipline) — a DOUBLE sum's partial-
+    aggregate order varies run to run and ROUND(.,6) does not mask an
+    ulp flip at a rounding boundary (r8 driver flake)."""
     from meshinsights_data_pipeline_spark.operators.sessionize import (
         sessionize_by_gap,
     )
@@ -3067,7 +3084,9 @@ def x69_gap_sessions(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
         )
         .orderBy("user_id", "session")
     )
@@ -3101,7 +3120,7 @@ X69_SQL = """
            COUNT(*) AS n_events,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
-           ROUND(SUM(value), 6) AS value_sum
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
     FROM numbered
     GROUP BY user_id, session
     ORDER BY user_id, session
@@ -3138,7 +3157,9 @@ def _pr_round_sql(prev: str, out: str) -> str:
     {out} AS (
         SELECT nd.node,
                (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * COALESCE(SUM({prev}.r / deg.d), 0) AS r
+                   + 0.85 * COALESCE(CAST(SUM(CAST({prev}.r / deg.d
+                                               AS DECIMAL(38,18)))
+                                          AS DOUBLE), 0) AS r
         FROM nodes nd
         LEFT JOIN e ON e.dst = nd.node
         LEFT JOIN {prev} ON {prev}.node = e.src

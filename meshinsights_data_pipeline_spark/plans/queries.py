@@ -281,7 +281,13 @@ def q19(spark, sf_dir):
 def q20(spark, sf_dir):
     """J2 aggregate join (EPC:196-202 join stats back on the group key)."""
     li = _t(spark, sf_dir, "lineitem")
-    totals = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("order_total"))
+    # DECIMAL-exact sum (q31 discipline): a raw DOUBLE sum is
+    # partial-aggregate-order-dependent across runs/engines
+    totals = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("order_total")
+    )
     return (
         li.join(totals, "l_orderkey")
         .select("l_orderkey", "l_linenumber", "order_total")
@@ -404,7 +410,7 @@ _ORACLES: dict[str, str] = {
     ),
     "q20": (
         "SELECT l.l_orderkey, l.l_linenumber, s.order_total FROM lineitem l JOIN "
-        "(SELECT l_orderkey, SUM(l_extendedprice) AS order_total FROM lineitem GROUP BY l_orderkey) s "
+        "(SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total FROM lineitem GROUP BY l_orderkey) s "
         "ON l.l_orderkey = s.l_orderkey ORDER BY l.l_orderkey, l.l_linenumber"
     ),
     "q21": (
@@ -479,7 +485,7 @@ _ORACLES: dict[str, str] = {
     "q28": """
         SELECT r.r_name AS region_name,
                COUNT(*) AS customers,
-               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+               ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -488,7 +494,7 @@ _ORACLES: dict[str, str] = {
     "q29": """
         SELECT r.r_name AS region_name, n.n_name AS nation_name,
                CAST(COUNT(*) AS BIGINT) AS customers,
-               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+               ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -589,7 +595,7 @@ def q28(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("total_acctbal"),
         )
         .orderBy("region_name")
     )
@@ -613,7 +619,7 @@ def q29(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("total_acctbal"),
         )
         .orderBy(
             F.col("region_name").asc_nulls_first(),
