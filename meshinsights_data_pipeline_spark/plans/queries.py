@@ -2671,46 +2671,33 @@ _register_extensions()
 
 
 # The external driver verifies only the FIRST 50 entries of queries() (its
-# per-round cap), taken in dict insertion order. Round-8 window, in
-# priority order: (1) EVERY registered query that has never had a driver
-# row — q64/x58/x59 (landed after the r7 window froze) plus everything
-# added this round: q65-q67 (TPC-H Q17/Q20/Q21 decorrelation), q68-q71
-# (TPC-H Q6/Q9/Q11/Q14 shapes), q72 GROUPING SETS, q73 PIVOT, x60
-# salted-skew aggregate, x61 grouped percentiles, x62 line dedup, x63
-# source drift, x64 SCD2 merge, x65 CDC delta, x66 state transitions,
-# x67 PageRank, x68 SCD2 temporal lookup, x69 gap sessions — 22 in
-# all, none left post-window this time; (2) q63,
-# whose Spark side was RESHAPED this round (global ntile -> distributed
-# equal_depth_tile) and needs re-verification; (3) the stalest green
-# cohort — everything last driver-checked in r5 (x24/x25, x27-x36,
-# x38-x49); (4) fill to exactly 50 from the r6-checked cohort
-# oldest-first (q08-q10 slice; the r6 remainder — q11-q57, x02-x14, x23,
-# x26, x51/x52/x54 — rotates in r9). _rotate_for_driver validates
-# membership AND the exactly-50 invariant. Rotation does not change any
-# query; it only reorders the dict.
-_DRIVER_WINDOW_R8 = [
-    # (1) never driver-checked: post-r7-window + everything added r8
-    "q64", "x58_dq_checks", "x59_vector_stats",
-    "q65", "q66", "q67", "q68", "q69", "q70", "q71", "q72", "q73",
-    "x60_skew_salted_agg", "x61_grouped_percentiles", "x62_line_dedup",
-    "x63_source_drift", "x64_scd2_merge", "x65_cdc_delta",
-    "x66_state_transitions", "x67_pagerank", "x68_scd2_lookup",
-    "x69_gap_sessions",
-    # (2) reshaped this round
-    "q63",
-    # (3) stalest green cohort (last checked r5)
-    "x24_source_quota", "x25_contamination", "x27_url_dedup",
-    "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
-    "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
-    "x34_repetition_signals", "x35_gap_fill", "x36_profile",
-    "x38_semantic_dedup", "x39_boilerplate_ngrams", "x40_shuffle_shards",
-    "x41_kmeans_update", "x42_mixture_sample", "x43_html_extract",
-    "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
-    "x47_length_ranks", "x48_duplicate_spans", "x49_span_excision",
-    # (4) r6-checked cohort, oldest-first, filling to exactly 50
-    "q08", "q09", "q10",
+# per-round cap), taken in dict insertion order. Round-9 window, in
+# priority order: (1) every query whose Spark side or oracle CHANGED this
+# round and needs re-verification — the DECIMAL-exact-sum sweep (x69, the
+# r8 flake, plus x63/x64/x68/x67, q20/q28/q29, x41 centroid means, x51
+# avg_logp) and x12's promotion to auto-bits LSH (bits derived from the
+# exact corpus count, mirrored in the oracle) — 11 in all; (2) fill to
+# exactly 50 with the stalest green cohort, everything last
+# driver-checked in r6, oldest-first (39 of the 40 remaining; x54
+# rotates in r10). Any query ADDED this round must be inserted into
+# block (1) in the same commit (see the window-rotation invariant note).
+# _rotate_for_driver validates membership AND the exactly-50 invariant.
+# Rotation does not change any query; it only reorders the dict.
+_DRIVER_WINDOW_R9 = [
+    # (1) changed this round: DECIMAL-sum sweep + x12 auto-bits
+    "x69_gap_sessions", "x64_scd2_merge", "x68_scd2_lookup",
+    "x63_source_drift", "x67_pagerank", "x12_embedding_neardup_lsh",
+    "q20", "q28", "q29", "x51_lm_quality", "x41_kmeans_update",
+    # (2) stalest green cohort (last checked r6), oldest-first
+    "q11", "q13", "q14", "q16", "q17", "q18", "q19", "q21", "q22", "q23",
+    "q30", "q33", "q44", "q45", "q46", "q47", "q48", "q49", "q50", "q51",
+    "q52", "q53", "q54", "q55", "q56", "q57",
+    "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
+    "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
+    "x10_rp_lsh_topk", "x13_multimodal_meta", "x14_fuzzy_neardup",
+    "x23_dedup_clusters", "x26_dedup_clusters_star", "x52_ann_recall",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R8
+_DRIVER_WINDOW = _DRIVER_WINDOW_R9
 
 
 def _rotate_for_driver() -> None:
