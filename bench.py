@@ -17,6 +17,43 @@ import sys
 import time
 
 
+def _corpus_step_times(spark, data_dir: str) -> dict[str, float]:
+    """Per-step timings of the corpus pipeline over ``data_dir``'s
+    documents, materializing after every step (noop write +
+    localCheckpoint barrier) so each delta is additive and attributable.
+    Shared by the sf0.1 breakdown and the sf1 scaling row."""
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+        BENCHMARK_KEY,
+        build_corpus_pipeline,
+    )
+    from meshinsights_data_pipeline_spark.core.context import PipelineContext
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, data_dir, "documents")
+    pipe = build_corpus_pipeline(
+        contamination_threshold=0.8, quota_n=1000, chunk_tokens=64,
+        span_excise_n=5,
+    )
+    ctx = PipelineContext(
+        pipeline_name="corpus_prep_steps", correlation_id="bench",
+        raw_data=docs,
+    )
+    ctx.processed_data[BENCHMARK_KEY] = docs.filter(F.col("source") == "src0")
+    steps: dict[str, float] = {}
+    for proc in pipe.processors:
+        if not pipe.should_execute(proc, ctx):
+            continue
+        t0 = time.perf_counter()
+        ctx = proc(ctx)
+        out = ctx.processed_data.get("corpus.chunks", ctx.raw_data)
+        out.write.format("noop").mode("overwrite").save()
+        ctx.raw_data = ctx.raw_data.localCheckpoint()
+        steps[proc.name] = round(time.perf_counter() - t0, 3)
+    return steps
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -211,30 +248,7 @@ def main() -> None:
     # time; the value of the breakdown is the per-step ratio, not the sum.
     corpus_steps: dict[str, float] = {}
     try:
-        from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
-            BENCHMARK_KEY,
-            build_corpus_pipeline,
-        )
-        from meshinsights_data_pipeline_spark.core.context import PipelineContext
-
-        pipe = build_corpus_pipeline(
-            contamination_threshold=0.8, quota_n=1000, chunk_tokens=64,
-            span_excise_n=5,
-        )
-        ctx = PipelineContext(
-            pipeline_name="corpus_prep_steps", correlation_id="bench",
-            raw_data=read_table(spark, sf_dir, "documents"),
-        )
-        ctx.processed_data[BENCHMARK_KEY] = bench_slice
-        for proc in pipe.processors:
-            if not pipe.should_execute(proc, ctx):
-                continue
-            t0 = time.perf_counter()
-            ctx = proc(ctx)
-            out = ctx.processed_data.get("corpus.chunks", ctx.raw_data)
-            out.write.format("noop").mode("overwrite").save()
-            ctx.raw_data = ctx.raw_data.localCheckpoint()
-            corpus_steps[proc.name] = round(time.perf_counter() - t0, 3)
+        corpus_steps = _corpus_step_times(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         print(f"bench: corpus step breakdown failed: {exc}", file=sys.stderr)
 
@@ -332,6 +346,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: sf1 autobits row failed: {exc}", file=sys.stderr)
 
+    # 10x curve for the corpus-pipeline STEPS (neardup_collapse is the
+    # most expensive step and its scaling was unmeasured until r9): the
+    # same per-step barriered loop over the sf1 documents; ratio ~10 is
+    # linear in data, >>10 is the x12 treatment trigger.
+    sf1_steps: dict[str, dict[str, float]] = {}
+    if sf1_timings and corpus_steps:
+        try:
+            scaled_steps = _corpus_step_times(spark, sf1_dir)
+            sf1_steps = {
+                name: {
+                    "sf01_sec": corpus_steps[name],
+                    "sf1_sec": sec,
+                    "ratio": round(sec / corpus_steps[name], 1)
+                    if corpus_steps[name] > 0 else -1.0,
+                }
+                for name, sec in scaled_steps.items()
+                if name in corpus_steps
+            }
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: sf1 step scaling failed: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_cold = round(sum(t for t in timings_cold.values() if t >= 0), 3)
     # The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -353,6 +388,7 @@ def main() -> None:
         "query_regressions": query_regressions,
         "sf1_slowest": sf1_timings,
         "sf1_autobits_neardup": sf1_autobits,
+        "sf1_steps": sf1_steps,
         "sf1_ratio": {
             n: round(t / timings[n], 1)
             for n, t in sf1_timings.items()
@@ -393,6 +429,10 @@ def main() -> None:
     if sf1_timings:
         compact["sf1_slowest"] = {
             _short(k): round(v, 1) for k, v in sf1_timings.items()
+        }
+    if sf1_steps:
+        compact["sf1_steps"] = {
+            k: v["ratio"] for k, v in sf1_steps.items()
         }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # too long: shed detail blocks before per-query

@@ -1349,3 +1349,42 @@ def test_streaming_transitions_parity_boundary_and_retry(spark, tmp_path):
     after = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 1)
                   .select("from_state", "to_state", "n", "p"))
     assert after == got
+
+
+def test_gap_sessionize_parity_with_streaming(spark, bounded_stream_dir, tmp_path):
+    """sessionize_by_gap documents itself as the batch twin of
+    streaming_session_window (strict-> boundary chosen to match); pin it:
+    same input, same gap, equal session bounds/counts modulo numbering —
+    the batch operator itself, not a hand-rolled lag+sum rebuild."""
+    from meshinsights_data_pipeline_spark.operators.sessionize import (
+        sessionize_by_gap,
+    )
+
+    schema = spark.read.parquet(bounded_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(bounded_stream_dir)
+    streamed = _run_stream(
+        spark,
+        streaming_session_window(
+            stream, ["user_id"], ts_col="ts", value_col="value", gap="30 minutes"
+        ),
+        tmp_path,
+        mode="append",
+    )
+    streamed = [r for r in streamed if r["user_id"] != -1]
+
+    ev = spark.read.parquet(bounded_stream_dir).filter(F.col("user_id") != -1)
+    batch = (
+        sessionize_by_gap(ev, "ts", 1800, ["user_id"], tiebreak=[F.col("event_id")])
+        .groupBy("user_id", "session")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.median("value").alias("median_value"),
+        )
+        .drop("session")
+    )
+
+    cols = ["user_id", "session_start", "session_end", "cnt", "median_value"]
+    assert len(streamed) > 0
+    assert _canon(streamed, cols) == _canon(batch.collect(), cols)
