@@ -3112,10 +3112,11 @@ def x69_gap_sessions(spark, sf_dir):
     genuinely split); per-session event count, bounds, and value sum.
     One entity-partitioned window shuffle + one (user, session)
     aggregate; a gap of exactly 12h stays in-session (strict >, the
-    session_window convention). The value sum runs in exact DECIMAL on
-    both sides (the q31/x65 discipline) — a DOUBLE sum's partial-
-    aggregate order varies run to run and ROUND(.,6) does not mask an
-    ulp flip at a rounding boundary (r8 driver flake)."""
+    session_window convention). The value sum is an exact DECIMAL(18,6)
+    fold emitted as integer micros (BIGINT) — the r9 DECIMAL-as-double
+    fix was bit-identical locally yet the driver row stayed red, so the
+    result shape now carries no float text at all: integer micros are
+    canonicalization-proof in every engine (VERDICT r9 item 1)."""
     from meshinsights_data_pipeline_spark.operators.sessionize import (
         sessionize_by_gap,
     )
@@ -3130,9 +3131,9 @@ def x69_gap_sessions(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("value_sum"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * F.lit(1000000))
+            .cast("bigint")
+            .alias("value_sum_micros"),
         )
         .orderBy("user_id", "session")
     )
@@ -3166,7 +3167,7 @@ X69_SQL = """
            COUNT(*) AS n_events,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS value_sum_micros
     FROM numbered
     GROUP BY user_id, session
     ORDER BY user_id, session

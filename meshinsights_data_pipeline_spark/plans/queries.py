@@ -2677,27 +2677,35 @@ _register_extensions()
 # r8 flake, plus x63/x64/x68/x67, q20/q28/q29, x41 centroid means, x51
 # avg_logp) and x12's promotion to auto-bits LSH (bits derived from the
 # exact corpus count, mirrored in the oracle) — 11 in all; (2) fill to
-# exactly 50 with the stalest green cohort, everything last
-# driver-checked in r6, oldest-first (39 of the 40 remaining; x54
-# rotates in r10). Any query ADDED this round must be inserted into
-# block (1) in the same commit (see the window-rotation invariant note).
+# exactly 50 with the stalest green cohort: x69 (changed again this
+# round — value_sum now integer micros), x54 (last checked r6, the
+# single oldest row), the full 47-query r7 cohort, and the oldest
+# r8-checked query (q64) to fill to 50. Any query ADDED this round must
+# be inserted at the head in the same commit (see the window-rotation
+# invariant note).
 # _rotate_for_driver validates membership AND the exactly-50 invariant.
 # Rotation does not change any query; it only reorders the dict.
-_DRIVER_WINDOW_R9 = [
-    # (1) changed this round: DECIMAL-sum sweep + x12 auto-bits
-    "x69_gap_sessions", "x64_scd2_merge", "x68_scd2_lookup",
-    "x63_source_drift", "x67_pagerank", "x12_embedding_neardup_lsh",
-    "q20", "q28", "q29", "x51_lm_quality", "x41_kmeans_update",
-    # (2) stalest green cohort (last checked r6), oldest-first
-    "q11", "q13", "q14", "q16", "q17", "q18", "q19", "q21", "q22", "q23",
-    "q30", "q33", "q44", "q45", "q46", "q47", "q48", "q49", "q50", "q51",
-    "q52", "q53", "q54", "q55", "q56", "q57",
-    "x02_minhash_signatures", "x03_minhash_lsh_pairs", "x04_ngram_jaccard",
-    "x05_simhash", "x07_embedding_neardup", "x08_text_stats", "x09_lang_id",
-    "x10_rp_lsh_topk", "x13_multimodal_meta", "x14_fuzzy_neardup",
-    "x23_dedup_clusters", "x26_dedup_clusters_star", "x52_ann_recall",
+_DRIVER_WINDOW_R10 = [
+    # (1) changed this round: x69 value_sum -> integer micros (BIGINT)
+    "x69_gap_sessions",
+    # (2) single stalest row (last checked r6)
+    "x54_zorder_keys",
+    # (3) the full r7-checked cohort (47 queries), oldest band
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q12", "q15",
+    "q24", "q25", "q26", "q27", "q31", "q32",
+    "q34", "q35", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43",
+    "q58", "q59", "q60", "q61", "q62",
+    "x01_exact_dedup", "x06_cosine_topk", "x11_minhash_dedup_pairs",
+    "x15_ivf_topk", "x16_asof_join", "x17_interval_join",
+    "x18_time_rollup", "x19_kusto_decode", "x20_doc_chunks",
+    "x21_winnow_fingerprints", "x22_gopher_quality", "x37_pq_topk",
+    "x50_corpus_report", "x53_quality_top_fraction",
+    "x55_weighted_sample", "x56_semantic_decontamination",
+    "x57_source_overlap",
+    # (4) oldest r8-checked query fills to exactly 50
+    "q64",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R9
+_DRIVER_WINDOW = _DRIVER_WINDOW_R10
 
 
 def _rotate_for_driver() -> None:
