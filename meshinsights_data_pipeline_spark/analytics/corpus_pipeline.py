@@ -266,7 +266,7 @@ class NearDupCollapseStep(CorpusStep):
     ``barrier=False`` to keep the fully-lazy single-plan shape."""
 
     def __init__(self, cols: CorpusColumns, threshold: float = 0.5,
-                 algorithm: str = "min_label", barrier: bool = True, **kw):
+                 algorithm: str = "star", barrier: bool = True, **kw):
         super().__init__(cols, name="neardup_collapse", **kw)
         self.threshold = threshold
         self.algorithm = algorithm
@@ -528,7 +528,7 @@ def build_corpus_pipeline(
     cols: CorpusColumns | None = None,
     config: PipelineConfig | None = None,
     neardup_threshold: float = 0.5,
-    neardup_algorithm: str = "min_label",
+    neardup_algorithm: str = "star",
     neardup_barrier: bool = True,
     contamination_threshold: float = 0.05,
     broadcast_benchmark: bool = True,

@@ -187,6 +187,7 @@ def embedding_neardup_pairs_lsh(
     dim: int | None = None,
     round_scores: int = 6,
     target_bucket_rows: int | None = None,
+    max_auto_bits: int = 16,
 ) -> DataFrame:
     """Scale-safe near-dup: score only pairs colliding in >=1 LSH table.
 
@@ -218,9 +219,13 @@ def embedding_neardup_pairs_lsh(
             # smallest b with 2^b >= ceil(n / target): pure-integer
             # derivation (== ceil(log2(n/target)) in exact math, but with
             # no float-log edge cases), so the DuckDB oracle can mirror
-            # it digit-for-digit (x12's params CTE)
+            # it digit-for-digit (x12's params CTE). ``max_auto_bits``
+            # mirrors the oracle's unroll cap (its CASE ladder falls
+            # through to max_bits) — without it the two engines would
+            # derive DIFFERENT bucket widths for corpora beyond
+            # target * 2^max_bits and the candidate sets could diverge.
             need = -(-n // target_bucket_rows)
-            bits = max(bits, (need - 1).bit_length())
+            bits = max(bits, min((need - 1).bit_length(), max_auto_bits))
     banded = None
     for t in range(tables):
         bt = rp_lsh_buckets(df, id_col, vec_col, bits, seed + t, dim).select(
@@ -575,17 +580,28 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """Search a :func:`write_ivf_index` layout, reading ONLY the probed
     lists from storage. The probe list ids are collected driver-side —
-    |queries| x nprobe ints, an index-lookup gating scalar and a
-    deliberate job boundary — and pushed as a literal ``isin`` filter,
-    which the parquet scan turns into PartitionFilters: unprobed list
-    directories are never opened. Scores/ranking are expression-identical
-    to :func:`ivf_topk` (same prep, same rounded fold dot), so results
-    match the in-memory operator bit-for-bit on the same centroid set.
+    DISTINCT ids, so bounded by the codebook size (n_lists), NOT by
+    |queries| x nprobe: an index-lookup gating scalar and a deliberate
+    job boundary — and pushed as a literal ``isin`` filter, which the
+    parquet scan turns into PartitionFilters: unprobed list directories
+    are never opened. The bound is enforced below (a collect larger than
+    the codebook would mean the probe join is broken and the driver-side
+    list no longer scales as O(n_lists)). Scores/ranking are
+    expression-identical to :func:`ivf_topk` (same prep, same rounded
+    fold dot), so results match the in-memory operator bit-for-bit on
+    the same centroid set.
     """
+    n_lists = centroids.count()  # codebook frame: small by contract
     probes = _query_probes(
         queries, centroids, id_col, vec_col, nprobe
     ).localCheckpoint()  # consumed twice: probe-id collect + the join
     probe_ids = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    if len(probe_ids) > n_lists:
+        raise AssertionError(
+            f"probe-id collect returned {len(probe_ids)} ids for a "
+            f"{n_lists}-list codebook; the driver-side contract is "
+            "O(n_lists), never O(|queries| x nprobe)"
+        )
     corpus = spark.read.parquet(index_path).filter(F.col("list_id").isin(probe_ids))
     cand = (
         corpus.select(

@@ -117,7 +117,12 @@ def test_reliable_checkpoint_path(spark, tmp_path):
 def test_dedup_survivors_star_matches_min_label(spark):
     df = spark.createDataFrame([(i, f"d{i}") for i in range(8)], ["id", "v"])
     pairs = _pairs(spark, [(0, 1), (1, 2), (5, 6)])
-    a = sorted(map(tuple, dedup_survivors(df, pairs, "id").collect()))
+    a = sorted(
+        map(
+            tuple,
+            dedup_survivors(df, pairs, "id", algorithm="min_label").collect(),
+        )
+    )
     b = sorted(
         map(tuple, dedup_survivors(df, pairs, "id", algorithm="star").collect())
     )

@@ -650,3 +650,60 @@ def test_neardup_lsh_autobits_subset_and_sizing(vectors):
         ).collect()
     }
     assert same == fixed
+
+
+def test_neardup_lsh_autobits_cap_mirrors_oracle(vectors):
+    """The auto-bits derivation must cap at max_auto_bits — the DuckDB
+    oracle twin's CASE ladder falls through to its max_bits, so an
+    uncapped Spark derivation would pick a WIDER bucket key than the
+    oracle for corpora beyond target * 2^max_bits and the candidate
+    sets could silently diverge. 41 rows / target 1 would derive 6
+    bits; capped at 3 it must equal the explicit bits=3 run."""
+    capped = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs_lsh(
+            vectors, threshold=0.95, bits=2, tables=2, seed=7,
+            target_bucket_rows=1, max_auto_bits=3,
+        ).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs_lsh(
+            vectors, threshold=0.95, bits=3, tables=2, seed=7,
+        ).collect()
+    }
+    assert capped == explicit
+
+
+def test_ivf_indexed_probe_collect_bounded_by_codebook(
+    spark, vectors, tmp_path, monkeypatch
+):
+    """ivf_topk_indexed's driver-side collect is DISTINCT probe list ids,
+    bounded by the codebook size — never |queries| x nprobe. The guard
+    must fire if the probe join ever yields more ids than lists (which
+    would mean the O(n_lists) driver contract is broken)."""
+    path = str(tmp_path / "ivf_guard_index")
+    centroids = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    S.write_ivf_index(vectors, centroids, path, files_per_list=1)
+    q = vectors.filter(F.col("vec_id") < 3)
+    # the normal path holds the bound: many queries, still <= 4 list ids
+    out = S.ivf_topk_indexed(spark, path, q, centroids, k=3, nprobe=2)
+    assert out.count() > 0
+
+    real_probes = S._query_probes
+
+    def bloated(queries, cents, id_col, vec_col, nprobe):
+        p = real_probes(queries, cents, id_col, vec_col, nprobe)
+        # forge per-query synthetic list ids: distinct count now scales
+        # with |queries|, exactly the contract violation the guard exists
+        # to catch
+        return p.withColumn(
+            "list_id", F.col("list_id") + F.col("query_id") * 1000
+        )
+
+    monkeypatch.setattr(S, "_query_probes", bloated)
+    with pytest.raises(AssertionError, match="n_lists"):
+        S.ivf_topk_indexed(spark, path, q, centroids, k=3, nprobe=2)
