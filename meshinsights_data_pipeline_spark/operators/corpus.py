@@ -432,14 +432,35 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Returns [id, n_tok, mean_wlen, alpha_ratio, stop_hits, keep]. Pure
     map-side expressions: at 100 TB this is a single parquet scan with the
     predicate evaluated inside whole-stage codegen.
+
+    Two fusions keep this the cheapest full-text pass in the corpus
+    pipeline (it was the most expensive sf1 step before them, 13.2s —
+    VERDICT r9 item 3; both are bit-identical on the whole sf1 corpus):
+
+    - ``total_chars`` is pure arithmetic, not a fold: the normalized text
+      is trimmed and single-space-joined, so the token lengths sum to
+      ``length(norm) - (n_tok - 1)`` exactly (same bigint, same IEEE
+      division for mean_wlen) — the higher-order ``F.aggregate`` walk of
+      the token array is gone.
+    - the alpha test is ``translate`` (a char-table lookup), not a
+      per-token java.util.regex match: a token of the [a-z0-9] alphabet
+      contains a letter iff deleting a-z shortens it.
+
+    Measured 7.4s -> 5.0s warm for the signal pass on 10x sf0.1
+    (500k docs, local[32]).
     """
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
     n_tok = F.size(toks)
-    total_chars = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    )
+    total_chars = (F.length(norm) - (n_tok - F.lit(1))).cast("bigint")
     mean_wlen = total_chars / n_tok
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha = F.size(
+        F.filter(
+            toks,
+            lambda t: F.length(F.translate(t, "abcdefghijklmnopqrstuvwxyz", ""))
+            < F.length(t),
+        )
+    )
     alpha_ratio = alpha / n_tok
     stop_hits = F.size(
         F.array_intersect(
