@@ -923,7 +923,10 @@ def lm_score_bigrams(
     # avg as DECIMAL-exact sum / count (q31 discipline): each log term is
     # a deterministic double, but a DOUBLE fold over them is partial-
     # aggregate-order-dependent; the exact-decimal fold makes avg_logp
-    # (and the exp input) bit-identical run-to-run and engine-to-engine.
+    # (and the exp input) bit-identical run-to-run. Cross-engine, the
+    # per-term scale-18 cast can differ ~1e-18 (tie/shortest-repr cases,
+    # see tests/test_properties.py cast-ties test) — absorbed by the
+    # ROUND(.,6)/(.,2) the outputs apply.
     avg_logp = F.sum(logp.cast("decimal(38,18)")).cast("double") / F.count(
         F.lit(1)
     )
@@ -1205,7 +1208,13 @@ def drift_from_counts(counts: DataFrame) -> DataFrame:
     # both engines); the SUM over them is cast to DECIMAL(38,18) first so
     # the fold is exact and partial-aggregate-order-independent — a raw
     # DOUBLE sum can flip an ulp run-to-run and ROUND(.,6) does not mask
-    # a flip at a rounding boundary (the q31/x65 discipline).
+    # a flip at a rounding boundary (the q31/x65 discipline). Scope of
+    # the guarantee: order-independence WITHIN each engine is exact; the
+    # CROSS-engine per-term cast can differ ~1ulp at scale 18 (Spark
+    # casts a double via its shortest decimal representation, DuckDB via
+    # the exact binary expansion — pinned by
+    # tests/test_properties.py::test_double_to_decimal_cast_ties...),
+    # which the final 6dp rounding absorbs.
     tv_term = F.abs(F.col("p") - F.col("q")).cast("decimal(38,18)")
     chi_term = (
         (F.col("p") - F.col("q")) * (F.col("p") - F.col("q")) / F.col("q")

@@ -635,3 +635,81 @@ def test_pagerank_layout_invariant(spark, sf_smoke):
         for e in _layouts(edges)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_double_to_decimal_cast_ties_agree_with_duckdb(spark):
+    """The DECIMAL-exact parity discipline rests on Spark's
+    double->decimal cast and DuckDB's agreeing. Pin exactly what holds
+    (empirically, this platform, Spark 4.1 / DuckDB bundled):
+
+    - SCALE 6 (the value_sum / avg / micros folds): engines agree on
+      every probed input INCLUDING genuine rounding ties (dyadic doubles
+      whose exact expansion terminates in 5 at digit 7, e.g. 1/128) —
+      both round half away from zero. Asserted exactly.
+    - SCALE 18 (the drift/pagerank per-term folds): engines DIVERGE on
+      some inputs — on ties (odd m/2^19, exact expansion ends in 5 at
+      digit 19) Spark rounds HALF_UP while DuckDB lands half-to-even,
+      and on long-mantissa doubles Spark casts via the shortest decimal
+      representation while DuckDB expands the exact binary value.
+      Divergence is bounded (~1e-18 for ties, ~1ulp of the double
+      otherwise) and absorbed by the final 6dp rounding every scale-18
+      path applies — asserted as: bounded, and at least one tie + one
+      long-mantissa case diverges (so if an engine change erases the
+      divergence, this test flags the doc for update).
+    """
+    import duckdb
+    from decimal import Decimal
+
+    ties6 = [m / 128 for m in (1, 3, 5, 7, 255, 1001)] + [
+        m / 256 for m in (1, 3, 9, 333)
+    ]
+    controls6 = [0.1, 2.675, 1e-7, 123456.654321, -0.0078125, -2.5e-6]
+    ties18 = [m / (1 << 19) for m in (1, 3, 5, 999)] + [-1 / (1 << 19)]
+    long18 = [123456.654321, 0.1, 2.675]
+    exact18 = [0.5, -0.25, 3.0]  # short dyadics, no tie, no long mantissa
+
+    agree = [(v, "decimal(18,6)") for v in ties6 + controls6] + [
+        (v, "decimal(38,18)") for v in exact18
+    ]
+    bounded = [(v, "decimal(38,18)") for v in ties18 + long18]
+
+    cases = agree + bounded
+    sdf = spark.createDataFrame(
+        [(i, v, t) for i, (v, t) in enumerate(cases)], ["i", "v", "t"]
+    )
+    spark_out = {}
+    for typ in ("decimal(18,6)", "decimal(38,18)"):
+        rows = (
+            sdf.filter(F.col("t") == typ)
+            .select("i", F.col("v").cast(typ).cast("string").alias("s"))
+            .collect()
+        )
+        spark_out.update({r.i: r.s for r in rows})
+
+    con = duckdb.connect()
+
+    def duck_cast(v, typ):
+        dtyp = typ.replace("decimal", "DECIMAL")
+        return con.execute(
+            f"SELECT CAST(CAST(? AS DOUBLE) AS {dtyp})", [v]
+        ).fetchone()[0]
+
+    for i, (v, typ) in enumerate(agree):
+        duck = duck_cast(v, typ)
+        assert Decimal(spark_out[i]) == duck, (
+            f"cast divergence at {v!r} ({typ}): spark={spark_out[i]} "
+            f"duckdb={duck}"
+        )
+    n_div = 0
+    for i, (v, typ) in enumerate(bounded, start=len(agree)):
+        duck = duck_cast(v, typ)
+        delta = abs(Decimal(spark_out[i]) - duck)
+        if delta:
+            n_div += 1
+        # bounded well inside what ROUND(.,6) absorbs for O(1) sums
+        assert delta < Decimal("1e-9") * max(1, abs(duck)), (v, typ, delta)
+    assert n_div > 0, (
+        "engines now agree on scale-18 ties/long-mantissa doubles — "
+        "update the DECIMAL-discipline docs (operators/corpus.py)"
+    )
+    con.close()
