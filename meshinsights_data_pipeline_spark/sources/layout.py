@@ -78,10 +78,20 @@ def idempotent_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
 
 
 def _reject_flat_table(spark: SparkSession, path: str) -> None:
-    """Raise if ``path`` holds a FLAT parquet table (top-level data
-    files, no ``_epoch=`` directories): mixing the epoch layout into it
-    would fail partition discovery on the next read. Migration: re-seed
-    once with ``idempotent_epoch_append(spark.read.parquet(old), new_dir,
+    """Raise if ``path`` holds any FLAT parquet data file (top-level,
+    outside ``_epoch=`` directories): mixing the epoch layout with flat
+    files fails partition discovery on the next read. Two ways to get
+    here, both rejected at WRITE time where the cause is visible:
+
+    - cold start against a table seeded under the legacy at-least-once
+      flat layout (no ``_epoch=`` dirs at all), and
+    - a RESUMED stream whose target directory gained flat files mid-run
+      (an upgrade-in-place gone wrong) — epoch dirs exist from earlier
+      micro-batches, but the next read would still die on the mixed
+      layout, far from the cause.
+
+    Migration: re-seed once with
+    ``idempotent_epoch_append(spark.read.parquet(old), new_dir,
     epoch_id=-1)`` (or move the flat files under ``_epoch=-1/``)."""
     fs, jpath, _ = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
@@ -94,9 +104,15 @@ def _reject_flat_table(spark: SparkSession, path: str) -> None:
             has_epoch_dir = True
         elif st.isFile() and not name.startswith("_") and name != "_SUCCESS":
             flat_file = name
-    if flat_file and not has_epoch_dir:
+    if flat_file:
+        detail = (
+            "flat data files appeared NEXT TO existing _epoch= "
+            "partitions (mid-run layout corruption)"
+            if has_epoch_dir
+            else "holds a flat parquet table"
+        )
         raise ValueError(
-            f"{path} holds a flat parquet table (e.g. {flat_file!r}) — "
+            f"{path} {detail} (e.g. {flat_file!r}) — "
             "appending _epoch= partitions to it would break partition "
             "discovery at read time. Migrate the seed first: "
             "idempotent_epoch_append(spark.read.parquet(path), new_dir, "

@@ -1388,3 +1388,63 @@ def test_gap_sessionize_parity_with_streaming(spark, bounded_stream_dir, tmp_pat
     cols = ["user_id", "session_start", "session_end", "cnt", "median_value"]
     assert len(streamed) > 0
     assert _canon(streamed, cols) == _canon(batch.collect(), cols)
+
+
+def test_idempotent_epoch_append_rejects_flat_gained_on_resume(spark, tmp_path):
+    """The upgrade-in-place hazard _reject_flat_table exists for: a
+    stream runs (epochs land), stops, the target directory gains FLAT
+    parquet files (someone 'migrates' by writing into it directly), and
+    the stream RESUMES from its checkpoint. The next micro-batch must
+    fail at WRITE time naming the mixed layout — not succeed and leave a
+    directory the next read dies on."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1)
+    spark.createDataFrame([(1, t0)], schema).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+
+    errors = []
+
+    def sink_batch(df, epoch_id):
+        try:
+            idempotent_epoch_append(df, sink, epoch_id)
+        except ValueError as e:
+            errors.append(str(e))
+            raise
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(sink_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # first run: epoch layout established
+    run_once()
+    assert spark.read.parquet(sink).count() == 1
+
+    # mid-run corruption: a flat file lands next to the _epoch= dirs
+    spark.createDataFrame([(99, t0)], schema).coalesce(1).toPandas().to_parquet(
+        sink + "/part-flat.parquet"
+    )
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(seconds=5))], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    # resume from the same checkpoint: the new micro-batch must refuse
+    with pytest.raises(Exception):
+        run_once()
+    assert errors and "NEXT TO existing _epoch=" in errors[-1]
