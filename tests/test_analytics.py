@@ -171,3 +171,121 @@ def test_curated_recheck_upgrade_only(spark):
     # SEPARATION_THRESHOLD; the curated medians are unambiguously bimodal, so
     # the stage must end High regardless of which pass catches it.
     assert out.variance_analysis[1]["variance"] == "High"
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation goldens for the numpy EM (VERDICT r9 item 5): sklearn is
+# absent in this environment, so M2's BIC selection is validated two
+# independent ways instead of against sklearn directly:
+#   1. parameter-recovery goldens — samples drawn (fixed rng) from KNOWN
+#      generating mixtures; the selected k must equal the truth and the
+#      recovered weights/means/stds must sit within tolerance of the
+#      generating parameters (what sklearn would also be graded on);
+#   2. an independently-coded reference EM (per-component loops, direct
+#      pdf arithmetic — no code shared with analytics/gmm.py) run at the
+#      true k from the same quantile init must agree on the fitted
+#      parameters to 1e-6, pinning the E/M algebra itself.
+
+
+def _reference_em(x, k, iters=200, tol=1e-6):
+    """Textbook EM, deliberately written differently from gmm._em_fit:
+    python loops over components, plain pdf (no log-sum-exp), scalar
+    accumulators."""
+    import math
+
+    n = len(x)
+    var_all = sum((v - sum(x) / n) ** 2 for v in x) / n
+    reg = max(1e-6, 1e-6 * var_all)
+    xs = sorted(x)
+
+    def quantile(q):
+        # numpy's default linear interpolation
+        pos = q * (n - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, n - 1)
+        return xs[lo] + (pos - lo) * (xs[hi] - xs[lo])
+
+    mu = [quantile((i + 0.5) / k) for i in range(k)]
+    var = [max(var_all, reg)] * k
+    w = [1.0 / k] * k
+    prev_ll = -math.inf
+    for _ in range(iters):
+        resp = []
+        ll = 0.0
+        for v in x:
+            dens = [
+                w[j]
+                * math.exp(-0.5 * (v - mu[j]) ** 2 / var[j])
+                / math.sqrt(2 * math.pi * var[j])
+                for j in range(k)
+            ]
+            s = sum(dens)
+            ll += math.log(s)
+            resp.append([d / s for d in dens])
+        nk = [sum(r[j] for r in resp) + 1e-300 for j in range(k)]
+        w = [nk[j] / n for j in range(k)]
+        mu = [sum(r[j] * v for r, v in zip(resp, x)) / nk[j] for j in range(k)]
+        var = [
+            sum(r[j] * (v - mu[j]) ** 2 for r, v in zip(resp, x)) / nk[j] + reg
+            for j in range(k)
+        ]
+        if abs(ll - prev_ll) < tol * (1 + abs(ll)):
+            break
+        prev_ll = ll
+    order = sorted(range(k), key=lambda j: mu[j])
+    return (
+        [w[j] for j in order],
+        [mu[j] for j in order],
+        [var[j] for j in order],
+    )
+
+
+GMM_GOLDENS = [
+    # (seed, [(weight, mean, std), ...]) — EPC:232-238-style stage powers
+    (0, [(1.0, 50.0, 3.0)]),
+    (1, [(0.5, 20.0, 2.0), (0.5, 60.0, 3.0)]),
+    (2, [(0.3, 10.0, 1.5), (0.7, 40.0, 2.5)]),
+    (3, [(0.25, 15.0, 1.0), (0.35, 45.0, 2.0), (0.4, 90.0, 3.0)]),
+]
+
+
+def test_gmm_recovers_generating_parameters():
+    import numpy as np
+
+    for seed, comps in GMM_GOLDENS:
+        rng = np.random.default_rng(seed)
+        n = 3000
+        parts = []
+        for wt, m, s in comps:
+            parts.append(rng.normal(m, s, int(round(n * wt))))
+        x = np.concatenate(parts)
+        fit = fit_best_gmm(x, 3)
+        assert fit.n_components == len(comps), (seed, fit.n_components)
+        for (wt, m, s), fw, fm, fv in zip(
+            comps, fit.weights, fit.means, fit.covariances
+        ):
+            assert abs(fw - wt) < 0.05, (seed, fw, wt)
+            assert abs(fm - m) < max(0.5, 0.05 * m), (seed, fm, m)
+            assert abs(fv**0.5 - s) < 0.4 * s, (seed, fv, s)
+
+
+def test_gmm_em_matches_independent_implementation():
+    import numpy as np
+
+    from meshinsights_data_pipeline_spark.analytics.gmm import _em_fit
+
+    for seed, comps in GMM_GOLDENS[:3]:
+        rng = np.random.default_rng(seed)
+        parts = [
+            rng.normal(m, s, int(round(600 * wt))) for wt, m, s in comps
+        ]
+        x = np.concatenate(parts)
+        k = len(comps)
+        fit = _em_fit(x, k)
+        rw, rm, rv = _reference_em(list(map(float, x)), k)
+        for a, b in zip(fit.weights, rw):
+            assert abs(a - b) < 1e-6, (seed, "w", a, b)
+        for a, b in zip(fit.means, rm):
+            assert abs(a - b) < 1e-5, (seed, "mu", a, b)
+        for a, b in zip(fit.covariances, rv):
+            assert abs(a - b) < 1e-4, (seed, "var", a, b)
