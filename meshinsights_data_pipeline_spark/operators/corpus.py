@@ -943,6 +943,105 @@ def lm_score_bigrams(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc log
+    importance ``log(p_target(doc) / p_raw(doc))`` under hashed-bigram
+    bag-of-features models with Laplace smoothing. Resampling the raw
+    corpus with these weights shifts it toward the target domain —
+    the standard pretraining-data selection recipe when a small
+    high-quality target corpus (Wikipedia, textbooks) should steer a
+    large raw crawl.
+
+    Features are word bigrams hashed into ``buckets`` (the paper's
+    hashed n-gram space): token 60-bit hashes pair per doc (the x51 LM
+    path — ``lm_token_hashes``/``lm_bigrams``), then
+    ``((h_prev % B) * 1000003 + h % B) % B`` buckets them; pure int
+    math, identical in DuckDB. Per-bucket log ratios use add-one
+    smoothing on BOTH distributions, so buckets unseen in the target
+    get a finite negative weight instead of -inf.
+
+    Returns [id, n_bigrams, dsir_logw] — docs with <2 tokens have no
+    bigrams and are absent (no evidence, no weight). ``dsir_logw`` is a
+    DECIMAL(38,18)-exact fold of the per-bucket ``n_b * lambda_b``
+    terms rounded to ``round_to`` (the q31/x51 discipline: order-proof
+    within an engine; the ~1e-18/ulp cross-engine log+cast wobble is
+    absorbed by the rounding).
+
+    Scale design (100 TB): the raw-corpus pass is ONE map-side
+    combinable groupBy per doc-bucket plus one per-bucket count whose
+    key space is ``buckets`` (bounded, tiny shuffle); the lambda table
+    is at most ``buckets`` rows and broadcasts; scoring is a broadcast
+    join + one per-doc aggregate. The target corpus is small by
+    definition (that is the DSIR premise). Nothing pairs, nothing
+    collects; in a real deployment the lambda table would be trained
+    once and loaded static — identical join shapes.
+    """
+    B = int(buckets)
+
+    def _doc_buckets(frame: DataFrame) -> DataFrame:
+        bi = lm_bigrams(lm_token_hashes(frame, id_col, text_col), id_col)
+        return bi.select(
+            F.col(id_col),
+            (
+                ((F.col("h_prev") % B) * F.lit(1000003) + (F.col("h") % B)) % B
+            ).alias("b"),
+        )
+
+    from meshinsights_data_pipeline_spark.operators.barrier import materialize
+
+    # per_doc feeds BOTH the raw distribution (c_r = sum of nb over docs —
+    # the same count as counting raw_b directly, without a second corpus
+    # tokenize pass) and the scoring join; it is small relative to its
+    # upstream (one row per (doc, distinct bucket) vs one per token), so
+    # the diamond barrier is the documented materialize() case.
+    per_doc = materialize(
+        _doc_buckets(df)
+        .groupBy(F.col(id_col), F.col("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    c_r = per_doc.groupBy("b").agg(F.sum("nb").cast("bigint").alias("c_r"))
+    t_r = c_r.agg(F.sum("c_r").cast("bigint").alias("t_r"))
+    c_t = (
+        _doc_buckets(target_df)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    t_t = c_t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("t_t"))
+    lam = (
+        c_r.join(c_t, "b", "left")
+        .crossJoin(F.broadcast(t_r))
+        .crossJoin(F.broadcast(t_t))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0)) / (F.col("t_t") + B))
+                / ((F.col("c_r") + F.lit(1.0)) / (F.col("t_r") + B))
+            ).alias("lam"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(lam), "b")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.sum("nb").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum((F.col("nb") * F.col("lam")).cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("dsir_logw"),
+        )
+    )
+
+
 def contamination_check_prefiltered(
     df: DataFrame,
     benchmark: DataFrame,

@@ -3105,6 +3105,86 @@ X68_SQL = f"""
 """
 
 
+def x70_dsir_weights(spark: SparkSession, sf_dir: str):
+    """DSIR importance weights (operators.corpus.dsir_weights; Xie et
+    al. 2023): hashed-bigram bag models with add-one smoothing score
+    every raw doc by log(p_target/p_raw) — the pretraining data
+    selection op that resamples a crawl toward a target domain. Target
+    here: the corpus's English slice (lang = 'en'); raw: the whole
+    corpus. Sliced to doc_id < 200 for a display-sized result — the
+    model training still sees the full corpus, which is what the query
+    exercises (the x51 pattern)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        dsir_weights(docs, docs.filter(F.col("lang") == "en"), "doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+_X70_NORM = _NORM_SQL.format(col="text")
+_X70_B = 4096
+
+
+def _x70_buckets_cte(tag: str, where: str) -> str:
+    """The tokenize->hash->bigram->bucket chain as CTEs prefixed ``tag``
+    (mirrors lm_token_hashes + lm_bigrams + the bucket formula)."""
+    return f"""
+{tag}words AS (
+    SELECT doc_id, string_split({_X70_NORM}, ' ') AS w FROM documents{where}
+),
+{tag}toks AS (
+    SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok FROM (
+        SELECT doc_id,
+               [{{'pos': i, 'tok': w[i]}} FOR i IN range(1, len(w) + 1)] AS ps
+        FROM {tag}words
+    ), UNNEST(ps) AS u(s)
+    WHERE u.s.tok <> ''
+),
+{tag}h AS (
+    SELECT doc_id, pos, {_H60_SQL.format(s='tok')} AS h FROM {tag}toks
+),
+{tag}bi AS (
+    SELECT doc_id, LAG(h) OVER (PARTITION BY doc_id ORDER BY pos) AS h_prev, h
+    FROM {tag}h
+),
+{tag}bkt AS (
+    SELECT doc_id,
+           ((h_prev % {_X70_B}) * 1000003 + (h % {_X70_B})) % {_X70_B} AS b
+    FROM {tag}bi WHERE h_prev IS NOT NULL
+)"""
+
+
+X70_SQL = f"""
+WITH {_x70_buckets_cte('r', '')},
+{_x70_buckets_cte('t', " WHERE lang = 'en'").lstrip()},
+cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM rbkt GROUP BY b),
+tr AS (SELECT CAST(SUM(c_r) AS BIGINT) AS t_r FROM cr),
+ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM tbkt GROUP BY b),
+tt AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS t_t FROM ct),
+lam AS (
+    SELECT cr.b,
+           LN(((COALESCE(ct.c_t, 0) + 1.0) / (tt.t_t + {_X70_B}))
+              / ((cr.c_r + 1.0) / (tr.t_r + {_X70_B}))) AS lam
+    FROM cr LEFT JOIN ct USING (b) CROSS JOIN tr CROSS JOIN tt
+),
+nb AS (
+    SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS nb
+    FROM rbkt GROUP BY doc_id, b
+)
+SELECT nb.doc_id,
+       CAST(SUM(nb.nb) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(nb.nb * lam.lam AS DECIMAL(38,18))) AS DOUBLE), 6)
+           AS dsir_logw
+FROM nb JOIN lam USING (b)
+WHERE nb.doc_id < 200
+GROUP BY nb.doc_id
+ORDER BY nb.doc_id
+"""
+
+
 def x69_gap_sessions(spark, sf_dir):
     """Idle-gap sessionization (operators.sessionize.sessionize_by_gap):
     a user's new session starts when >12h passed since their previous
@@ -3301,4 +3381,5 @@ EXTENSION_BUILDERS = {
     "x67_pagerank": (x67_pagerank, X67_SQL),
     "x68_scd2_lookup": (x68_scd2_lookup, X68_SQL),
     "x69_gap_sessions": (x69_gap_sessions, X69_SQL),
+    "x70_dsir_weights": (x70_dsir_weights, X70_SQL),
 }

@@ -2677,15 +2677,17 @@ _register_extensions()
 # r8 flake, plus x63/x64/x68/x67, q20/q28/q29, x41 centroid means, x51
 # avg_logp) and x12's promotion to auto-bits LSH (bits derived from the
 # exact corpus count, mirrored in the oracle) — 11 in all; (2) fill to
-# exactly 50 with the stalest green cohort: x69 (changed again this
-# round — value_sum now integer micros), x54 (last checked r6, the
-# single oldest row), the full 47-query r7 cohort, and the oldest
-# r8-checked query (q64) to fill to 50. Any query ADDED this round must
-# be inserted at the head in the same commit (see the window-rotation
+# exactly 50 with the stalest green cohort: x70 (NEW this round — never
+# driver-checked), x69 (changed again this round — value_sum now
+# integer micros), x54 (last checked r6, the single oldest row), and
+# the full 47-query r7 cohort. Any query ADDED this round must be
+# inserted at the head in the same commit (see the window-rotation
 # invariant note).
 # _rotate_for_driver validates membership AND the exactly-50 invariant.
 # Rotation does not change any query; it only reorders the dict.
 _DRIVER_WINDOW_R10 = [
+    # (0) added this round, never driver-checked
+    "x70_dsir_weights",
     # (1) changed this round: x69 value_sum -> integer micros (BIGINT)
     "x69_gap_sessions",
     # (2) single stalest row (last checked r6)
@@ -2702,8 +2704,6 @@ _DRIVER_WINDOW_R10 = [
     "x50_corpus_report", "x53_quality_top_fraction",
     "x55_weighted_sample", "x56_semantic_decontamination",
     "x57_source_overlap",
-    # (4) oldest r8-checked query fills to exactly 50
-    "q64",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R10
 

@@ -724,3 +724,41 @@ def test_source_drift_stays_jvm_side(spark):
     p = source_drift(df, "source", "text")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p  # the grid cross join is broadcast
+
+
+def test_dsir_weights_orders_by_target_similarity(spark):
+    """Docs drawn from the target distribution must out-score docs from a
+    disjoint vocabulary: DSIR's defining property. Also pins the smoothing
+    floor: a bucket unseen in the target gets a finite negative weight."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # = target
+            (2, "zulu xray yankee victor whiskey uniform tango sierra"),  # disjoint
+            (3, "the quick brown fox visits zulu xray yankee victor"),  # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dsir_weights(raw, target, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].dsir_logw > rows[3].dsir_logw > rows[2].dsir_logw
+    assert rows[1].dsir_logw > 0  # matches target better than the raw mix
+    assert rows[2].dsir_logw < 0  # pure off-target: negative log-ratio
+    assert rows[1].n_bigrams == 8
+
+
+def test_dsir_weights_single_token_docs_absent(spark):
+    """<2 tokens -> no bigrams -> no evidence -> no row (documented)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dsir_weights
+
+    target = spark.createDataFrame([(10, "a b c")], ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], ["doc_id", "text"]
+    )
+    got = {r.doc_id for r in dsir_weights(raw, target, "doc_id", "text").collect()}
+    assert got == {3}

@@ -713,3 +713,20 @@ def test_double_to_decimal_cast_ties_agree_with_duckdb(spark):
         "update the DECIMAL-discipline docs (operators/corpus.py)"
     )
     con.close()
+
+
+def test_dsir_logw_layout_invariant(spark, sf_smoke):
+    """x70's per-doc DECIMAL fold of n_b * lambda_b terms is identical
+    under shuffled physical layouts (the q31/x51 discipline applied to
+    DSIR importance weights)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dsir_weights
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    outs = [
+        _canon(
+            dsir_weights(d, d.filter(F.col("lang") == "en"), "doc_id", "text")
+        )
+        for d in _layouts(docs)
+    ]
+    assert outs[0] == outs[1] == outs[2]
