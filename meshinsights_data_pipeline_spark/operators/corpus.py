@@ -984,38 +984,57 @@ def dsir_weights(
     collects; in a real deployment the lambda table would be trained
     once and loaded static — identical join shapes.
     """
-    B = int(buckets)
-
-    def _doc_buckets(frame: DataFrame) -> DataFrame:
-        bi = lm_bigrams(lm_token_hashes(frame, id_col, text_col), id_col)
-        return bi.select(
-            F.col(id_col),
-            (
-                ((F.col("h_prev") % B) * F.lit(1000003) + (F.col("h") % B)) % B
-            ).alias("b"),
-        )
-
     from meshinsights_data_pipeline_spark.operators.barrier import materialize
 
     # per_doc feeds BOTH the raw distribution (c_r = sum of nb over docs —
-    # the same count as counting raw_b directly, without a second corpus
-    # tokenize pass) and the scoring join; it is small relative to its
-    # upstream (one row per (doc, distinct bucket) vs one per token), so
-    # the diamond barrier is the documented materialize() case.
+    # the same count as counting the occurrence stream directly, without a
+    # second corpus tokenize pass) and the scoring join; it is small
+    # relative to its upstream (one row per (doc, distinct bucket) vs one
+    # per token), so the diamond barrier is the documented materialize()
+    # case.
     per_doc = materialize(
-        _doc_buckets(df)
+        dsir_doc_buckets(df, id_col, text_col, buckets)
         .groupBy(F.col(id_col), F.col("b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
     )
     c_r = per_doc.groupBy("b").agg(F.sum("nb").cast("bigint").alias("c_r"))
-    t_r = c_r.agg(F.sum("c_r").cast("bigint").alias("t_r"))
     c_t = (
-        _doc_buckets(target_df)
+        dsir_doc_buckets(target_df, id_col, text_col, buckets)
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
     )
+    lam = dsir_lambda(c_r, c_t, buckets)
+    return dsir_score(per_doc, lam, id_col, round_to)
+
+
+def dsir_doc_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int = 4096
+) -> DataFrame:
+    """[id, b] hashed-bigram bucket occurrences per doc (duplicates
+    kept): the x51 token-hash + bigram chain with
+    ``((h_prev % B) * 1000003 + h % B) % B`` on top — pure int math,
+    identical in DuckDB (X70_SQL). Shared by the batch operator and the
+    streaming twin."""
+    B = int(buckets)
+    bi = lm_bigrams(lm_token_hashes(df, id_col, text_col), id_col)
+    return bi.select(
+        F.col(id_col),
+        (((F.col("h_prev") % B) * F.lit(1000003) + (F.col("h") % B)) % B).alias(
+            "b"
+        ),
+    )
+
+
+def dsir_lambda(c_r: DataFrame, c_t: DataFrame, buckets: int = 4096) -> DataFrame:
+    """Per-bucket log importance ratios [b, lam] from raw counts
+    [b, c_r] and target counts [b, c_t] (add-one smoothing on both
+    sides; ``lam`` defined on the raw bucket set — a bucket no raw doc
+    hits never needs a weight). At most ``buckets`` rows in, at most
+    ``buckets`` out: always broadcastable."""
+    B = int(buckets)
+    t_r = c_r.agg(F.sum("c_r").cast("bigint").alias("t_r"))
     t_t = c_t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("t_t"))
-    lam = (
+    return (
         c_r.join(c_t, "b", "left")
         .crossJoin(F.broadcast(t_r))
         .crossJoin(F.broadcast(t_t))
@@ -1027,6 +1046,14 @@ def dsir_weights(
             ).alias("lam"),
         )
     )
+
+
+def dsir_score(
+    per_doc: DataFrame, lam: DataFrame, id_col: str, round_to: int = 6
+) -> DataFrame:
+    """Score per-doc bucket counts [id, b, nb] against a lambda table
+    [b, lam] (broadcast join + one per-doc aggregate): [id, n_bigrams,
+    dsir_logw], the DECIMAL(38,18)-fold + round discipline."""
     return (
         per_doc.join(F.broadcast(lam), "b")
         .groupBy(F.col(id_col))

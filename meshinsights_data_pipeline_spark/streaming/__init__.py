@@ -21,6 +21,9 @@ from meshinsights_data_pipeline_spark.streaming.drift import (
 from meshinsights_data_pipeline_spark.streaming.joins import (
     streaming_interval_join,
 )
+from meshinsights_data_pipeline_spark.streaming.dsir import (
+    streaming_dsir_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
@@ -61,6 +64,7 @@ __all__ = [
     "streaming_pq_ingest",
     "streaming_report_ingest",
     "report_from_state",
+    "streaming_dsir_ingest",
     "streaming_lm_ingest",
     "streaming_drift_ingest",
     "streaming_debounce",

@@ -1448,3 +1448,54 @@ def test_idempotent_epoch_append_rejects_flat_gained_on_resume(spark, tmp_path):
     with pytest.raises(Exception):
         run_once()
     assert errors and "NEXT TO existing _epoch=" in errors[-1]
+
+
+def test_streaming_dsir_parity_and_retry(spark, tmp_path):
+    """Single-batch weights must equal the batch operator exactly; a
+    second batch's docs score against the MERGED (history+batch) raw
+    model with the STATIC target, i.e. equal the batch operator over the
+    union filtered to the new docs; a retried epoch leaves state and
+    scores unchanged."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dsir_weights
+    from meshinsights_data_pipeline_spark.sources.layout import snapshot_overwrite
+    from meshinsights_data_pipeline_spark.streaming import streaming_dsir_ingest
+
+    schema = "doc_id long, text string"
+    target = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the quick brown dog sleeps near the lazy fox")], schema)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox naps all day"),
+         (2, "zulu xray yankee victor whiskey uniform tango")], schema)
+    b2 = spark.createDataFrame(
+        [(3, "the lazy dog jumps over the quick fox"),
+         (4, "fresh vocabulary expands the raw model")], schema)
+    cnt_dir, sc_dir = str(tmp_path / "cnt"), str(tmp_path / "sc")
+    snapshot_overwrite(
+        spark.createDataFrame([], "b long, c_r long"), cnt_dir, -1)
+
+    process = streaming_dsir_ingest(
+        target, counts_dir=cnt_dir, scores_dir=sc_dir)
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, r.n_bigrams, r.dsir_logw) for r in df.collect())
+
+    process(b1, 0)
+    got1 = canon(spark.read.parquet(sc_dir))
+    assert got1 == canon(dsir_weights(b1, target, "doc_id", "text"))
+
+    process(b2, 1)
+    all_scores = spark.read.parquet(sc_dir)
+    got2 = canon(all_scores.filter(F.col("doc_id") >= 3))
+    expect2 = canon(
+        dsir_weights(b1.unionByName(b2), target, "doc_id", "text")
+        .filter(F.col("doc_id") >= 3))
+    assert got2 == expect2
+    # batch-1 docs keep their epoch-0 weights (forward-looking)
+    assert canon(all_scores.filter(F.col("doc_id") < 3)) == got1
+
+    process(b2, 1)  # simulated retry
+    after = spark.read.parquet(sc_dir)
+    assert canon(after.filter(F.col("doc_id") >= 3)) == got2
+    assert after.count() == 4  # no duplicated score rows
