@@ -563,3 +563,19 @@ def test_x67_pagerank_no_cartesian_edge_keyed_rounds(spark, sf_smoke):
     p = _plan(QUERIES["x67_pagerank"].spark(spark, sf_smoke))
     assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
     assert "HashAggregate" in p
+
+
+def test_dsir_weights_broadcasts_lambda_no_cartesian(docs):
+    """x70's scale contract: the lambda table (<= buckets rows) joins by
+    BROADCAST hash join — never sort-merge (a bucket-keyed SMJ would
+    shuffle the corpus-sized per-doc table on a 4096-key space) — and
+    nothing in the plan is a CartesianProduct; the only nested-loop
+    joins are the two one-row totals cross joins. JVM-only end to end."""
+    from meshinsights_data_pipeline_spark.operators.corpus import dsir_weights
+
+    df = dsir_weights(docs, docs.filter(F.col("lang") == "en"), "doc_id", "text")
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # lambda join + c_t left join
+    assert "EvalPython" not in p
