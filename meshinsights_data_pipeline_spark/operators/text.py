@@ -149,6 +149,86 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    top_k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``top_k`` documents by BM25 relevance to a bag of query terms
+    (Robertson et al.; the retrieval primitive behind search-based
+    decontamination and targeted quality selection in pretraining
+    pipelines).
+
+    Cross-engine determinism follows the x33 ratio-idf discipline: idf is
+    the raw Robertson ratio ``(N - df + 0.5) / (df + 0.5)`` (no ln —
+    Spark's Math.log and DuckDB's libm ln disagree in the final ulp on
+    ~9% of inputs), so every per-term score is a chain of single
+    correctly-rounded IEEE ops evaluated in the same association on both
+    engines. The per-doc sum over query terms folds through
+    DECIMAL(38,18) (order-independent) and rounds to 6dp; ranking is on
+    the rounded score with an ``id_col`` tiebreak.
+
+    Scale shape: document length is computed MAP-SIDE from the token
+    array (no all-token shuffle — only tokens matching a query term ever
+    enter a shuffle); df / N / avgdl live in broadcast one-row or
+    |query|-row frames; the global top-k uses the distributed offset
+    rank (global_rank.with_global_row_number), never a single-partition
+    window. At 100 TB the dominant cost is the parquet scan plus a
+    shuffle of |docs matching >=1 term| rows.
+    """
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col), F.size("_toks").alias("dl"), F.col("_toks")
+    )
+    # N over ALL docs and total token mass; zero-token docs contribute dl=0.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
+    ).select("n", (F.col("tl").cast("double") / F.col("n")).alias("avgdl"))
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # association mirrored token-for-token in the SQL oracle (X71_SQL)
+    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tc") * F.lit(k1 + 1.0)) / (
+        F.col("tc")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_part).alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    ranked = with_global_row_number(
+        scored, [F.col("score").desc(), F.col(id_col).asc()], out_col="rk"
+    )
+    return (
+        ranked.filter(F.col("rk") <= top_k)
+        .select(F.col(id_col), "n_terms", "score", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("rk")
+    )
+
+
 def html_to_text(col: Column | str) -> Column:
     """Visible text from raw HTML — the crawl-prep extraction step that
     runs before every text operator (quality, lang-id, dedup). Chained

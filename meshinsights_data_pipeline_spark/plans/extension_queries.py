@@ -3185,6 +3185,71 @@ ORDER BY nb.doc_id
 """
 
 
+_X71_TERMS = ("dup", "vector", "scan")
+_X71_K = 50
+
+
+def x71_bm25_topk(spark: SparkSession, sf_dir: str):
+    """BM25 ranked retrieval (text.bm25_topk): top-50 documents for the
+    query bag {dup, vector, scan} — one rare term (df=25/500 at sf0.01)
+    plus two common ones, so the rare-term idf genuinely drives the
+    ranking. The retrieval primitive behind search-based eval-set
+    decontamination and targeted quality selection. Ratio-form
+    Robertson idf (no ln — the x33 cross-engine discipline),
+    DECIMAL(38,18) fold over the per-term scores, rank on the rounded
+    score via the distributed offset rank (never a single-partition
+    window)."""
+    from meshinsights_data_pipeline_spark.operators.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", list(_X71_TERMS), top_k=_X71_K)
+
+
+_X71_NORM = _NORM_SQL.format(col="text")
+_X71_IN = ", ".join(f"'{t}'" for t in _X71_TERMS)
+
+X71_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split({_X71_NORM}, ' '), t -> t <> '') AS toks
+    FROM documents
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (
+    SELECT (SELECT COUNT(*) FROM base) AS n,
+           (SELECT (SUM(dl) * 1.0) / (SELECT COUNT(*) FROM base) FROM dls)
+               AS avgdl
+),
+tf AS (
+    SELECT b.doc_id, d.dl, u.term AS term, COUNT(*) AS tc
+    FROM base b
+    JOIN dls d USING (doc_id), UNNEST(b.toks) AS u(term)
+    WHERE u.term IN ({_X71_IN})
+    GROUP BY b.doc_id, d.dl, u.term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+terms_scored AS (
+    SELECT tf.doc_id,
+           ((s.n - d.df + 0.5) / (d.df + 0.5))
+           * ((tf.tc * 2.2)
+              / (tf.tc + 1.2 * (0.25 + 0.75 * (tf.dl / s.avgdl)))) AS w
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+scored AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+    FROM terms_scored GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_terms, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, n_terms, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_X71_K} ORDER BY rk
+"""
+
+
 def x69_gap_sessions(spark, sf_dir):
     """Idle-gap sessionization (operators.sessionize.sessionize_by_gap):
     a user's new session starts when >12h passed since their previous
@@ -3316,6 +3381,7 @@ X67_SQL = f"""
 
 
 EXTENSION_BUILDERS = {
+    "x71_bm25_topk": (x71_bm25_topk, X71_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -2686,7 +2686,9 @@ _register_extensions()
 # _rotate_for_driver validates membership AND the exactly-50 invariant.
 # Rotation does not change any query; it only reorders the dict.
 _DRIVER_WINDOW_R10 = [
-    # (0) added this round, never driver-checked
+    # (0) added this round, never driver-checked (x57_source_overlap
+    # yields its slot to x71 and rejoins the stale rotation next round)
+    "x71_bm25_topk",
     "x70_dsir_weights",
     # (1) changed this round: x69 value_sum -> integer micros (BIGINT)
     "x69_gap_sessions",
@@ -2703,7 +2705,6 @@ _DRIVER_WINDOW_R10 = [
     "x21_winnow_fingerprints", "x22_gopher_quality", "x37_pq_topk",
     "x50_corpus_report", "x53_quality_top_fraction",
     "x55_weighted_sample", "x56_semantic_decontamination",
-    "x57_source_overlap",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R10
 

@@ -307,6 +307,42 @@ def test_tfidf_top_terms(spark):
     assert by_doc[3] == [(1, "date"), (2, "cherry")]
 
 
+def test_bm25_topk(spark):
+    from meshinsights_data_pipeline_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "dup dup alpha"),
+            (2, "alpha beta dup"),
+            (3, "alpha beta gamma gamma"),
+        ],
+        "id long, t string",
+    )
+    rows = bm25_topk(df, "id", "t", ["dup", "gamma"], top_k=3).collect()
+    # independent recomputation of the exact formula (N=3, avgdl=10/3)
+    def score(pairs, dl, n=3, avgdl=10 / 3):
+        s = 0.0
+        for tc, dfq in pairs:
+            idf = (n - dfq + 0.5) / (dfq + 0.5)
+            s += idf * ((tc * 2.2) / (tc + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        return round(s, 6)
+
+    want = {
+        1: score([(2, 2)], 3),          # dup tc=2, df=2
+        2: score([(1, 2)], 3),          # dup tc=1
+        3: score([(2, 1)], 4),          # gamma tc=2, df=1
+    }
+    got = {r.id: r.score for r in rows}
+    assert got == pytest.approx(want, abs=1e-9)
+    # gamma's rare-term idf puts doc 3 on top; ranks are dense 1..3
+    assert [(r.rk, r.id) for r in sorted(rows, key=lambda r: r.rk)] == [
+        (1, 3), (2, 1), (3, 2),
+    ]
+    assert all(r.n_terms == 1 for r in rows)
+    # top_k truncates after ranking
+    assert [r.id for r in bm25_topk(df, "id", "t", ["dup", "gamma"], top_k=1).collect()] == [3]
+
+
 def test_pq_encode_and_topk(vectors):
     codes = {r.vec_id: list(r.codes) for r in
              S.pq_encode(vectors, dim=16, m=4).collect()}

@@ -579,3 +579,20 @@ def test_dsir_weights_broadcasts_lambda_no_cartesian(docs):
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2  # lambda join + c_t left join
     assert "EvalPython" not in p
+
+
+def test_bm25_topk_broadcasts_stats_no_cartesian(docs):
+    """x71's scale contract: df/N/avgdl live in broadcast frames (the
+    only nested-loop joins are the one-row stats cross joins), document
+    length is computed map-side (no all-token shuffle -> no sort-merge
+    join anywhere), and the global top-k is the distributed offset rank
+    whose single window runs on the #partitions-row counts frame — the
+    corpus-sized frame never passes through a global Window. JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.text import bm25_topk
+
+    df = bm25_topk(docs, "doc_id", "text", ["dup", "vector", "scan"])
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # dfreq join + rank offsets
+    assert "EvalPython" not in p

@@ -730,3 +730,18 @@ def test_dsir_logw_layout_invariant(spark, sf_smoke):
         for d in _layouts(docs)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_bm25_layout_invariant(spark, sf_smoke):
+    """x71's per-doc DECIMAL fold over query-term scores and the
+    distributed offset rank are identical under shuffled physical
+    layouts (the q31/x51 discipline applied to BM25 retrieval)."""
+    from meshinsights_data_pipeline_spark.operators.text import bm25_topk
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    outs = [
+        _canon(bm25_topk(d, "doc_id", "text", ["dup", "vector", "scan"]))
+        for d in _layouts(docs)
+    ]
+    assert outs[0] == outs[1] == outs[2]
