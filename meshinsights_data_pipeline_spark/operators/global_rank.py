@@ -297,6 +297,47 @@ def grouped_ranked_percentiles(
     return per_group.select(*outs)
 
 
+def global_topk(
+    df: DataFrame,
+    order_by: list[str | Column],
+    k: int,
+    salt_col: Column,
+    out_col: str = "rk",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep the global top ``k`` rows under the total order ``order_by``,
+    emitting a 1-based rank. Bit-identical to ``row_number() OVER (ORDER
+    BY order_by) <= k`` but skew-proof and single-pass: a plain global
+    window sends EVERY row into one task, and
+    :func:`with_global_row_number` evaluates the input twice (its range
+    partitioner samples the frame before the real pass) — wasteful when
+    only the top k survive. Phase 1 takes a local top-k per salt bucket
+    (salt from a hash of ``salt_col``, which must be part of the total
+    order's tiebreak); phase 2 ranks the <= ``k * salt_buckets``
+    survivors, a bounded frame at any input scale — the
+    similarity._two_phase_rank idiom with a constant partition key.
+
+    ``order_by`` must reach a unique key or tied ranks are
+    partition-placement-dependent (same contract as
+    with_global_row_number)."""
+    if k < 1:
+        raise ValueError(f"global_topk needs k >= 1, got {k}")
+    if salt_buckets and salt_buckets > 1:
+        local_w = Window.partitionBy("_gt_salt").orderBy(*order_by)
+        df = (
+            df.withColumn(
+                "_gt_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets))
+            )
+            .withColumn("_gt_lrk", F.row_number().over(local_w))
+            .filter(F.col("_gt_lrk") <= k)
+            .drop("_gt_salt", "_gt_lrk")
+        )
+    w = Window.orderBy(*order_by)
+    return df.withColumn(out_col, F.row_number().over(w)).filter(
+        F.col(out_col) <= k
+    )
+
+
 def equal_depth_tile(
     df: DataFrame,
     order_by: list[str | Column],

@@ -175,9 +175,11 @@ def bm25_topk(
     Scale shape: document length is computed MAP-SIDE from the token
     array (no all-token shuffle — only tokens matching a query term ever
     enter a shuffle); df / N / avgdl live in broadcast one-row or
-    |query|-row frames; the global top-k uses the distributed offset
-    rank (global_rank.with_global_row_number), never a single-partition
-    window. At 100 TB the dominant cost is the parquet scan plus a
+    |query|-row frames; the global top-k is the salted two-phase rank
+    (global_rank.global_topk) — per-salt local top-k, then a window
+    over the <= k x 16 survivors — so no corpus-sized frame crosses a
+    single-partition window and the scored frame is evaluated exactly
+    once. At 100 TB the dominant cost is the parquet scan plus a
     shuffle of |docs matching >=1 term| rows.
     """
     toks = F.filter(
@@ -190,7 +192,13 @@ def bm25_topk(
     stats = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
     ).select("n", (F.col("tl").cast("double") / F.col("n")).alias("avgdl"))
-    tf = (
+    from meshinsights_data_pipeline_spark.operators.barrier import materialize
+
+    # tf feeds BOTH the df table and the scoring stream (a diamond): one
+    # row per (matching doc, query term) — small relative to the token
+    # stream behind it — so the documented materialize() case applies;
+    # without it each broadcast build re-runs the corpus tokenize pass.
+    tf = materialize(
         base.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
         .filter(F.col("term").isin(list(query_terms)))
         .groupBy(id_col, "dl", "term")
@@ -216,17 +224,19 @@ def bm25_topk(
         )
     )
     from meshinsights_data_pipeline_spark.operators.global_rank import (
-        with_global_row_number,
+        global_topk,
     )
 
-    ranked = with_global_row_number(
-        scored, [F.col("score").desc(), F.col(id_col).asc()], out_col="rk"
+    ranked = global_topk(
+        scored,
+        [F.col("score").desc(), F.col(id_col).asc()],
+        top_k,
+        salt_col=F.col(id_col),
+        out_col="rk",
     )
-    return (
-        ranked.filter(F.col("rk") <= top_k)
-        .select(F.col(id_col), "n_terms", "score", F.col("rk").cast("bigint").alias("rk"))
-        .orderBy("rk")
-    )
+    return ranked.select(
+        F.col(id_col), "n_terms", "score", F.col("rk").cast("bigint").alias("rk")
+    ).orderBy("rk")
 
 
 def html_to_text(col: Column | str) -> Column:

@@ -3197,8 +3197,8 @@ def x71_bm25_topk(spark: SparkSession, sf_dir: str):
     decontamination and targeted quality selection. Ratio-form
     Robertson idf (no ln — the x33 cross-engine discipline),
     DECIMAL(38,18) fold over the per-term scores, rank on the rounded
-    score via the distributed offset rank (never a single-partition
-    window)."""
+    score via the salted two-phase global top-k (never a corpus-sized
+    single-partition window)."""
     from meshinsights_data_pipeline_spark.operators.text import bm25_topk
 
     docs = read_table(spark, sf_dir, "documents")

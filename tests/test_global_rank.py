@@ -162,3 +162,36 @@ def test_grouped_ranked_percentiles_match_grouped_aggregate(spark):
     for g in want:
         for a, b in zip(got[g], want[g]):
             assert abs(a - b) < 1e-9, (g, got[g], want[g])
+
+
+def test_global_topk_matches_window(spark):
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        global_topk,
+    )
+
+    df = _frame(spark, 500)  # collides on v -> id tiebreak matters
+    got = {
+        (r.id, r.rk)
+        for r in global_topk(
+            df, [F.col("v").asc(), F.col("id").asc()], 37, salt_col=F.col("id")
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r.id, r.rk)
+        for r in df.select("id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 37)
+        .collect()
+    }
+    assert got == want
+    # k larger than the frame: every row survives, ranks dense 1..N
+    all_rk = sorted(
+        r.rk
+        for r in global_topk(
+            df, [F.col("v").asc(), F.col("id").asc()], 10_000,
+            salt_col=F.col("id"),
+        ).collect()
+    )
+    assert all_rk == list(range(1, 501))
+    with pytest.raises(ValueError):
+        global_topk(df, ["v"], 0, salt_col=F.col("id"))

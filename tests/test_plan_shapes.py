@@ -583,16 +583,20 @@ def test_dsir_weights_broadcasts_lambda_no_cartesian(docs):
 
 def test_bm25_topk_broadcasts_stats_no_cartesian(docs):
     """x71's scale contract: df/N/avgdl live in broadcast frames (the
-    only nested-loop joins are the one-row stats cross joins), document
+    only nested-loop join is the one-row stats cross join), document
     length is computed map-side (no all-token shuffle -> no sort-merge
-    join anywhere), and the global top-k is the distributed offset rank
-    whose single window runs on the #partitions-row counts frame — the
-    corpus-sized frame never passes through a global Window. JVM-only."""
+    join anywhere), the tf diamond reuses ONE materialized frame for
+    both the df build and the scoring stream (two InMemoryTableScans —
+    a third corpus tokenize pass would surface as a missing cache hit),
+    and the global top-k is the salted two-phase rank, so the only
+    unpartitioned window input is the <= k x 16 survivor frame.
+    JVM-only."""
     from meshinsights_data_pipeline_spark.operators.text import bm25_topk
 
     df = bm25_topk(docs, "doc_id", "text", ["dup", "vector", "scan"])
     p = _plan(df)
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
-    assert p.count("BroadcastHashJoin") >= 2  # dfreq join + rank offsets
+    assert p.count("BroadcastHashJoin") >= 1  # dfreq join
+    assert p.count("InMemoryTableScan") == 2  # tf diamond via barrier
     assert "EvalPython" not in p
