@@ -149,6 +149,64 @@ def tfidf_top_terms(
     )
 
 
+def _bm25_frames(
+    df: DataFrame, id_col: str, text_col: str, query_terms: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """The two BM25 input frames from one tokenize chain: per-doc lengths
+    ``[id, dl]`` over ALL docs (dl map-side from the token array — no
+    all-token shuffle) and term frequencies ``[id, dl, term, tc]``
+    restricted to the query terms (only matching tokens enter the
+    groupBy shuffle). Shared by the batch operator and the streaming
+    twin so their scores are definitionally identical."""
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col), F.size("_toks").alias("dl"), F.col("_toks")
+    )
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    return base.select(F.col(id_col), "dl"), tf
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-doc BM25 scores ``[id, n_terms, score]`` from a term-frequency
+    frame, a ``[term, df]`` table and a one-row ``[n, avgdl]`` stats
+    frame (both broadcast). Association is mirrored token-for-token in
+    the SQL oracle (X71_SQL); the per-doc sum over query terms folds
+    through DECIMAL(38,18) so it is aggregation-order-independent."""
+    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_part = (F.col("tc") * F.lit(k1 + 1.0)) / (
+        F.col("tc")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_part).alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(38,18)")).cast("double"),
+                round_to,
+            ).alias("score"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
@@ -182,50 +240,23 @@ def bm25_topk(
     once. At 100 TB the dominant cost is the parquet scan plus a
     shuffle of |docs matching >=1 term| rows.
     """
-    toks = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    from meshinsights_data_pipeline_spark.operators.barrier import materialize
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        global_topk,
     )
-    base = df.select(F.col(id_col), toks.alias("_toks")).select(
-        F.col(id_col), F.size("_toks").alias("dl"), F.col("_toks")
-    )
+
+    dls, tf0 = _bm25_frames(df, id_col, text_col, query_terms)
     # N over ALL docs and total token mass; zero-token docs contribute dl=0.
-    stats = base.agg(
+    stats = dls.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tl")
     ).select("n", (F.col("tl").cast("double") / F.col("n")).alias("avgdl"))
-    from meshinsights_data_pipeline_spark.operators.barrier import materialize
-
     # tf feeds BOTH the df table and the scoring stream (a diamond): one
     # row per (matching doc, query term) — small relative to the token
     # stream behind it — so the documented materialize() case applies;
     # without it each broadcast build re-runs the corpus tokenize pass.
-    tf = materialize(
-        base.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
+    tf = materialize(tf0)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # association mirrored token-for-token in the SQL oracle (X71_SQL)
-    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    tf_part = (F.col("tc") * F.lit(k1 + 1.0)) / (
-        F.col("tc")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), (idf * tf_part).alias("w"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.round(
-                F.sum(F.col("w").cast("decimal(38,18)")).cast("double"), 6
-            ).alias("score"),
-        )
-    )
-    from meshinsights_data_pipeline_spark.operators.global_rank import (
-        global_topk,
-    )
+    scored = _bm25_score(tf, dfreq, stats, id_col, k1, b)
 
     ranked = global_topk(
         scored,

@@ -21,6 +21,9 @@ from meshinsights_data_pipeline_spark.streaming.drift import (
 from meshinsights_data_pipeline_spark.streaming.joins import (
     streaming_interval_join,
 )
+from meshinsights_data_pipeline_spark.streaming.bm25 import (
+    streaming_bm25_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.dsir import (
     streaming_dsir_ingest,
 )
@@ -64,6 +67,7 @@ __all__ = [
     "streaming_pq_ingest",
     "streaming_report_ingest",
     "report_from_state",
+    "streaming_bm25_ingest",
     "streaming_dsir_ingest",
     "streaming_lm_ingest",
     "streaming_drift_ingest",

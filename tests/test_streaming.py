@@ -1499,3 +1499,74 @@ def test_streaming_dsir_parity_and_retry(spark, tmp_path):
     after = spark.read.parquet(sc_dir)
     assert canon(after.filter(F.col("doc_id") >= 3)) == got2
     assert after.count() == 4  # no duplicated score rows
+
+
+def test_streaming_bm25_parity_and_retry(spark, tmp_path):
+    """Single-batch scores must equal the batch operator's scored frame
+    exactly; a second batch's docs score against the MERGED
+    (history+batch) corpus statistics, i.e. equal the batch operator
+    over the union filtered to the new docs; a retried epoch leaves
+    counters and scores unchanged."""
+    from meshinsights_data_pipeline_spark.operators.text import bm25_topk
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_bm25_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.bm25 import COUNTER_SCHEMA
+
+    schema = "doc_id long, text string"
+    terms = ["fox", "dog"]
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a fox a fox a fox den"),
+         (3, "no matching terms at all here")], schema)
+    b2 = spark.createDataFrame(
+        [(4, "dog dog dog dog park"),
+         (5, "the slow green turtle naps")], schema)
+    cnt_dir, sc_dir = str(tmp_path / "cnt"), str(tmp_path / "sc")
+    snapshot_overwrite(spark.createDataFrame([], COUNTER_SCHEMA), cnt_dir, -1)
+
+    process = streaming_bm25_ingest(
+        terms, counts_dir=cnt_dir, scores_dir=sc_dir)
+
+    def canon(df):
+        return sorted((r.doc_id, r.n_terms, r.score) for r in df.collect())
+
+    def batch_scores(docs):
+        # the batch operator's scored frame = top-k with k >= |docs|
+        return bm25_topk(docs, "doc_id", "text", terms, top_k=1000).drop("rk")
+
+    process(b1, 0)
+    got1 = canon(spark.read.parquet(sc_dir))
+    assert got1 == canon(batch_scores(b1))
+    assert len(got1) == 2  # doc 3 matches no term, never scored
+
+    process(b2, 1)
+    all_scores = spark.read.parquet(sc_dir)
+    got2 = canon(all_scores.filter(F.col("doc_id") >= 4))
+    expect2 = canon(
+        batch_scores(b1.unionByName(b2)).filter(F.col("doc_id") >= 4))
+    assert got2 == expect2
+    # batch-1 docs keep their epoch-0 scores (forward-looking)
+    assert canon(all_scores.filter(F.col("doc_id") < 4)) == got1
+
+    # merged counters reflect the full history: n counts ALL docs
+    # (non-matching included), df only matching ones
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+    )
+    counters = {
+        r.key: r.val for r in snapshot_before(spark, cnt_dir, 99).collect()
+    }
+    assert counters["n"] == 5
+    assert counters["df:fox"] == 2 and counters["df:dog"] == 2
+
+    process(b2, 1)  # simulated retry
+    after = spark.read.parquet(sc_dir)
+    assert canon(after.filter(F.col("doc_id") >= 4)) == got2
+    assert after.count() == 3  # no duplicated score rows
+    assert {
+        r.key: r.val for r in snapshot_before(spark, cnt_dir, 99).collect()
+    } == counters
