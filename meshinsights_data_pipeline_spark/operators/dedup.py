@@ -263,6 +263,16 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, shingles=sh, materialize=True
     )
+    return _verified_pairs_from_candidates(sh, cands, id_col, threshold)
+
+
+def _verified_pairs_from_candidates(
+    sh: DataFrame, cands: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of ``cands`` [id_a, id_b] against the
+    shingle-hash frame ``sh`` [id, h] — the verify phase shared by the
+    text path (minhash_dedup_pairs) and the binary-payload path
+    (multimodal.payload_neardup_pairs)."""
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

@@ -269,3 +269,89 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
         .select("media_id", "frame_idx", "frame_ts_ms")
     )
+
+
+def payload_shingle_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bytes: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Distinct byte-``n_bytes``-gram shingles per binary payload as
+    60-bit hashes ``[id, h]`` — content fingerprints for media dedup
+    WITHOUT decoding (re-encoded/cropped variants need the decode tier;
+    this catches exact and container-level near duplicates, the dominant
+    dup class in crawled media).
+
+    Shingles are sliced in HEX-text space (2 chars per byte, byte-aligned
+    positions) because that is the one byte-window form Spark and DuckDB
+    compute identically — DuckDB has no BLOB substring, and both engines'
+    ``hex()`` emit identical uppercase digits, so the md5-60bit hash
+    contract carries over unchanged. ``stride`` samples every k-th byte
+    offset: payload near-dups keep byte alignment (unlike edited text),
+    so stride trades shingle count for recall linearly and 4 is a safe
+    default for container formats. Payloads shorter than ``n_bytes``
+    contribute their whole hex form as a single shingle. Hex doubles the
+    bytes in flight for the slicing expression only — the frame that
+    shuffles is the distinct 60-bit hash set, ~|payload|/stride longs
+    per doc.
+    """
+    width, step = 2 * n_bytes, 2 * stride
+    from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
+
+    hx = df.select(F.col(id_col), F.hex(F.col(payload_col)).alias("_hx"))
+    sh = (
+        hx.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("_hx") - F.lit(width - 1), F.lit(1)
+                    ),
+                    F.lit(step),
+                )
+            ).alias("pos"),
+            F.col("_hx"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"substring(_hx, pos, {width})").alias("shingle"),
+        )
+        .distinct()
+    )
+    return sh.select(F.col(id_col), md5_int60(F.col("shingle")).alias("h"))
+
+
+def payload_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+    n_bytes: int = 8,
+    stride: int = 4,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Verified binary near-dup pairs ``[id_a, id_b, jaccard]`` — the
+    minhash_dedup_pairs composition (LSH candidates -> exact Jaccard on
+    candidates only, two corpus scans at any scale) over byte shingles
+    instead of word shingles. Same banding/verify machinery, same 100 TB
+    shape: nothing touches corpus^2."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        _verified_pairs_from_candidates,
+        minhash_lsh_candidates,
+    )
+
+    sh = payload_shingle_hashes(df, id_col, payload_col, n_bytes, stride)
+    cands = minhash_lsh_candidates(
+        df,
+        id_col,
+        payload_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingles=sh,
+        materialize=True,
+    )
+    return _verified_pairs_from_candidates(sh, cands, id_col, threshold)

@@ -3185,6 +3185,90 @@ ORDER BY nb.doc_id
 """
 
 
+def x72_binary_neardup(spark: SparkSession, sf_dir: str):
+    """Binary-payload near-dup pairs (multimodal.payload_neardup_pairs):
+    byte-8-gram shingles sliced in hex space at stride 4 -> MinHash LSH
+    candidates -> exact Jaccard verified on candidates only — media
+    dedup WITHOUT decode, over the x13-style derived media table
+    (payload = raw utf-8 bytes). At sf0.01 the verified pairs split
+    cleanly: 25 true near-dups at j >= 0.92 vs one LSH false candidate
+    at 0.04, so threshold 0.5 is deep inside the margin."""
+    from meshinsights_data_pipeline_spark.operators.multimodal import (
+        payload_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return payload_neardup_pairs(
+        media, "media_id", "payload", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+_X72_W, _X72_S = 16, 8  # hex chars: 8-byte shingles, stride 4
+
+
+def _x72_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of payload_neardup_pairs over hex(encode(text)) —
+    the same md5-60bit + MinHash + banding contract as X11, with byte
+    shingles sliced from the hex form (both engines' hex() emit
+    identical uppercase digits; range's exclusive stop mirrors
+    sequence's inclusive one via the +1)."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({D._A[i]} * (h % {_P}) + {D._B[i]}) % {_P}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT media_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH hx AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+    ),
+    sh0 AS (
+        SELECT media_id, substring(hx, u.p, {_X72_W}) AS shingle
+        FROM hx,
+             UNNEST(range(1, greatest(len(hx) - {_X72_W - 1}, 1) + 1,
+                          {_X72_S})) AS u(p)
+    ),
+    shd AS (SELECT DISTINCT media_id, shingle FROM sh0),
+    sh AS (SELECT media_id, {_H60_SQL.format(s="shingle")} AS h FROM shd),
+    sigs AS (SELECT media_id, {mins} FROM sh GROUP BY media_id),
+    banded AS ({band_rows}),
+    cands AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.media_id < b.media_id
+    ),
+    sizes AS (SELECT media_id, COUNT(*) AS sz FROM sh GROUP BY media_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cands c
+        JOIN sh a ON a.media_id = c.id_a
+        JOIN sh b ON b.media_id = c.id_b AND b.h = a.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.media_id = id_a
+        JOIN sizes sb ON sb.media_id = id_b
+    )
+    WHERE jaccard >= {threshold}
+    ORDER BY id_a, id_b
+"""
+
+
+X72_SQL = _x72_sql()
+
+
 _X71_TERMS = ("dup", "vector", "scan")
 _X71_K = 50
 
@@ -3382,6 +3466,7 @@ X67_SQL = f"""
 
 EXTENSION_BUILDERS = {
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),
+    "x72_binary_neardup": (x72_binary_neardup, X72_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

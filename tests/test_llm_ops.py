@@ -743,3 +743,37 @@ def test_ivf_indexed_probe_collect_bounded_by_codebook(
     monkeypatch.setattr(S, "_query_probes", bloated)
     with pytest.raises(AssertionError, match="n_lists"):
         S.ivf_topk_indexed(spark, path, q, centroids, k=3, nprobe=2)
+
+
+def test_payload_neardup_pairs(spark):
+    """Byte-shingle near-dup over binary payloads: an exact duplicate
+    pair verifies at jaccard 1.0, an aligned single-byte edit stays a
+    near-dup (most byte windows intact), unrelated payloads never pair."""
+    from meshinsights_data_pipeline_spark.operators.multimodal import (
+        payload_neardup_pairs,
+        payload_shingle_hashes,
+    )
+
+    base = bytes(range(200)) * 4  # 800 bytes, high shingle diversity
+    edited = bytearray(base)
+    edited[400] = 255  # aligned edit: only windows covering byte 400 change
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(base)), (3, bytes(edited)), (4, other)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in payload_neardup_pairs(df, threshold=0.5).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    assert 0.5 <= rows[(1, 3)] < 1.0 and rows[(2, 3)] == rows[(1, 3)]
+    assert not any(4 in pair for pair in rows)
+    # short payload: whole hex form is the single shingle
+    tiny = spark.createDataFrame(
+        [(1, b"abc"), (2, b"abc"), (3, b"xyz")], "media_id long, payload binary"
+    )
+    sh = payload_shingle_hashes(tiny).collect()
+    assert len(sh) == 3  # one shingle per payload
+    by_id = {r.media_id: r.h for r in sh}
+    assert by_id[1] == by_id[2] != by_id[3]

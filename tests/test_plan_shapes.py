@@ -600,3 +600,23 @@ def test_bm25_topk_broadcasts_stats_no_cartesian(docs):
     assert p.count("BroadcastHashJoin") >= 1  # dfreq join
     assert p.count("InMemoryTableScan") == 2  # tf diamond via barrier
     assert "EvalPython" not in p
+
+
+def test_payload_neardup_no_cartesian(docs):
+    """x72's scale contract: the LSH bucket join and the verify joins are
+    hash joins keyed on (band, sig) / candidate ids — no cartesian, no
+    Python; the banded and candidate-shingle diamonds read from the
+    materialize barrier (InMemoryTableScan present)."""
+    from meshinsights_data_pipeline_spark.operators.multimodal import (
+        payload_neardup_pairs,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    p = _plan(payload_neardup_pairs(media))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "InMemoryTableScan" in p
