@@ -13,6 +13,7 @@ from meshinsights_data_pipeline_spark.streaming.ann import (
 from meshinsights_data_pipeline_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_lsh_ingest,
+    streaming_payload_lsh_ingest,
     streaming_span_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.drift import (
@@ -62,6 +63,7 @@ __all__ = [
     "streaming_state_change_sessions",
     "streaming_exact_dedup",
     "streaming_lsh_ingest",
+    "streaming_payload_lsh_ingest",
     "streaming_span_ingest",
     "streaming_ivf_ingest",
     "streaming_pq_ingest",

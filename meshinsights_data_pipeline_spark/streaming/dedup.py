@@ -50,9 +50,16 @@ def streaming_lsh_ingest(
     num_hashes: int = 16,
     bands: int = 4,
     idempotent: bool = True,
+    shingle_fn=None,
 ):
     """Incremental near-dup candidate detection for a continuous ingest
     stream — the streaming twin of ``operators.dedup.minhash_lsh_candidates``.
+
+    ``shingle_fn`` optionally swaps the shingle source: a callable
+    ``(batch_df) -> [id, h]`` (e.g. byte shingles from
+    ``multimodal.payload_shingle_hashes`` — see
+    ``streaming_payload_lsh_ingest``); default is word-``n``-gram text
+    shingles from ``text_col``.
 
     ``signature_dir`` is the accumulated banded-signature TABLE. Seed it
     with the existing corpus via ``idempotent_epoch_append(
@@ -114,7 +121,13 @@ def streaming_lsh_ingest(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         nb = banded_signatures(
-            batch_df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+            batch_df,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingles=shingle_fn(batch_df) if shingle_fn else None,
         ).localCheckpoint()
         existing = spark.read.parquet(signature_dir).select(
             "band", "sig", id_col
@@ -276,3 +289,45 @@ def streaming_span_ingest(
         snapshot_overwrite(merged, counts_dir, version=epoch_id)
 
     return _process
+
+
+def streaming_payload_lsh_ingest(
+    stream: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    *,
+    signature_dir: str,
+    pairs_dir: str,
+    labels_dir: str | None = None,
+    n_bytes: int = 8,
+    stride: int = 4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    idempotent: bool = True,
+):
+    """Incremental BINARY near-dup detection — ``streaming_lsh_ingest``
+    over byte shingles (``multimodal.payload_shingle_hashes``): media
+    dedup without decode for a continuous ingest stream. Same signature
+    table / pair log / optional incremental cluster labels, same
+    exactly-once epoch contract; only the shingle source differs, so
+    batch/stream parity follows from the batch operator's own parity
+    (payload_neardup_pairs shares the identical shingle + banding
+    chain)."""
+    from meshinsights_data_pipeline_spark.operators.multimodal import (
+        payload_shingle_hashes,
+    )
+
+    return streaming_lsh_ingest(
+        stream,
+        id_col,
+        payload_col,
+        signature_dir=signature_dir,
+        pairs_dir=pairs_dir,
+        labels_dir=labels_dir,
+        num_hashes=num_hashes,
+        bands=bands,
+        idempotent=idempotent,
+        shingle_fn=lambda d: payload_shingle_hashes(
+            d, id_col, payload_col, n_bytes, stride
+        ),
+    )

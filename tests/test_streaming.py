@@ -1570,3 +1570,79 @@ def test_streaming_bm25_parity_and_retry(spark, tmp_path):
     assert {
         r.key: r.val for r in snapshot_before(spark, cnt_dir, 99).collect()
     } == counters
+
+
+def test_streaming_payload_lsh_ingest_parity(spark, tmp_path):
+    """Binary twin of the LSH ingest parity test: seed the signature
+    table with half the media payloads, stream the other half in
+    micro-batches — accumulated candidate pairs must equal the batch
+    byte-shingle LSH candidates over the full corpus, minus
+    seed-vs-seed pairs."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_candidates,
+    )
+    from meshinsights_data_pipeline_spark.operators.multimodal import (
+        payload_shingle_hashes,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        idempotent_epoch_append,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_payload_lsh_ingest,
+    )
+
+    media = (
+        read_table(spark, SF_DIR, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    seed = media.filter(F.col("media_id") % 2 == 0)
+    arriving = media.filter(F.col("media_id") % 2 == 1)
+
+    sig_dir = str(tmp_path / "signatures")
+    pairs_dir = str(tmp_path / "pairs")
+    src = str(tmp_path / "src")
+    idempotent_epoch_append(
+        banded_signatures(
+            seed, "media_id", "payload",
+            shingles=payload_shingle_hashes(seed),
+        ),
+        sig_dir,
+        -1,
+    )
+    arriving.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_payload_lsh_ingest(
+                stream, signature_dir=sig_dir, pairs_dir=pairs_dir
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_dir).distinct().collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            media, "media_id", "payload",
+            shingles=payload_shingle_hashes(media),
+        ).collect()
+    }
+    seed_only = {(a, b) for a, b in full if a % 2 == 0 and b % 2 == 0}
+    assert len(got) > 0
+    assert got == full - seed_only
