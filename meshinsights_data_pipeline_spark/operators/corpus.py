@@ -568,6 +568,80 @@ def quality_top_fraction(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int,
+    seed: str = "s7",
+) -> DataFrame:
+    """EXACT-size stratified sample: ``total`` rows whose per-stratum
+    counts follow largest-remainder (Hamilton) apportionment — the
+    exact-count complement to :func:`mixture_sample`'s Bernoulli
+    thinning (which hits proportions only in expectation). The quota
+    arithmetic is all BIGINT (``div``/``%``), so quotas — and therefore
+    the selected set — are bit-identical across engines, runs, and
+    layouts; within a stratum rows are taken in a deterministic hash
+    order (md5-60bit of ``seed:id``), a pure function of the id.
+
+    Returns [stratum, id, pick] (pick = 1-based within-stratum rank of
+    the kept row). Requires ``total <= |df|``; quotas sum to exactly
+    ``total``, each within +1 of the exact proportional share.
+
+    Scale shape: one |strata|-row count aggregate; the two allocation
+    windows run on that |strata|-row frame (strata are FEW by premise —
+    sources/languages — so the unpartitioned window is bounded); the
+    within-stratum ranking is the hot-group-safe
+    ``global_rank.grouped_row_number`` (a hot stratum spans partitions,
+    never one task); quotas broadcast back. One corpus shuffle total.
+    """
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_row_number,
+    )
+
+    t = int(total)
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h")
+    )
+    tot = counts.agg(F.sum("n_h").cast("bigint").alias("n"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(stratum_col),
+        F.expr(f"({t} * n_h) div n").alias("base"),
+        F.expr(f"({t} * n_h) % n").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col(stratum_col).asc())
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quota = alloc.select(
+        F.col(stratum_col),
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(t) - F.sum("base").over(w_all),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("quota"),
+    )
+    h = md5_int60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    ranked = grouped_row_number(
+        df.select(F.col(stratum_col), F.col(id_col)).withColumn("_h", h),
+        [stratum_col],
+        [F.col("_h"), F.col(id_col)],
+        out_col="pick",
+    )
+    return (
+        ranked.join(F.broadcast(quota), stratum_col)
+        .filter(F.col("pick") <= F.col("quota"))
+        .select(
+            F.col(stratum_col),
+            F.col(id_col),
+            F.col("pick").cast("bigint").alias("pick"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -3185,6 +3185,61 @@ ORDER BY nb.doc_id
 """
 
 
+_X73_T = 137  # deliberately coprime-ish with the lang counts: nonzero
+# remainders at every stratum, so the largest-remainder tie-break and
+# the +1 extras are genuinely exercised (sf0.01: quotas 60/21/20/19/17)
+
+
+def x73_stratified_sample(spark: SparkSession, sf_dir: str):
+    """Exact-size stratified sample (corpus.stratified_sample): 137 docs
+    apportioned across languages by largest-remainder (Hamilton) —
+    quotas sum to exactly 137, each within +1 of the proportional
+    share, all BIGINT arithmetic so allocation is bit-identical across
+    engines. Within a stratum the kept rows follow the deterministic
+    md5 hash order of 's7:doc_id'. The exact-count complement to x24's
+    Bernoulli mixture thinning."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", _X73_T).orderBy(
+        "lang", "pick"
+    )
+
+
+X73_SQL = f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM counts),
+    alloc AS (
+        SELECT lang, ({_X73_T} * n_h) // n AS base, ({_X73_T} * n_h) % n AS rem
+        FROM counts CROSS JOIN tot
+    ),
+    quota AS (
+        SELECT lang,
+               base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                                <= {_X73_T} - SUM(base) OVER ()
+                           THEN 1 ELSE 0 END AS quota
+        FROM alloc
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_H60_SQL.format(s="'s7:' || doc_id")}, doc_id
+               ) AS pick
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id, CAST(r.pick AS BIGINT) AS pick
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.pick <= q.quota
+    ORDER BY lang, pick
+"""
+
+
 def x72_binary_neardup(spark: SparkSession, sf_dir: str):
     """Binary-payload near-dup pairs (multimodal.payload_neardup_pairs):
     byte-8-gram shingles sliced in hex space at stride 4 -> MinHash LSH
@@ -3467,6 +3522,7 @@ X67_SQL = f"""
 EXTENSION_BUILDERS = {
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),
     "x72_binary_neardup": (x72_binary_neardup, X72_SQL),
+    "x73_stratified_sample": (x73_stratified_sample, X73_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -2686,9 +2686,10 @@ _register_extensions()
 # _rotate_for_driver validates membership AND the exactly-50 invariant.
 # Rotation does not change any query; it only reorders the dict.
 _DRIVER_WINDOW_R10 = [
-    # (0) added this round, never driver-checked (x57_source_overlap and
-    # x56_semantic_decontamination yield their slots to x71/x72 and
-    # rejoin the stale rotation next round)
+    # (0) added this round, never driver-checked (x57_source_overlap,
+    # x56_semantic_decontamination and x55_weighted_sample yield their
+    # slots to x71/x72/x73 and rejoin the stale rotation next round)
+    "x73_stratified_sample",
     "x72_binary_neardup",
     "x71_bm25_topk",
     "x70_dsir_weights",
@@ -2706,7 +2707,6 @@ _DRIVER_WINDOW_R10 = [
     "x18_time_rollup", "x19_kusto_decode", "x20_doc_chunks",
     "x21_winnow_fingerprints", "x22_gopher_quality", "x37_pq_topk",
     "x50_corpus_report", "x53_quality_top_fraction",
-    "x55_weighted_sample",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R10
 

@@ -762,3 +762,38 @@ def test_dsir_weights_single_token_docs_absent(spark):
     )
     got = {r.doc_id for r in dsir_weights(raw, target, "doc_id", "text").collect()}
     assert got == {3}
+
+
+def test_stratified_sample_hamilton_allocation(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    # strata a:5, b:3, c:2 (N=10); total=7 -> shares 3.5/2.1/1.4,
+    # bases 3/2/1 (sum 6), remainders 5/1/4 -> the one extra goes to a
+    rows = [(i, "a") for i in range(5)] + [(10 + i, "b") for i in range(3)] + [
+        (20 + i, "c") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", "doc_id", 7).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append((r.pick, r.doc_id))
+    assert {k: len(v) for k, v in by.items()} == {"a": 4, "b": 2, "c": 1}
+    assert len(out) == 7
+    # picks are dense 1..quota per stratum
+    for v in by.values():
+        assert sorted(p for p, _ in v) == list(range(1, len(v) + 1))
+    # determinism: same call -> same ids; different seed -> same SIZES
+    again = stratified_sample(df, "lang", "doc_id", 7).collect()
+    assert sorted((r.lang, r.doc_id) for r in again) == sorted(
+        (r.lang, r.doc_id) for r in out
+    )
+    other = stratified_sample(df, "lang", "doc_id", 7, seed="zz").collect()
+    assert len(other) == 7
+    by2 = {}
+    for r in other:
+        by2.setdefault(r.lang, []).append(r.doc_id)
+    assert {k: len(v) for k, v in by2.items()} == {"a": 4, "b": 2, "c": 1}
+    # total == N keeps everything
+    assert len(stratified_sample(df, "lang", "doc_id", 10).collect()) == 10

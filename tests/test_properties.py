@@ -745,3 +745,20 @@ def test_bm25_layout_invariant(spark, sf_smoke):
         for d in _layouts(docs)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_stratified_sample_layout_invariant(spark, sf_smoke):
+    """x73's Hamilton quotas and hash-order picks are pure BIGINT/id
+    functions — identical selected sets under shuffled physical
+    layouts."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    outs = [
+        _canon(stratified_sample(d, "lang", "doc_id", 137))
+        for d in _layouts(docs)
+    ]
+    assert outs[0] == outs[1] == outs[2]
