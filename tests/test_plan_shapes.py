@@ -620,3 +620,18 @@ def test_payload_neardup_no_cartesian(docs):
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
     assert "InMemoryTableScan" in p
+
+
+def test_stratified_sample_broadcasts_quota_no_python(docs):
+    """x73's scale contract: the |strata|-row quota table joins the
+    ranked corpus by BROADCAST hash join, everything stays JVM-side, and
+    no cartesian shape appears (the one-row total is the only
+    nested-loop join)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    p = _plan(stratified_sample(docs, "lang", "doc_id", 137))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 1  # quota join
