@@ -3185,6 +3185,70 @@ ORDER BY nb.doc_id
 """
 
 
+def x74_lexical_diversity(spark: SparkSession, sf_dir: str):
+    """Per-source lexical-diversity report (corpus.lexical_diversity):
+    vocabulary size, type-token ratio, top-term share, and the Zipf
+    slope of ln(freq) on ln(rank) over the top-200 terms — the corpus-
+    health metrics that flag generated/boilerplate sources (flat Zipf
+    head, collapsed vocabulary). LN per the x70 precedent; regression
+    sums DECIMAL-folded; the closed-form slope evaluated in one fixed
+    association mirrored in the oracle."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        lexical_diversity,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs, "source", "text").orderBy("source")
+
+
+_X74_NORM = _NORM_SQL.format(col="text")
+
+X74_SQL = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({_X74_NORM}, ' ')) AS term
+        FROM documents
+    ),
+    tt AS (SELECT source, term FROM toks WHERE term <> ''),
+    counts AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tt GROUP BY source, term
+    ),
+    vol AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(MAX(c) AS BIGINT) AS top_c
+        FROM counts GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY c DESC, term ASC
+               ) AS r
+        FROM counts
+    ),
+    reg AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(CAST(LN(CAST(r AS DOUBLE)) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(38,18)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE))
+                             AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE))
+                             AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        FROM ranked WHERE r <= 200 GROUP BY source
+    )
+    SELECT v.source, v.n_tokens, v.vocab,
+           ROUND(v.vocab * 1.0 / v.n_tokens, 6) AS ttr,
+           ROUND(v.top_c * 1.0 / v.n_tokens, 6) AS top_share,
+           ROUND((g.k * g.sxy - g.sx * g.sy)
+                 / (g.k * g.sxx - g.sx * g.sx), 6) AS zipf_slope
+    FROM vol v JOIN reg g USING (source)
+    ORDER BY source
+"""
+
+
 _X73_T = 137  # deliberately coprime-ish with the lang counts: nonzero
 # remainders at every stratum, so the largest-remainder tie-break and
 # the +1 extras are genuinely exercised (sf0.01: quotas 60/21/20/19/17)
@@ -3523,6 +3587,7 @@ EXTENSION_BUILDERS = {
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),
     "x72_binary_neardup": (x72_binary_neardup, X72_SQL),
     "x73_stratified_sample": (x73_stratified_sample, X73_SQL),
+    "x74_lexical_diversity": (x74_lexical_diversity, X74_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -797,3 +797,37 @@ def test_stratified_sample_hamilton_allocation(spark):
     assert {k: len(v) for k, v in by2.items()} == {"a": 4, "b": 2, "c": 1}
     # total == N keeps everything
     assert len(stratified_sample(df, "lang", "doc_id", 10).collect()) == 10
+
+
+def test_lexical_diversity_zipf_slope(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        lexical_diversity,
+    )
+
+    # zipf source: term ti appears floor(60/i) times; uniform: 6 x 20
+    rows = []
+    for i in range(1, 7):
+        rows += [("zipf", f"t{i}")] * (60 // i)
+        rows += [("unif", f"t{i}")] * 20
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in lexical_diversity(df, "source", "text").collect()}
+
+    import math
+
+    def slope(freqs):
+        pts = [(math.log(r), math.log(c))
+               for r, c in enumerate(sorted(freqs, reverse=True), start=1)]
+        k = len(pts)
+        sx, sy = sum(x for x, _ in pts), sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        return round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+
+    zipf_freqs = [60 // i for i in range(1, 7)]
+    assert out["zipf"].n_tokens == sum(zipf_freqs)
+    assert out["zipf"].vocab == 6
+    assert out["zipf"].zipf_slope == pytest.approx(slope(zipf_freqs), abs=1e-6)
+    assert out["zipf"].zipf_slope < -0.8      # Zipfian: steep head
+    assert out["unif"].zipf_slope == 0.0      # flat: no rank dependence
+    assert out["unif"].ttr == pytest.approx(6 / 120, abs=1e-6)
+    assert out["unif"].top_share == pytest.approx(20 / 120, abs=1e-6)

@@ -762,3 +762,16 @@ def test_stratified_sample_layout_invariant(spark, sf_smoke):
         for d in _layouts(docs)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_lexical_diversity_layout_invariant(spark, sf_smoke):
+    """x74's DECIMAL-folded regression sums are identical under shuffled
+    physical layouts."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        lexical_diversity,
+    )
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    outs = [_canon(lexical_diversity(d, "source", "text")) for d in _layouts(docs)]
+    assert outs[0] == outs[1] == outs[2]
