@@ -3185,6 +3185,71 @@ ORDER BY nb.doc_id
 """
 
 
+_X75_BLOCKED = (
+    "src3.example.com",
+    "www.src3.example.com",  # redundant narrower entry: exercises MIN()
+    "src7.example.com",
+    "nomatch.test",
+)
+
+
+def x75_url_blocklist(spark: SparkSession, sf_dir: str):
+    """UT1-style URL blocklist filter (corpus.url_host_blocklist):
+    deterministic synthesized URLs (mixed-case host, variable subdomain
+    depth — every 4th doc gets a cdn. prefix) checked against a domain
+    blocklist with SUFFIX semantics, so src3.example.com blocks
+    www.src3.example.com and cdn.www.src3.example.com alike. The
+    redundant narrower entry pins the deterministic min() pick when a
+    host matches several entries; nomatch.test pins the no-op case."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        url_host_blocklist,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lit("www."),
+        F.col("source"),
+        F.lit(".Example.COM/Docs/"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    urls = docs.select(F.col("doc_id"), url.alias("url"))
+    return url_host_blocklist(
+        urls, "doc_id", "url", list(_X75_BLOCKED)
+    ).orderBy("doc_id")
+
+
+_X75_VALUES = ", ".join(f"('{d}')" for d in _X75_BLOCKED)
+
+X75_SQL = f"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+               || 'www.' || source || '.Example.COM/Docs/'
+               || CAST(doc_id % 10 AS VARCHAR) AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]*)', 1)) AS host
+        FROM urls
+    ),
+    sfx AS (
+        SELECT doc_id, host,
+               unnest([array_to_string(parts[i:len(parts)], '.')
+                       FOR i IN range(1, len(parts) + 1)]) AS s
+        FROM (SELECT doc_id, host, string_split(host, '.') AS parts
+              FROM hosts)
+    ),
+    bl AS (SELECT * FROM (VALUES {_X75_VALUES}) AS t(bad))
+    SELECT doc_id, host, MIN(bad) AS blocked_by
+    FROM sfx JOIN bl ON s = bad
+    GROUP BY doc_id, host
+    ORDER BY doc_id
+"""
+
+
 def x74_lexical_diversity(spark: SparkSession, sf_dir: str):
     """Per-source lexical-diversity report (corpus.lexical_diversity):
     vocabulary size, type-token ratio, top-term share, and the Zipf
@@ -3588,6 +3653,7 @@ EXTENSION_BUILDERS = {
     "x72_binary_neardup": (x72_binary_neardup, X72_SQL),
     "x73_stratified_sample": (x73_stratified_sample, X73_SQL),
     "x74_lexical_diversity": (x74_lexical_diversity, X74_SQL),
+    "x75_url_blocklist": (x75_url_blocklist, X75_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -831,3 +831,28 @@ def test_lexical_diversity_zipf_slope(spark):
     assert out["unif"].zipf_slope == 0.0      # flat: no rank dependence
     assert out["unif"].ttr == pytest.approx(6 / 120, abs=1e-6)
     assert out["unif"].top_share == pytest.approx(20 / 120, abs=1e-6)
+
+
+def test_url_host_blocklist_suffix_semantics(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        url_host_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://bad.com/x"),                   # exact
+            (2, "http://www.bad.com/y"),                # subdomain
+            (3, "https://a.b.BAD.com:8080/z?q=1"),      # deep + port + case
+            (4, "https://notbad.com/x"),                # suffix must be label-aligned
+            (5, "https://bad.com.evil.org/x"),          # bad.com as PREFIX, not suffix
+            (6, "https://fine.org/x"),
+        ],
+        "id long, url string",
+    )
+    out = {r.id: r.blocked_by for r in
+           url_host_blocklist(df, "id", "url", ["bad.com", "www.bad.com"]).collect()}
+    assert out == {1: "bad.com", 2: "bad.com", 3: "bad.com"}
+    # frame-form blocklist behaves identically
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    out2 = {r.id for r in url_host_blocklist(df, "id", "url", bl).collect()}
+    assert out2 == {1, 2, 3}

@@ -635,3 +635,23 @@ def test_stratified_sample_broadcasts_quota_no_python(docs):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert p.count("BroadcastHashJoin") >= 1  # quota join
+
+
+def test_url_blocklist_broadcasts_no_python(docs):
+    """x75's scale contract: the blocklist joins BROADCAST on the suffix
+    string (a sort-merge join would shuffle the corpus-sized suffix
+    explode on domain strings); host parse + suffix expansion stay
+    JVM-side."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        url_host_blocklist,
+    )
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/d")).alias("url"),
+    )
+    p = _plan(url_host_blocklist(urls, "doc_id", "url", ["src3.example.com"]))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
