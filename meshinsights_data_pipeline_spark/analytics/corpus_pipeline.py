@@ -39,8 +39,10 @@ from meshinsights_data_pipeline_spark.operators.corpus import (
     duplicate_spans,
     excise_spans,
     gopher_quality,
+    lexical_diversity,
     quota_sample,
     url_dedup,
+    url_host_blocklist,
 )
 from meshinsights_data_pipeline_spark.operators.dedup import (
     exact_dedup,
@@ -202,6 +204,52 @@ class QualityTopFractionStep(CorpusStep):
         context.processed_data["corpus.quality_band"] = kept
         context.raw_data = docs.join(
             kept.select(self.cols.id), self.cols.id, "left_semi"
+        )
+        self._record(context)
+        return context
+
+
+class UrlBlocklistStep(CorpusStep):
+    """Drop documents whose URL host matches the domain blocklist with
+    suffix semantics (corpus.url_host_blocklist, the UT1-style filter).
+    Runs BEFORE URL dedup: a blocked doc must not win a canonical-URL
+    survivor slot that shadows a clean duplicate."""
+
+    def __init__(self, cols: CorpusColumns, blocked, **kw):
+        super().__init__(cols, name="url_blocklist", **kw)
+        self.blocked = blocked
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.id, self.cols.url]
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        docs = context.raw_data
+        hits = url_host_blocklist(
+            docs, self.cols.id, self.cols.url, self.blocked
+        )
+        context.processed_data["corpus.url_blocked"] = hits
+        context.raw_data = docs.join(
+            hits.select(self.cols.id), self.cols.id, "left_anti"
+        )
+        self._record(context)
+        return context
+
+
+class LexicalDiversityStep(CorpusStep):
+    """Attach the per-source lexical-diversity report (x74 metrics:
+    vocab, TTR, top-term share, Zipf slope) to processed_data — a
+    report, not a gate; raw_data passes through unchanged."""
+
+    def __init__(self, cols: CorpusColumns, top_k: int = 200, **kw):
+        super().__init__(cols, name="lexical_diversity", **kw)
+        self.top_k = top_k
+
+    def required_columns(self) -> list[str]:
+        return [self.cols.source, self.cols.text]
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        context.processed_data["corpus.lexical_diversity"] = lexical_diversity(
+            context.raw_data, self.cols.source, self.cols.text, self.top_k
         )
         self._record(context)
         return context
@@ -544,6 +592,8 @@ def build_corpus_pipeline(
     span_barrier: bool = True,
     lm_ppl_band: tuple[float, float] | None = None,
     quality_keep_frac: float | None = None,
+    url_blocklist=None,
+    lexical_report: bool = False,
 ) -> Pipeline:
     """Assemble the corpus-prep workload with the canonical conditions:
     URL dedup runs iff the corpus binds a URL column, decontamination iff
@@ -581,6 +631,7 @@ def build_corpus_pipeline(
                 cols,
                 keep_frac=0.5 if quality_keep_frac is None else quality_keep_frac,
             ),
+            UrlBlocklistStep(cols, blocked=url_blocklist or []),
             UrlDedupStep(cols),
             ExactDedupStep(cols),
             NearDupCollapseStep(
@@ -607,10 +658,17 @@ def build_corpus_pipeline(
             DatasetSplitStep(cols, weights=split_weights),
             ShuffleShardsStep(cols, n_shards=n_shards or 0, seed=shard_seed),
             CorpusReportStep(cols),
+            LexicalDiversityStep(cols),
             ChunkDocumentsStep(cols, chunk_tokens=chunk_tokens),
         ],
         conditions={
+            "url_blocklist": lambda ctx: (
+                url_blocklist is not None and cols.url is not None
+            ),
             "url_dedup": lambda ctx: cols.url is not None,
+            "lexical_diversity": lambda ctx: (
+                lexical_report and cols.source in ctx.raw_data.columns
+            ),
             "decontamination": has_benchmark,
             "quota_sample": lambda ctx: bool(quota_n),
             "boilerplate_filter": lambda ctx: max_boiler_frac is not None,

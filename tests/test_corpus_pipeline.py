@@ -164,8 +164,9 @@ def test_full_pipeline_conditions_and_flow(spark):
     assert "url_dedup" in logged  # skipped (no url column) but logged
     skipped = [e for e in ctx.execution_log if e.get("skipped")]
     assert {e["processor"] for e in skipped} == {
-        "url_dedup", "boilerplate_filter", "shuffle_shards", "span_excise",
-        "perplexity_filter", "quality_top_fraction",
+        "url_blocklist", "url_dedup", "boilerplate_filter", "shuffle_shards",
+        "span_excise", "perplexity_filter", "quality_top_fraction",
+        "lexical_diversity",
     }
 
 
@@ -174,8 +175,9 @@ def test_full_pipeline_skips_decontamination_without_benchmark(spark):
     ctx = run_corpus_prep(docs)
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
     assert skipped == {
-        "url_dedup", "decontamination", "boilerplate_filter", "shuffle_shards",
-        "span_excise", "perplexity_filter", "quality_top_fraction",
+        "url_blocklist", "url_dedup", "decontamination", "boilerplate_filter",
+        "shuffle_shards", "span_excise", "perplexity_filter",
+        "quality_top_fraction", "lexical_diversity",
     }
     assert ctx.raw_data.count() == 1
 
@@ -238,8 +240,9 @@ def test_full_pipeline_with_boilerplate_and_shards(spark):
     docs = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
     ctx = run_corpus_prep(docs, max_boiler_frac=0.9, n_shards=2)
     skipped = {e["processor"] for e in ctx.execution_log if e.get("skipped")}
-    assert skipped == {"url_dedup", "decontamination", "span_excise",
-                       "perplexity_filter", "quality_top_fraction"}
+    assert skipped == {"url_blocklist", "url_dedup", "decontamination",
+                       "span_excise", "perplexity_filter",
+                       "quality_top_fraction", "lexical_diversity"}
     rows = ctx.raw_data.collect()
     assert sorted(r.doc_id for r in rows) == [1, 2]
     assert all(r.shard in (0, 1) and r.pos == 0 or r.pos >= 0 for r in rows)
@@ -353,3 +356,65 @@ def test_perplexity_and_quality_band_steps(spark):
     ran = {e["processor"] for e in ctx3.execution_log if not e.get("skipped")}
     assert {"perplexity_filter", "quality_top_fraction"} <= ran
     assert sorted(r.doc_id for r in ctx3.raw_data.collect()) == [1, 2]
+
+
+def test_url_blocklist_step_and_conditions(spark):
+    from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+        UrlBlocklistStep,
+        build_corpus_pipeline,
+    )
+
+    cols = CorpusColumns(url="url")
+    df = spark.createDataFrame(
+        [
+            (1, GOOD, "s0", 100, "https://www.bad.com/a"),
+            (2, GOOD2, "s1", 90, "https://fine.org/b"),
+            (3, GOOD2, "s1", 90, "https://a.bad.com/c"),
+        ],
+        "doc_id long, text string, source string, n_chars long, url string",
+    )
+    ctx = UrlBlocklistStep(cols, blocked=["bad.com"])(
+        PipelineContext(pipeline_name="p", correlation_id="t", raw_data=df)
+    )
+    assert sorted(r.doc_id for r in ctx.raw_data.collect()) == [2]
+    assert sorted(
+        r.doc_id for r in ctx.processed_data["corpus.url_blocked"].collect()
+    ) == [1, 3]
+
+    # conditions: default build skips both new steps; enabling them runs
+    # them (blocklist needs a bound url column)
+    p_off = build_corpus_pipeline(cols=CorpusColumns())
+    names_off = {
+        pr.name for pr in p_off.processors
+        if p_off.conditions.get(pr.name, lambda c: True)(
+            PipelineContext(pipeline_name="p", correlation_id="t",
+                            raw_data=df)
+        )
+    }
+    assert "url_blocklist" not in names_off
+    assert "lexical_diversity" not in names_off
+    p_on = build_corpus_pipeline(
+        cols=cols, url_blocklist=["bad.com"], lexical_report=True
+    )
+    names_on = {
+        pr.name for pr in p_on.processors
+        if p_on.conditions.get(pr.name, lambda c: True)(
+            PipelineContext(pipeline_name="p", correlation_id="t",
+                            raw_data=df)
+        )
+    }
+    assert {"url_blocklist", "lexical_diversity"} <= names_on
+
+
+def test_lexical_diversity_step_is_report_not_gate(spark):
+    from meshinsights_data_pipeline_spark.analytics.corpus_pipeline import (
+        LexicalDiversityStep,
+    )
+
+    df = _docs(spark, [(1, GOOD, "s0", 100), (2, GOOD2, "s1", 90)])
+    ctx = LexicalDiversityStep(COLS)(_ctx(df))
+    rep = {r.source: r for r in
+           ctx.processed_data["corpus.lexical_diversity"].collect()}
+    assert set(rep) == {"s0", "s1"}
+    assert all(r.vocab > 0 and r.n_tokens > 0 for r in rep.values())
+    assert ctx.raw_data.count() == 2  # pass-through, not a gate
