@@ -78,6 +78,8 @@ def main() -> None:
                                   # the per-doc scores land in
                                   # processed_data["corpus.lm_scores"]
         quality_keep_frac=0.9,    # keep each source's top 90% band
+        url_blocklist=["src19.example.com"],  # UT1-style domain filter
+        lexical_report=True,      # per-source TTR / Zipf-slope report
     )
     n0 = docs.count()
     ctx = pipe.run(ctx)
@@ -90,6 +92,13 @@ def main() -> None:
     for r in ctx.processed_data["corpus.report"].orderBy("source").collect():
         print(f"  {r.source}: docs={r.n_docs} tokens={r.total_tokens} "
               f"quality={r.mean_quality} dup_frac={round(r.dup_frac, 3)}")
+    print("lexical diversity (flattest Zipf head first):")
+    for r in (
+        ctx.processed_data["corpus.lexical_diversity"]
+        .orderBy(F.desc("zipf_slope")).limit(3).collect()
+    ):
+        print(f"  {r.source}: vocab={r.vocab} ttr={r.ttr} "
+              f"zipf_slope={r.zipf_slope}")
     for entry in ctx.execution_log:
         status = "skipped" if entry.get("skipped") else entry.get("status")
         t = entry.get("execution_time")
