@@ -775,3 +775,38 @@ def test_lexical_diversity_layout_invariant(spark, sf_smoke):
     docs = read_table(spark, sf_smoke, "documents")
     outs = [_canon(lexical_diversity(d, "source", "text")) for d in _layouts(docs)]
     assert outs[0] == outs[1] == outs[2]
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                   max_size=6),
+    frac=st.floats(min_value=0.05, max_value=1.0),
+)
+@SLOW
+def test_stratified_sample_hamilton_properties(spark, sizes, frac):
+    """For ANY strata sizes and total: quotas sum to exactly the total,
+    every stratum's quota is within +/-1 of its exact proportional
+    share (the Hamilton guarantee), and picks are dense 1..quota."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    n = sum(sizes)
+    total = max(1, min(n, int(round(frac * n))))
+    rows, nxt = [], 0
+    for s, sz in enumerate(sizes):
+        for _ in range(sz):
+            rows.append((nxt, f"g{s}"))
+            nxt += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", "doc_id", total).collect()
+    assert len(out) == total
+    got = {}
+    for r in out:
+        got.setdefault(r.lang, []).append(r.pick)
+    for s, sz in enumerate(sizes):
+        q = len(got.get(f"g{s}", []))
+        exact = total * sz / n
+        assert abs(q - exact) < 1 + 1e-9, (sizes, total, s, q, exact)
+        if q:
+            assert sorted(got[f"g{s}"]) == list(range(1, q + 1))
