@@ -3,7 +3,9 @@ from meshinsights_data_pipeline_spark.sources.registry import SourceRegistry  # 
 from meshinsights_data_pipeline_spark.sources.factories import (  # noqa: F401
     CsvSource,
     JdbcSource,
+    JsonlSource,
     MemorySource,
+    OrcSource,
     ParquetSource,
     SqlSource,
 )

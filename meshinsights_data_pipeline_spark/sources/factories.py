@@ -42,6 +42,45 @@ class ParquetSource(Source):
         df.write.mode(mode).parquet(self.path)
 
 
+class JsonlSource(Source):
+    """JSON-lines source/sink — the standard training-data interchange
+    format (one JSON document per line: crawls, instruction sets, eval
+    suites all ship this way). Always pass ``schema`` in production:
+    schema inference reads the data TWICE (a full extra pass at 100 TB)
+    and silently widens sparse fields; an explicit schema also prunes
+    unprojected JSON fields at parse time. ``multiline=False`` keeps
+    the input splittable — one JSON object spanning lines forces
+    whole-file parsing, so jsonl stays the scalable layout."""
+
+    def __init__(self, path: str, schema: str | None = None):
+        self.path = path
+        self.schema = schema
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if self.schema:
+            reader = reader.schema(self.schema)
+        return reader.json(self.path)
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        df.write.mode(mode).json(self.path)
+
+
+class OrcSource(Source):
+    """ORC source/sink — the other columnar interchange format Spark
+    reads natively; same pushdown/pruning contract as parquet (filters
+    and column projection reach the scan)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.orc(self.path)
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        df.write.mode(mode).orc(self.path)
+
+
 class CsvSource(Source):
     def __init__(self, path: str, header: bool = True, infer_schema: bool = True, schema: str | None = None):
         self.path = path
