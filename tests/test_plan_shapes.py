@@ -655,3 +655,17 @@ def test_url_blocklist_broadcasts_no_python(docs):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_lexical_diversity_no_cartesian_jvm_only(docs):
+    """x74's scale contract: the vol/reg join and the rank-offset join
+    are hash joins (broadcast at this size), never cartesian or
+    nested-loop; the whole report is JVM expressions."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        lexical_diversity,
+    )
+
+    p = _plan(lexical_diversity(docs, "source", "text"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
