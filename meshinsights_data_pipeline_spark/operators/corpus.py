@@ -568,6 +568,59 @@ def quality_top_fraction(
     )
 
 
+def chat_render(
+    df: DataFrame,
+    convo_col: str,
+    order_by: list[str],
+    role_col: str = "role",
+    content_col: str = "content",
+    turn_open: str = "<|im_start|>",
+    turn_close: str = "<|im_end|>",
+) -> DataFrame:
+    """Flatten per-turn conversation rows into one rendered training
+    string per conversation (the SFT-data chat-templating step; default
+    markers are the ChatML convention):
+
+        <|im_start|>role\\ncontent<|im_end|>\\n...
+
+    Returns ``[convo, n_turns, n_user_turns, rendered]``. Turn order is
+    the total order ``order_by`` (must reach a unique key within a
+    conversation — pass a tiebreaker — or the rendered string is
+    partition-placement-dependent); the sort happens per-conversation
+    via sort_array over the collected turn structs, all JVM built-ins.
+
+    Scale shape: one conversation's turns must assemble on one executor
+    — inherent to rendering, and bounded in practice by the training
+    context length, not the corpus. One groupBy(convo) shuffle; no
+    window, no Python. A conversation that would blow past executor
+    memory should be chunked upstream (chunk_documents) first.
+    """
+    order_struct = F.struct(
+        *[F.col(c) for c in order_by], F.col(role_col), F.col(content_col)
+    )
+    turns = df.select(F.col(convo_col), order_struct.alias("_t"))
+    rendered = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("_t")),
+            lambda t: F.concat(
+                F.lit(turn_open),
+                t[role_col],
+                F.lit("\n"),
+                t[content_col],
+                F.lit(turn_close),
+            ),
+        ),
+        "\n",
+    )
+    return turns.groupBy(convo_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(F.col(f"_t.{role_col}") == "user", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_user_turns"),
+        rendered.alias("rendered"),
+    )
+
+
 def url_host_blocklist(
     df: DataFrame,
     id_col: str,

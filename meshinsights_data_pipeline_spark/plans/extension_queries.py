@@ -3185,6 +3185,57 @@ ORDER BY nb.doc_id
 """
 
 
+def x76_chat_render(spark: SparkSession, sf_dir: str):
+    """SFT chat templating (corpus.chat_render): synthesize per-user
+    conversations from the events stream (view/click turns speak as
+    'user', everything else as 'assistant'; content = event_type#k from
+    the props payload — same expressions both engines), render each as
+    a ChatML string in (ts, event_id) order, count turns. Sliced to
+    user_id < 40 for a display-sized result — the render still
+    exercises the full per-conversation sort/concat chain."""
+    from meshinsights_data_pipeline_spark.operators.corpus import chat_render
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    turns = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("view", "click"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            F.regexp_extract(F.col("props"), r"([0-9]+)", 1),
+        ).alias("content"),
+    )
+    return chat_render(turns, "user_id", ["ts", "event_id"]).orderBy(
+        "user_id"
+    )
+
+
+X76_SQL = """
+    WITH turns AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type IN ('view', 'click') THEN 'user'
+                    ELSE 'assistant' END AS role,
+               event_type || '#' || regexp_extract(props, '([0-9]+)', 1)
+                   AS content
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user_turns,
+           string_agg('<|im_start|>' || role || chr(10) || content
+                      || '<|im_end|>', chr(10) ORDER BY ts, event_id)
+               AS rendered
+    FROM turns
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 _X75_BLOCKED = (
     "src3.example.com",
     "www.src3.example.com",  # redundant narrower entry: exercises MIN()
@@ -3654,6 +3705,7 @@ EXTENSION_BUILDERS = {
     "x73_stratified_sample": (x73_stratified_sample, X73_SQL),
     "x74_lexical_diversity": (x74_lexical_diversity, X74_SQL),
     "x75_url_blocklist": (x75_url_blocklist, X75_SQL),
+    "x76_chat_render": (x76_chat_render, X76_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -856,3 +856,29 @@ def test_url_host_blocklist_suffix_semantics(spark):
     bl = spark.createDataFrame([("bad.com",)], "domain string")
     out2 = {r.id for r in url_host_blocklist(df, "id", "url", bl).collect()}
     assert out2 == {1, 2, 3}
+
+
+def test_chat_render_order_and_counts(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import chat_render
+
+    rows = [
+        # deliberately out of order; c2 ties on seq with c2/seq1 dup key? no:
+        # unique (seq) per convo; input order scrambled
+        ("c1", 2, "assistant", "hi there"),
+        ("c1", 1, "user", "hello"),
+        ("c1", 3, "user", "thanks"),
+        ("c2", 1, "assistant", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "cid string, seq int, role string, content string")
+    out = {r.cid: r for r in chat_render(df, "cid", ["seq"]).collect()}
+    assert out["c1"].n_turns == 3 and out["c1"].n_user_turns == 2
+    assert out["c1"].rendered == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>\n"
+        "<|im_start|>user\nthanks<|im_end|>"
+    )
+    assert out["c2"].n_turns == 1 and out["c2"].n_user_turns == 0
+    assert out["c2"].rendered == "<|im_start|>assistant\nsolo<|im_end|>"
+    # custom markers
+    alt = chat_render(df, "cid", ["seq"], turn_open="[", turn_close="]")
+    assert {r.cid: r.rendered for r in alt.collect()}["c2"] == "[assistant\nsolo]"

@@ -669,3 +669,18 @@ def test_lexical_diversity_no_cartesian_jvm_only(docs):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_chat_render_one_shuffle_no_window(spark):
+    """x76's scale contract: ONE groupBy(convo) exchange, the
+    per-conversation ordering via sort_array (no Window node at all),
+    JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.corpus import chat_render
+
+    df = spark.createDataFrame(
+        [("c1", 1, "user", "x")], "cid string, seq int, role string, content string"
+    )
+    p = _plan(chat_render(df, "cid", ["seq"]))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p
+    assert "EvalPython" not in p
