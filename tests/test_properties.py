@@ -810,3 +810,48 @@ def test_stratified_sample_hamilton_properties(spark, sizes, frac):
         assert abs(q - exact) < 1 + 1e-9, (sizes, total, s, q, exact)
         if q:
             assert sorted(got[f"g{s}"]) == list(range(1, q + 1))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0,
+                 max_size=8),
+        min_size=1, max_size=8,
+    ),
+    terms=st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1,
+                   max_size=3, unique=True),
+)
+@SLOW
+def test_bm25_matches_pure_python_reference(spark, docs, terms):
+    """bm25_topk equals an independently coded BM25 (same ratio-idf
+    variant) on arbitrary tiny corpora — scores to 6dp, ranking, and
+    the n_terms count."""
+    from meshinsights_data_pipeline_spark.operators.text import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: (r.n_terms, r.score)
+        for r in bm25_topk(df, "id", "t", list(terms), top_k=100).collect()
+    }
+
+    n = len(docs)
+    dls = [len(toks) for toks in docs]
+    avgdl = sum(dls) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    want = {}
+    for i, d in enumerate(docs):
+        s, matched = 0.0, 0
+        for t in sorted(terms):
+            tc = d.count(t)
+            if not tc:
+                continue
+            matched += 1
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s += idf * ((tc * 2.2) / (tc + 1.2 * (0.25 + 0.75 * (dls[i] / avgdl))))
+        if matched:
+            want[i] = (matched, round(s, 6))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-9)
