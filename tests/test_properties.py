@@ -855,3 +855,44 @@ def test_bm25_matches_pure_python_reference(spark, docs, terms):
     for i in want:
         assert got[i][0] == want[i][0], (i, got[i], want[i])
         assert got[i][1] == pytest.approx(want[i][1], abs=1e-9)
+
+
+@given(
+    hosts=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "www"]), min_size=1,
+                 max_size=4),
+        min_size=1, max_size=8,
+    ),
+    blocked=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=1,
+                 max_size=3),
+        min_size=1, max_size=4,
+    ),
+)
+@SLOW
+def test_url_blocklist_matches_pure_python_reference(spark, hosts, blocked):
+    """url_host_blocklist equals an independently coded label-aligned
+    suffix matcher on arbitrary label combinations (including entries
+    deeper than the host, single-label entries, and multi-match min)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        url_host_blocklist,
+    )
+
+    host_strs = [".".join(h) for h in hosts]
+    block_strs = sorted({".".join(b) for b in blocked})
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(host_strs)],
+        "id long, url string",
+    )
+    got = {
+        r.id: r.blocked_by
+        for r in url_host_blocklist(df, "id", "url", block_strs).collect()
+    }
+    want = {}
+    for i, h in enumerate(host_strs):
+        labels = h.split(".")
+        suffixes = {".".join(labels[j:]) for j in range(len(labels))}
+        matches = sorted(b for b in block_strs if b in suffixes)
+        if matches:
+            want[i] = matches[0]
+    assert got == want
