@@ -568,6 +568,47 @@ def quality_top_fraction(
     )
 
 
+def gram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's DISTINCT
+    word-n-grams that appear in NO other document —
+    ``[id, n_grams, novel_frac]``. The corpus-uniqueness selection
+    signal (the unique-trigram-fraction recipe): high novelty marks
+    original content worth keeping; near-zero novelty marks templated
+    or boilerplate-dominated docs that exact/near dedup keeps only one
+    copy of but whose survivors may still be low-value.
+
+    Exact integer ratio (distinct grams with corpus df == 1 over
+    distinct grams), rounded 6dp — bit-identical across engines. Scale
+    shape: one shingle pass (the shared shingle_hashes chain), one
+    gram-keyed count aggregate (map-side combinable), one gram-keyed
+    join of the doc-gram table to the |vocab|-row df table, one per-doc
+    aggregate. Nothing corpus^2.
+    """
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        shingle_hashes,
+    )
+
+    sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_frac"),
+        )
+    )
+
+
 def chat_render(
     df: DataFrame,
     convo_col: str,

@@ -3185,6 +3185,37 @@ ORDER BY nb.doc_id
 """
 
 
+def x77_gram_novelty(spark: SparkSession, sf_dir: str):
+    """Per-doc n-gram novelty (corpus.gram_novelty): fraction of a
+    doc's distinct word-3-grams that no other document contains — the
+    unique-trigram-fraction curation signal. Exact integer ratio,
+    shared shingle chain with the dedup family. Sliced to doc_id < 200
+    for a display-sized result; the df counts still see the full
+    corpus, which is what the query exercises (the x51/x70 pattern)."""
+    from meshinsights_data_pipeline_spark.operators.corpus import gram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        gram_novelty(docs, "doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+X77_SQL = f"""
+    WITH {_shingles_cte()},
+    dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novel_frac
+    FROM sh s JOIN dfreq d USING (h)
+    WHERE s.doc_id < 200
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""
+
+
 def x76_chat_render(spark: SparkSession, sf_dir: str):
     """SFT chat templating (corpus.chat_render): synthesize per-user
     conversations from the events stream (view/click turns speak as
@@ -3706,6 +3737,7 @@ EXTENSION_BUILDERS = {
     "x74_lexical_diversity": (x74_lexical_diversity, X74_SQL),
     "x75_url_blocklist": (x75_url_blocklist, X75_SQL),
     "x76_chat_render": (x76_chat_render, X76_SQL),
+    "x77_gram_novelty": (x77_gram_novelty, X77_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

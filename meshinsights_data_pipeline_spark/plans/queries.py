@@ -2687,8 +2687,10 @@ _register_extensions()
 # Rotation does not change any query; it only reorders the dict.
 _DRIVER_WINDOW_R10 = [
     # (0) added this round, never driver-checked (x57, x56, x55, x53,
-    # x50 and x37 of the r7 cohort yield their slots to x71-x76 and
-    # rejoin the stale rotation next round)
+    # x50, x37 and x21 of the r7 cohort yield their slots to x71-x77
+    # and rejoin the stale rotation next round; x22 KEEPS its slot —
+    # the gopher fusion changed it this round)
+    "x77_gram_novelty",
     "x76_chat_render",
     "x75_url_blocklist",
     "x74_lexical_diversity",
@@ -2708,7 +2710,7 @@ _DRIVER_WINDOW_R10 = [
     "x01_exact_dedup", "x06_cosine_topk", "x11_minhash_dedup_pairs",
     "x15_ivf_topk", "x16_asof_join", "x17_interval_join",
     "x18_time_rollup", "x19_kusto_decode", "x20_doc_chunks",
-    "x21_winnow_fingerprints", "x22_gopher_quality",
+    "x22_gopher_quality",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R10
 

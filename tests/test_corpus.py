@@ -882,3 +882,23 @@ def test_chat_render_order_and_counts(spark):
     # custom markers
     alt = chat_render(df, "cid", ["seq"], turn_open="[", turn_close="]")
     assert {r.cid: r.rendered for r in alt.collect()}["c2"] == "[assistant\nsolo]"
+
+
+def test_gram_novelty_fractions(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import gram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # grams {a b c, b c d}; first shared with doc 2
+            (2, "a b c e"),   # grams {a b c, b c e}
+            (3, "x y z w"),   # fully novel
+            (4, "hi"),        # < n tokens -> whole text is the one gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.novel_frac)
+           for r in gram_novelty(df, "doc_id", "text").collect()}
+    assert out[1] == (2, 0.5)
+    assert out[2] == (2, 0.5)
+    assert out[3] == (2, 1.0)
+    assert out[4] == (1, 1.0)
