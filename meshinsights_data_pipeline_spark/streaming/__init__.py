@@ -28,6 +28,9 @@ from meshinsights_data_pipeline_spark.streaming.bm25 import (
 from meshinsights_data_pipeline_spark.streaming.dsir import (
     streaming_dsir_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.novelty import (
+    streaming_novelty_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
@@ -71,6 +74,7 @@ __all__ = [
     "report_from_state",
     "streaming_bm25_ingest",
     "streaming_dsir_ingest",
+    "streaming_novelty_ingest",
     "streaming_lm_ingest",
     "streaming_drift_ingest",
     "streaming_debounce",

@@ -1646,3 +1646,63 @@ def test_streaming_payload_lsh_ingest_parity(spark, tmp_path):
     seed_only = {(a, b) for a, b in full if a % 2 == 0 and b % 2 == 0}
     assert len(got) > 0
     assert got == full - seed_only
+
+
+def test_streaming_novelty_parity_and_retry(spark, tmp_path):
+    """Single-batch novelty must equal the batch operator exactly; a
+    second batch scores against the MERGED gram counts (a gram shared
+    with history is not novel); a retried epoch leaves counts and
+    scores unchanged."""
+    from meshinsights_data_pipeline_spark.operators.corpus import gram_novelty
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_novelty_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.novelty import (
+        NOVELTY_COUNTS_SCHEMA,
+    )
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], schema)
+    b2 = spark.createDataFrame(
+        [(4, "a b c d"),          # everything here already seen in b1
+         (5, "p q r s")], schema)  # fully novel
+    cnt_dir, sc_dir = str(tmp_path / "cnt"), str(tmp_path / "sc")
+    snapshot_overwrite(
+        spark.createDataFrame([], NOVELTY_COUNTS_SCHEMA), cnt_dir, -1)
+
+    process = streaming_novelty_ingest(
+        counts_dir=cnt_dir, scores_dir=sc_dir)
+
+    def canon(df):
+        return sorted((r.doc_id, r.n_grams, r.novel_frac)
+                      for r in df.collect())
+
+    process(b1, 0)
+    got1 = canon(spark.read.parquet(sc_dir))
+    assert got1 == canon(gram_novelty(b1, "doc_id", "text"))
+
+    process(b2, 1)
+    all_scores = spark.read.parquet(sc_dir)
+    got2 = canon(all_scores.filter(F.col("doc_id") >= 4))
+    # doc 4's grams all collide with history -> 0 novel; doc 5 fully novel
+    assert got2 == [(4, 2, 0.0), (5, 2, 1.0)]
+    # equals batch operator over the union, restricted to the new docs
+    expect2 = canon(
+        gram_novelty(b1.unionByName(b2), "doc_id", "text")
+        .filter(F.col("doc_id") >= 4))
+    assert got2 == expect2
+    # batch-1 docs keep their epoch-0 scores (forward-looking)
+    assert canon(all_scores.filter(F.col("doc_id") < 4)) == got1
+
+    process(b2, 1)  # simulated retry
+    after = spark.read.parquet(sc_dir)
+    assert canon(after.filter(F.col("doc_id") >= 4)) == got2
+    assert after.count() == 5
+    counts = {r.h: r.n_docs
+              for r in snapshot_before(spark, cnt_dir, 99).collect()}
+    assert max(counts.values()) == 3  # "a b c" seen in docs 1, 2 and 4
