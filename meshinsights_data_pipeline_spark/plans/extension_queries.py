@@ -3662,7 +3662,7 @@ X69_SQL = """
                ) AS session
         FROM flagged
     )
-    SELECT user_id, session,
+    SELECT user_id, CAST(session AS BIGINT) AS session,
            COUNT(*) AS n_events,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,

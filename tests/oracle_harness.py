@@ -50,13 +50,57 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[t
     return cols, out
 
 
+#: Output types rendered identically by every DuckDB fetch path (fetchall,
+#: pandas .df(), Arrow). HUGEINT (DuckDB window-SUM over INTEGER) and
+#: DECIMAL survive fetchall() exactly but surface as float64 / Decimal on
+#: dtype-sensitive paths — that gap kept x69 driver-red for three rounds
+#: while local fetchall() parity stayed bit-perfect.
+PORTABLE_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                  "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN")
+
+
+def _type_family(t: str) -> str:
+    t = t.upper()
+    if t.startswith(("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                     "LONG", "INT", "SHORT", "BYTE")):
+        return "int"
+    if t.startswith(("DOUBLE", "FLOAT")):
+        return "float"
+    if t.startswith(("VARCHAR", "STRING")):
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return t
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     srows = spark_df.collect()
     scols = spark_df.columns
     con = duckdb_con(sf_dir)
-    res = con.execute(oracle_sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    # Structural gates the value-hash can't see: (a) every oracle output
+    # column must be fetch-path-portable; (b) Spark and DuckDB column type
+    # FAMILIES must agree (an int-vs-float family split canonicalizes as
+    # "1" vs "1.0" on the driver even when the values are numerically equal).
+    otypes = dict(
+        (r[0], r[1]) for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    )
+    stypes = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    type_errors = [
+        f"oracle {c}: {t} not portable"
+        for c, t in otypes.items() if not t.upper().startswith(PORTABLE_TYPES)
+    ] + [
+        f"{c}: spark {stypes[c]} vs oracle {otypes[c]} (family)"
+        for c in stypes
+        if c in otypes and _type_family(stypes[c]) != _type_family(otypes[c])
+    ]
+    # Fetch via Arrow, NOT fetchall(): fetchall() converts DuckDB HUGEINT to
+    # a plain Python int (bit-perfect parity locally) while dtype-sensitive
+    # fetch paths — the kind a driver harness uses — surface HUGEINT as
+    # float64 ("1.0" vs Spark's "1"). Arrow reproduces the driver's view,
+    # so non-portable oracle output types fail HERE, not three rounds later.
+    tbl = con.execute(oracle_sql).arrow()
+    ocols = list(tbl.column_names)
+    orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
     con.close()
 
     sc, sv = canon_rows(scols, [tuple(r) for r in srows])
@@ -66,7 +110,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
         "rows_oracle": len(ov),
         "cols_match": sc == oc,
         "rowcount_match": len(sv) == len(ov),
-        "values_match": sv == ov,
+        "values_match": sv == ov and not type_errors,
+        "type_errors": type_errors,
     }
     if not report["values_match"] and report["rowcount_match"] and report["cols_match"]:
         diffs = [(a, b) for a, b in zip(sv, ov) if a != b][:5]

@@ -18,6 +18,31 @@ ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
 T2_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
 
 
+#: Output column types every fetch path (fetchall, pandas, Arrow) renders
+#: identically. DuckDB's HUGEINT (window SUM over INTEGER) and DECIMAL
+#: survive fetchall() as exact ints but surface as float64/Decimal on
+#: dtype-sensitive paths — x69 was driver-red for three rounds on exactly
+#: this, so neither may ever reach an oracle's final SELECT.
+PORTABLE_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                  "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN")
+
+
+def test_every_oracle_output_type_is_portable():
+    from tests.oracle_harness import duckdb_con
+
+    con = duckdb_con(T2_DIR)
+    offenders = []
+    for name in ORACLE_QUERIES:
+        for col, typ, *_ in con.execute(f"DESCRIBE {QUERIES[name].oracle}").fetchall():
+            if not typ.startswith(PORTABLE_TYPES):
+                offenders.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not offenders, (
+        "non-portable oracle output types (CAST them in the final SELECT, "
+        "as q15/x69 do): " + "; ".join(offenders)
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, name):
     q = QUERIES[name]
