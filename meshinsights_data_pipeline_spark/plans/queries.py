@@ -2685,34 +2685,34 @@ _register_extensions()
 # invariant note).
 # _rotate_for_driver validates membership AND the exactly-50 invariant.
 # Rotation does not change any query; it only reorders the dict.
-_DRIVER_WINDOW_R10 = [
-    # (0) added this round, never driver-checked (x57, x56, x55, x53,
-    # x50, x37 and x21 of the r7 cohort yield their slots to x71-x77
-    # and rejoin the stale rotation next round; x22 KEEPS its slot —
-    # the gopher fusion changed it this round)
-    "x77_gram_novelty",
-    "x76_chat_render",
-    "x75_url_blocklist",
-    "x74_lexical_diversity",
-    "x73_stratified_sample",
-    "x72_binary_neardup",
-    "x71_bm25_topk",
-    "x70_dsir_weights",
-    # (1) changed this round: x69 value_sum -> integer micros (BIGINT)
+_DRIVER_WINDOW_R11 = [
+    # (1) changed this round and must re-verify: x69's oracle gained the
+    # CAST(session AS BIGINT) fix for the HUGEINT fetch-path bug that kept
+    # it hash-red r8-r10 (Spark side untouched, proven correct).
     "x69_gap_sessions",
-    # (2) single stalest row (last checked r6)
-    "x54_zorder_keys",
-    # (3) the full r7-checked cohort (47 queries), oldest band
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q12", "q15",
-    "q24", "q25", "q26", "q27", "q31", "q32",
-    "q34", "q35", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43",
-    "q58", "q59", "q60", "q61", "q62",
-    "x01_exact_dedup", "x06_cosine_topk", "x11_minhash_dedup_pairs",
-    "x15_ivf_topk", "x16_asof_join", "x17_interval_join",
-    "x18_time_rollup", "x19_kusto_decode", "x20_doc_chunks",
-    "x22_gopher_quality",
+    # (2) the 7 r7-stale queries — the oldest band after r10 retired the
+    # rest of the r7 cohort.
+    "x21_winnow_fingerprints", "x37_pq_topk", "x50_corpus_report",
+    "x53_quality_top_fraction", "x55_weighted_sample",
+    "x56_semantic_decontamination", "x57_source_overlap",
+    # (3) fill to exactly 50 with the r8-stale cohort (42 of its 44;
+    # q72/q73 — stable PIVOT/UNPIVOT — yield their slots and rejoin
+    # next round). Queries ADDED this round must be inserted at the
+    # HEAD in the same commit, displacing from this band's tail.
+    "q08", "q09", "q10", "q63", "q64", "q65", "q66", "q67", "q68",
+    "q69", "q70", "q71",
+    "x24_source_quota", "x25_contamination", "x27_url_dedup",
+    "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
+    "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
+    "x34_repetition_signals", "x35_gap_fill", "x36_profile",
+    "x38_semantic_dedup", "x39_boilerplate_ngrams", "x40_shuffle_shards",
+    "x42_mixture_sample", "x43_html_extract", "x44_funnel",
+    "x45_cohort_retention", "x46_numeric_profile", "x47_length_ranks",
+    "x48_duplicate_spans", "x49_span_excision", "x58_dq_checks",
+    "x59_vector_stats", "x60_skew_salted_agg", "x61_grouped_percentiles",
+    "x62_line_dedup", "x65_cdc_delta", "x66_state_transitions",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R10
+_DRIVER_WINDOW = _DRIVER_WINDOW_R11
 
 
 def _rotate_for_driver() -> None:
