@@ -449,30 +449,13 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Measured 7.4s -> 5.0s warm for the signal pass on 10x sf0.1
     (500k docs, local[32]).
     """
-    norm = normalized_text(F.col(text_col))
-    toks = F.split(norm, " ")
-    n_tok = F.size(toks)
-    total_chars = (F.length(norm) - (n_tok - F.lit(1))).cast("bigint")
-    mean_wlen = total_chars / n_tok
-    alpha = F.size(
-        F.filter(
-            toks,
-            lambda t: F.length(F.translate(t, "abcdefghijklmnopqrstuvwxyz", ""))
-            < F.length(t),
-        )
-    )
-    alpha_ratio = alpha / n_tok
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
-        )
-    )
+    n_tok, mean_wlen, alpha_ratio, stop_hits = _gopher_signal_exprs(text_col)
     out = df.select(
         F.col(id_col),
-        n_tok.cast("bigint").alias("n_tok"),
-        F.round(mean_wlen, 6).alias("mean_wlen"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        stop_hits.cast("bigint").alias("stop_hits"),
+        n_tok.alias("n_tok"),
+        mean_wlen.alias("mean_wlen"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
     )
     keep = (
         F.col("n_tok").between(20, 100000)
@@ -481,6 +464,53 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("keep", keep)
+
+
+def _gopher_signal_exprs(text_col: str):
+    """The four Gopher signal expressions (rounding included), shared by
+    :func:`gopher_quality` (signal frame) and :func:`gopher_keep`
+    (inline filter) so the two are bit-identical by construction."""
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks)
+    total_chars = (F.length(norm) - (n_tok - F.lit(1))).cast("bigint")
+    mean_wlen = F.round(total_chars / n_tok, 6)
+    alpha = F.size(
+        F.filter(
+            toks,
+            lambda t: F.length(F.translate(t, "abcdefghijklmnopqrstuvwxyz", ""))
+            < F.length(t),
+        )
+    )
+    alpha_ratio = F.round(alpha / n_tok, 6)
+    # array_intersect already returns DISTINCT matches, so no
+    # array_distinct pre-pass (one array materialization saved per doc).
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    return (
+        n_tok.cast("bigint"),
+        mean_wlen,
+        alpha_ratio,
+        stop_hits.cast("bigint"),
+    )
+
+
+def gopher_keep(text_col: str):
+    """The Gopher keep predicate as a single inline boolean Column — the
+    filter form of :func:`gopher_quality`'s ``keep``. A gate that only
+    needs the verdict should ``df.filter(gopher_keep(text_col))``: the
+    predicate is a pure map-side expression of the row's own text, so the
+    gate costs one corpus scan inside whole-stage codegen — no signal
+    frame, no semi-join, no shuffle (at 100 TB the join form shuffles the
+    full doc-id set twice for a verdict each row already knows)."""
+    n_tok, mean_wlen, alpha_ratio, stop_hits = _gopher_signal_exprs(text_col)
+    return (
+        n_tok.between(20, 100000)
+        & mean_wlen.between(2.0, 10.0)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
 
 
 def quota_sample(

@@ -82,10 +82,15 @@ def quality_score(col: Column | str) -> Column:
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
     strip punctuation."""
-    c = F.lower(_c(col))
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
-    return F.trim(c)
+    # ONE regex pass, not two: every maximal run of non-[a-z0-9] chars
+    # (punctuation and whitespace alike) becomes a single space — provably
+    # identical to the [^a-z0-9\s]->" " then \s+->" " pair for any input
+    # (each non-alphanumeric char is either whitespace, kept then
+    # collapsed, or not, replaced then collapsed; either way a run folds
+    # to one space). Full-text regex is the corpus pipeline's hottest
+    # expression, so halving the passes is a measured win on every
+    # operator built on this normalization.
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9]+", " "))
 
 
 def fingerprint(col: Column | str) -> Column:
