@@ -896,3 +896,58 @@ def test_url_blocklist_matches_pure_python_reference(spark, hosts, blocked):
         if matches:
             want[i] = matches[0]
     assert got == want
+
+
+@given(
+    ms=st.lists(st.integers(-(2**20), 2**20), min_size=1, max_size=60),
+    k=st.integers(1, 22),
+    offset=st.sampled_from([0, 1, -3, 1000, 12345]),
+)
+@SLOW
+def test_round6_tie_parity_spark_vs_duckdb(spark, ms, k, offset):
+    """Pin the DECIMAL parity discipline's load-bearing claim: Spark
+    ``F.round(double, 6)`` and DuckDB ``ROUND(double, 6)`` agree on every
+    binary fraction m/2^k (exactly representable, so both engines see the
+    SAME double), including exact 6-decimal-digit rounding ties like
+    m/128. Measured r11: 0 divergences over the tie lattice. NOTE the
+    companion canary below — the double->DECIMAL(18,6) CAST path does
+    NOT share this guarantee, so oracles must round, not cast, any double
+    that can land on a tie."""
+    import duckdb
+
+    vals = sorted({offset + m / 2**k for m in ms})
+    df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v", F.round(F.col("v"), 6).alias("r")
+    )
+    got = {r["v"]: r["r"] for r in df.collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)"
+        ).fetchone()[0]
+        assert got[v] == want, (v, got[v], want)
+    con.close()
+
+
+def test_decimal_cast_tie_divergence_canary(spark):
+    """The CAST-to-DECIMAL path is NOT tie-portable, and this canary keeps
+    that fact loud: Spark casts double->DECIMAL(18,6) with HALF_UP
+    (1000.0078125 -> 1000.007813) while DuckDB resolves the same exact
+    tie to 1000.007812. If either engine changes and this test fails,
+    re-audit every oracle that casts doubles to DECIMAL — the discipline
+    'round to <=6dp via ROUND, or sum integers' (see
+    test_round6_tie_parity_spark_vs_duckdb) would no longer be the
+    minimal safe contract."""
+    import duckdb
+
+    tie = 1000.0078125  # 1000 + 1/128: exact in binary, 6dp tie in decimal
+    s = (
+        spark.createDataFrame([(tie,)], "v double")
+        .select(F.col("v").cast("decimal(18,6)").cast("string").alias("s"))
+        .first()["s"]
+    )
+    d = duckdb.connect().execute(
+        f"SELECT CAST(CAST({tie!r} AS DOUBLE) AS DECIMAL(18,6))::VARCHAR"
+    ).fetchone()[0]
+    assert s == "1000.007813"  # Spark: HALF_UP
+    assert d == "1000.007812"  # DuckDB: resolves this tie the other way
