@@ -299,16 +299,19 @@ def main() -> None:
         try:
             from bench_sf1 import ensure_sf1, run_sf1
 
-            # every query at >=1.2s warm (not just the top 10): r9's top-10
+            # every query at >=1.0s warm (not just the top 10): r9's top-10
             # cutoff left a 1.2-1.8s band (x46/x07/x29/q47/x52) with no 10x
-            # measurement, exactly where a superlinear surprise could hide.
-            # Floor of 10, cap of 18 to bound the row's wall time.
+            # measurement, exactly where a superlinear surprise could hide;
+            # r10's 18-query cap cut off at 1.47s, leaving the 1.2-1.45s
+            # band (x33/x10/x39/q47/x53/x55/x77/x37) unmeasured — VERDICT
+            # r10 item 8 widened the band floor and cap.
+            # Floor of 10, cap of 26 to bound the row's wall time.
             by_time = [
                 n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
                 if timings[n] >= 0
             ]
-            n_band = sum(1 for n in by_time if timings[n] >= 1.2)
-            slowest = by_time[: max(10, min(n_band, 18))]
+            n_band = sum(1 for n in by_time if timings[n] >= 1.0)
+            slowest = by_time[: max(10, min(n_band, 26))]
             # x12's scaling claim (auto-bits LSH ~linear in N) is graded
             # by its measured ratio — always include it in the sf1 row
             if "x12_embedding_neardup_lsh" not in slowest:

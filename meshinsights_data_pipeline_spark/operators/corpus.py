@@ -670,14 +670,18 @@ def chat_render(
         *[F.col(c) for c in order_by], F.col(role_col), F.col(content_col)
     )
     turns = df.select(F.col(convo_col), order_struct.alias("_t"))
+    # Coalesce role/content to '': a NULL in either would make the
+    # per-turn concat NULL, which array_join silently DROPS from the
+    # rendered string while n_turns/n_user_turns still count the turn —
+    # the render and the counts must agree on what a turn is.
     rendered = F.array_join(
         F.transform(
             F.sort_array(F.collect_list("_t")),
             lambda t: F.concat(
                 F.lit(turn_open),
-                t[role_col],
+                F.coalesce(t[role_col], F.lit("")),
                 F.lit("\n"),
-                t[content_col],
+                F.coalesce(t[content_col], F.lit("")),
                 F.lit(turn_close),
             ),
         ),
@@ -718,7 +722,13 @@ def url_host_blocklist(
     """
     spark = df.sparkSession
     if isinstance(blocked, DataFrame):
-        bl = blocked.select(F.col(blocked.columns[0]).alias("_bad"))
+        # Same matching contract as the list form: hosts are lowercased,
+        # so frame entries must be too (a mixed-case or padded UT1 row
+        # would otherwise silently never match); distinct, because the
+        # aggregate below assumes one row per entry.
+        bl = blocked.select(
+            F.lower(F.trim(F.col(blocked.columns[0]))).alias("_bad")
+        ).distinct()
     else:
         bl = spark.createDataFrame(
             [(d.lower(),) for d in sorted(set(blocked))], "_bad string"
@@ -807,10 +817,18 @@ def lexical_diversity(
             "vocab",
             F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("ttr"),
             F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_share"),
-            F.round(
-                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
-                6,
+            # k = 1 (single-term vocabulary) degenerates the denominator
+            # to 0.0 (sx = ln(1) = 0): Spark emits NaN while DuckDB's 0/0
+            # depends on its ieee_floating_point_ops setting — emit NULL
+            # deterministically instead (a one-point regression has no
+            # slope). Mirrored by the CASE in X74_SQL.
+            F.when(
+                F.col("k") >= 2,
+                F.round(
+                    (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                    6,
+                ),
             ).alias("zipf_slope"),
         )
     )
@@ -852,10 +870,20 @@ def stratified_sample(
         F.count(F.lit(1)).cast("bigint").alias("n_h")
     )
     tot = counts.agg(F.sum("n_h").cast("bigint").alias("n"))
+    # The quota product routes through DECIMAL(38,0): at the target scale
+    # both ``total`` and a stratum count can be billions, and a BIGINT
+    # t * n_h silently wraps past 2^63 in non-ANSI mode, corrupting the
+    # apportionment. The quotient (<= t) and remainder (< n) both fit
+    # BIGINT, so only the product needs the wide type; values are exact
+    # integers either way, preserving cross-engine quota parity.
     alloc = counts.crossJoin(F.broadcast(tot)).select(
         F.col(stratum_col),
-        F.expr(f"({t} * n_h) div n").alias("base"),
-        F.expr(f"({t} * n_h) % n").alias("rem"),
+        F.expr(
+            f"CAST((CAST({t} AS DECIMAL(38,0)) * n_h) div n AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST((CAST({t} AS DECIMAL(38,0)) * n_h) % n AS BIGINT)"
+        ).alias("rem"),
     )
     w_rank = Window.orderBy(F.col("rem").desc(), F.col(stratum_col).asc())
     w_all = Window.partitionBy().rowsBetween(

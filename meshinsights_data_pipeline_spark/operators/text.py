@@ -154,15 +154,32 @@ def tfidf_top_terms(
     )
 
 
+def _normalize_query_terms(query_terms: list[str]) -> list[str]:
+    """Driver-side twin of :func:`normalized_text` for the (tiny) query
+    bag: lowercase, split on non-alphanumeric runs, dedupe. Document
+    tokens are matched in normalized form, so an un-normalized query
+    term ('Vector', 'U.S.') would silently match nothing; normalizing
+    here makes the operator total over raw user queries. A term that
+    normalizes into several tokens ('U.S.' -> 'u', 's') contributes each
+    token, matching what the same text would produce as a document."""
+    import re
+
+    out = set()
+    for t in query_terms:
+        out.update(w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split())
+    return sorted(out)
+
+
 def _bm25_frames(
     df: DataFrame, id_col: str, text_col: str, query_terms: list[str]
 ) -> tuple[DataFrame, DataFrame]:
     """The two BM25 input frames from one tokenize chain: per-doc lengths
     ``[id, dl]`` over ALL docs (dl map-side from the token array — no
     all-token shuffle) and term frequencies ``[id, dl, term, tc]``
-    restricted to the query terms (only matching tokens enter the
-    groupBy shuffle). Shared by the batch operator and the streaming
-    twin so their scores are definitionally identical."""
+    restricted to the (normalized) query terms (only matching tokens
+    enter the groupBy shuffle). Shared by the batch operator and the
+    streaming twin so their scores are definitionally identical."""
+    query_terms = _normalize_query_terms(query_terms)
     toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
     )

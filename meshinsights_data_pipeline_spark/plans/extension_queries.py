@@ -3389,8 +3389,10 @@ X74_SQL = f"""
     SELECT v.source, v.n_tokens, v.vocab,
            ROUND(v.vocab * 1.0 / v.n_tokens, 6) AS ttr,
            ROUND(v.top_c * 1.0 / v.n_tokens, 6) AS top_share,
-           ROUND((g.k * g.sxy - g.sx * g.sy)
-                 / (g.k * g.sxx - g.sx * g.sx), 6) AS zipf_slope
+           CASE WHEN g.k >= 2 THEN
+               ROUND((g.k * g.sxy - g.sx * g.sy)
+                     / (g.k * g.sxx - g.sx * g.sx), 6)
+           END AS zipf_slope
     FROM vol v JOIN reg g USING (source)
     ORDER BY source
 """

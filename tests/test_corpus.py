@@ -799,6 +799,29 @@ def test_stratified_sample_hamilton_allocation(spark):
     assert len(stratified_sample(df, "lang", "doc_id", 10).collect()) == 10
 
 
+def test_stratified_quota_product_survives_bigint_overflow(spark):
+    """The quota arithmetic's t * n_h product routes through
+    DECIMAL(38,0): at 100 TB both factors can be billions and the BIGINT
+    product silently wraps past 2^63 in non-ANSI mode. This pins the
+    exact expression stratified_sample uses, at factors whose product
+    exceeds 2^63 (can't be staged as real rows in a test)."""
+    from pyspark.sql import functions as F
+
+    t, n_h, n = 9_000_000_000, 4_000_000_000, 12_000_000_000
+    assert t * n_h > 2**63  # the wrap territory the fix covers
+    df = spark.createDataFrame([(n_h, n)], "n_h long, n long")
+    row = df.select(
+        F.expr(
+            f"CAST((CAST({t} AS DECIMAL(38,0)) * n_h) div n AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST((CAST({t} AS DECIMAL(38,0)) * n_h) % n AS BIGINT)"
+        ).alias("rem"),
+    ).first()
+    assert row.base == (t * n_h) // n
+    assert row.rem == (t * n_h) % n
+
+
 def test_lexical_diversity_zipf_slope(spark):
     from meshinsights_data_pipeline_spark.operators.corpus import (
         lexical_diversity,
@@ -833,6 +856,24 @@ def test_lexical_diversity_zipf_slope(spark):
     assert out["unif"].top_share == pytest.approx(20 / 120, abs=1e-6)
 
 
+def test_lexical_diversity_single_term_vocab_null_slope(spark):
+    """k=1 (one-term vocabulary) has no regression slope: the closed form
+    degenerates to 0/0, which Spark renders NaN and DuckDB renders per
+    its ieee setting — the operator must emit deterministic NULL."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("mono", "word word word"), ("duo", "aa bb aa")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in lexical_diversity(df, "source", "text").collect()}
+    assert out["mono"].vocab == 1
+    assert out["mono"].zipf_slope is None
+    assert out["duo"].zipf_slope is not None
+
+
 def test_url_host_blocklist_suffix_semantics(spark):
     from meshinsights_data_pipeline_spark.operators.corpus import (
         url_host_blocklist,
@@ -852,10 +893,15 @@ def test_url_host_blocklist_suffix_semantics(spark):
     out = {r.id: r.blocked_by for r in
            url_host_blocklist(df, "id", "url", ["bad.com", "www.bad.com"]).collect()}
     assert out == {1: "bad.com", 2: "bad.com", 3: "bad.com"}
-    # frame-form blocklist behaves identically
-    bl = spark.createDataFrame([("bad.com",)], "domain string")
-    out2 = {r.id for r in url_host_blocklist(df, "id", "url", bl).collect()}
-    assert out2 == {1, 2, 3}
+    # frame-form blocklist behaves identically — including entries a real
+    # UT1 dump would ship dirty (mixed case, padding, duplicates), which
+    # must normalize to the list form's matching contract
+    bl = spark.createDataFrame(
+        [("bad.com",), ("  BAD.com ",), ("Bad.COM",)], "domain string"
+    )
+    out2 = {r.id: r.blocked_by
+            for r in url_host_blocklist(df, "id", "url", bl).collect()}
+    assert out2 == {1: "bad.com", 2: "bad.com", 3: "bad.com"}
 
 
 def test_chat_render_order_and_counts(spark):
@@ -882,6 +928,26 @@ def test_chat_render_order_and_counts(spark):
     # custom markers
     alt = chat_render(df, "cid", ["seq"], turn_open="[", turn_close="]")
     assert {r.cid: r.rendered for r in alt.collect()}["c2"] == "[assistant\nsolo]"
+
+
+def test_chat_render_null_turn_kept_in_render(spark):
+    """A NULL role or content must not silently vanish from the rendered
+    string while n_turns still counts the turn — render and counts agree."""
+    from meshinsights_data_pipeline_spark.operators.corpus import chat_render
+
+    df = spark.createDataFrame(
+        [("c1", 1, "user", "hi"), ("c1", 2, None, "orphan"),
+         ("c1", 3, "assistant", None)],
+        "cid string, seq int, role string, content string",
+    )
+    row = chat_render(df, "cid", ["seq"]).first()
+    assert row.n_turns == 3
+    assert row.rendered == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>\norphan<|im_end|>\n"
+        "<|im_start|>assistant\n<|im_end|>"
+    )
+    assert row.rendered.count("<|im_start|>") == row.n_turns
 
 
 def test_gram_novelty_fractions(spark):

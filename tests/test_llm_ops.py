@@ -341,6 +341,12 @@ def test_bm25_topk(spark):
     assert all(r.n_terms == 1 for r in rows)
     # top_k truncates after ranking
     assert [r.id for r in bm25_topk(df, "id", "t", ["dup", "gamma"], top_k=1).collect()] == [3]
+    # raw user queries normalize like document text: 'Dup!' matches the
+    # normalized token 'dup', and 'U.S.' contributes tokens 'u' and 's'
+    # (none present here) instead of silently matching nothing
+    raw = {r.id: r.score for r in
+           bm25_topk(df, "id", "t", ["Dup!", "Gamma", "U.S."], top_k=3).collect()}
+    assert raw == pytest.approx(want, abs=1e-9)
 
 
 def test_pq_encode_and_topk(vectors):
