@@ -335,6 +335,78 @@ def corpus_report(
     )
 
 
+def line_repetition_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Line-level Gopher quality signals per document (Rae et al. 2021
+    Table A1's line rules — the within-doc complement of
+    :func:`repetition_signals`' n-gram rules and :func:`line_dedup`'s
+    cross-doc pass):
+
+    - dup_line_frac: fraction of the doc's (trimmed, non-empty) lines
+      that are repeats of an earlier line, ``(n_lines - distinct) /
+      n_lines``
+    - dup_char_frac: fraction of line characters sitting in repeated
+      occurrences, ``(total_chars - distinct_chars) / total_chars``
+    - bullet_frac: fraction of lines starting with a bullet marker
+      (``- ``, ``* ``, ``• ``)
+    - ellipsis_frac: fraction of lines ending with ``...`` or ``…``
+
+    Boilerplate-heavy or template-generated pages score high on the dup
+    fractions; listicles/navigation chrome on bullet_frac; truncated
+    scrapes on ellipsis_frac. Returns ``[id, n_lines, distinct_lines,
+    dup_line_frac, dup_char_frac, bullet_frac, ellipsis_frac]``
+    (fractions NULL for docs with no non-empty lines). Every count is an
+    integer and each fraction one IEEE division rounded to 6dp, so
+    values are bit-identical across engines.
+
+    Scale shape: pure map-side array expressions over each row's own
+    text — one corpus scan inside whole-stage codegen, ZERO shuffle (the
+    per-line frequency map never leaves the row; at 100 TB this is scan
+    bandwidth, nothing else).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    distinct = F.size(F.array_distinct(lines))
+    chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ")
+            | x.startswith("* ")
+            | x.startswith("• "),
+        )
+    )
+    ellipses = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        distinct.cast("bigint").alias("distinct_lines"),
+        F.when(
+            n_lines > 0, F.round((n_lines - distinct) / n_lines, 6)
+        ).alias("dup_line_frac"),
+        F.when(
+            chars > 0, F.round((chars - distinct_chars) / chars, 6)
+        ).alias("dup_char_frac"),
+        F.when(n_lines > 0, F.round(bullets / n_lines, 6)).alias("bullet_frac"),
+        F.when(n_lines > 0, F.round(ellipses / n_lines, 6)).alias(
+            "ellipsis_frac"
+        ),
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -3185,6 +3185,107 @@ ORDER BY nb.doc_id
 """
 
 
+def _synthesized_multiline_text():
+    """Deterministic line structure for x78: the corpus text has no
+    newlines, so the query builds them — 8-token chunks joined by \\n,
+    every 5th line bulleted, every i%7==3 line ellipsis-terminated (the
+    x27-URL-synthesis pattern: the same integer expressions run in both
+    engines, so the input to the operator under test is identical)."""
+    toks = F.split(F.col("text"), " ")
+    nch = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.when(i % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, i * 8 + 1, F.lit(8)), " "),
+            F.when(i % 7 == 3, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    return F.array_join(lines, "\n")
+
+
+def x78_line_signals(spark: SparkSession, sf_dir: str):
+    """Line-level Gopher quality signals (corpus.line_repetition_signals):
+    duplicate-line / duplicate-line-char fractions plus bullet and
+    ellipsis line ratios, over deterministically synthesized multi-line
+    text (see _synthesized_multiline_text). Zero-shuffle map-side array
+    expressions — the per-line frequency map never leaves the row."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        line_repetition_signals,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _synthesized_multiline_text().alias("text")
+    )
+    return (
+        line_repetition_signals(docs, "doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+X78_SQL = """
+    WITH syn AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       range(0, greatest(1, CAST(ceil(
+                           len(string_split(text, ' ')) / 8.0) AS INT))),
+                       i -> (CASE WHEN i % 5 = 0 THEN '- ' ELSE '' END)
+                            || array_to_string(list_slice(
+                                   string_split(text, ' '),
+                                   i * 8 + 1, i * 8 + 8), ' ')
+                            || (CASE WHEN i % 7 = 3 THEN ' ...' ELSE '' END)
+                   ), chr(10)) AS text
+        FROM documents WHERE doc_id < 200
+    ),
+    ln AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   x -> x <> ''
+               ) AS lines
+        FROM syn
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_distinct(lines)) AS BIGINT) AS distinct_lines,
+               CAST(list_aggregate(
+                   list_transform(lines, x -> CAST(length(x) AS BIGINT)),
+                   'sum') AS BIGINT) AS chars,
+               CAST(list_aggregate(
+                   list_transform(list_distinct(lines),
+                                  x -> CAST(length(x) AS BIGINT)),
+                   'sum') AS BIGINT) AS dchars,
+               CAST(len(list_filter(lines,
+                   x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                        OR starts_with(x, '• '))) AS BIGINT) AS bullets,
+               CAST(len(list_filter(lines,
+                   x -> ends_with(x, '...') OR ends_with(x, '…')))
+                   AS BIGINT) AS ellipses
+        FROM ln
+    )
+    SELECT doc_id, n_lines, distinct_lines,
+           CASE WHEN n_lines > 0 THEN
+               ROUND((n_lines - distinct_lines) * 1.0 / n_lines, 6)
+           END AS dup_line_frac,
+           CASE WHEN chars > 0 THEN
+               ROUND((chars - dchars) * 1.0 / chars, 6)
+           END AS dup_char_frac,
+           CASE WHEN n_lines > 0 THEN
+               ROUND(bullets * 1.0 / n_lines, 6)
+           END AS bullet_frac,
+           CASE WHEN n_lines > 0 THEN
+               ROUND(ellipses * 1.0 / n_lines, 6)
+           END AS ellipsis_frac
+    FROM sig
+    ORDER BY doc_id
+"""
+
+
 def x77_gram_novelty(spark: SparkSession, sf_dir: str):
     """Per-doc n-gram novelty (corpus.gram_novelty): fraction of a
     doc's distinct word-3-grams that no other document contains — the
@@ -3740,6 +3841,7 @@ EXTENSION_BUILDERS = {
     "x75_url_blocklist": (x75_url_blocklist, X75_SQL),
     "x76_chat_render": (x76_chat_render, X76_SQL),
     "x77_gram_novelty": (x77_gram_novelty, X77_SQL),
+    "x78_line_signals": (x78_line_signals, X78_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -799,6 +799,35 @@ def test_stratified_sample_hamilton_allocation(spark):
     assert len(stratified_sample(df, "lang", "doc_id", 10).collect()) == 10
 
 
+def test_line_repetition_signals(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        line_repetition_signals,
+    )
+
+    text = "foo bar\nfoo bar\n- item\n- item\nend ...\n\n  \nfoo bar"
+    df = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "* x\nsnip…")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_repetition_signals(df, "doc_id", "text").collect()}
+    # doc 1: 6 non-empty lines, 3 distinct ("foo bar" x3, "- item" x2, "end ...")
+    r1 = out[1]
+    assert (r1.n_lines, r1.distinct_lines) == (6, 3)
+    assert r1.dup_line_frac == pytest.approx(0.5)          # (6-3)/6
+    assert r1.dup_char_frac == pytest.approx(0.5)          # (40-20)/40
+    assert r1.bullet_frac == pytest.approx(round(2 / 6, 6))
+    assert r1.ellipsis_frac == pytest.approx(round(1 / 6, 6))
+    # doc 2: no non-empty lines -> NULL fractions, zero counts
+    r2 = out[2]
+    assert r2.n_lines == 0
+    assert r2.dup_line_frac is None and r2.dup_char_frac is None
+    assert r2.bullet_frac is None and r2.ellipsis_frac is None
+    # doc 3: '*' bullet and unicode ellipsis both recognized
+    r3 = out[3]
+    assert r3.bullet_frac == pytest.approx(0.5)
+    assert r3.ellipsis_frac == pytest.approx(0.5)
+
+
 def test_stratified_quota_product_survives_bigint_overflow(spark):
     """The quota arithmetic's t * n_h product routes through
     DECIMAL(38,0): at 100 TB both factors can be billions and the BIGINT

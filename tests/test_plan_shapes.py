@@ -37,6 +37,16 @@ def test_gopher_quality_is_map_side(docs):
     assert "EvalPython" not in p
 
 
+def test_line_repetition_signals_is_map_side(docs):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        line_repetition_signals,
+    )
+
+    p = _plan(line_repetition_signals(docs, "doc_id", "text"))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
 def test_chunk_documents_is_narrow(docs):
     p = _plan(chunk_documents(docs, "doc_id", "text", 32))
     assert "Exchange" not in p
