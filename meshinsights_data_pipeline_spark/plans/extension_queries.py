@@ -3185,6 +3185,61 @@ ORDER BY nb.doc_id
 """
 
 
+def x79_sq_topk(spark: SparkSession, sf_dir: str):
+    """Scalar-quantized (int8-style) ANN top-10 for the 5 lowest-id query
+    vectors (similarity.sq_topk) — the compression tier of the ANN
+    family (exact x06 / RP-LSH x10 / IVF x15 / PQ x37). Scores are the
+    quantized cosine: exact BIGINT dot over floor(v/scale + 0.5) codes
+    (tie-free, engine-portable) divided by the integer norms — the
+    per-vector scales cancel, so no float summation needs to agree
+    across engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.sq_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+X79_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM e
+),
+qz AS (
+    SELECT vec_id,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+           END AS q
+    FROM sc
+),
+nz AS (
+    SELECT vec_id, q,
+           sqrt(CAST(list_aggregate(list_transform(q, x -> x * x), 'sum')
+                     AS DOUBLE)) AS n
+    FROM qz
+),
+nzf AS (SELECT * FROM nz WHERE n > 0),
+scored AS (
+    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ROUND(CAST(list_aggregate(
+                     list_transform(range(1, len(a.q) + 1),
+                                    i -> a.q[i] * b.q[i]),
+                     'sum') AS DOUBLE) / (b.n * a.n), 6) AS score
+    FROM nzf a CROSS JOIN nzf b
+    WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def _synthesized_multiline_text():
     """Deterministic line structure for x78: the corpus text has no
     newlines, so the query builds them — 8-token chunks joined by \\n,
@@ -3842,6 +3897,7 @@ EXTENSION_BUILDERS = {
     "x76_chat_render": (x76_chat_render, X76_SQL),
     "x77_gram_novelty": (x77_gram_novelty, X77_SQL),
     "x78_line_signals": (x78_line_signals, X78_SQL),
+    "x79_sq_topk": (x79_sq_topk, X79_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -109,6 +109,35 @@ def test_embedding_neardup(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
 
 
+def test_sq_quantize_code_properties(vectors, spark):
+    rows = S.sq_quantize(vectors).collect()
+    assert len(rows) == 41
+    for r in rows:
+        codes = r["sq_q"]
+        assert all(-127 <= c <= 127 for c in codes)
+        # the max-|v| component quantizes to exactly +/-127
+        assert max(abs(c) for c in codes) == 127
+        assert r["sq_scale"] > 0 and r["sq_norm"] > 0
+    # zero vector: all-zero codes, zero scale/norm (not NaN)
+    z = spark.createDataFrame([(9, [0.0] * 4)], "vec_id long, embedding array<float>")
+    rz = S.sq_quantize(z).first()
+    assert list(rz["sq_q"]) == [0, 0, 0, 0]
+    assert rz["sq_scale"] == 0.0 and rz["sq_norm"] == 0.0
+
+
+def test_sq_topk_finds_planted_dup_and_tracks_exact(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.sq_topk(vectors, q, k=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert out[0].neighbor_id == 100  # planted near-dup survives int8
+    assert out[0].score > 0.99
+    # 7-bit quantization of 16-dim unit vectors: top-5 set should agree
+    # with the exact ranking almost everywhere
+    exact = {r.neighbor_id for r in S.cosine_topk(vectors, q, k=5).collect()}
+    got = {r.neighbor_id for r in out}
+    assert len(exact & got) >= 4
+
+
 def test_rp_lsh_topk_finds_planted_dup(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = S.rp_lsh_topk(vectors, q, k=5, bits=6).collect()
