@@ -990,6 +990,107 @@ def stratified_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int,
+    alpha: float = 0.5,
+    seed: str = "s7",
+) -> DataFrame:
+    """Temperature-reweighted mixture sampling — the corpus-mixing step
+    of multi-source pretraining recipes: per-stratum quotas follow
+    ``w_h = n_h^alpha`` instead of raw proportions, upsampling small
+    sources relative to :func:`stratified_sample` (``alpha=1`` recovers
+    it; ``alpha=0`` is uniform-over-strata). Quotas use the same
+    largest-remainder (Hamilton) apportionment as x73, but over
+    temperature weights.
+
+    Cross-engine exactness: the weight is quantized FIRST —
+    ``W_h = floor(n_h^alpha * 1e6 + 0.5)`` (for the default
+    ``alpha=0.5``, ``n_h^alpha`` is ``sqrt``, correctly rounded IEEE in
+    both engines; the multiply and floor are one exact op each) — so the
+    entire apportionment runs in BIGINT div/mod with the DECIMAL(38,0)
+    product guard, bit-identical across engines. Non-sqrt alphas are
+    supported operationally but ``pow`` is not IEEE-correctly-rounded,
+    so only ``alpha in (0.5, 1.0)`` carries the oracle-exactness
+    guarantee.
+
+    Quotas are capped at the stratum size (sampling without
+    replacement): when a small stratum saturates, the result undershoots
+    ``total`` rather than silently repeating rows — callers that need
+    epochs/replacement should chunk upstream. Returns [stratum, id,
+    pick], pick = 1-based within-stratum rank in the deterministic
+    md5-hash order (same order contract as stratified_sample).
+
+    Scale shape: identical to x73 — one corpus count aggregate, the
+    allocation windows on the |strata|-row frame, hot-stratum-safe
+    grouped ranking, quotas broadcast. One corpus shuffle total.
+    """
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_row_number,
+    )
+
+    t = int(total)
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h")
+    )
+    w_raw = (
+        F.sqrt(F.col("n_h")) if alpha == 0.5
+        else F.pow(F.col("n_h").cast("double"), F.lit(float(alpha)))
+    )
+    weighted = counts.select(
+        F.col(stratum_col),
+        "n_h",
+        F.floor(w_raw * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").cast("bigint").alias("tw"))
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        F.col(stratum_col),
+        "n_h",
+        F.expr(
+            f"CAST((CAST({t} AS DECIMAL(38,0)) * w) div tw AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST((CAST({t} AS DECIMAL(38,0)) * w) % tw AS BIGINT)"
+        ).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col(stratum_col).asc())
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quota = alloc.select(
+        F.col(stratum_col),
+        F.least(
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(t) - F.sum("base").over(w_all),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+            F.col("n_h"),
+        ).alias("quota"),
+    )
+    h = md5_int60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    ranked = grouped_row_number(
+        df.select(F.col(stratum_col), F.col(id_col)).withColumn("_h", h),
+        [stratum_col],
+        [F.col("_h"), F.col(id_col)],
+        out_col="pick",
+    )
+    return (
+        ranked.join(F.broadcast(quota), stratum_col)
+        .filter(F.col("pick") <= F.col("quota"))
+        .select(
+            F.col(stratum_col),
+            F.col(id_col),
+            F.col("pick").cast("bigint").alias("pick"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -3609,6 +3609,67 @@ X73_SQL = f"""
 """
 
 
+def x80_temperature_mixture(spark: SparkSession, sf_dir: str):
+    """Temperature-reweighted mixture sample
+    (corpus.temperature_mixture_sample, alpha=0.5): per-language quotas
+    follow sqrt(n_h) shares under Hamilton apportionment — the
+    multi-source pretraining mixing step that upsamples small sources
+    relative to x73's proportional quotas. Weights are quantized to
+    BIGINT (floor(sqrt*1e6 + 0.5)) before any division, so the whole
+    allocation is integer-exact in both engines; sqrt is correctly
+    rounded IEEE, making alpha=0.5 the oracle-exact temperature."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        temperature_mixture_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, "lang", "doc_id", _X73_T, alpha=0.5
+    ).orderBy("lang", "pick")
+
+
+X80_SQL = f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h
+        FROM documents GROUP BY lang
+    ),
+    weighted AS (
+        SELECT lang, n_h,
+               CAST(floor(sqrt(n_h) * 1000000.0 + 0.5) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM weighted),
+    alloc AS (
+        SELECT lang, n_h,
+               ({_X73_T} * w) // tw AS base, ({_X73_T} * w) % tw AS rem
+        FROM weighted CROSS JOIN tot
+    ),
+    quota AS (
+        SELECT lang,
+               least(
+                   base + CASE WHEN ROW_NUMBER() OVER
+                                    (ORDER BY rem DESC, lang ASC)
+                                    <= {_X73_T} - SUM(base) OVER ()
+                               THEN 1 ELSE 0 END,
+                   n_h
+               ) AS quota
+        FROM alloc
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {{h60}}, doc_id
+               ) AS pick
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id, CAST(r.pick AS BIGINT) AS pick
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.pick <= q.quota
+    ORDER BY lang, pick
+""".replace("{h60}", _H60_SQL.format(s="'s7:' || doc_id"))
+
+
 def x72_binary_neardup(spark: SparkSession, sf_dir: str):
     """Binary-payload near-dup pairs (multimodal.payload_neardup_pairs):
     byte-8-gram shingles sliced in hex space at stride 4 -> MinHash LSH
@@ -3898,6 +3959,7 @@ EXTENSION_BUILDERS = {
     "x77_gram_novelty": (x77_gram_novelty, X77_SQL),
     "x78_line_signals": (x78_line_signals, X78_SQL),
     "x79_sq_topk": (x79_sq_topk, X79_SQL),
+    "x80_temperature_mixture": (x80_temperature_mixture, X80_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

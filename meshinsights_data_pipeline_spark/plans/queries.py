@@ -2691,6 +2691,7 @@ _DRIVER_WINDOW_R11 = [
     # the r8-stale band yields slots from its tail)
     "x78_line_signals",
     "x79_sq_topk",
+    "x80_temperature_mixture",
     # (1) changed this round and must re-verify: x69's oracle gained the
     # CAST(session AS BIGINT) fix for the HUGEINT fetch-path bug that kept
     # it hash-red r8-r10 (Spark side untouched, proven correct).
@@ -2715,7 +2716,6 @@ _DRIVER_WINDOW_R11 = [
     "x45_cohort_retention", "x46_numeric_profile", "x47_length_ranks",
     "x48_duplicate_spans", "x49_span_excision", "x58_dq_checks",
     "x59_vector_stats", "x60_skew_salted_agg", "x61_grouped_percentiles",
-    "x62_line_dedup",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R11
 

@@ -799,6 +799,42 @@ def test_stratified_sample_hamilton_allocation(spark):
     assert len(stratified_sample(df, "lang", "doc_id", 10).collect()) == 10
 
 
+def test_temperature_mixture_sample(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+        temperature_mixture_sample,
+    )
+
+    # strata a:64, b:16, c:4 -> sqrt weights 8/4/2 (ratios 4:2:1) vs raw
+    # proportions 16:4:1 — temperature visibly upsamples the small strata
+    rows = ([(i, "a") for i in range(64)] + [(100 + i, "b") for i in range(16)]
+            + [(200 + i, "c") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture_sample(df, "lang", "doc_id", 14, alpha=0.5).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    # shares 14 * (8,4,2)/14 = 8/4/2 exactly
+    assert sizes == {"a": 8, "b": 4, "c": 2}
+    # alpha=1 reproduces stratified_sample exactly (same rows, same picks)
+    t1 = sorted((r.lang, r.doc_id, r.pick)
+                for r in temperature_mixture_sample(df, "lang", "doc_id", 14,
+                                                    alpha=1.0).collect())
+    s1 = sorted((r.lang, r.doc_id, r.pick)
+                for r in stratified_sample(df, "lang", "doc_id", 14).collect())
+    assert t1 == s1
+    # quota caps at stratum size: tiny stratum saturates, result undershoots
+    out2 = temperature_mixture_sample(df, "lang", "doc_id", 80, alpha=0.5)
+    sizes2 = {}
+    for r in out2.collect():
+        sizes2[r.lang] = sizes2.get(r.lang, 0) + 1
+    assert sizes2["c"] == 4               # capped at |c|
+    assert sum(sizes2.values()) <= 80
+    # picks dense 1..quota
+    for r in out:
+        assert r.pick >= 1
+
+
 def test_line_repetition_signals(spark):
     from meshinsights_data_pipeline_spark.operators.corpus import (
         line_repetition_signals,
