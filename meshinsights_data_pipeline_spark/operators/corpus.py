@@ -365,8 +365,15 @@ def line_repetition_signals(
     per-line frequency map never leaves the row; at 100 TB this is scan
     bandwidth, nothing else).
     """
+    # Split tolerates CRLF (the dominant line ending in scraped web text —
+    # exactly this operator's target corpus) and trims tabs/CR as well as
+    # spaces; plain F.trim strips only ASCII space, which would leave a
+    # phantom "\r" line per CRLF break and defeat endswith("...").
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        F.transform(
+            F.split(F.col(text_col), "\r?\n"),
+            lambda x: F.btrim(x, F.lit(" \t\r")),
+        ),
         lambda x: x != "",
     )
     n_lines = F.size(lines)
@@ -803,7 +810,8 @@ def url_host_blocklist(
         ).distinct()
     else:
         bl = spark.createDataFrame(
-            [(d.lower(),) for d in sorted(set(blocked))], "_bad string"
+            [(d,) for d in sorted({b.strip().lower() for b in blocked})],
+            "_bad string",
         )
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/:?#]*)", 1))
     parts = F.split(F.col("host"), r"\.")
@@ -1035,17 +1043,19 @@ def temperature_mixture_sample(
     counts = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_h")
     )
-    w_raw = (
-        F.sqrt(F.col("n_h")) if alpha == 0.5
-        else F.pow(F.col("n_h").cast("double"), F.lit(float(alpha)))
-    )
-    weighted = counts.select(
-        F.col(stratum_col),
-        "n_h",
-        F.floor(w_raw * F.lit(1000000.0) + F.lit(0.5))
-        .cast("bigint")
-        .alias("w"),
-    )
+    if alpha == 1.0:
+        # Hamilton quotas are scale-invariant in the weights, so alpha=1
+        # uses n_h itself — pure BIGINT, exactly stratified_sample's
+        # apportionment at ANY stratum size. (The float quantization
+        # below would lose exactness past n_h ~ 2^53/1e6 ≈ 9e9 rows.)
+        w_col = F.col("n_h")
+    else:
+        w_raw = (
+            F.sqrt(F.col("n_h")) if alpha == 0.5
+            else F.pow(F.col("n_h").cast("double"), F.lit(float(alpha)))
+        )
+        w_col = F.floor(w_raw * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    weighted = counts.select(F.col(stratum_col), "n_h", w_col.alias("w"))
     tot = weighted.agg(F.sum("w").cast("bigint").alias("tw"))
     alloc = weighted.crossJoin(F.broadcast(tot)).select(
         F.col(stratum_col),

@@ -2692,30 +2692,37 @@ _DRIVER_WINDOW_R11 = [
     "x78_line_signals",
     "x79_sq_topk",
     "x80_temperature_mixture",
-    # (1) changed this round and must re-verify: x69's oracle gained the
-    # CAST(session AS BIGINT) fix for the HUGEINT fetch-path bug that kept
-    # it hash-red r8-r10 (Spark side untouched, proven correct).
+    # (1) changed this round and must re-verify (the discipline r10
+    # applied to x22): x69's oracle gained the CAST(session AS BIGINT)
+    # fix for the r8-r10 HUGEINT fetch-path red; every query below runs
+    # through code rewritten this round — normalized_text's one-pass
+    # regex (all shingle/fingerprint/token consumers), punct_ratio's
+    # translate form (x08/x53/x55), the explode-symmetrized fused-round
+    # CC (x23/x26), and the five review-finding hardenings
+    # (x71/x73/x74/x75/x76). All proven value-identical locally; the
+    # window is how the driver confirms it.
     "x69_gap_sessions",
-    # (2) the 7 r7-stale queries — the oldest band after r10 retired the
-    # rest of the r7 cohort.
-    "x21_winnow_fingerprints", "x37_pq_topk", "x50_corpus_report",
+    "x01_exact_dedup", "x02_minhash_signatures", "x03_minhash_lsh_pairs",
+    "x04_ngram_jaccard", "x05_simhash", "x08_text_stats",
+    "x11_minhash_dedup_pairs", "x14_fuzzy_neardup",
+    "x21_winnow_fingerprints", "x22_gopher_quality", "x23_dedup_clusters",
+    "x25_contamination", "x26_dedup_clusters_star",
+    "x29_contamination_bloom", "x32_vocabulary", "x33_tfidf_terms",
+    "x34_repetition_signals", "x39_boilerplate_ngrams",
+    "x48_duplicate_spans", "x49_span_excision", "x51_lm_quality",
     "x53_quality_top_fraction", "x55_weighted_sample",
-    "x56_semantic_decontamination", "x57_source_overlap",
-    # (3) fill to exactly 50 with the r8-stale cohort (42 of its 44;
-    # q72/q73 — stable PIVOT/UNPIVOT — yield their slots and rejoin
-    # next round). Queries ADDED this round must be inserted at the
-    # HEAD in the same commit, displacing from this band's tail.
+    "x57_source_overlap", "x62_line_dedup", "x63_source_drift",
+    "x70_dsir_weights", "x71_bm25_topk", "x72_binary_neardup",
+    "x73_stratified_sample", "x74_lexical_diversity", "x75_url_blocklist",
+    "x76_chat_render", "x77_gram_novelty",
+    # (2) the remaining r7-stale queries not already above.
+    "x37_pq_topk", "x50_corpus_report", "x56_semantic_decontamination",
+    # (3) fill to exactly 50 from the r8-stale cohort head; the rest of
+    # that cohort (q69-q73, x24/x27/x28/x30/x31/x35/x36/x38/x40/x42-x47,
+    # x58-x61, x65/x66) rotates next round. Queries ADDED this round must
+    # be inserted at the HEAD in the same commit, displacing from this
+    # band's tail.
     "q08", "q09", "q10", "q63", "q64", "q65", "q66", "q67", "q68",
-    "q69", "q70", "q71",
-    "x24_source_quota", "x25_contamination", "x27_url_dedup",
-    "x28_pii_redact", "x29_contamination_bloom", "x30_pack_sequences",
-    "x31_dataset_split", "x32_vocabulary", "x33_tfidf_terms",
-    "x34_repetition_signals", "x35_gap_fill", "x36_profile",
-    "x38_semantic_dedup", "x39_boilerplate_ngrams", "x40_shuffle_shards",
-    "x42_mixture_sample", "x43_html_extract", "x44_funnel",
-    "x45_cohort_retention", "x46_numeric_profile", "x47_length_ranks",
-    "x48_duplicate_spans", "x49_span_excision", "x58_dq_checks",
-    "x59_vector_stats", "x60_skew_salted_agg", "x61_grouped_percentiles",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R11
 

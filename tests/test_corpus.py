@@ -864,6 +864,23 @@ def test_line_repetition_signals(spark):
     assert r3.ellipsis_frac == pytest.approx(0.5)
 
 
+def test_line_repetition_signals_crlf(spark):
+    """CRLF corpora must not grow phantom '\\r' lines or defeat the
+    ellipsis suffix match."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        line_repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a ...\r\na ...\r\n\r\n\tb\t\r\n")],
+        "doc_id long, text string",
+    )
+    r = line_repetition_signals(df, "doc_id", "text").first()
+    assert (r.n_lines, r.distinct_lines) == (3, 2)   # "a ...", "a ...", "b"
+    assert r.ellipsis_frac == pytest.approx(round(2 / 3, 6))
+    assert r.dup_line_frac == pytest.approx(round(1 / 3, 6))
+
+
 def test_stratified_quota_product_survives_bigint_overflow(spark):
     """The quota arithmetic's t * n_h product routes through
     DECIMAL(38,0): at 100 TB both factors can be billions and the BIGINT
@@ -958,6 +975,10 @@ def test_url_host_blocklist_suffix_semantics(spark):
     out = {r.id: r.blocked_by for r in
            url_host_blocklist(df, "id", "url", ["bad.com", "www.bad.com"]).collect()}
     assert out == {1: "bad.com", 2: "bad.com", 3: "bad.com"}
+    # list-form entries normalize too (padding/case from readlines())
+    outp = {r.id for r in
+            url_host_blocklist(df, "id", "url", ["  BAD.com \n"]).collect()}
+    assert outp == {1, 2, 3}
     # frame-form blocklist behaves identically — including entries a real
     # UT1 dump would ship dirty (mixed case, padding, duplicates), which
     # must normalize to the list form's matching contract

@@ -18,17 +18,12 @@ ORACLE_QUERIES = [name for name, q in QUERIES.items() if q.oracle is not None]
 T2_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
 
 
-#: Output column types every fetch path (fetchall, pandas, Arrow) renders
-#: identically. DuckDB's HUGEINT (window SUM over INTEGER) and DECIMAL
-#: survive fetchall() as exact ints but surface as float64/Decimal on
-#: dtype-sensitive paths — x69 was driver-red for three rounds on exactly
-#: this, so neither may ever reach an oracle's final SELECT.
-PORTABLE_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
-                  "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN")
-
-
 def test_every_oracle_output_type_is_portable():
-    from tests.oracle_harness import duckdb_con
+    """No HUGEINT/DECIMAL may reach an oracle's final SELECT — x69 was
+    driver-red for three rounds on exactly this (the type set and its
+    rationale live in oracle_harness.PORTABLE_TYPES, the same contract
+    compare() enforces per query)."""
+    from tests.oracle_harness import PORTABLE_TYPES, duckdb_con
 
     con = duckdb_con(T2_DIR)
     offenders = []
