@@ -111,3 +111,78 @@ def pagerank(
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return ranks
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    local-clustering signal of the graph family (PageRank = global
+    importance, connected components = dedup clustering, triangles =
+    community density; in a link/co-occurrence graph, spam farms and
+    boilerplate rings show anomalous triangle density).
+
+    Input rows are undirected (orientation irrelevant, duplicates and
+    self-loops tolerated). Returns ``[node, triangles]`` for every node
+    in at least one triangle; each triangle credits all three corners.
+    Counts are exact integers — bit-identical across engines.
+
+    Scale shape (the compact-forward / degree-ordering algorithm):
+    edges are oriented from the lower-(degree, id) endpoint to the
+    higher, which bounds every node's OUT-degree by O(sqrt(|E|)) —
+    wedge enumeration (the self-join on the wedge apex) is therefore
+    O(|E|^1.5) worst-case instead of sum-of-squared-degrees; a hub of
+    degree millions contributes NO wedges from its own apex because all
+    its edges point INTO it. Three shuffles total: degree aggregate,
+    apex self-join, closure hash-join on the (v, w) edge key. No
+    broadcast of anything graph-sized, no corpus^2 shape.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # Orient each edge from the lower (degree, id) endpoint to the higher;
+    # carry both endpoints' (degree, id) keys for the wedge-order filter.
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    e_dir = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # Wedges at apex u: pairs of out-neighbors (v, w) with ord(v) < ord(w);
+    # the triangle closes iff the oriented edge v -> w exists.
+    w1 = e_dir.select(F.col("u"), F.col("v"), F.col("dv"))
+    w2 = e_dir.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closure = e_dir.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tris = wedges.join(closure, ["v", "w"]).select("u", "v", "w")
+    return (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )

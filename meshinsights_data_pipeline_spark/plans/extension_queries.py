@@ -3185,6 +3185,75 @@ ORDER BY nb.doc_id
 """
 
 
+def x81_triangle_counts(spark: SparkSession, sf_dir: str):
+    """Per-node triangle counts (graph.triangle_counts, compact-forward
+    degree orientation — wedge work bounded O(|E|^1.5)) over the
+    co-purchase graph: parts appearing in the same order are connected
+    (sliced to l_partkey < 800 for a bounded oracle — a dense,
+    triangle-rich projection at every sf). Completes the graph family:
+    x67 PageRank (global importance), x23/x26 components (dedup
+    clustering), x81 triangles (local community density)."""
+    from meshinsights_data_pipeline_spark.operators.graph import triangle_counts
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 800)
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(pairs, "src", "dst").orderBy("node")
+
+
+X81_SQL = """
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+          AND a.l_partkey < 800 AND b.l_partkey < 800
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+        GROUP BY n
+    ),
+    ed AS (
+        SELECT e0.a, e0.b, da.d AS da, db.d AS db
+        FROM e0
+        JOIN deg da ON da.n = e0.a
+        JOIN deg db ON db.n = e0.b
+    ),
+    edir AS (
+        SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+               CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+        FROM ed
+    ),
+    wed AS (
+        SELECT w1.u, w1.v, w2.v AS w
+        FROM edir w1 JOIN edir w2 ON w1.u = w2.u
+        WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)
+    ),
+    tri AS (
+        SELECT t.u, t.v, t.w
+        FROM wed t JOIN edir c ON c.u = t.v AND c.v = t.w
+    ),
+    corners AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY node ORDER BY node
+"""
+
+
 def x79_sq_topk(spark: SparkSession, sf_dir: str):
     """Scalar-quantized (int8-style) ANN top-10 for the 5 lowest-id query
     vectors (similarity.sq_topk) — the compression tier of the ANN
@@ -3960,6 +4029,7 @@ EXTENSION_BUILDERS = {
     "x78_line_signals": (x78_line_signals, X78_SQL),
     "x79_sq_topk": (x79_sq_topk, X79_SQL),
     "x80_temperature_mixture": (x80_temperature_mixture, X80_SQL),
+    "x81_triangle_counts": (x81_triangle_counts, X81_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -1054,3 +1054,22 @@ def test_gram_novelty_fractions(spark):
     assert out[2] == (2, 0.5)
     assert out[3] == (2, 1.0)
     assert out[4] == (1, 1.0)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from meshinsights_data_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 (every node in 3 triangles) + a triangle-free path + noise the
+    # canonicalization must absorb: a reversed duplicate and a self-loop
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(
+        k4 + [(10, 11), (11, 12)] + [(1, 0), (2, 2)], "src long, dst long"
+    )
+    out = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # path nodes absent (0 triangles)
+    # two triangles sharing an edge: shared nodes count both
+    df2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out2 = {r.node: r.triangles for r in triangle_counts(df2).collect()}
+    assert out2 == {1: 1, 2: 2, 3: 2, 4: 1}
