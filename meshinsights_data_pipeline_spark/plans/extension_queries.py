@@ -1121,6 +1121,79 @@ FROM j ORDER BY user_id, bucket
 """
 
 
+def x82_gap_interpolate(spark: SparkSession, sf_dir: str):
+    """Hourly gap-fill with LINEAR interpolation
+    (rollup.gap_fill_interpolate) over the first week of events per
+    user — hypertable interpolate() semantics: empty buckets take the
+    straight-line value between the bracketing observations; leading/
+    trailing gaps stay NULL; observed buckets keep exact values. The
+    fraction is one IEEE division on exact BIGINT epochs, mirrored
+    token-for-token in the oracle."""
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        gap_fill_interpolate,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    return gap_fill_interpolate(ev, "ts", ["user_id"], "value", unit="hour").orderBy(
+        "user_id", "bucket"
+    )
+
+
+X82_SQL = """
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, MAX(value) AS v_obs
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY user_id, date_trunc('hour', ts)
+),
+bounds AS (
+    SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM obs GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.bucket, o.v_obs,
+           CAST(epoch(g.bucket) AS BIGINT) AS ep,
+           CASE WHEN o.v_obs IS NOT NULL
+                THEN CAST(epoch(g.bucket) AS BIGINT) END AS obs_ep
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+),
+br AS (
+    SELECT user_id, bucket, v_obs, ep,
+           last_value(v_obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS prev_v,
+           last_value(obs_ep IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS prev_t,
+           first_value(v_obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS next_v,
+           first_value(obs_ep IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS next_t
+    FROM j
+)
+SELECT user_id, bucket,
+       floor(CASE
+           WHEN v_obs IS NOT NULL THEN CAST(v_obs AS DOUBLE)
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               CAST(prev_v AS DOUBLE)
+               + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                 * (CAST(ep - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+       END * 1000000.0 + 0.5) / 1000000.0 AS v_interp,
+       v_obs IS NOT NULL AS was_observed
+FROM br ORDER BY user_id, bucket
+"""
+
+
 def x36_profile(spark: SparkSession, sf_dir: str):
     """Column data-quality profile of events (null and distinct counts in
     ONE aggregation pass — stats.profile_columns); the validation step a
@@ -4030,6 +4103,7 @@ EXTENSION_BUILDERS = {
     "x79_sq_topk": (x79_sq_topk, X79_SQL),
     "x80_temperature_mixture": (x80_temperature_mixture, X80_SQL),
     "x81_triangle_counts": (x81_triangle_counts, X81_SQL),
+    "x82_gap_interpolate": (x82_gap_interpolate, X82_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

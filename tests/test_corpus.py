@@ -1073,3 +1073,30 @@ def test_triangle_counts_known_graphs(spark):
     )
     out2 = {r.node: r.triangles for r in triangle_counts(df2).collect()}
     assert out2 == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_gap_fill_interpolate_values(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        gap_fill_interpolate,
+    )
+
+    rows = [
+        ("k", datetime(2024, 1, 1, 0, 30), 10.0),   # bucket 00 -> 10
+        ("k", datetime(2024, 1, 1, 3, 10), 40.0),   # bucket 03 -> 40
+        ("k", datetime(2024, 1, 1, 5, 5), 20.0),    # bucket 05 -> 20
+        # second key: single observation -> grid of one, no interpolation
+        ("solo", datetime(2024, 1, 1, 7, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {(r.k, r.bucket.hour): (r.v_interp, r.was_observed)
+           for r in gap_fill_interpolate(df, "ts", ["k"], "value").collect()}
+    assert out[("k", 0)] == (10.0, True)
+    assert out[("k", 1)] == (20.0, False)   # 1/3 of the way 10 -> 40
+    assert out[("k", 2)] == (30.0, False)
+    assert out[("k", 3)] == (40.0, True)
+    assert out[("k", 4)] == (30.0, False)   # midpoint 40 -> 20
+    assert out[("k", 5)] == (20.0, True)
+    assert out[("solo", 7)] == (5.0, True)
+    assert len(out) == 7
