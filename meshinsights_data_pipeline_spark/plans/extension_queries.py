@@ -3258,6 +3258,51 @@ ORDER BY nb.doc_id
 """
 
 
+def x83_basket_lift(spark: SparkSession, sf_dir: str):
+    """Market-basket association (basket.basket_pair_stats): pairwise
+    support / confidence / lift over order->part baskets, pairs
+    co-occurring in >= 2 orders. Exact integer counts + single IEEE
+    divisions; lift's products fold through DECIMAL(38,0) (the x73
+    overflow discipline). The statistical-association view of the same
+    co-occurrence data x81 scores structurally."""
+    from meshinsights_data_pipeline_spark.operators.basket import (
+        basket_pair_stats,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return basket_pair_stats(
+        li, "l_orderkey", "l_partkey", min_support_count=2
+    ).orderBy("item_a", "item_b")
+
+
+X83_SQL = """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    pc AS (
+        SELECT a.i AS item_a, c.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM bi a JOIN bi c USING (b)
+        WHERE a.i < c.i
+        GROUP BY a.i, c.i
+        HAVING COUNT(*) >= 2
+    ),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY i),
+    tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi)
+    SELECT p.item_a, p.item_b, p.n_ab,
+           ROUND(p.n_ab * 1.0 / t.n_baskets, 6) AS support,
+           ROUND(p.n_ab * 1.0 / ia.n_i, 6) AS confidence_a_b,
+           ROUND(CAST(CAST(p.n_ab AS DECIMAL(38,0)) * t.n_baskets AS DOUBLE)
+                 / CAST(CAST(ia.n_i AS DECIMAL(38,0)) * ib.n_i AS DOUBLE),
+                 6) AS lift
+    FROM pc p
+    JOIN ic ia ON ia.i = p.item_a
+    JOIN ic ib ON ib.i = p.item_b
+    CROSS JOIN tot t
+    ORDER BY item_a, item_b
+"""
+
+
 def x81_triangle_counts(spark: SparkSession, sf_dir: str):
     """Per-node triangle counts (graph.triangle_counts, compact-forward
     degree orientation — wedge work bounded O(|E|^1.5)) over the
@@ -4104,6 +4149,7 @@ EXTENSION_BUILDERS = {
     "x80_temperature_mixture": (x80_temperature_mixture, X80_SQL),
     "x81_triangle_counts": (x81_triangle_counts, X81_SQL),
     "x82_gap_interpolate": (x82_gap_interpolate, X82_SQL),
+    "x83_basket_lift": (x83_basket_lift, X83_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

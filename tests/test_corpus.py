@@ -1100,3 +1100,23 @@ def test_gap_fill_interpolate_values(spark):
     assert out[("k", 5)] == (20.0, True)
     assert out[("solo", 7)] == (5.0, True)
     assert len(out) == 7
+
+
+def test_basket_pair_stats(spark):
+    from meshinsights_data_pipeline_spark.operators.basket import (
+        basket_pair_stats,
+    )
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (4, "z"), (1, "x")]  # duplicate (1, x) must collapse
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r.item_a, r.item_b): r
+           for r in basket_pair_stats(df, "b", "i", 2).collect()}
+    r = out[("x", "y")]
+    # n_ab=2 of 4 baskets; n_x=3, n_y=2
+    assert (r.n_ab, r.support) == (2, 0.5)
+    assert r.confidence_a_b == pytest.approx(round(2 / 3, 6))
+    assert r.lift == pytest.approx(round(2 * 4 / (3 * 2), 6))
+    # support-1 pairs filtered by min_support_count=2
+    assert ("x", "z") not in out and ("y", "z") not in out
+    assert list(out) == [("x", "y")]
