@@ -1706,3 +1706,66 @@ def test_streaming_novelty_parity_and_retry(spark, tmp_path):
     counts = {r.h: r.n_docs
               for r in snapshot_before(spark, cnt_dir, 99).collect()}
     assert max(counts.values()) == 3  # "a b c" seen in docs 1, 2 and 4
+
+
+def test_streaming_basket_parity_and_retry(spark, tmp_path):
+    """Single-batch basket stats must equal the batch operator exactly;
+    a second batch re-emits its pairs against the MERGED counts; a
+    retried epoch leaves state and stats unchanged."""
+    from meshinsights_data_pipeline_spark.operators.basket import (
+        basket_pair_stats,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_basket_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.basket import (
+        BASKET_ITEMS_SCHEMA,
+        BASKET_PAIRS_SCHEMA,
+        BASKET_TOTALS_SCHEMA,
+    )
+
+    schema = "basket_id long, item_id long"
+    b1 = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)], schema)
+    b2 = spark.createDataFrame(
+        [(4, 10), (4, 20), (5, 30), (5, 40)], schema)
+    dirs = {k: str(tmp_path / k) for k in ("pairs", "items", "totals", "st")}
+    snapshot_overwrite(
+        spark.createDataFrame([], BASKET_PAIRS_SCHEMA), dirs["pairs"], -1)
+    snapshot_overwrite(
+        spark.createDataFrame([], BASKET_ITEMS_SCHEMA), dirs["items"], -1)
+    snapshot_overwrite(
+        spark.createDataFrame([], BASKET_TOTALS_SCHEMA), dirs["totals"], -1)
+    process = streaming_basket_ingest(
+        pairs_dir=dirs["pairs"], items_dir=dirs["items"],
+        totals_dir=dirs["totals"], stats_dir=dirs["st"])
+
+    def canon(df):
+        return sorted(
+            (r.item_a, r.item_b, r.n_ab, r.support, r.confidence_a_b, r.lift)
+            for r in df.collect())
+
+    process(b1, 0)
+    got1 = canon(spark.read.parquet(dirs["st"]))
+    assert got1 == canon(basket_pair_stats(b1, "basket_id", "item_id", 2))
+
+    process(b2, 1)
+    all_stats = spark.read.parquet(dirs["st"])
+    # epoch 1 re-emits (10, 20) with merged counts: n_ab=3 of 5 baskets,
+    # n_10=4, n_20=3 -> support .6, confidence 3/4, lift 3*5/(4*3)=1.25
+    got2 = canon(all_stats.filter(F.col("_epoch") == 1))
+    assert got2 == [(10, 20, 3, 0.6, 0.75, 1.25)]
+    # ...which equals the batch operator over the union for that pair
+    merged_expect = canon(
+        basket_pair_stats(b1.unionByName(b2), "basket_id", "item_id", 2))
+    assert got2 == merged_expect
+
+    process(b2, 1)  # simulated retry
+    after = spark.read.parquet(dirs["st"])
+    assert after.count() == len(got1) + 1
+    totals = snapshot_before(spark, dirs["totals"], 99).first()
+    assert totals.n_baskets == 5
