@@ -694,3 +694,69 @@ def test_chat_render_one_shuffle_no_window(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" not in p
     assert "EvalPython" not in p
+
+
+def test_sq_topk_broadcast_query_side_jvm_only(spark):
+    """x79's scale contract: the bounded query set broadcasts (never a
+    shuffle join against the corpus), scoring is JVM expressions."""
+    from meshinsights_data_pipeline_spark.operators.similarity import sq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    p = _plan(sq_topk(emb, emb.filter(F.col("vec_id") < 2), k=3))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """x81's scale contract: wedge + closure are hash joins on the apex
+    / edge keys — no cartesian shape anywhere."""
+    from meshinsights_data_pipeline_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a < b],
+        "src long, dst long",
+    )
+    p = _plan(triangle_counts(e))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_basket_pair_stats_broadcast_dims(spark):
+    """x83's scale contract: item counts and the 1-row total broadcast;
+    the only non-broadcast join is the basket-keyed pair self-join."""
+    from meshinsights_data_pipeline_spark.operators.basket import (
+        basket_pair_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 5, i % 7) for i in range(40)], "b long, i long"
+    )
+    p = _plan(basket_pair_stats(df, "b", "i"))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_gap_fill_interpolate_no_shrinking_frame(spark):
+    """x82's scale contract: both bracketing lookups are GROWING window
+    frames (running aggregates, O(rows) per partition) — the shrinking
+    (currentRow, unboundedFollowing) form Spark evaluates by per-row
+    rescans must never reappear."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        gap_fill_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0), 1.0)],
+        "k string, ts timestamp, value double",
+    )
+    p = _plan(gap_fill_interpolate(df, "ts", ["k"], "value"))
+    assert "unboundedfollowing" not in p.lower().replace(" ", "")
+    assert "EvalPython" not in p
