@@ -228,3 +228,47 @@ def profile_numeric(
         "p.col_name", "p.n", "p.n_null", "p.vmin", "p.vmax", "p.vmean",
         "p.p50", "p.p95",
     )
+
+
+def histogram_fixed_width(
+    df: DataFrame, col: str, buckets: int = 10
+) -> DataFrame:
+    """Equal-width histogram of a numeric column: ``buckets`` bins
+    spanning [min, max], ``[bucket, lo, hi, n]`` (empty bins absent; the
+    max value closes into the last bin). The distribution companion to
+    :func:`profile_numeric`'s point statistics — what a data card plots.
+
+    Cross-engine determinism: bin edges and assignments are the same
+    IEEE ops evaluated on the same doubles in both engines (width = one
+    subtraction + one division; bucket = one subtract, one divide, one
+    floor), so bucket ids and edges are bit-identical — no rounding is
+    applied or needed. A degenerate column (min == max) collapses into
+    bucket 0 by a width=0 guard rather than a 0/0 NaN.
+
+    Scale shape: one min/max aggregate (map-side combinable), broadcast
+    of the 1-row bounds, one map-side bucket projection, one bucket-
+    keyed count — two scans, one tiny shuffle; no value is ever
+    collected or buffered.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    v = F.col(col).cast("double")
+    vals = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    bounds = vals.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    k = F.lit(int(buckets))
+    width = (F.col("_hi") - F.col("_lo")) / k
+    bucket = F.when(width > 0, F.least(
+        k - 1, F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")
+    )).otherwise(F.lit(0))
+    return (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("_lo") + bucket * width).alias("lo"),
+            (F.col("_lo") + (bucket + 1) * width).alias("hi"),
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

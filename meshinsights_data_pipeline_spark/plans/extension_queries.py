@@ -3258,6 +3258,46 @@ ORDER BY nb.doc_id
 """
 
 
+def x84_histogram(spark: SparkSession, sf_dir: str):
+    """Equal-width histogram of l_extendedprice, 12 bins
+    (stats.histogram_fixed_width): bin edges and assignments are the
+    same IEEE ops on the same doubles in both engines, so no rounding is
+    applied anywhere — the distribution companion to x46's point
+    statistics."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        histogram_fixed_width,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return histogram_fixed_width(li, "l_extendedprice", buckets=12).orderBy(
+        "bucket"
+    )
+
+
+X84_SQL = """
+    WITH vals AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    assigned AS (
+        SELECT CASE WHEN (b.hi - b.lo) / 12 > 0
+                    THEN LEAST(11, CAST(floor(
+                        (v - b.lo) / ((b.hi - b.lo) / 12)) AS INT))
+                    ELSE 0 END AS bucket,
+               b.lo AS b_lo, b.hi AS b_hi
+        FROM vals CROSS JOIN bounds b
+    )
+    SELECT bucket,
+           b_lo + bucket * ((b_hi - b_lo) / 12) AS lo,
+           b_lo + (bucket + 1) * ((b_hi - b_lo) / 12) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned
+    GROUP BY bucket, b_lo, b_hi
+    ORDER BY bucket
+"""
+
+
 def x83_basket_lift(spark: SparkSession, sf_dir: str):
     """Market-basket association (basket.basket_pair_stats): pairwise
     support / confidence / lift over order->part baskets, pairs
@@ -4150,6 +4190,7 @@ EXTENSION_BUILDERS = {
     "x81_triangle_counts": (x81_triangle_counts, X81_SQL),
     "x82_gap_interpolate": (x82_gap_interpolate, X82_SQL),
     "x83_basket_lift": (x83_basket_lift, X83_SQL),
+    "x84_histogram": (x84_histogram, X84_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -1120,3 +1120,24 @@ def test_basket_pair_stats(spark):
     # support-1 pairs filtered by min_support_count=2
     assert ("x", "z") not in out and ("y", "z") not in out
     assert list(out) == [("x", "y")]
+
+
+def test_histogram_fixed_width(spark):
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        histogram_fixed_width,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [(None,)],
+        "x double",
+    )
+    out = {r.bucket: r for r in histogram_fixed_width(df, "x", 5).collect()}
+    # range [0,10], width 2: buckets 0..4; the max value (10) closes into
+    # bucket 4; NULL excluded
+    assert {b: r.n for b, r in out.items()} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+    assert out[0].lo == 0.0 and out[0].hi == 2.0
+    assert out[4].lo == 8.0 and out[4].hi == 10.0
+    # degenerate column: all values equal -> single bucket 0, no NaN
+    same = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = histogram_fixed_width(same, "x", 4).collect()
+    assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 2
