@@ -272,3 +272,59 @@ def histogram_fixed_width(
         .groupBy("bucket", "lo", "hi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    threshold: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group z-score outlier flags — the parametric sibling of the
+    MAD-based robust_cv classifier: rows whose value sits more than
+    ``threshold`` population standard deviations from their group's
+    mean. Returns the input's group/value columns plus ``[mean_v,
+    std_v, z, is_outlier]`` for every row of groups with n >= 2 and
+    non-zero variance (a constant group has no outliers by definition
+    and is excluded rather than emitting 0/0).
+
+    Cross-engine determinism: ``F.stddev_pop`` float-sums in partition
+    order, so its last ulps are not reproducible — instead sum(v) and
+    sum(v^2) fold through DECIMAL(38,12) (exact, order-independent) and
+    variance = sq/n - (s/n)^2 is evaluated in one fixed association
+    mirrored in the SQL oracle. z rounds to ``round_to``; the flag
+    compares the ROUNDED z so both engines decide borderline rows
+    identically.
+
+    Scale shape: one map-side-combinable aggregate to the per-group
+    moment table (|groups| rows), broadcast back, one map-side
+    projection. The big input is scanned twice and shuffled never.
+    """
+    keys = list(group_by)
+    dec = "decimal(38,12)"
+    v = F.col(value_col).cast("double")
+    moments = df.groupBy(*keys).agg(
+        F.count(v).cast("bigint").alias("_n"),
+        F.sum(v.cast(dec)).cast("double").alias("_s"),
+        F.sum((v * v).cast(dec)).cast("double").alias("_sq"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_sq") / F.col("_n") - mean * mean
+    stats = moments.filter(F.col("_n") >= 2).select(
+        *keys,
+        mean.alias("mean_v"),
+        F.sqrt(var).alias("std_v"),
+    ).filter(F.col("std_v") > 0)
+    z = F.round((v - F.col("mean_v")) / F.col("std_v"), round_to)
+    return (
+        df.join(F.broadcast(stats), keys)
+        .select(
+            *keys,
+            v.alias(value_col),
+            F.round(F.col("mean_v"), round_to).alias("mean_v"),
+            F.round(F.col("std_v"), round_to).alias("std_v"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(float(threshold))).alias("is_outlier"),
+        )
+    )

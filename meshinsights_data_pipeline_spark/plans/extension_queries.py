@@ -3258,6 +3258,58 @@ ORDER BY nb.doc_id
 """
 
 
+def x85_zscore_outliers(spark: SparkSession, sf_dir: str):
+    """Per-user z-score outliers over event values
+    (stats.zscore_outliers, |z| > 2): variance from DECIMAL-folded
+    sum/sum-of-squares (stddev_pop's float summation is partition-order-
+    dependent and not cross-engine-reproducible), z compared AFTER
+    rounding so borderline rows decide identically in both engines.
+    Sliced to outliers of users < 100 for a display-sized result; the
+    moments still see every event of those users."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        zscore_outliers,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        zscore_outliers(ev, ["user_id"], "value", threshold=2.0)
+        .filter(F.col("is_outlier"))
+        .select("user_id", "value", "mean_v", "std_v", "z")
+        .orderBy("user_id", "value")
+    )
+
+
+X85_SQL = """
+    WITH ev AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+        WHERE user_id < 100
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(v) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sq
+        FROM ev GROUP BY user_id
+    ),
+    st AS (
+        SELECT user_id, s / n AS mean_v,
+               sqrt(sq / n - (s / n) * (s / n)) AS std_v
+        FROM m WHERE n >= 2
+    ),
+    z AS (
+        SELECT e.user_id, e.v AS value,
+               ROUND(st.mean_v, 6) AS mean_v,
+               ROUND(st.std_v, 6) AS std_v,
+               ROUND((e.v - st.mean_v) / st.std_v, 6) AS z
+        FROM ev e JOIN st USING (user_id)
+        WHERE st.std_v > 0
+    )
+    SELECT user_id, value, mean_v, std_v, z
+    FROM z WHERE abs(z) > 2.0
+    ORDER BY user_id, value
+"""
+
+
 def x84_histogram(spark: SparkSession, sf_dir: str):
     """Equal-width histogram of l_extendedprice, 12 bins
     (stats.histogram_fixed_width): bin edges and assignments are the
@@ -4191,6 +4243,7 @@ EXTENSION_BUILDERS = {
     "x82_gap_interpolate": (x82_gap_interpolate, X82_SQL),
     "x83_basket_lift": (x83_basket_lift, X83_SQL),
     "x84_histogram": (x84_histogram, X84_SQL),
+    "x85_zscore_outliers": (x85_zscore_outliers, X85_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

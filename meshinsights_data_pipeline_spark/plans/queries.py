@@ -2696,6 +2696,7 @@ _DRIVER_WINDOW_R11 = [
     "x82_gap_interpolate",
     "x83_basket_lift",
     "x84_histogram",
+    "x85_zscore_outliers",
     # (1) changed this round and must re-verify (the discipline r10
     # applied to x22): x69's oracle gained the CAST(session AS BIGINT)
     # fix for the r8-r10 HUGEINT fetch-path red; every query below runs
@@ -2726,7 +2727,7 @@ _DRIVER_WINDOW_R11 = [
     # x58-x61, x65/x66) rotates next round. Queries ADDED this round must
     # be inserted at the HEAD in the same commit, displacing from this
     # band's tail.
-    "q08", "q09", "q10", "q63", "q64",
+    "q08", "q09", "q10", "q63",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R11
 

@@ -1141,3 +1141,21 @@ def test_histogram_fixed_width(spark):
     same = spark.createDataFrame([(7.0,), (7.0,)], "x double")
     rows = histogram_fixed_width(same, "x", 4).collect()
     assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 2
+
+
+def test_zscore_outliers(spark):
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        zscore_outliers,
+    )
+
+    rows = ([("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+            + [("const", 5.0), ("const", 5.0)]      # zero variance -> excluded
+            + [("solo", 1.0)])                       # n=1 -> excluded
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = zscore_outliers(df, ["k"], "value", threshold=2.0).collect()
+    assert {r.k for r in out} == {"a"}               # const/solo rows absent
+    flagged = [r for r in out if r.is_outlier]
+    assert [(r.k, r.value) for r in flagged] == [("a", 100.0)]
+    # z of the planted outlier: mean 19, std 27 -> (100-19)/27 = 3.0
+    assert flagged[0].z == pytest.approx(3.0)
+    assert sum(1 for r in out if not r.is_outlier) == 9
