@@ -190,3 +190,71 @@ def state_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(wtot), round_p).alias("p"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+    touch: str = "click",
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the user's most recent ``touch`` event at-or-before it,
+    within a ``lookback_hours`` window — the marketing-analytics sibling
+    of funnel_counts (which measures aggregate stage flow; this assigns
+    individual credit). Composed over :func:`operators.asof.asof_join`
+    (the x16 machinery), which is exactly the backward-inclusive match
+    attribution needs.
+
+    Returns ``[conv_id, user, conv_ts, touch_id, gap_seconds]`` for
+    EVERY conversion; conversions with no touch inside the lookback keep
+    NULL touch/gap (dropping them would silently understate
+    unattributed volume). Determinism: several touches at the same
+    timestamp collapse to the min ``id_col`` BEFORE the join, so the
+    attributed touch is a pure function of the data, not of partition
+    order.
+
+    Scale shape: inherits asof_join's — one union + one entity-keyed
+    ordered window, never a range self-join; the touch dedup is one
+    map-side-combinable aggregate.
+    """
+    from meshinsights_data_pipeline_spark.operators.asof import asof_join
+
+    conv = df.filter(F.col(type_col) == conversion).select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col).alias("conv_id"),
+    )
+    touches = (
+        df.filter(F.col(type_col) == touch)
+        .groupBy(F.col(user_col), F.col(ts_col))
+        .agg(F.min(id_col).cast("bigint").alias("touch_id"))
+    )
+    j = asof_join(
+        conv, touches, ts_col, [user_col], ["touch_id"], how="left"
+    )
+    # Exact microsecond arithmetic (the x69/x19 decode discipline), via
+    # timestampdiff — works for TIMESTAMP and TIMESTAMP_NTZ alike and
+    # never touches the session timezone (unix_micros rejects NTZ;
+    # unix_timestamp floors EACH side to seconds while an epoch-diff
+    # cast rounds the fractional difference — off-by-one-second
+    # disagreements between engines). Micros diff + floor-div is exact.
+    j = j.withColumn(
+        "_gap_us",
+        F.expr(f"timestampdiff(MICROSECOND, {ts_col}_asof, {ts_col})"),
+    )
+    gap = F.floor(F.col("_gap_us") / F.lit(1000000)).cast("bigint")
+    in_window = F.col("_gap_us") <= F.lit(
+        int(lookback_hours) * 3600 * 1000000
+    )
+    return j.select(
+        F.col("conv_id"),
+        F.col(user_col),
+        F.col(ts_col).alias("conv_ts"),
+        F.when(in_window, F.col("touch_id_asof")).alias("touch_id"),
+        F.when(in_window, gap).alias("gap_seconds"),
+    )

@@ -3258,6 +3258,54 @@ ORDER BY nb.doc_id
 """
 
 
+def x86_last_touch(spark: SparkSession, sf_dir: str):
+    """Last-touch attribution (funnel.last_touch_attribution over the
+    x16 as-of machinery): every purchase credited to the user's most
+    recent click at-or-before it within 24h; unattributed purchases keep
+    NULL touch/gap. Ties at one timestamp collapse to min event_id
+    before the join, so credit is partition-order-independent."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("conv_id")
+
+
+X86_SQL = """
+    WITH conv AS (
+        SELECT user_id, ts AS conv_ts, event_id AS conv_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts AS t_ts,
+               CAST(MIN(event_id) AS BIGINT) AS touch_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    joined AS (
+        SELECT c.conv_id, c.user_id, c.conv_ts, t.touch_id,
+               CAST((epoch_us(c.conv_ts) - epoch_us(t.t_ts)) // 1000000
+                    AS BIGINT) AS gap_seconds,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.conv_id
+                   ORDER BY t.t_ts DESC, t.touch_id ASC
+               ) AS rn
+        FROM conv c
+        JOIN tch t
+          ON t.user_id = c.user_id
+         AND t.t_ts <= c.conv_ts
+         AND t.t_ts >= c.conv_ts - INTERVAL 24 HOURS
+    )
+    SELECT c.conv_id, c.user_id, c.conv_ts, j.touch_id, j.gap_seconds
+    FROM conv c
+    LEFT JOIN (SELECT * FROM joined WHERE rn = 1) j USING (conv_id)
+    ORDER BY conv_id
+"""
+
+
 def x85_zscore_outliers(spark: SparkSession, sf_dir: str):
     """Per-user z-score outliers over event values
     (stats.zscore_outliers, |z| > 2): variance from DECIMAL-folded
@@ -4244,6 +4292,7 @@ EXTENSION_BUILDERS = {
     "x83_basket_lift": (x83_basket_lift, X83_SQL),
     "x84_histogram": (x84_histogram, X84_SQL),
     "x85_zscore_outliers": (x85_zscore_outliers, X85_SQL),
+    "x86_last_touch": (x86_last_touch, X86_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -1159,3 +1159,40 @@ def test_zscore_outliers(spark):
     # z of the planted outlier: mean 19, std 27 -> (100-19)/27 = 3.0
     assert flagged[0].z == pytest.approx(3.0)
     assert sum(1 for r in out if not r.is_outlier) == 9
+
+
+def test_last_touch_attribution(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    t = datetime(2024, 1, 2, 12, 0)
+    rows = [
+        # user 1: two clicks before purchase -> latest wins; tie at the
+        # same ts -> min event_id wins
+        (10, datetime(2024, 1, 2, 10, 0), 1, "click", None),
+        (11, datetime(2024, 1, 2, 11, 0), 1, "click", None),
+        (12, datetime(2024, 1, 2, 11, 0), 1, "click", None),
+        (13, t, 1, "purchase", None),
+        # user 2: only click is 30h earlier -> outside lookback, NULLs
+        (20, datetime(2024, 1, 1, 6, 0), 2, "click", None),
+        (21, t, 2, "purchase", None),
+        # user 3: no clicks at all -> NULLs
+        (30, t, 3, "purchase", None),
+        # user 4: click exactly at the purchase ts -> inclusive, gap 0
+        (40, t, 4, "click", None),
+        (41, t, 4, "purchase", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double",
+    )
+    out = {r.conv_id: r for r in last_touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id").collect()}
+    assert out[13].touch_id == 11 and out[13].gap_seconds == 3600
+    assert out[21].touch_id is None and out[21].gap_seconds is None
+    assert out[30].touch_id is None
+    assert out[41].touch_id == 40 and out[41].gap_seconds == 0
+    assert len(out) == 4  # every conversion present, attributed or not
