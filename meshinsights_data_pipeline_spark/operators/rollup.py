@@ -219,3 +219,74 @@ def gap_fill_interpolate(
         (F.floor(interp * scale + F.lit(0.5)) / scale).alias("v_interp"),
         F.col("v_obs").isNotNull().alias("was_observed"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average under LOCF weighting (the
+    hypertable ``time_weight('LOCF', ...)`` aggregate): each observation
+    holds its value until the next one, so
+    ``twa = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0)`` over the key's
+    own observation span. The right average for irregularly sampled
+    telemetry, where a plain mean over-weights chatty periods.
+
+    Returns ``[*key_cols, t0, t1, span_seconds, twa_micros]`` for keys
+    with >= 2 observations (a single point spans no time). INTEGER-ONLY
+    output discipline: values quantize losslessly to micros via
+    DECIMAL(18,6) (the x69 contract), durations are exact
+    timestampdiff micros, products and sums fold through DECIMAL(38,0)
+    (no BIGINT wrap, no float summation), and the final division is an
+    integer floor-div — no step anywhere depends on float rounding or
+    decimal->double conversion, so the result is bit-identical across
+    engines by construction. ``twa = twa_micros / 1e6``.
+
+    Ties: several observations at one timestamp get zero LOCF duration
+    except the last in (ts, value) order — deterministic because the
+    window order reaches a total order over duplicates' values.
+
+    Scale shape: one entity-keyed window (lead) + one aggregate, both
+    shuffling on the key — a key costs its event count, and the window
+    frames are plain lag/lead (O(rows) per partition).
+    """
+    order = [F.col(ts_col).asc(), F.col(value_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    # built in steps so timestampdiff sees the lead column by name
+    with_dur = (
+        df.select(*key_cols, F.col(ts_col), F.col(value_col))
+        .withColumn("_next_ts", nxt)
+        .withColumn(
+            "_dur_us",
+            F.coalesce(
+                F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _next_ts)"),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "_v_micros",
+            F.expr(
+                f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 1000000"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    agg = with_dur.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("t0"),
+        F.max(ts_col).alias("t1"),
+        F.sum(
+            F.expr("CAST(CAST(_v_micros AS DECIMAL(38,0)) * _dur_us"
+                   " AS DECIMAL(38,0))")
+        ).alias("_ws"),
+        F.sum("_dur_us").cast("bigint").alias("_span_us"),
+    )
+    return agg.filter(F.col("_span_us") > 0).select(
+        *key_cols,
+        "t0",
+        "t1",
+        F.expr("CAST(_span_us div 1000000 AS BIGINT)").alias("span_seconds"),
+        F.expr("CAST(_ws div _span_us AS BIGINT)").alias("twa_micros"),
+    )

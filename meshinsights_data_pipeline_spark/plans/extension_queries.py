@@ -3258,6 +3258,58 @@ ORDER BY nb.doc_id
 """
 
 
+def x87_time_weighted_avg(spark: SparkSession, sf_dir: str):
+    """Per-user time-weighted average of event values under LOCF
+    weighting (rollup.time_weighted_avg — the hypertable time_weight
+    aggregate). Integer-only output discipline: value micros via the
+    x69 DECIMAL(18,6) contract, exact timestampdiff durations,
+    DECIMAL(38,0) product/sum folds, integer division — no float
+    rounding anywhere. (Spark's div truncates while DuckDB's // floors;
+    identical for the non-negative sums this data has — a mixed-sign
+    series would need a sign-aware mirror.)"""
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        time_weighted_avg,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "ts", ["user_id"], "value").orderBy(
+        "user_id"
+    )
+
+
+X87_SQL = """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, value
+               ) AS nxt
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, ts,
+               COALESCE(CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT),
+                        0) AS dur_us,
+               CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS v_micros
+        FROM seq
+    ),
+    a AS (
+        SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+               SUM(CAST(CAST(v_micros AS DECIMAL(38,0)) * dur_us
+                        AS DECIMAL(38,0))) AS ws,
+               CAST(SUM(dur_us) AS BIGINT) AS span_us
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, t0, t1,
+           CAST(span_us // 1000000 AS BIGINT) AS span_seconds,
+           -- exact int128 division: DECIMAL // BIGINT routes through
+           -- DOUBLE in DuckDB and loses ulps past 2^53 (ws ~ 1e20)
+           CAST(CAST(ws AS HUGEINT) // span_us AS BIGINT) AS twa_micros
+    FROM a WHERE span_us > 0
+    ORDER BY user_id
+"""
+
+
 def x86_last_touch(spark: SparkSession, sf_dir: str):
     """Last-touch attribution (funnel.last_touch_attribution over the
     x16 as-of machinery): every purchase credited to the user's most
@@ -4293,6 +4345,7 @@ EXTENSION_BUILDERS = {
     "x84_histogram": (x84_histogram, X84_SQL),
     "x85_zscore_outliers": (x85_zscore_outliers, X85_SQL),
     "x86_last_touch": (x86_last_touch, X86_SQL),
+    "x87_time_weighted_avg": (x87_time_weighted_avg, X87_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -1196,3 +1196,27 @@ def test_last_touch_attribution(spark):
     assert out[30].touch_id is None
     assert out[41].touch_id == 40 and out[41].gap_seconds == 0
     assert len(out) == 4  # every conversion present, attributed or not
+
+
+def test_time_weighted_avg(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # k: 10 held 1h, then 20 held 3h -> twa = (10*1 + 20*3)/4 = 17.5
+        ("k", datetime(2024, 1, 1, 0, 0), 10.0),
+        ("k", datetime(2024, 1, 1, 1, 0), 20.0),
+        ("k", datetime(2024, 1, 1, 4, 0), 99.0),  # last point: 0 duration
+        # solo: single observation spans no time -> excluded
+        ("solo", datetime(2024, 1, 1, 0, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r.k: r for r in time_weighted_avg(df, "ts", ["k"], "value").collect()}
+    assert list(out) == ["k"]
+    assert out["k"].span_seconds == 4 * 3600
+    assert out["k"].twa_micros == 17_500_000  # 17.5 in micros, exact
+    assert out["k"].t0 == datetime(2024, 1, 1, 0, 0)
+    assert out["k"].t1 == datetime(2024, 1, 1, 4, 0)
