@@ -951,3 +951,104 @@ def test_decimal_cast_tie_divergence_canary(spark):
     ).fetchone()[0]
     assert s == "1000.007813"  # Spark: HALF_UP
     assert d == "1000.007812"  # DuckDB: resolves this tie the other way
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    )
+)
+@SLOW
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """triangle_counts equals brute-force triangle enumeration on
+    arbitrary small graphs (self-loops and duplicate/reversed edges
+    included in the input noise)."""
+    from itertools import combinations
+
+    from meshinsights_data_pipeline_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+    total=st.integers(1, 60),
+)
+@SLOW
+def test_temperature_quota_invariants(spark, counts, total):
+    """Temperature quotas sum to exactly min(total, what saturation
+    allows); every quota is within the stratum size; alpha=1 equals
+    stratified_sample row-for-row."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        stratified_sample,
+        temperature_mixture_sample,
+    )
+
+    n = sum(counts)
+    total = min(total, n)  # operator precondition
+    rows = [(s * 1000 + i, f"s{s}")
+            for s, c in enumerate(counts) for i in range(c)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture_sample(df, "lang", "doc_id", total, alpha=0.5)
+    sizes = {}
+    for r in out.collect():
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    for s, c in enumerate(counts):
+        assert sizes.get(f"s{s}", 0) <= c
+    # without saturation the quotas must sum exactly; with saturation
+    # they may undershoot but never overshoot
+    assert sum(sizes.values()) <= total
+    if all(sizes.get(f"s{s}", 0) < c for s, c in enumerate(counts)):
+        assert sum(sizes.values()) == total
+    t1 = sorted((r.lang, r.doc_id, r.pick) for r in
+                temperature_mixture_sample(df, "lang", "doc_id", total,
+                                           alpha=1.0).collect())
+    s1 = sorted((r.lang, r.doc_id, r.pick) for r in
+                stratified_sample(df, "lang", "doc_id", total).collect())
+    assert t1 == s1
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 1000)),
+        min_size=2, max_size=20, unique_by=lambda t: t[0],
+    )
+)
+@SLOW
+def test_time_weighted_avg_matches_python(spark, obs):
+    """TWA equals the pure-python LOCF integral on arbitrary integer
+    series (unique timestamps; micros arithmetic exact)."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        time_weighted_avg,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(seconds=s), float(v)) for s, v in obs]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    r = time_weighted_avg(df, "ts", ["k"], "value").first()
+
+    pts = sorted(obs)
+    span_us = (pts[-1][0] - pts[0][0]) * 1_000_000
+    ws = sum(
+        v * 1_000_000 * (pts[i + 1][0] - s) * 1_000_000
+        for i, (s, v) in enumerate(pts[:-1])
+    )
+    assert r.span_seconds == span_us // 1_000_000
+    assert r.twa_micros == ws // span_us
