@@ -581,7 +581,12 @@ def build_corpus_pipeline(
     cols: CorpusColumns | None = None,
     config: PipelineConfig | None = None,
     neardup_threshold: float = 0.5,
-    neardup_algorithm: str = "star",
+    # min_label regained the default in r11: its fused loop (one
+    # checkpoint per round, explode-symmetrized edges) measures ~10%
+    # under star on the pipeline's shallow post-gate graphs at both
+    # sf0.1 and the 10x tier (4.07s vs 4.47s / 3.37s vs 3.85s warm);
+    # star remains the right pick for pathological-diameter graphs.
+    neardup_algorithm: str = "min_label",
     neardup_barrier: bool = True,
     contamination_threshold: float = 0.05,
     broadcast_benchmark: bool = True,
