@@ -328,3 +328,76 @@ def zscore_outliers(
             (F.abs(z) > F.lit(float(threshold))).alias("is_outlier"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index of a numeric column per group against
+    the whole corpus — the standard model-monitoring drift score
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted), sibling of
+    corpus.source_drift's token-level TV distance / chi-square:
+
+        PSI_g = sum over bins (p_i - q_i) * ln(p_i / q_i)
+
+    over ``buckets`` equal-width bins spanning the corpus [min, max],
+    with p the group's bin fractions and q the corpus's. Bins where the
+    GROUP has no mass are skipped (the epsilon-free one-sided variant —
+    no arbitrary smoothing constant to keep in sync across engines);
+    missing-bin drift is what source_drift's TV distance measures, so
+    the two are used together. Returns ``[group, n, psi]``.
+
+    Cross-engine determinism: bin ids are the histogram_fixed_width
+    assignment (same IEEE ops both engines); ln's argument is a ratio
+    of exact integer products (the x74 ln-of-exact-input precedent) and
+    the per-group sum folds through DECIMAL(38,18).
+
+    Scale shape: one min/max aggregate, one (group, bin) count
+    (map-side combinable), broadcast bin marginals — the corpus is
+    scanned twice and shuffled never.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    v = F.col(value_col).cast("double")
+    vals = df.select(F.col(group_col).alias("g"), v.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    bounds = vals.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    k = F.lit(int(buckets))
+    width = (F.col("_hi") - F.col("_lo")) / k
+    bucket = F.when(width > 0, F.least(
+        k - 1, F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")
+    )).otherwise(F.lit(0))
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        "g", bucket.alias("b")
+    )
+    gb = binned.groupBy("g", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_gb")
+    )
+    g_tot = gb.groupBy("g").agg(F.sum("c_gb").cast("bigint").alias("n_g"))
+    b_tot = gb.groupBy("b").agg(F.sum("c_gb").cast("bigint").alias("c_b"))
+    tot = gb.agg(F.sum("c_gb").cast("bigint").alias("n"))
+    # p/q = (c_gb / n_g) / (c_b / n): ln of a ratio of exact integer
+    # products; (p - q) is two exact divisions and one subtraction.
+    term = (
+        F.col("c_gb") / F.col("n_g") - F.col("c_b") / F.col("n")
+    ) * F.log(
+        (F.col("c_gb") * F.col("n")) / (F.col("c_b") * F.col("n_g"))
+    )
+    dec = "decimal(38,18)"
+    return (
+        gb.join(F.broadcast(g_tot), "g")
+        .join(F.broadcast(b_tot), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n_g").cast("bigint").alias("n"),
+            F.round(
+                F.sum(term.cast(dec)).cast("double"), round_to
+            ).alias("psi"),
+        )
+    )

@@ -3258,6 +3258,54 @@ ORDER BY nb.doc_id
 """
 
 
+def x88_psi_drift(spark: SparkSession, sf_dir: str):
+    """PSI drift of document length (n_chars) per source vs the corpus
+    (stats.psi_drift, 10 equal-width bins) — the model-monitoring drift
+    score next to x63's token-level TV distance. Bin assignment is the
+    x84 histogram arithmetic; ln's argument is a ratio of exact integer
+    products (x74 precedent); per-source sums fold DECIMAL(38,18)."""
+    from meshinsights_data_pipeline_spark.operators.stats import psi_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    return psi_drift(docs, "source", "n_chars", buckets=10).orderBy("source")
+
+
+X88_SQL = """
+    WITH vals AS (
+        SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM documents
+        WHERE n_chars IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    binned AS (
+        SELECT g,
+               CASE WHEN (b.hi - b.lo) / 10 > 0
+                    THEN LEAST(9, CAST(floor(
+                        (v - b.lo) / ((b.hi - b.lo) / 10)) AS INT))
+                    ELSE 0 END AS b
+        FROM vals CROSS JOIN bounds b
+    ),
+    gb AS (
+        SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c_gb
+        FROM binned GROUP BY g, b
+    ),
+    gt AS (SELECT g, CAST(SUM(c_gb) AS BIGINT) AS n_g FROM gb GROUP BY g),
+    bt AS (SELECT b, CAST(SUM(c_gb) AS BIGINT) AS c_b FROM gb GROUP BY b),
+    tot AS (SELECT CAST(SUM(c_gb) AS BIGINT) AS n FROM gb)
+    SELECT gb.g AS source,
+           CAST(MAX(gt.n_g) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(
+               (gb.c_gb * 1.0 / gt.n_g - bt.c_b * 1.0 / t.n)
+               * ln((gb.c_gb * t.n) * 1.0 / (bt.c_b * gt.n_g))
+               AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+    FROM gb
+    JOIN gt USING (g)
+    JOIN bt USING (b)
+    CROSS JOIN tot t
+    GROUP BY gb.g
+    ORDER BY source
+"""
+
+
 def x87_time_weighted_avg(spark: SparkSession, sf_dir: str):
     """Per-user time-weighted average of event values under LOCF
     weighting (rollup.time_weighted_avg — the hypertable time_weight
@@ -4346,6 +4394,7 @@ EXTENSION_BUILDERS = {
     "x85_zscore_outliers": (x85_zscore_outliers, X85_SQL),
     "x86_last_touch": (x86_last_touch, X86_SQL),
     "x87_time_weighted_avg": (x87_time_weighted_avg, X87_SQL),
+    "x88_psi_drift": (x88_psi_drift, X88_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

@@ -1220,3 +1220,24 @@ def test_time_weighted_avg(spark):
     assert out["k"].twa_micros == 17_500_000  # 17.5 in micros, exact
     assert out["k"].t0 == datetime(2024, 1, 1, 0, 0)
     assert out["k"].t1 == datetime(2024, 1, 1, 4, 0)
+
+
+def test_psi_drift(spark):
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.stats import psi_drift
+
+    # identical distributions -> PSI 0; a shifted group -> PSI > 0
+    rows = ([("same", float(v)) for v in range(10)]
+            + [("same2", float(v)) for v in range(10)]
+            + [("hi", 9.0)] * 10)
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r.g: r for r in psi_drift(df, "g", "x", buckets=10).collect()}
+    assert out["same"].n == 10 and out["hi"].n == 10
+    # "hi" concentrates all mass in the top bin: p=1 there, q=12/30
+    expect_hi = (1 - 12 / 30) * math.log((10 * 30) / (12 * 10))
+    assert out["hi"].psi == pytest.approx(round(expect_hi, 6), abs=1e-6)
+    assert out["hi"].psi > 0.25          # "shifted" band
+    # the two identical uniform groups have equal, small PSI
+    assert out["same"].psi == out["same2"].psi
+    assert out["same"].psi < out["hi"].psi
