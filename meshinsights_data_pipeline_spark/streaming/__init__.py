@@ -22,6 +22,9 @@ from meshinsights_data_pipeline_spark.streaming.drift import (
 from meshinsights_data_pipeline_spark.streaming.joins import (
     streaming_interval_join,
 )
+from meshinsights_data_pipeline_spark.streaming.attribution import (
+    streaming_attribution_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.basket import (
     streaming_basket_ingest,
 )
@@ -79,6 +82,7 @@ __all__ = [
     "streaming_dsir_ingest",
     "streaming_novelty_ingest",
     "streaming_basket_ingest",
+    "streaming_attribution_ingest",
     "streaming_lm_ingest",
     "streaming_drift_ingest",
     "streaming_debounce",

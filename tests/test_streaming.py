@@ -1769,3 +1769,67 @@ def test_streaming_basket_parity_and_retry(spark, tmp_path):
     assert after.count() == len(got1) + 1
     totals = snapshot_before(spark, dirs["totals"], 99).first()
     assert totals.n_baskets == 5
+
+
+def test_streaming_attribution_parity_cross_batch_and_retry(spark, tmp_path):
+    """Single-batch attribution must equal the batch operator exactly
+    (including a touch AFTER a conversion in the same batch); a later
+    batch's conversion attributes to a touch ingested EARLIER; a retried
+    epoch leaves state and output unchanged."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_attribution_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.attribution import (
+        ATTRIBUTION_STATE_SCHEMA,
+    )
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string")
+    b1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2, 10, 0), 1, "click"),
+            (2, datetime(2024, 1, 2, 12, 0), 1, "purchase"),
+            (3, datetime(2024, 1, 2, 13, 0), 1, "click"),   # AFTER the purchase
+            (4, datetime(2024, 1, 2, 9, 0), 2, "click"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(5, datetime(2024, 1, 2, 11, 0), 2, "purchase")],  # touch was in b1
+        schema,
+    )
+    t_dir, a_dir = str(tmp_path / "t"), str(tmp_path / "a")
+    snapshot_overwrite(
+        spark.createDataFrame([], ATTRIBUTION_STATE_SCHEMA), t_dir, -1)
+    process = streaming_attribution_ingest(
+        touches_dir=t_dir, attributions_dir=a_dir)
+
+    def canon(df):
+        return sorted((r.conv_id, r.user_id, r.touch_id, r.gap_seconds)
+                      for r in df.collect())
+
+    process(b1, 0)
+    got1 = canon(spark.read.parquet(a_dir))
+    assert got1 == canon(last_touch_attribution(
+        b1, "user_id", "ts", "event_type", "event_id"))
+    assert got1 == [(2, 1, 1, 7200)]  # click 3 (later) must NOT attribute
+
+    process(b2, 1)
+    all_attr = spark.read.parquet(a_dir)
+    got2 = canon(all_attr.filter(F.col("_epoch") == 1))
+    assert got2 == [(5, 2, 4, 7200)]  # credited to the epoch-0 click
+
+    process(b2, 1)  # simulated retry
+    after = spark.read.parquet(a_dir)
+    assert after.count() == 2
+    state = snapshot_before(spark, t_dir, 99)
+    assert state.count() == 3  # clicks 1, 3, 4 (deduped per (user, ts))
