@@ -1,0 +1,179 @@
+"""EventsAnalyticsPipeline — the event-stream analytics workload composed
+as a Processor list (the corpus_pipeline pattern applied to the event
+operators added in rounds 8-11):
+
+    raw events
+      -> idle-gap sessionization        (operators.sessionize, x69)
+      -> last-touch attribution         (operators.funnel, x86)
+      -> per-user z-score outliers      (operators.stats, x85)
+      -> LOCF time-weighted averages    (operators.rollup, x87)
+      -> summary report                 (one aggregate over the stashes)
+
+Every step stashes its full frame under ``processed_data`` and
+``raw_data`` flows through unchanged (analytics annotate, they don't
+filter — unlike the corpus pipeline's gates), so downstream consumers
+compose freely. Each underlying operator already carries its own DuckDB
+oracle (x69/x86/x85/x87); this module adds the composability contract —
+validation, timing, error policy, conditions, run_partial — on top.
+
+Scale: inherits each operator's shape (entity-keyed windows and
+aggregates, broadcast moment/state frames; no corpus-squared step, no
+driver-side data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.core.context import PipelineContext
+from meshinsights_data_pipeline_spark.core.pipeline import Pipeline, PipelineConfig
+from meshinsights_data_pipeline_spark.core.processor import Processor
+
+
+class EventColumns:
+    """Column-name binding (testdata: user_id/ts/event_type/event_id/value)."""
+
+    def __init__(self, user="user_id", ts="ts", type_="event_type",
+                 id_="event_id", value="value"):
+        self.user, self.ts, self.type, self.id, self.value = (
+            user, ts, type_, id_, value,
+        )
+
+
+class _EventStep(Processor):
+    def __init__(self, cols: EventColumns, name: str, **kw):
+        super().__init__(name=name, **kw)
+        self.cols = cols
+
+    def validate_prerequisites(self, context: PipelineContext) -> bool:
+        df = context.raw_data
+        if df is None:
+            return False
+        need = {self.cols.user, self.cols.ts, self.cols.type, self.cols.id}
+        return need.issubset(set(df.columns))
+
+
+class SessionizeStep(_EventStep):
+    """Idle-gap sessions (x69 semantics); stash "events.sessions"."""
+
+    def __init__(self, cols: EventColumns, gap_seconds: int = 43200, **kw):
+        super().__init__(cols, name="sessionize", **kw)
+        self.gap_seconds = gap_seconds
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.sessionize import (
+            sessionize_by_gap,
+        )
+
+        context.processed_data["events.sessions"] = sessionize_by_gap(
+            context.raw_data,
+            ts_col=self.cols.ts,
+            gap_seconds=self.gap_seconds,
+            partition_by=[self.cols.user],
+            tiebreak=[F.col(self.cols.id)],
+        )
+        return context
+
+
+class AttributionStep(_EventStep):
+    """Last-touch attribution (x86); stash "events.attribution"."""
+
+    def __init__(self, cols: EventColumns, conversion: str = "purchase",
+                 touch: str = "click", lookback_hours: int = 24, **kw):
+        super().__init__(cols, name="attribution", **kw)
+        self.conversion, self.touch = conversion, touch
+        self.lookback_hours = lookback_hours
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.funnel import (
+            last_touch_attribution,
+        )
+
+        context.processed_data["events.attribution"] = last_touch_attribution(
+            context.raw_data, self.cols.user, self.cols.ts, self.cols.type,
+            self.cols.id, conversion=self.conversion, touch=self.touch,
+            lookback_hours=self.lookback_hours,
+        )
+        return context
+
+
+class OutlierStep(_EventStep):
+    """Per-user z-score outliers (x85); stash "events.outliers"."""
+
+    def __init__(self, cols: EventColumns, threshold: float = 2.0, **kw):
+        super().__init__(cols, name="outliers", **kw)
+        self.threshold = threshold
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.stats import (
+            zscore_outliers,
+        )
+
+        context.processed_data["events.outliers"] = zscore_outliers(
+            context.raw_data, [self.cols.user], self.cols.value,
+            threshold=self.threshold,
+        ).filter(F.col("is_outlier"))
+        return context
+
+
+class TimeWeightedStep(_EventStep):
+    """Per-user LOCF time-weighted value (x87); stash "events.twa"."""
+
+    def __init__(self, cols: EventColumns, **kw):
+        super().__init__(cols, name="time_weighted", **kw)
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        from meshinsights_data_pipeline_spark.operators.rollup import (
+            time_weighted_avg,
+        )
+
+        context.processed_data["events.twa"] = time_weighted_avg(
+            context.raw_data, self.cols.ts, [self.cols.user], self.cols.value,
+        )
+        return context
+
+
+class EventsReportStep(_EventStep):
+    """Bounded summary scalars into ``context.stages`` (the dashboard
+    hand-off: counts only — the frames stay distributed)."""
+
+    def __init__(self, cols: EventColumns, **kw):
+        super().__init__(cols, name="events_report", **kw)
+
+    def process(self, context: PipelineContext) -> PipelineContext:
+        pd = context.processed_data
+        sessions = pd["events.sessions"]
+        report = {
+            "n_sessions": sessions.groupBy(
+                self.cols.user, "session"
+            ).count().count(),
+            "n_attributed": pd["events.attribution"]
+            .filter(F.col("touch_id").isNotNull()).count(),
+            "n_conversions": pd["events.attribution"].count(),
+            "n_outlier_rows": pd["events.outliers"].count(),
+            "n_twa_users": pd["events.twa"].count(),
+        }
+        context.stages["events.report"] = report
+        return context
+
+
+def build_events_pipeline(
+    cols: EventColumns | None = None,
+    config: PipelineConfig | None = None,
+    gap_seconds: int = 43200,
+    conversion: str = "purchase",
+    touch: str = "click",
+    lookback_hours: int = 24,
+    outlier_threshold: float = 2.0,
+) -> Pipeline:
+    cols = cols or EventColumns()
+    steps = [
+        SessionizeStep(cols, gap_seconds=gap_seconds),
+        AttributionStep(cols, conversion=conversion, touch=touch,
+                        lookback_hours=lookback_hours),
+        OutlierStep(cols, threshold=outlier_threshold),
+        TimeWeightedStep(cols),
+        EventsReportStep(cols),
+    ]
+    return Pipeline(steps, config=config or PipelineConfig())

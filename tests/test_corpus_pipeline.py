@@ -418,3 +418,36 @@ def test_lexical_diversity_step_is_report_not_gate(spark):
     assert set(rep) == {"s0", "s1"}
     assert all(r.vocab > 0 and r.n_tokens > 0 for r in rep.values())
     assert ctx.raw_data.count() == 2  # pass-through, not a gate
+
+
+def test_events_pipeline_e2e(spark, sf_smoke):
+    """The events analytics pipeline runs end-to-end on real testdata:
+    every stash lands, the report scalars are consistent with the
+    stashed frames, and raw_data flows through unfiltered (analytics
+    annotate, they don't gate)."""
+    from meshinsights_data_pipeline_spark.analytics.events_pipeline import (
+        build_events_pipeline,
+    )
+    from meshinsights_data_pipeline_spark.core.context import PipelineContext
+    from meshinsights_data_pipeline_spark.session import read_table
+
+    ev = read_table(spark, sf_smoke, "events")
+    pipe = build_events_pipeline()
+    ctx = pipe.run(PipelineContext(
+        pipeline_name="events_analytics", correlation_id="t", raw_data=ev))
+    for key in ("events.sessions", "events.attribution", "events.outliers",
+                "events.twa"):
+        assert key in ctx.processed_data
+    rep = ctx.stages["events.report"]
+    assert rep["n_conversions"] == ctx.processed_data[
+        "events.attribution"].count()
+    assert 0 < rep["n_attributed"] <= rep["n_conversions"]
+    assert rep["n_sessions"] > 0 and rep["n_twa_users"] > 0
+    # raw_data untouched: same row count in and out
+    assert ctx.raw_data.count() == ev.count()
+    # run_partial composes: first two steps only
+    ctx2 = pipe.run_partial(
+        PipelineContext(pipeline_name="p", correlation_id="t", raw_data=ev),
+        start="sessionize", end="attribution")
+    assert "events.sessions" in ctx2.processed_data
+    assert "events.outliers" not in ctx2.processed_data
