@@ -396,3 +396,54 @@ def simhash_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def windowed_exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact dedup with a TIME HORIZON — keep the first occurrence of a
+    key per fixed ``window_days`` window, re-allowing it in the next
+    window (recrawl-after-N-days semantics: a page re-fetched a month
+    later is a legitimate new observation; the same page fetched twice
+    in one window is a duplicate). The batch twin of the watermarked
+    streaming dedup in streaming/dedup.py, whose TTL state expresses the
+    same horizon over continuous ingest.
+
+    Windows are FIXED calendar-epoch-aligned buckets
+    (``epoch_days div window_days``), not sliding — deterministic,
+    partition-free of any reference point, and identical in both
+    engines (integer floor division of exact day counts). "First" =
+    min ``ts``, tie-broken by min ``id_col``, so the survivor is a pure
+    function of the data. Returns ``[*key_cols, window_id, id, ts]``
+    (one survivor row per key per window it appears in).
+
+    Scale shape: one map-side window-id projection + ONE shuffle on
+    (key, window) with a min_by aggregate — exact_dedup's plan with a
+    wider key; map-side combine keeps hot keys cheap.
+    """
+    win = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+        / F.lit(int(window_days))
+    ).cast("bigint")
+    tagged = df.select(
+        *key_cols,
+        win.alias("window_id"),
+        F.col(id_col),
+        F.col(ts_col),
+    )
+    return (
+        tagged.groupBy(*key_cols, "window_id")
+        .agg(
+            F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("_first")
+        )
+        .select(
+            *key_cols,
+            "window_id",
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col(f"_first.{ts_col}").alias(ts_col),
+        )
+    )

@@ -3258,6 +3258,45 @@ ORDER BY nb.doc_id
 """
 
 
+def x89_windowed_dedup(spark: SparkSession, sf_dir: str):
+    """Windowed exact dedup (dedup.windowed_exact_dedup): first
+    (user_id, event_type) occurrence per 7-day epoch-aligned window over
+    events — recrawl-after-N-days semantics, the batch twin of the
+    TTL-state streaming dedup. Window ids are integer floor division of
+    exact day counts; the survivor is min (ts, event_id)."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        windowed_exact_dedup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return windowed_exact_dedup(
+        ev, "event_id", ["user_id", "event_type"], "ts", window_days=7
+    ).orderBy("user_id", "event_type", "window_id")
+
+
+X89_SQL = """
+    WITH tagged AS (
+        SELECT user_id, event_type,
+               CAST(floor(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) / 7) AS BIGINT)
+                   AS window_id,
+               event_id, ts
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, event_type, window_id, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, window_id
+                   ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM tagged
+    )
+    SELECT user_id, event_type, window_id, event_id, ts
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type, window_id
+"""
+
+
 def x88_psi_drift(spark: SparkSession, sf_dir: str):
     """PSI drift of document length (n_chars) per source vs the corpus
     (stats.psi_drift, 10 equal-width bins) — the model-monitoring drift
@@ -4395,6 +4434,7 @@ EXTENSION_BUILDERS = {
     "x86_last_touch": (x86_last_touch, X86_SQL),
     "x87_time_weighted_avg": (x87_time_weighted_avg, X87_SQL),
     "x88_psi_drift": (x88_psi_drift, X88_SQL),
+    "x89_windowed_dedup": (x89_windowed_dedup, X89_SQL),
     "x01_exact_dedup": (x01_exact_dedup, X01_SQL),
     "x02_minhash_signatures": (x02_minhash_signatures, X02_SQL),
     "x03_minhash_lsh_pairs": (x03_minhash_lsh_pairs, X03_SQL),

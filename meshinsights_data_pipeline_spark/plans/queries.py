@@ -2700,6 +2700,7 @@ _DRIVER_WINDOW_R11 = [
     "x86_last_touch",
     "x87_time_weighted_avg",
     "x88_psi_drift",
+    "x89_windowed_dedup",
     # (1) changed this round and must re-verify (the discipline r10
     # applied to x22): x69's oracle gained the CAST(session AS BIGINT)
     # fix for the r8-r10 HUGEINT fetch-path red; every query below runs
@@ -2730,7 +2731,6 @@ _DRIVER_WINDOW_R11 = [
     # x58-x61, x65/x66) rotates next round. Queries ADDED this round must
     # be inserted at the HEAD in the same commit, displacing from this
     # band's tail.
-    "q08",
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R11
 

@@ -1241,3 +1241,34 @@ def test_psi_drift(spark):
     # the two identical uniform groups have equal, small PSI
     assert out["same"].psi == out["same2"].psi
     assert out["same"].psi < out["hi"].psi
+
+
+def test_windowed_exact_dedup(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        windowed_exact_dedup,
+    )
+
+    d = datetime
+    rows = [
+        # same key twice inside one 7-day window -> one survivor (earliest)
+        (1, "k", d(2024, 1, 1, 10), ),
+        (2, "k", d(2024, 1, 2, 10), ),
+        # same key in the NEXT window -> re-allowed
+        (3, "k", d(2024, 1, 9, 10), ),
+        # tie on ts -> min id survives
+        (4, "t", d(2024, 1, 1, 0), ),
+        (5, "t", d(2024, 1, 1, 0), ),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in rows], "event_id long, k string, ts timestamp"
+    )
+    out = sorted((r.k, r.window_id, r.event_id)
+                 for r in windowed_exact_dedup(df, "event_id", ["k"], "ts").collect())
+    wins = {r[1] for r in out if r[0] == "k"}
+    assert len(wins) == 2                       # two distinct windows
+    ids = [r[2] for r in out]
+    assert 1 in ids and 3 in ids and 2 not in ids
+    assert 4 in ids and 5 not in ids            # ts tie -> min id
+    assert len(out) == 3
