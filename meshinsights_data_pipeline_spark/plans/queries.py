@@ -2726,11 +2726,12 @@ _DRIVER_WINDOW_R11 = [
     "x76_chat_render", "x77_gram_novelty",
     # (2) the remaining r7-stale queries not already above.
     "x37_pq_topk", "x50_corpus_report", "x56_semantic_decontamination",
-    # (3) fill to exactly 50 from the r8-stale cohort head; the rest of
-    # that cohort (q69-q73, x24/x27/x28/x30/x31/x35/x36/x38/x40/x42-x47,
-    # x58-x61, x65/x66) rotates next round. Queries ADDED this round must
-    # be inserted at the HEAD in the same commit, displacing from this
-    # band's tail.
+    # (3) no staleness-fill slots remain: the 12 queries added this round
+    # (x78-x89) displaced the whole r8-stale fill band. The r8-stale
+    # cohort (q08-q10, q63-q73, x24/x27/x28/x30/x31/x35/x36/x38/x40/
+    # x42-x47, x58-x61, x65/x66) is the r12 rotation's first claim on
+    # slots. Queries ADDED in a round must be inserted at the HEAD in
+    # the same commit, displacing from the lowest-priority band's tail.
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R11
 
