@@ -42,6 +42,12 @@ class EventColumns:
 
 
 class _EventStep(Processor):
+    #: extra columns a concrete step needs beyond the id/ts/type/user
+    #: quartet (e.g. the value column) — validated up front so a missing
+    #: column fails the Processor contract's controlled validation path,
+    #: not an AnalysisException two expensive steps in.
+    extra_cols: tuple[str, ...] = ()
+
     def __init__(self, cols: EventColumns, name: str, **kw):
         super().__init__(name=name, **kw)
         self.cols = cols
@@ -51,6 +57,7 @@ class _EventStep(Processor):
         if df is None:
             return False
         need = {self.cols.user, self.cols.ts, self.cols.type, self.cols.id}
+        need.update(getattr(self.cols, c) for c in self.extra_cols)
         return need.issubset(set(df.columns))
 
 
@@ -101,6 +108,8 @@ class AttributionStep(_EventStep):
 class OutlierStep(_EventStep):
     """Per-user z-score outliers (x85); stash "events.outliers"."""
 
+    extra_cols = ("value",)
+
     def __init__(self, cols: EventColumns, threshold: float = 2.0, **kw):
         super().__init__(cols, name="outliers", **kw)
         self.threshold = threshold
@@ -119,6 +128,8 @@ class OutlierStep(_EventStep):
 
 class TimeWeightedStep(_EventStep):
     """Per-user LOCF time-weighted value (x87); stash "events.twa"."""
+
+    extra_cols = ("value",)
 
     def __init__(self, cols: EventColumns, **kw):
         super().__init__(cols, name="time_weighted", **kw)
@@ -144,13 +155,19 @@ class EventsReportStep(_EventStep):
     def process(self, context: PipelineContext) -> PipelineContext:
         pd = context.processed_data
         sessions = pd["events.sessions"]
+        # ONE aggregate over the attribution frame for both counts —
+        # count(touch_id) skips NULLs, so the expensive asof DAG runs
+        # once instead of once per scalar.
+        attr = pd["events.attribution"].agg(
+            F.count(F.lit(1)).alias("conv"),
+            F.count("touch_id").alias("attr"),
+        ).first()
         report = {
             "n_sessions": sessions.groupBy(
                 self.cols.user, "session"
             ).count().count(),
-            "n_attributed": pd["events.attribution"]
-            .filter(F.col("touch_id").isNotNull()).count(),
-            "n_conversions": pd["events.attribution"].count(),
+            "n_attributed": attr["attr"],
+            "n_conversions": attr["conv"],
             "n_outlier_rows": pd["events.outliers"].count(),
             "n_twa_users": pd["events.twa"].count(),
         }

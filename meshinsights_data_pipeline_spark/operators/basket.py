@@ -64,6 +64,22 @@ def basket_pair_stats(
     totals = bi.agg(
         F.countDistinct("b").cast("bigint").alias("n_baskets")
     )
+    return association_stats(pair_counts, item_counts, totals, round_to)
+
+
+def association_stats(
+    pair_counts: DataFrame,
+    item_counts: DataFrame,
+    totals: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """The measure projection shared by the batch operator and the
+    streaming twin (single definition — the twin's bit-parity claim
+    must never depend on keeping a copy in sync): given
+    ``[item_a, item_b, n_ab]``, ``[i, n_i]`` and a 1-row
+    ``[n_baskets]``, emit support / confidence / lift. The lift product
+    routes through DECIMAL(38,0) so billion-basket corpora cannot wrap
+    BIGINT; item counts and the total broadcast."""
     ia = item_counts.select(
         F.col("i").alias("item_a"), F.col("n_i").alias("n_a")
     )

@@ -429,7 +429,11 @@ def windowed_exact_dedup(
         F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
         / F.lit(int(window_days))
     ).cast("bigint")
-    tagged = df.select(
+    # Rows without a timestamp cannot be placed in any window — drop them
+    # explicitly (a NULL ts would otherwise map to a NULL window_id
+    # grouping all of a key's undated rows together, and NULL-first
+    # struct-min vs the oracle's NULLS-LAST ordering would diverge).
+    tagged = df.filter(F.col(ts_col).isNotNull()).select(
         *key_cols,
         win.alias("window_id"),
         F.col(id_col),

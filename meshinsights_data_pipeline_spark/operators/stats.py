@@ -253,7 +253,11 @@ def histogram_fixed_width(
     if buckets < 1:
         raise ValueError(f"buckets must be positive, got {buckets}")
     v = F.col(col).cast("double")
-    vals = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    # NaN is not NULL: one NaN would poison max() -> width NaN -> every
+    # row silently collapses into bucket 0; filter it with the nulls.
+    vals = df.select(v.alias("_v")).filter(
+        F.col("_v").isNotNull() & ~F.isnan("_v")
+    )
     bounds = vals.agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
     )
@@ -289,13 +293,20 @@ def zscore_outliers(
     non-zero variance (a constant group has no outliers by definition
     and is excluded rather than emitting 0/0).
 
-    Cross-engine determinism: ``F.stddev_pop`` float-sums in partition
-    order, so its last ulps are not reproducible — instead sum(v) and
-    sum(v^2) fold through DECIMAL(38,12) (exact, order-independent) and
-    variance = sq/n - (s/n)^2 is evaluated in one fixed association
-    mirrored in the SQL oracle. z rounds to ``round_to``; the flag
-    compares the ROUNDED z so both engines decide borderline rows
-    identically.
+    Cross-engine determinism AND numerical stability: ``F.stddev_pop``
+    float-sums in partition order, so its last ulps are not
+    reproducible — instead the moments are computed over the PIVOTED
+    values ``d = v - min(v)`` (the textbook shifted-variance fix:
+    var(v) = var(d), and with the group's own min as pivot the d
+    magnitudes are the group's RANGE, so ``sq/n - (s/n)^2`` cannot
+    catastrophically cancel the way raw epoch-like magnitudes with
+    sigma/mu < ~1e-8 do — where the naive form computes var = 0 and
+    silently drops the group). The d sums fold through DECIMAL(38,12)
+    (exact, order-independent); the pivot subtraction and every
+    remaining op are single correctly-rounded IEEE operations, so
+    results stay bit-identical across engines. z rounds to
+    ``round_to``; the flag compares the ROUNDED z so both engines
+    decide borderline rows identically.
 
     Scale shape: one map-side-combinable aggregate to the per-group
     moment table (|groups| rows), broadcast back, one map-side
@@ -304,13 +315,22 @@ def zscore_outliers(
     keys = list(group_by)
     dec = "decimal(38,12)"
     v = F.col(value_col).cast("double")
-    moments = df.groupBy(*keys).agg(
-        F.count(v).cast("bigint").alias("_n"),
-        F.sum(v.cast(dec)).cast("double").alias("_s"),
-        F.sum((v * v).cast(dec)).cast("double").alias("_sq"),
+    pivots = df.groupBy(*keys).agg(F.min(v).alias("_p"))
+    d = v - F.col("_p")
+    moments = (
+        df.join(F.broadcast(pivots), keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(v).cast("bigint").alias("_n"),
+            F.min("_p").alias("_p"),
+            F.sum(d.cast(dec)).cast("double").alias("_s"),
+            F.sum((d * d).cast(dec)).cast("double").alias("_sq"),
+        )
     )
-    mean = F.col("_s") / F.col("_n")
-    var = F.col("_sq") / F.col("_n") - mean * mean
+    mean = F.col("_p") + F.col("_s") / F.col("_n")
+    var = F.col("_sq") / F.col("_n") - (
+        F.col("_s") / F.col("_n")
+    ) * (F.col("_s") / F.col("_n"))
     stats = moments.filter(F.col("_n") >= 2).select(
         *keys,
         mean.alias("mean_v"),
@@ -363,8 +383,10 @@ def psi_drift(
     if buckets < 1:
         raise ValueError(f"buckets must be positive, got {buckets}")
     v = F.col(value_col).cast("double")
+    # same NaN guard as histogram_fixed_width: one NaN would poison the
+    # corpus max and collapse every group into a single bin (PSI ~ 0).
     vals = df.select(F.col(group_col).alias("g"), v.alias("_v")).filter(
-        F.col("_v").isNotNull()
+        F.col("_v").isNotNull() & ~F.isnan("_v")
     )
     bounds = vals.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     k = F.lit(int(buckets))
@@ -382,11 +404,15 @@ def psi_drift(
     b_tot = gb.groupBy("b").agg(F.sum("c_gb").cast("bigint").alias("c_b"))
     tot = gb.agg(F.sum("c_gb").cast("bigint").alias("n"))
     # p/q = (c_gb / n_g) / (c_b / n): ln of a ratio of exact integer
-    # products; (p - q) is two exact divisions and one subtraction.
+    # products; (p - q) is two exact divisions and one subtraction. The
+    # products route through DECIMAL(38,0) (the x73/x83 discipline) —
+    # c_gb * n in raw BIGINT silently wraps past 2^63 at the target
+    # corpus scale in Spark and errors in DuckDB.
     term = (
         F.col("c_gb") / F.col("n_g") - F.col("c_b") / F.col("n")
     ) * F.log(
-        (F.col("c_gb") * F.col("n")) / (F.col("c_b") * F.col("n_g"))
+        F.expr("CAST(CAST(c_gb AS DECIMAL(38,0)) * n AS DOUBLE)")
+        / F.expr("CAST(CAST(c_b AS DECIMAL(38,0)) * n_g AS DOUBLE)")
     )
     dec = "decimal(38,18)"
     return (

@@ -3281,7 +3281,7 @@ X89_SQL = """
                                    CAST(ts AS DATE)) / 7) AS BIGINT)
                    AS window_id,
                event_id, ts
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     ranked AS (
         SELECT user_id, event_type, window_id, event_id, ts,
@@ -3313,6 +3313,7 @@ X88_SQL = """
     WITH vals AS (
         SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM documents
         WHERE n_chars IS NOT NULL
+          AND NOT isnan(CAST(n_chars AS DOUBLE))
     ),
     bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
     binned AS (
@@ -3334,7 +3335,8 @@ X88_SQL = """
            CAST(MAX(gt.n_g) AS BIGINT) AS n,
            ROUND(CAST(SUM(CAST(
                (gb.c_gb * 1.0 / gt.n_g - bt.c_b * 1.0 / t.n)
-               * ln((gb.c_gb * t.n) * 1.0 / (bt.c_b * gt.n_g))
+               * ln(CAST(CAST(gb.c_gb AS DECIMAL(38,0)) * t.n AS DOUBLE)
+                    / CAST(CAST(bt.c_b AS DECIMAL(38,0)) * gt.n_g AS DOUBLE))
                AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
     FROM gb
     JOIN gt USING (g)
@@ -3471,15 +3473,18 @@ X85_SQL = """
         SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
         WHERE user_id < 100
     ),
+    pv AS (SELECT user_id, MIN(v) AS p FROM ev GROUP BY user_id),
     m AS (
-        SELECT user_id,
-               CAST(COUNT(v) AS BIGINT) AS n,
-               CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sq
-        FROM ev GROUP BY user_id
+        SELECT e.user_id,
+               CAST(COUNT(e.v) AS BIGINT) AS n,
+               MIN(pv.p) AS p,
+               CAST(SUM(CAST(e.v - pv.p AS DECIMAL(38,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST((e.v - pv.p) * (e.v - pv.p)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS sq
+        FROM ev e JOIN pv USING (user_id) GROUP BY e.user_id
     ),
     st AS (
-        SELECT user_id, s / n AS mean_v,
+        SELECT user_id, p + s / n AS mean_v,
                sqrt(sq / n - (s / n) * (s / n)) AS std_v
         FROM m WHERE n >= 2
     ),
@@ -3517,6 +3522,7 @@ X84_SQL = """
     WITH vals AS (
         SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
         WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
     ),
     bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
     assigned AS (

@@ -32,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ATTRIBUTION_STATE_SCHEMA = "user_id long, t_ts timestamp_ntz, touch_id long"
+
+def attribution_state_schema(user_col: str = "user_id") -> str:
+    """State-seeding schema, keyed by the SAME user column name the
+    ingest callable is configured with — a hardcoded name would make a
+    non-default ``user_col`` fail its first state read."""
+    return f"{user_col} long, t_ts timestamp_ntz, touch_id long"
+
+
+ATTRIBUTION_STATE_SCHEMA = attribution_state_schema()
 
 
 def streaming_attribution_ingest(
@@ -53,7 +61,7 @@ def streaming_attribution_ingest(
     ``[conv_id, user, conv_ts, touch_id, gap_seconds]``.
 
     Seed the state dir with ``snapshot_overwrite(empty, touches_dir,
-    -1)`` (schema: ``ATTRIBUTION_STATE_SCHEMA``). Returns the callable
+    -1)`` (schema: ``attribution_state_schema(user_col)``). Returns the callable
     for ``stream.writeStream.foreachBatch(...)``.
     """
     from meshinsights_data_pipeline_spark.operators.funnel import (

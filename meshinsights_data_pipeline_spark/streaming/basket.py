@@ -112,42 +112,18 @@ def streaming_basket_ingest(
         )
         snapshot_overwrite(merged_total, totals_dir, version=epoch_id)
 
-        ia = merged_items.select(
-            F.col("i").alias("item_a"), F.col("n_i").alias("n_a")
+        from meshinsights_data_pipeline_spark.operators.basket import (
+            association_stats,
         )
-        ib = merged_items.select(
-            F.col("i").alias("item_b"), F.col("n_i").alias("n_b")
-        )
-        stats = (
+
+        stats = association_stats(
             merged_pairs.join(
                 batch_pairs.select("item_a", "item_b"), ["item_a", "item_b"],
                 "left_semi",  # emit only pairs observed THIS batch
-            )
-            .filter(F.col("n_ab") >= int(min_support_count))
-            .join(F.broadcast(ia), "item_a")
-            .join(F.broadcast(ib), "item_b")
-            .crossJoin(F.broadcast(merged_total))
-            .select(
-                "item_a",
-                "item_b",
-                "n_ab",
-                F.round(F.col("n_ab") / F.col("n_baskets"), round_to).alias(
-                    "support"
-                ),
-                F.round(F.col("n_ab") / F.col("n_a"), round_to).alias(
-                    "confidence_a_b"
-                ),
-                F.round(
-                    F.expr(
-                        "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_baskets"
-                        " AS DOUBLE)"
-                    )
-                    / F.expr(
-                        "CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)"
-                    ),
-                    round_to,
-                ).alias("lift"),
-            )
+            ).filter(F.col("n_ab") >= int(min_support_count)),
+            merged_items,
+            merged_total,
+            round_to,
         )
         if idempotent:
             from meshinsights_data_pipeline_spark.sources.layout import (

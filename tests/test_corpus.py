@@ -1272,3 +1272,46 @@ def test_windowed_exact_dedup(spark):
     assert 1 in ids and 3 in ids and 2 not in ids
     assert 4 in ids and 5 not in ids            # ts tie -> min id
     assert len(out) == 3
+
+
+def test_zscore_outliers_epoch_magnitude_no_cancellation(spark):
+    """Large-mean/small-std groups (epoch-like magnitudes) must still
+    flag outliers: the naive sq/n - mean^2 form cancels to var=0 and
+    silently drops the group; the shifted-pivot form keeps precision."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        zscore_outliers,
+    )
+
+    base = 1.7e12
+    rows = [("k", base + d) for d in (0.0, 1000.0, 2000.0, 1000.0, 500.0,
+                                      1500.0, 800.0, 1200.0, 900.0)]
+    rows.append(("k", base + 100000.0))  # the genuine outlier
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = zscore_outliers(df, ["k"], "value", threshold=2.5).collect()
+    assert out, "group must not be dropped by var-cancellation"
+    flagged = [r for r in out if r.is_outlier]
+    assert [r.value for r in flagged] == [base + 100000.0]
+    assert flagged[0].z == pytest.approx(3.0, abs=0.01)
+
+
+def test_histogram_and_psi_ignore_nan(spark):
+    """One NaN must not poison max() and collapse the histogram/PSI bins."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        histogram_fixed_width,
+        psi_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(11)] + [(float("nan"),)], "x double"
+    )
+    out = histogram_fixed_width(df, "x", 5).collect()
+    assert len(out) == 5 and sum(r.n for r in out) == 11
+    g = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v)) for v in range(10)]
+        + [("a", float("nan"))],
+        "g string, x double",
+    )
+    rows = {r.g: r for r in psi_drift(g, "g", "x", buckets=5).collect()}
+    assert rows["a"].n == 10 and rows["b"].n == 10  # NaN excluded
+    assert rows["a"].psi == rows["b"].psi           # identical distributions
