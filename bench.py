@@ -191,6 +191,34 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: corpus pipeline failed: {exc}", file=sys.stderr)
 
+    # Events analytics Pipeline end-to-end (sessionize -> attribution ->
+    # outliers -> time-weighted avg -> report) over the events table; the
+    # report step's bounded aggregates are the terminal actions, so the
+    # e2e time covers every composed frame.
+    try:
+        from meshinsights_data_pipeline_spark.analytics.events_pipeline import (
+            build_events_pipeline,
+        )
+        from meshinsights_data_pipeline_spark.core.context import (
+            PipelineContext,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        ev_raw = read_table(spark, sf_dir, "events")
+        pipe = build_events_pipeline()
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pipe.run(PipelineContext(
+                pipeline_name="events_analytics", correlation_id="bench",
+                raw_data=ev_raw,
+            ))
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["events_pipeline_e2e"] = runs[0]
+        extras["events_pipeline_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: events pipeline failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost

@@ -52,13 +52,15 @@ class _EventStep(Processor):
         super().__init__(name=name, **kw)
         self.cols = cols
 
-    def validate_prerequisites(self, context: PipelineContext) -> bool:
-        df = context.raw_data
-        if df is None:
-            return False
-        need = {self.cols.user, self.cols.ts, self.cols.type, self.cols.id}
-        need.update(getattr(self.cols, c) for c in self.extra_cols)
-        return need.issubset(set(df.columns))
+    def validate_prerequisites(self, context: PipelineContext) -> None:
+        # The Processor contract is RAISE-on-missing (processor.py:49-51;
+        # __call__ ignores return values, so a bool-returning override
+        # would silently never fail — the convention the power/corpus
+        # pipelines follow).
+        df = self.require_raw_data(context)
+        need = [self.cols.user, self.cols.ts, self.cols.type, self.cols.id]
+        need += [getattr(self.cols, c) for c in self.extra_cols]
+        self.require_columns(df, need)
 
 
 class SessionizeStep(_EventStep):
@@ -149,8 +151,31 @@ class EventsReportStep(_EventStep):
     """Bounded summary scalars into ``context.stages`` (the dashboard
     hand-off: counts only — the frames stay distributed)."""
 
+    #: the processed_data stashes the report reads with hard key lookups;
+    #: validated up front so a run_partial() that skipped an upstream step
+    #: fails the Processor contract's controlled validation path instead
+    #: of a raw KeyError inside process().
+    REQUIRED_STASHES = (
+        "events.sessions",
+        "events.attribution",
+        "events.outliers",
+        "events.twa",
+    )
+
     def __init__(self, cols: EventColumns, **kw):
         super().__init__(cols, name="events_report", **kw)
+
+    def validate_prerequisites(self, context: PipelineContext) -> None:
+        # This step consumes upstream stashes, not raw_data columns — the
+        # base check would pass raw_data while the keys are missing (e.g.
+        # a run_partial() that skipped an upstream step).
+        missing = [k for k in self.REQUIRED_STASHES
+                   if k not in context.processed_data]
+        if missing:
+            raise ValueError(
+                f"EventsReportStep needs processed_data keys {missing}; "
+                "run the upstream steps (or run_partial from 'sessionize')"
+            )
 
     def process(self, context: PipelineContext) -> PipelineContext:
         pd = context.processed_data

@@ -257,12 +257,12 @@ def connected_components_star(
         .distinct(),
         reliable_checkpoint,
     )
-    all_nodes = _ckpt(
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
-        .distinct(),
-        reliable_checkpoint,
-    )
+    # The final [id] roster comes from the ORIGINAL edge set; keep the
+    # first checkpoint referenced and compute the roster lazily at
+    # convergence (explode: one scan) instead of materializing a second
+    # frame up front — one fewer checkpoint job on every run, and the
+    # roster scan reads executor-local blocks, not the pair plan.
+    e0 = e
 
     def _signature(edges: DataFrame) -> tuple:
         # bit_xor, not sum: order-independent and cannot overflow under ANSI.
@@ -282,7 +282,17 @@ def connected_components_star(
         # lineage, so plan size stays constant across rounds.
         # -- large-star: group the UNDIRECTED neighborhood of each node u;
         #    every strictly-larger neighbor re-points to m = min(N(u) + {u}).
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        #    Symmetrize via explode — ONE scan of the checkpointed edge
+        #    blocks (the union form scanned them twice per round; same
+        #    fusion the min-label twin got, measured there at sf1).
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -297,15 +307,28 @@ def connected_components_star(
         #    re-point to m = min of the neighborhood (all < u, so min(v)).
         mins2 = e_ls.groupBy("u").agg(F.min("v").alias("m"))
         joined = e_ls.join(mins2, "u")
+        # (v -> m) ∪ (u -> m) as one explode over the join output — the
+        # union form embedded the join subtree twice and relied on
+        # ReusedExchange to deduplicate it; explode needs no such luck.
         e = _ckpt(
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(joined.select(F.col("u"), F.col("m").alias("v")))
+            joined.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
             .filter(F.col("u") != F.col("v"))
             .distinct(),
             reliable_checkpoint,
         )
         new_sig = _signature(e)
         if new_sig == sig:
+            all_nodes = (
+                e0.select(F.explode(F.array("u", "v")).alias("id")).distinct()
+            )
             assignment = all_nodes.join(
                 e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")),
                 "id",

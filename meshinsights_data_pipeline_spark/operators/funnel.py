@@ -216,7 +216,9 @@ def last_touch_attribution(
     unattributed volume). Determinism: several touches at the same
     timestamp collapse to the min ``id_col`` BEFORE the join, so the
     attributed touch is a pure function of the data, not of partition
-    order.
+    order. ``touch_id`` keeps the id column's NATIVE type (string/UUID
+    ids work — a forced integral cast would NULL them silently and
+    report every conversion as unattributed).
 
     Scale shape: inherits asof_join's — one union + one entity-keyed
     ordered window, never a range self-join; the touch dedup is one
@@ -232,7 +234,7 @@ def last_touch_attribution(
     touches = (
         df.filter(F.col(type_col) == touch)
         .groupBy(F.col(user_col), F.col(ts_col))
-        .agg(F.min(id_col).cast("bigint").alias("touch_id"))
+        .agg(F.min(id_col).alias("touch_id"))
     )
     j = asof_join(
         conv, touches, ts_col, [user_col], ["touch_id"], how="left"

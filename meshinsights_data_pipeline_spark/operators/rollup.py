@@ -240,9 +240,14 @@ def time_weighted_avg(
     DECIMAL(18,6) (the x69 contract), durations are exact
     timestampdiff micros, products and sums fold through DECIMAL(38,0)
     (no BIGINT wrap, no float summation), and the final division is an
-    integer floor-div — no step anywhere depends on float rounding or
-    decimal->double conversion, so the result is bit-identical across
-    engines by construction. ``twa = twa_micros / 1e6``.
+    integer division that TRUNCATES TOWARD ZERO — Spark's ``div`` and
+    DuckDB's integer/HUGEINT ``//`` both truncate (DuckDB floors only
+    for DOUBLE operands, which the X87 oracle avoids by casting the
+    weighted sum to HUGEINT first), so the result is bit-identical
+    across engines for positive AND negative values alike; a negative
+    weighted sum truncates up in both (-7 div 2 = -3). No step anywhere
+    depends on float rounding or decimal->double conversion.
+    ``twa = twa_micros / 1e6``.
 
     Ties: several observations at one timestamp get zero LOCF duration
     except the last in (ts, value) order — deterministic because the

@@ -315,6 +315,12 @@ def zscore_outliers(
     keys = list(group_by)
     dec = "decimal(38,12)"
     v = F.col(value_col).cast("double")
+    # NaN is not NULL: it would count into _n via F.count(v) but drop out
+    # of the DECIMAL sums (NaN->decimal casts NULL), silently biasing the
+    # group's mean/std — and DuckDB's NaN->DECIMAL cast diverges from
+    # Spark's. Filter it with the nulls, like the sibling operators
+    # (histogram_fixed_width / psi_drift) do.
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     pivots = df.groupBy(*keys).agg(F.min(v).alias("_p"))
     d = v - F.col("_p")
     moments = (

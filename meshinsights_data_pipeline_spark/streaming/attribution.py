@@ -33,11 +33,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def attribution_state_schema(user_col: str = "user_id") -> str:
-    """State-seeding schema, keyed by the SAME user column name the
-    ingest callable is configured with — a hardcoded name would make a
-    non-default ``user_col`` fail its first state read."""
-    return f"{user_col} long, t_ts timestamp_ntz, touch_id long"
+def attribution_state_schema(
+    user_col: str = "user_id",
+    user_type: str = "long",
+    ts_type: str = "timestamp_ntz",
+    id_type: str = "long",
+) -> str:
+    """State-seeding schema, keyed by the SAME user column name AND
+    column types the source stream carries — a hardcoded name would make
+    a non-default ``user_col`` fail its first state read, and hardcoded
+    types (ts pinned to NTZ, ids pinned to long) would make a
+    TIMESTAMP-LTZ source or string/UUID event ids fail the first
+    prev-state union (or silently NULL the ids) — the exact
+    schema-mismatch first read this helper exists to prevent. Pass the
+    source's types (e.g. ``ts_type="timestamp"``, ``id_type="string"``)
+    when they differ from the testdata defaults."""
+    return f"{user_col} {user_type}, t_ts {ts_type}, touch_id {id_type}"
 
 
 ATTRIBUTION_STATE_SCHEMA = attribution_state_schema()
@@ -77,7 +88,7 @@ def streaming_attribution_ingest(
         batch_touches = (
             batch_df.filter(F.col(type_col) == touch)
             .groupBy(F.col(user_col), F.col(ts_col).alias("t_ts"))
-            .agg(F.min(id_col).cast("bigint").alias("touch_id"))
+            .agg(F.min(id_col).alias("touch_id"))
         )
         prev = snapshot_before(spark, touches_dir, epoch_id).select(
             user_col, "t_ts", "touch_id"
@@ -85,7 +96,7 @@ def streaming_attribution_ingest(
         merged = (
             prev.union(batch_touches)
             .groupBy(user_col, "t_ts")
-            .agg(F.min("touch_id").cast("bigint").alias("touch_id"))
+            .agg(F.min("touch_id").alias("touch_id"))
             .localCheckpoint()  # feeds the snapshot write AND attribution
         )
         snapshot_overwrite(merged, touches_dir, version=epoch_id)
@@ -93,8 +104,10 @@ def streaming_attribution_ingest(
         # Reconstruct an event frame of (batch conversions + ALL touches
         # seen so far) and run the BATCH operator — streaming scores are
         # batch scores by construction, never a reimplementation drift.
+        # ids keep their NATIVE type end-to-end (batch-operator contract:
+        # a forced integral cast would NULL string/UUID ids silently)
         conv_ev = batch_df.filter(F.col(type_col) == conversion).select(
-            F.col(id_col).cast("bigint").alias("event_id"),
+            F.col(id_col).alias("event_id"),
             F.col(ts_col).alias("ts"),
             F.col(user_col).alias("user_id"),
             F.lit(conversion).alias("event_type"),

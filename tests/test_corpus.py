@@ -1315,3 +1315,89 @@ def test_histogram_and_psi_ignore_nan(spark):
     rows = {r.g: r for r in psi_drift(g, "g", "x", buckets=5).collect()}
     assert rows["a"].n == 10 and rows["b"].n == 10  # NaN excluded
     assert rows["a"].psi == rows["b"].psi           # identical distributions
+
+
+def test_last_touch_attribution_string_ids(spark):
+    """touch_id keeps the id column's NATIVE type: string/UUID event ids
+    attribute correctly (a forced integral cast would NULL them silently
+    and report every conversion as unattributed)."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        ("ev-a", datetime(2024, 1, 2, 10, 0), 1, "click"),
+        ("ev-b", datetime(2024, 1, 2, 11, 0), 1, "click"),
+        ("ev-c", datetime(2024, 1, 2, 11, 0), 1, "click"),  # ts tie
+        ("ev-d", datetime(2024, 1, 2, 12, 0), 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id long, event_type string")
+    out = last_touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.conv_id == "ev-d"
+    # latest ts wins; the ts tie collapses to the min STRING id
+    assert r.touch_id == "ev-b" and r.gap_seconds == 3600
+    # schema kept the native type end-to-end
+    assert dict(last_touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id").dtypes
+    )["touch_id"] == "string"
+
+
+def test_zscore_outliers_nan_guard(spark):
+    """NaN values are filtered with the NULLs (the sibling-operator
+    guard): a NaN must not count into n while dropping out of the
+    DECIMAL sums — that would silently bias the group's mean/std — and
+    must not appear as an output row."""
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        zscore_outliers,
+    )
+
+    base = [("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+    noisy = base + [("a", float("nan")), ("a", None)]
+    df_clean = spark.createDataFrame(base, "k string, value double")
+    df_noisy = spark.createDataFrame(noisy, "k string, value double")
+    clean = sorted((r.value, r.mean_v, r.std_v, r.z, r.is_outlier)
+                   for r in zscore_outliers(df_clean, ["k"], "value").collect())
+    got = sorted((r.value, r.mean_v, r.std_v, r.z, r.is_outlier)
+                 for r in zscore_outliers(df_noisy, ["k"], "value").collect())
+    assert got == clean          # identical moments AND row set
+    assert not any(math.isnan(v) for v, *_ in got)
+
+
+def test_time_weighted_avg_negative_values_truncation(spark):
+    """Mixed-sign values: the final integer division truncates toward
+    zero in BOTH engines (Spark `div`; DuckDB HUGEINT `//` — DuckDB
+    floors only for DOUBLE operands, which the X87 oracle avoids), so a
+    negative weighted sum stays bit-identical: -10 for 1h then -5 for 2h
+    -> twa = -20/3 = -6.666..., truncated to -6_666_666 micros (floor
+    would give -6_666_667)."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        ("k", datetime(2024, 1, 1, 0, 0), -10.0),
+        ("k", datetime(2024, 1, 1, 1, 0), -5.0),
+        ("k", datetime(2024, 1, 1, 3, 0), 0.0),  # last point: 0 duration
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    r = time_weighted_avg(df, "ts", ["k"], "value").first()
+    assert r.span_seconds == 3 * 3600
+    assert r.twa_micros == -6_666_666  # truncation toward zero, not floor
+    # cross-engine pin: DuckDB's HUGEINT // truncates identically
+    import duckdb
+
+    ws = (-10_000_000 * 3_600_000_000) + (-5_000_000 * 7_200_000_000)
+    span = 10_800_000_000
+    (dd,) = duckdb.sql(
+        f"SELECT CAST(CAST({ws} AS HUGEINT) // {span} AS BIGINT)").fetchone()
+    assert dd == r.twa_micros

@@ -451,3 +451,36 @@ def test_events_pipeline_e2e(spark, sf_smoke):
         start="sessionize", end="attribution")
     assert "events.sessions" in ctx2.processed_data
     assert "events.outliers" not in ctx2.processed_data
+
+
+def test_events_pipeline_validation_raises(spark):
+    """The events steps follow the Processor contract's RAISE-on-missing
+    validation (a bool-returning override is silently ignored by
+    ``Processor.__call__``): a report-only run_partial that skipped the
+    upstream stashes fails with the controlled ValueError, not a raw
+    KeyError inside process(); a missing input column fails before any
+    expensive work."""
+    import pytest
+
+    from meshinsights_data_pipeline_spark.analytics.events_pipeline import (
+        EventColumns,
+        SessionizeStep,
+        build_events_pipeline,
+    )
+    from meshinsights_data_pipeline_spark.core.context import PipelineContext
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double")
+    pipe = build_events_pipeline()
+    ctx = PipelineContext(pipeline_name="p", correlation_id="t", raw_data=ev)
+    with pytest.raises(ValueError, match="events.sessions"):
+        pipe.run_partial(ctx, start="events_report", end="events_report")
+    # the error is recorded on the controlled path, not swallowed
+    assert any("events.sessions" in e["error"] for e in ctx.errors)
+
+    # a missing required column raises the contract ValueError up front
+    bad = spark.createDataFrame([], "event_id long, ts timestamp")
+    with pytest.raises(ValueError, match="user_id"):
+        SessionizeStep(EventColumns())(PipelineContext(
+            pipeline_name="p", correlation_id="t", raw_data=bad))

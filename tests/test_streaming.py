@@ -1833,3 +1833,47 @@ def test_streaming_attribution_parity_cross_batch_and_retry(spark, tmp_path):
     assert after.count() == 2
     state = snapshot_before(spark, t_dir, 99)
     assert state.count() == 3  # clicks 1, 3, 4 (deduped per (user, ts))
+
+
+def test_streaming_attribution_typed_state_schema(spark, tmp_path):
+    """attribution_state_schema parameterizes the ts/id types: a
+    TIMESTAMP (LTZ) source with STRING event ids seeds state that
+    matches the first batch's schema, so the prev-state union neither
+    fails nor silently NULLs the ids — and the attributed ids keep
+    their native string type end-to-end."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_attribution_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.attribution import (
+        attribution_state_schema,
+    )
+
+    schema = "event_id string, ts timestamp, user_id long, event_type string"
+    b1 = spark.createDataFrame(
+        [("c-1", datetime(2024, 1, 2, 10, 0), 1, "click")], schema)
+    b2 = spark.createDataFrame(
+        [("p-1", datetime(2024, 1, 2, 12, 0), 1, "purchase")], schema)
+    t_dir, a_dir = str(tmp_path / "t"), str(tmp_path / "a")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], attribution_state_schema(ts_type="timestamp",
+                                         id_type="string")),
+        t_dir, -1)
+    process = streaming_attribution_ingest(
+        touches_dir=t_dir, attributions_dir=a_dir)
+
+    process(b1, 0)
+    process(b2, 1)
+    out = spark.read.parquet(a_dir)
+    assert dict(out.dtypes)["touch_id"] == "string"
+    rows = [(r.conv_id, r.touch_id, r.gap_seconds) for r in out.collect()]
+    assert rows == [("p-1", "c-1", 7200)]  # cross-epoch credit, string ids
+    state = snapshot_before(spark, t_dir, 99)
+    assert dict(state.dtypes)["touch_id"] == "string"
+    assert state.count() == 1
