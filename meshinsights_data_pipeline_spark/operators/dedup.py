@@ -233,6 +233,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def overlap_coefficient_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise shingle-set OVERLAP COEFFICIENT >= threshold:
+    ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` — the containment-style
+    near-dup detector. A short document quoted wholesale inside a long
+    one has overlap ~1 but Jaccard ~|A|/|B| (diluted below any usable
+    symmetric threshold), so this is the operator that catches
+    quote-inclusion, boilerplate-wrapped reposts, and prompt/response
+    supersets that :func:`ngram_jaccard_pairs` structurally misses.
+
+    Returns ``[id_a, id_b, overlap]`` (id_a < id_b; overlap rounded to
+    6dp and thresholded AFTER rounding so both engines decide borderline
+    pairs identically). Same plan shape as the Jaccard sibling:
+    intersection counts from the shingle hash self-join, sizes joined
+    back (AQE broadcasts when they fit) — only the final formula
+    differs (min instead of inclusion-exclusion union).
+
+    Scale: quadratic in shared-shingle bucket sizes, like every exact
+    set-overlap join — at 100 TB compose with a doc-frequency cap on the
+    shingle table (drop shingles appearing in > F docs: they contribute
+    candidates, not discrimination) or drive it from LSH candidates via
+    ``_verified_pairs_from_candidates``'s pattern; note MinHash-LSH
+    recalls JACCARD-similar pairs, so for containment at scale bucket on
+    the SMALLER doc's signature length or use a df-capped shingle join.
+    """
+    sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -410,8 +463,19 @@ def windowed_exact_dedup(
     window (recrawl-after-N-days semantics: a page re-fetched a month
     later is a legitimate new observation; the same page fetched twice
     in one window is a duplicate). The batch twin of the watermarked
-    streaming dedup in streaming/dedup.py, whose TTL state expresses the
-    same horizon over continuous ingest.
+    streaming dedup in streaming/dedup.py — same horizon INTENT,
+    deliberately different mechanics, so the shared contract is exactly:
+    (a) both emit every key at least once, and (b) the key's FIRST
+    occurrence survives in both (given in-event-time-order arrival).
+    Beyond that they diverge by design: two occurrences straddling a
+    fixed window boundary within the TTL yield TWO batch survivors but
+    one streaming survivor, and streaming re-emission after a long gap
+    additionally requires the WATERMARK to have passed the old state (a
+    one-sided guarantee — ``dropDuplicatesWithinWatermark`` may drop
+    duplicates farther apart than the delay if no intervening data
+    advanced the watermark). ``tests/test_streaming.py::
+    test_windowed_batch_vs_streaming_ttl_dedup`` pins both the shared
+    contract and the divergences.
 
     Windows are FIXED calendar-epoch-aligned buckets
     (``epoch_days div window_days``), not sliding — deterministic,

@@ -295,3 +295,63 @@ def time_weighted_avg(
         F.expr("CAST(_span_us div 1000000 AS BIGINT)").alias("span_seconds"),
         F.expr("CAST(_ws div _span_us AS BIGINT)").alias("twa_micros"),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-key rolling sum/mean over the last ``n`` observations
+    (inclusive of the current row) in event-time order — the
+    moving-average smoother every telemetry dashboard and
+    feature-engineering pipeline needs next to :func:`time_weighted_avg`
+    (which weights by TIME HELD; this weights the last n POINTS
+    equally).
+
+    Ordering is the total order ``(ts, id)`` — ``id_col`` breaks
+    timestamp ties, because a ROWS frame over a non-total order makes
+    the tied rows' frames (hence their sums) depend on partition order.
+    Returns ``[*key_cols, id, ts, value, roll_n, roll_sum, roll_avg]``
+    for every input row with a non-NULL, non-NaN value (NaN would poison
+    every frame it enters; the guard matches the stats siblings).
+
+    Cross-engine determinism: values quantize to DECIMAL(18,6) and the
+    frame SUM folds in DECIMAL (exact, order-independent). The exact sum
+    casts to DOUBLE (one correctly-rounded conversion of identical
+    digits in both engines), and the mean is ONE IEEE division of that
+    double, rounded to 6dp — deliberately NOT a decimal division, whose
+    result-scale rules differ across engines for non-terminating
+    quotients (sum/3).
+
+    Scale shape: ONE entity-keyed shuffle into a sort-ordered window;
+    ROWS frames are O(1) amortized per row (running sum, no per-row
+    rescans). A key costs its row count — no corpus^2, no driver state.
+    """
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *key_cols,
+        F.col(id_col),
+        F.col(ts_col),
+        v.alias(value_col),
+        F.col(value_col).cast("decimal(18,6)").alias("_vd"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(int(n) - 1), 0)
+    )
+    roll_sum = F.sum("_vd").over(w).cast("double")
+    roll_n = F.count("_vd").over(w).cast("bigint")
+    return clean.select(
+        *key_cols,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        roll_n.alias("roll_n"),
+        roll_sum.alias("roll_sum"),
+        F.round(roll_sum / roll_n, 6).alias("roll_avg"),
+    )

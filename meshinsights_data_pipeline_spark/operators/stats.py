@@ -433,3 +433,65 @@ def psi_drift(
             ).alias("psi"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group MAD (median-absolute-deviation) outlier flags — the
+    ROBUST sibling of :func:`zscore_outliers`: score = |v - median| /
+    MAD, flagged when it exceeds ``threshold``. Unlike the z-score, one
+    wild value cannot inflate the spread estimate and mask itself (the
+    classic masking failure: a single 10^6 outlier blows up sigma until
+    nothing is > 2 sigma), so this is the detector to run on telemetry
+    with fat tails. Raw MAD, no 1.4826 consistency constant — thresholds
+    are in MAD units, documented, engine-identical.
+
+    Returns the group/value columns plus ``[med_v, mad_v, score,
+    is_outlier]`` for every row of groups with MAD > 0 (a group whose
+    majority is constant has MAD 0 — every deviation would be infinite;
+    excluded like zscore's zero-variance groups, by the ROUNDED mad so
+    both engines drop the same borderline groups). NULL/NaN values are
+    filtered up front (the sibling guard).
+
+    Cross-engine determinism: both medians are exact interpolated
+    percentiles (the q09/q13-proven parity surface — single
+    correctly-rounded IEEE ops, no float summation anywhere); score
+    compares AFTER rounding to ``round_to`` so borderline rows decide
+    identically in both engines.
+
+    Scale shape: two map-side-scanned exact-median aggregates (two-pass,
+    the rcv.robust_cv plan) with the tiny per-group tables broadcast
+    back; the big input is scanned three times and shuffled never.
+    """
+    keys = list(group_by)
+    v = F.col(value_col).cast("double")
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
+    med = df.groupBy(*keys).agg(F.median(v).alias("med_v"))
+    mad = (
+        df.join(F.broadcast(med), keys)
+        .groupBy(*keys)
+        .agg(
+            F.min("med_v").alias("med_v"),
+            F.round(F.median(F.abs(v - F.col("med_v"))), round_to).alias(
+                "mad_v"
+            ),
+        )
+        .filter(F.col("mad_v") > 0)
+    )
+    score = F.round(F.abs(v - F.col("med_v")) / F.col("mad_v"), round_to)
+    return (
+        df.join(F.broadcast(mad), keys)
+        .select(
+            *keys,
+            v.alias(value_col),
+            F.round(F.col("med_v"), round_to).alias("med_v"),
+            F.col("mad_v"),
+            score.alias("score"),
+            (score > F.lit(float(threshold))).alias("is_outlier"),
+        )
+    )

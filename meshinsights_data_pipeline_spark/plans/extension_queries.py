@@ -4421,7 +4421,130 @@ X67_SQL = f"""
 """
 
 
+def x90_overlap_neardup(spark: SparkSession, sf_dir: str):
+    """Shingle-set overlap coefficient >= 0.5
+    (dedup.overlap_coefficient_pairs): |A∩B| / min(|A|,|B|) — the
+    containment detector for a short doc quoted wholesale inside a long
+    one, which symmetric Jaccard dilutes to ~|A|/|B|. Same shingle/hash
+    chain as x04; only the denominator differs (min instead of union),
+    so any x04-vs-x90 delta isolates the formula, not the tokenizer."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.overlap_coefficient_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+X90_SQL = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.h = b.h
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / LEAST(sa.sz, sb.sz), 6) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def x91_rolling_stats(spark: SparkSession, sf_dir: str):
+    """Per-user rolling 5-point sum/mean over event values
+    (rollup.rolling_stats): one entity-keyed window, ROWS frame over the
+    total order (ts, event_id), DECIMAL-exact frame sums cast once to
+    DOUBLE and divided once (no decimal division — engine result-scale
+    rules differ on non-terminating quotients). Sliced to users < 40
+    for a display-sized result; each user's frames are self-contained,
+    so the slice changes nothing about the windows it keeps."""
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        rolling_stats,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return rolling_stats(
+        ev, "ts", ["user_id"], "value", "event_id", n=5
+    ).orderBy("user_id", "ts", "event_id")
+
+
+X91_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+               CAST(value AS DECIMAL(18,6)) AS vd
+        FROM events
+        WHERE user_id < 40 AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    r AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(COUNT(vd) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(vd) OVER w AS DOUBLE) AS roll_sum
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, value, roll_n, roll_sum,
+           ROUND(roll_sum / roll_n, 6) AS roll_avg
+    FROM r ORDER BY user_id, ts, event_id
+"""
+
+
+def x92_mad_outliers(spark: SparkSession, sf_dir: str):
+    """Per-user MAD outliers over event values (stats.mad_outliers,
+    score > 3 in raw MAD units): the robust twin of x85 — one wild
+    value cannot inflate the spread estimate and mask itself. Both
+    medians are exact interpolated percentiles (the q09/q13 parity
+    surface); score and the MAD>0 group gate compare AFTER rounding so
+    both engines decide borderline rows and groups identically. Sliced
+    to users < 100 like x85; the medians still see every event of those
+    users."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        mad_outliers,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        mad_outliers(ev, ["user_id"], "value", threshold=3.0)
+        .filter(F.col("is_outlier"))
+        .select("user_id", "value", "med_v", "mad_v", "score")
+        .orderBy("user_id", "value")
+    )
+
+
+X92_SQL = """
+    WITH ev AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+        WHERE user_id < 100 AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    med AS (SELECT user_id, median(v) AS med_v FROM ev GROUP BY user_id),
+    mad AS (
+        SELECT e.user_id, MIN(m.med_v) AS med_v,
+               ROUND(median(abs(e.v - m.med_v)), 6) AS mad_v
+        FROM ev e JOIN med m USING (user_id)
+        GROUP BY e.user_id
+        HAVING ROUND(median(abs(e.v - m.med_v)), 6) > 0
+    ),
+    sc AS (
+        SELECT e.user_id, e.v AS value,
+               ROUND(m.med_v, 6) AS med_v, m.mad_v,
+               ROUND(abs(e.v - m.med_v) / m.mad_v, 6) AS score
+        FROM ev e JOIN mad m USING (user_id)
+    )
+    SELECT user_id, value, med_v, mad_v, score
+    FROM sc WHERE score > 3.0
+    ORDER BY user_id, value
+"""
+
+
 EXTENSION_BUILDERS = {
+    "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
+    "x91_rolling_stats": (x91_rolling_stats, X91_SQL),
+    "x92_mad_outliers": (x92_mad_outliers, X92_SQL),
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),
     "x72_binary_neardup": (x72_binary_neardup, X72_SQL),
     "x73_stratified_sample": (x73_stratified_sample, X73_SQL),

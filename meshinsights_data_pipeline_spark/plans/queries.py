@@ -2670,70 +2670,44 @@ def _register_extensions() -> None:
 _register_extensions()
 
 
-# The external driver verifies only the FIRST 50 entries of queries() (its
-# per-round cap), taken in dict insertion order. Round-9 window, in
-# priority order: (1) every query whose Spark side or oracle CHANGED this
-# round and needs re-verification — the DECIMAL-exact-sum sweep (x69, the
-# r8 flake, plus x63/x64/x68/x67, q20/q28/q29, x41 centroid means, x51
-# avg_logp) and x12's promotion to auto-bits LSH (bits derived from the
-# exact corpus count, mirrored in the oracle) — 11 in all; (2) fill to
-# exactly 50 with the stalest green cohort: x70 (NEW this round — never
-# driver-checked), x69 (changed again this round — value_sum now
-# integer micros), x54 (last checked r6, the single oldest row), and
-# the full 47-query r7 cohort. Any query ADDED this round must be
-# inserted at the head in the same commit (see the window-rotation
-# invariant note).
-# _rotate_for_driver validates membership AND the exactly-50 invariant.
-# Rotation does not change any query; it only reorders the dict.
-_DRIVER_WINDOW_R11 = [
-    # (0) added this round, never driver-checked (window-rotation
-    # invariant: new queries enter the first-50 in the same session;
-    # the r8-stale band yields slots from its tail)
-    "x78_line_signals",
-    "x79_sq_topk",
-    "x80_temperature_mixture",
-    "x81_triangle_counts",
-    "x82_gap_interpolate",
-    "x83_basket_lift",
-    "x84_histogram",
+# Round-12 window. Priority bands, per the standing rotation discipline
+# (and this round's verdict): (0) the 3 queries ADDED this round, never
+# driver-checked; (1) queries whose operator code CHANGED this round —
+# x85 (zscore NaN guard), x86 (touch_id native-type fix), x26 (star-CC
+# explode fusion + deferred node roster); (2) the full 35-query r8-stale
+# cohort, last driver-checked three rounds ago — re-verification is the
+# only proof those greens survived three rounds of shared-machinery
+# edits; (3) fill to 50 with the heaviest r9-cohort queries. The
+# remaining r9 queries (x64, q21, q20, q13, q11, ...) stay r9-checked,
+# so after this round no query is staler than r9. All 165 registered
+# queries were also locally driver-sim-verified green this session
+# (.claude/skills/verify/driver_sim.py, 162 + the 3 new).
+_DRIVER_WINDOW_R12 = [
+    # (0) added this round
+    "x90_overlap_neardup",
+    "x91_rolling_stats",
+    "x92_mad_outliers",
+    # (1) operator code changed this round
     "x85_zscore_outliers",
     "x86_last_touch",
-    "x87_time_weighted_avg",
-    "x88_psi_drift",
-    "x89_windowed_dedup",
-    # (1) changed this round and must re-verify (the discipline r10
-    # applied to x22): x69's oracle gained the CAST(session AS BIGINT)
-    # fix for the r8-r10 HUGEINT fetch-path red; every query below runs
-    # through code rewritten this round — normalized_text's one-pass
-    # regex (all shingle/fingerprint/token consumers), punct_ratio's
-    # translate form (x08/x53/x55), the explode-symmetrized fused-round
-    # CC (x23/x26), and the five review-finding hardenings
-    # (x71/x73/x74/x75/x76). All proven value-identical locally; the
-    # window is how the driver confirms it.
-    "x69_gap_sessions",
-    "x01_exact_dedup", "x02_minhash_signatures", "x03_minhash_lsh_pairs",
-    "x04_ngram_jaccard", "x05_simhash", "x08_text_stats",
-    "x11_minhash_dedup_pairs", "x14_fuzzy_neardup",
-    "x21_winnow_fingerprints", "x22_gopher_quality", "x23_dedup_clusters",
-    "x25_contamination", "x26_dedup_clusters_star",
-    "x29_contamination_bloom", "x32_vocabulary", "x33_tfidf_terms",
-    "x34_repetition_signals", "x39_boilerplate_ngrams",
-    "x48_duplicate_spans", "x49_span_excision", "x51_lm_quality",
-    "x53_quality_top_fraction", "x55_weighted_sample",
-    "x57_source_overlap", "x62_line_dedup", "x63_source_drift",
-    "x70_dsir_weights", "x71_bm25_topk", "x72_binary_neardup",
-    "x73_stratified_sample", "x74_lexical_diversity", "x75_url_blocklist",
-    "x76_chat_render", "x77_gram_novelty",
-    # (2) the remaining r7-stale queries not already above.
-    "x37_pq_topk", "x50_corpus_report", "x56_semantic_decontamination",
-    # (3) no staleness-fill slots remain: the 12 queries added this round
-    # (x78-x89) displaced the whole r8-stale fill band. The r8-stale
-    # cohort (q08-q10, q63-q73, x24/x27/x28/x30/x31/x35/x36/x38/x40/
-    # x42-x47, x58-x61, x65/x66) is the r12 rotation's first claim on
-    # slots. Queries ADDED in a round must be inserted at the HEAD in
-    # the same commit, displacing from the lowest-priority band's tail.
+    "x26_dedup_clusters_star",
+    # (2) the r8-stale cohort, in full
+    "q08", "q09", "q10",
+    "q63", "q64", "q65", "q66", "q67", "q68", "q69", "q70", "q71",
+    "q72", "q73",
+    "x24_source_quota", "x27_url_dedup", "x28_pii_redact",
+    "x30_pack_sequences", "x31_dataset_split", "x35_gap_fill",
+    "x36_profile", "x38_semantic_dedup", "x40_shuffle_shards",
+    "x42_mixture_sample", "x43_html_extract", "x44_funnel",
+    "x45_cohort_retention", "x46_numeric_profile", "x47_length_ranks",
+    "x58_dq_checks", "x59_vector_stats", "x60_skew_salted_agg",
+    "x61_grouped_percentiles", "x65_cdc_delta", "x66_state_transitions",
+    # (3) heaviest r9-cohort fill
+    "x12_embedding_neardup_lsh", "x09_lang_id", "x67_pagerank",
+    "x68_scd2_lookup", "x41_kmeans_update", "x52_ann_recall",
+    "x07_embedding_neardup", "x10_rp_lsh_topk", "x13_multimodal_meta",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R11
+_DRIVER_WINDOW = _DRIVER_WINDOW_R12
 
 
 def _rotate_for_driver() -> None:

@@ -1401,3 +1401,68 @@ def test_time_weighted_avg_negative_values_truncation(spark):
     (dd,) = duckdb.sql(
         f"SELECT CAST(CAST({ws} AS HUGEINT) // {span} AS BIGINT)").fetchone()
     assert dd == r.twa_micros
+
+
+def test_overlap_coefficient_pairs(spark):
+    """Containment case: a short doc quoted wholesale inside a longer
+    one has overlap 1.0 while its Jaccard is diluted by the size gap —
+    the pair the symmetric detector misses at any usable threshold."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        overlap_coefficient_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),                       # A (3 shingles)
+        (2, "the quick brown fox jumps over the lazy dog"),     # A + tail
+        (3, "completely different words here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.overlap
+           for r in overlap_coefficient_pairs(df, "doc_id", "text",
+                                              threshold=0.5).collect()}
+    assert list(out) == [(1, 2)] and out[(1, 2)] == 1.0
+    # the same pair under symmetric Jaccard: 3 shared of 7 union = 0.43
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                        threshold=0.1).collect()}
+    assert jac[(1, 2)] < 0.5  # would be missed at the containment threshold
+
+
+def test_rolling_stats(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        rolling_stats,
+    )
+
+    rows = [("k", datetime(2024, 1, 1, h), h + 100, float(h + 1))
+            for h in range(6)]
+    rows.append(("k", datetime(2024, 1, 1, 7), 999, float("nan")))  # dropped
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, value double")
+    out = sorted(rolling_stats(df, "ts", ["k"], "value", "event_id", n=3)
+                 .collect(), key=lambda r: r.event_id)
+    assert [r.roll_sum for r in out] == [1.0, 3.0, 6.0, 9.0, 12.0, 15.0]
+    assert [r.roll_avg for r in out] == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
+    assert [r.roll_n for r in out] == [1, 2, 3, 3, 3, 3]
+    assert all(r.event_id != 999 for r in out)  # NaN row absent
+
+
+def test_mad_outliers(spark):
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        mad_outliers,
+    )
+
+    rows = ([("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+            + [("const", 5.0)] * 4           # MAD 0 -> excluded
+            + [("a", float("nan"))])          # NaN guard
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = mad_outliers(df, ["k"], "value", threshold=3.0).collect()
+    assert {r.k for r in out} == {"a"}
+    # median 5.5, MAD = median(|v-5.5|) = 2.5; only 100 exceeds 3 MADs
+    flagged = [r for r in out if r.is_outlier]
+    assert [(r.k, r.value) for r in flagged] == [("a", 100.0)]
+    assert flagged[0].med_v == 5.5 and flagged[0].mad_v == 2.5
+    assert flagged[0].score == pytest.approx(94.5 / 2.5)
+    assert len(out) == 10  # NaN row absent, const group absent

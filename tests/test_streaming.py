@@ -1877,3 +1877,72 @@ def test_streaming_attribution_typed_state_schema(spark, tmp_path):
     state = snapshot_before(spark, t_dir, 99)
     assert dict(state.dtypes)["touch_id"] == "string"
     assert state.count() == 1
+
+
+def test_windowed_batch_vs_streaming_ttl_dedup(spark, tmp_path):
+    """Pins the documented relationship between windowed_exact_dedup
+    (fixed epoch-aligned windows) and streaming_exact_dedup (sliding
+    TTL state): the KEY sets match, the FIRST occurrence per key
+    survives in both, boundary-straddling duplicates within the TTL
+    produce two batch survivors but one streaming survivor, and a
+    long-gap re-occurrence re-emits in streaming once the watermark has
+    passed the old state — landing among the batch survivors."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        windowed_exact_dedup,
+    )
+    from meshinsights_data_pipeline_spark.operators.text import fingerprint
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_exact_dedup,
+    )
+
+    # epoch day of 2024-01-04 is 19726 = 7 * 2818: a window boundary.
+    schema = "doc_id long, ts timestamp, text string"
+    files = [
+        # f1: first sightings of A and B
+        [(1, datetime(2024, 1, 3), "text A"),
+         (10, datetime(2024, 1, 1), "text B")],
+        # f2: A recurs ACROSS the window boundary but inside the 7d TTL
+        # (dropped by streaming, kept by batch); C's arrival advances the
+        # watermark to 2024-02-08 for the NEXT batch.
+        [(2, datetime(2024, 1, 4), "text A"),
+         (20, datetime(2024, 2, 15), "text C")],
+        # f3: spacer batch — runs with the advanced watermark, so A's and
+        # B's state is evicted here (eviction happens a batch after the
+        # watermark-advancing data, the structured-streaming lag).
+        [(30, datetime(2024, 2, 20), "text D")],
+        # f4: B recurs 60 days later, AFTER state eviction -> re-emitted.
+        [(11, datetime(2024, 3, 1), "text B")],
+    ]
+    src = str(tmp_path / "src")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    streamed = _run_stream(
+        spark,
+        streaming_exact_dedup(stream, "doc_id", "text", ts_col="ts",
+                              watermark="168 hours"),
+        tmp_path, mode="append",
+    )
+
+    batch_in = spark.read.parquet(src).withColumn("fp", fingerprint("text"))
+    batch = windowed_exact_dedup(
+        batch_in, "doc_id", ["fp"], "ts", window_days=7).collect()
+
+    s_ids = {r.doc_id for r in streamed}
+    b_ids = {r.doc_id for r in batch}
+    # shared contract: key sets equal; first occurrence per key in both
+    assert {r.fp for r in streamed} == {r.fp for r in batch}
+    assert {1, 10, 20, 30} <= s_ids and {1, 10, 20, 30} <= b_ids
+    # divergence 1: boundary-straddling dup -> batch keeps both windows'
+    # survivors, streaming drops the in-TTL recurrence
+    assert 2 in b_ids and 2 not in s_ids
+    # divergence 2 (re-emission): the 60-day B recurrence re-emits in
+    # streaming (state evicted by watermark progress) AND is a batch
+    # survivor of its own window
+    assert 11 in s_ids and 11 in b_ids
+    assert len(streamed) == 5 and len(batch) == 6
