@@ -289,6 +289,7 @@ def main() -> None:
     # stability rule instead.
     step_regressions: dict[str, str] = {}
     query_regressions: dict[str, str] = {}
+    extra_regressions: dict[str, str] = {}
     try:
         expect_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_EXPECT.json"
@@ -308,7 +309,18 @@ def main() -> None:
                     query_regressions[qname] = (
                         f"{qname}: {sec}s > 2x expected {exp}s"
                     )
-            for msg in (*step_regressions.values(), *query_regressions.values()):
+            # composed-pipeline e2e extras get the same 2x gate — a
+            # regression inside a fused pipeline plan is invisible to the
+            # per-query gates (the x26-in-r5 lesson, applied to e2e).
+            for ename, sec in extras.items():
+                exp = expect_all.get("extras", {}).get(ename)
+                if exp and sec > 2.0 * exp:
+                    extra_regressions[ename] = (
+                        f"{ename}: {sec}s > 2x expected {exp}s"
+                    )
+            for msg in (*step_regressions.values(),
+                        *query_regressions.values(),
+                        *extra_regressions.values()):
                 print(f"bench: REGRESSION: {msg}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 - the gate must not kill the bench
         print(f"bench: regression gate failed: {exc}", file=sys.stderr)
@@ -423,6 +435,7 @@ def main() -> None:
         "corpus_steps": corpus_steps,
         "step_regressions": step_regressions,
         "query_regressions": query_regressions,
+        "extra_regressions": extra_regressions,
         "sf1_slowest": sf1_timings,
         "sf1_autobits_neardup": sf1_autobits,
         "sf1_steps": sf1_steps,
@@ -463,6 +476,8 @@ def main() -> None:
         compact["step_regressions"] = step_regressions
     if query_regressions:
         compact["query_regressions"] = query_regressions
+    if extra_regressions:
+        compact["extra_regressions"] = extra_regressions
     if sf1_timings:
         compact["sf1_slowest"] = {
             _short(k): round(v, 1) for k, v in sf1_timings.items()

@@ -450,3 +450,88 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
         .otherwise(F.lit("und"))
     )
     return staged.withColumn(out_col, pred).drop(tmp_col)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-token collocations by pointwise mutual
+    information — the phrase-mining pass a tokenizer/vocabulary pipeline
+    runs to decide which word pairs deserve a merged unit ("new york",
+    "machine learning"), and a corpus-health signal (template-heavy
+    sources surface their boilerplate bigrams at the top).
+
+    PMI over the BIGRAM table's own marginals: for bigram (a, b),
+    ``pmi = ln(n_ab * N / (n_a· * n·_b))`` with N = total bigram
+    occurrences, n_a· = bigrams with left token a, n·_b = bigrams with
+    right token b. Using one table's marginals (rather than a separate
+    unigram model) keeps every ratio a pure integer ratio. Bigrams with
+    ``n_ab < min_count`` are dropped BEFORE ranking (PMI is
+    rare-pair-biased; the count floor is the standard fix).
+
+    Returns ``[a, b, n_ab, pmi]``, ordered pmi DESC then (a, b) for a
+    deterministic cut. Cross-engine determinism: the x88 discipline —
+    integer products fold through DECIMAL(38,0) (no BIGINT wrap), ONE
+    double division, one ln, round to ``round_to``; ties at the cut
+    break on the (a, b) strings identically in both engines.
+
+    Scale shape: tokenization + bigram pairing are map-side (one window
+    lead per doc — entity-keyed, O(tokens)); one hash aggregate to
+    bigram counts; the two marginal tables derive from the SMALL bigram
+    count table (|distinct bigrams| rows, not corpus tokens) and join
+    back hash/broadcast. The global top-k cut is orderBy+limit —
+    Spark's TakeOrdered, a per-partition heap + driver merge of k rows —
+    NEVER a global row_number window (which would single-partition-sort
+    every surviving bigram); the rank column is attached after the cut,
+    over top_k rows. The corpus is scanned once.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        toks.select(
+            F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    left = bigrams.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    right = bigrams.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    total = bigrams.agg(F.sum("n_ab").alias("n_tot"))
+    num = F.expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_tot AS DECIMAL(38,0))")
+    den = F.expr("CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DECIMAL(38,0))")
+    scored = (
+        bigrams.filter(F.col("n_ab") >= int(min_count))
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(num.cast("double") / den.cast("double")), round_to
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(int(top_k))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+    )
+    return top.select(
+        "a", "b", "n_ab", "pmi", rk.cast("bigint").alias("rk")
+    )

@@ -4541,8 +4541,59 @@ X92_SQL = """
 """
 
 
+def x93_pmi_collocations(spark: SparkSession, sf_dir: str):
+    """Top-100 adjacent-token collocations by PMI
+    (text.pmi_collocations, count floor 5): the phrase-mining pass a
+    tokenizer/vocab pipeline runs, and a boilerplate detector (template
+    bigrams float to the top). PMI over the bigram table's own
+    marginals keeps every ratio a pure integer ratio: products fold
+    exactly (DECIMAL(38,0) in Spark, HUGEINT in the oracle — both hold
+    the exact integer), ONE double division, one ln, round 6; the
+    top-k cut is orderBy+limit (TakeOrdered) with an (a, b) tiebreak so
+    both engines cut identically."""
+    from meshinsights_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=100)
+
+
+X93_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL.format(col='text')}, ' ') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT bg.a AS a, bg.b AS b FROM (
+            SELECT [struct_pack(a := w[i], b := w[i+1])
+                    FOR i IN range(1, len(w))] AS bgs
+            FROM toks
+        ), UNNEST(bgs) AS u(bg)
+    ),
+    bc AS (SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY a, b),
+    la AS (SELECT a, SUM(n_ab) AS n_a FROM bc GROUP BY a),
+    rb AS (SELECT b, SUM(n_ab) AS n_b FROM bc GROUP BY b),
+    tot AS (SELECT SUM(n_ab) AS n_tot FROM bc),
+    sc AS (
+        SELECT bc.a, bc.b, CAST(bc.n_ab AS BIGINT) AS n_ab,
+               ROUND(ln(CAST(CAST(bc.n_ab AS HUGEINT) * n_tot AS DOUBLE)
+                        / CAST(CAST(la.n_a AS HUGEINT) * rb.n_b AS DOUBLE)),
+                     6) AS pmi
+        FROM bc JOIN la USING (a) JOIN rb USING (b), tot
+        WHERE bc.n_ab >= 5
+    )
+    SELECT a, b, n_ab, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS BIGINT) AS rk
+    FROM sc
+    ORDER BY pmi DESC, a, b
+    LIMIT 100
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
+    "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x91_rolling_stats": (x91_rolling_stats, X91_SQL),
     "x92_mad_outliers": (x92_mad_outliers, X92_SQL),
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),

@@ -1466,3 +1466,26 @@ def test_mad_outliers(spark):
     assert flagged[0].med_v == 5.5 and flagged[0].mad_v == 2.5
     assert flagged[0].score == pytest.approx(94.5 / 2.5)
     assert len(out) == 10  # NaN row absent, const group absent
+
+
+def test_pmi_collocations(spark):
+    from meshinsights_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    # "new york" always adjacent (strong collocation); "the" pairs with
+    # everything (weak). 6 docs give the pair count floor room.
+    rows = [(i, "the new york office and the big office") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, "doc_id", "text", min_count=5, top_k=10)
+    got = {(r.a, r.b): (r.n_ab, r.pmi, r.rk) for r in out.collect()}
+    assert ("new", "york") in got
+    n_ab, pmi, _ = got[("new", "york")]
+    assert n_ab == 6
+    # bigram table: 7 bigrams/doc * 6 docs = 42 total; left 'new' = 6,
+    # right 'york' = 6 -> pmi = ln(6*42/(6*6)) = ln(7)
+    import math
+    assert pmi == pytest.approx(round(math.log(7.0), 6), abs=1e-6)
+    # ranks are 1..k dense and follow the (pmi desc, a, b) order
+    rks = sorted(v[2] for v in got.values())
+    assert rks == list(range(1, len(got) + 1))

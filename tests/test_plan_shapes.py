@@ -760,3 +760,76 @@ def test_gap_fill_interpolate_no_shrinking_frame(spark):
     p = _plan(gap_fill_interpolate(df, "ts", ["k"], "value"))
     assert "unboundedfollowing" not in p.lower().replace(" ", "")
     assert "EvalPython" not in p
+
+
+def test_overlap_pairs_no_cartesian_jvm_only(spark):
+    """x90's scale contract: the intersection is a hash join on the
+    shingle hash (bucket-bounded, never corpus^2 as a cartesian shape),
+    sizes join back hash/broadcast, everything JVM-side."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        overlap_coefficient_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    p = _plan(overlap_coefficient_pairs(df, "doc_id", "text"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_rolling_stats_single_window_shuffle(spark):
+    """x91's scale contract: ONE entity-keyed exchange feeding ONE
+    Window node with a running ROWS frame — no join, no second shuffle,
+    no Python."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        rolling_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 1, 1.0)],
+        "k string, ts timestamp, event_id long, value double",
+    )
+    p = _plan(rolling_stats(df, "ts", ["k"], "value", "event_id"))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") >= 1 and "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_mad_outliers_broadcast_medians_no_python(spark):
+    """x92's scale contract: both per-group median tables broadcast back
+    to the big input (the input itself is never re-shuffled for the
+    joins), no cartesian, no Python."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(10)], "k string, value double"
+    )
+    p = _plan(mad_outliers(df, ["k"], "value"))
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_pmi_collocations_takeordered_no_global_sort(spark):
+    """x93's scale contract: the global top-k is TakeOrdered (per-
+    partition heap + driver merge), NOT a single-partition row_number
+    window over every surviving bigram; one entity-keyed window for the
+    bigram lead; JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    p = _plan(pmi_collocations(df, "doc_id", "text", min_count=1, top_k=5))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange SinglePartition") <= 1  # only the k-row rank
+    assert "EvalPython" not in p
