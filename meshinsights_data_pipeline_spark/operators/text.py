@@ -490,6 +490,16 @@ def pmi_collocations(
     every surviving bigram); the rank column is attached after the cut,
     over top_k rows. The corpus is scanned once.
     """
+    return pmi_from_counts(
+        bigram_counts(df, id_col, text_col), min_count, top_k, round_to
+    )
+
+
+def bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent-token bigram occurrence counts ``[a, b, n_ab]`` over the
+    normalized text — the MERGEABLE sufficient statistic for PMI (counts
+    sum across corpus slices), shared by :func:`pmi_collocations` and
+    the streaming twin so their scores are definitionally identical."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -499,14 +509,29 @@ def pmi_collocations(
         ).alias("pos", "tok"),
     ).filter(F.col("tok") != "")
     w = Window.partitionBy(id_col).orderBy("pos")
-    bigrams = (
+    return (
         toks.select(
             F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
         )
         .filter(F.col("b").isNotNull())
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
+
+
+def pmi_from_counts(
+    bigrams: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`pmi_collocations`'s scoring half over a prebuilt
+    ``[a, b, n_ab]`` count table (see there for semantics and the
+    determinism/scale contract). Marginals and the total derive from
+    the count table itself, so any mergeable source of counts — batch
+    or accumulated streaming state — yields batch-identical scores."""
+    from pyspark.sql import Window
+
     left = bigrams.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     right = bigrams.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     total = bigrams.agg(F.sum("n_ab").alias("n_tot"))

@@ -37,6 +37,9 @@ from meshinsights_data_pipeline_spark.streaming.dsir import (
 from meshinsights_data_pipeline_spark.streaming.novelty import (
     streaming_novelty_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.pmi import (
+    streaming_pmi_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
@@ -81,6 +84,7 @@ __all__ = [
     "streaming_bm25_ingest",
     "streaming_dsir_ingest",
     "streaming_novelty_ingest",
+    "streaming_pmi_ingest",
     "streaming_basket_ingest",
     "streaming_attribution_ingest",
     "streaming_lm_ingest",

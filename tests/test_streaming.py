@@ -1946,3 +1946,58 @@ def test_windowed_batch_vs_streaming_ttl_dedup(spark, tmp_path):
     # survivor of its own window
     assert 11 in s_ids and 11 in b_ids
     assert len(streamed) == 5 and len(batch) == 6
+
+
+def test_streaming_pmi_full_cross_batch_parity_and_retry(spark, tmp_path):
+    """PMI's sufficient statistic (the bigram count table) is mergeable,
+    so the streaming twin has FULL cross-batch parity — each epoch's
+    top-k equals the batch operator over everything ingested so far,
+    with no forward-looking caveat; a retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_pmi_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.pmi import (
+        PMI_COUNTS_SCHEMA,
+    )
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(i, "the new york office and the big office") for i in range(3)],
+        schema)
+    b2 = spark.createDataFrame(
+        [(i + 10, "new york rains and the office sleeps") for i in range(3)],
+        schema)
+    c_dir, t_dir = str(tmp_path / "c"), str(tmp_path / "t")
+    snapshot_overwrite(
+        spark.createDataFrame([], PMI_COUNTS_SCHEMA), c_dir, -1)
+    process = streaming_pmi_ingest(
+        counts_dir=c_dir, topk_dir=t_dir, min_count=2, top_k=20)
+
+    def canon(df):
+        return sorted((r.a, r.b, r.n_ab, r.pmi, r.rk) for r in df.collect())
+
+    process(b1, 0)
+    out = spark.read.parquet(t_dir)
+    assert canon(out.filter(F.col("_epoch") == 0)) == canon(
+        pmi_collocations(b1, "doc_id", "text", min_count=2, top_k=20))
+
+    process(b2, 1)
+    out = spark.read.parquet(t_dir)
+    # epoch 1's top-k == batch over the FULL corpus so far
+    assert canon(out.filter(F.col("_epoch") == 1)) == canon(
+        pmi_collocations(b1.unionByName(b2), "doc_id", "text",
+                         min_count=2, top_k=20))
+
+    n_before = out.count()
+    process(b2, 1)  # simulated retry
+    assert spark.read.parquet(t_dir).count() == n_before
+    state = snapshot_before(spark, c_dir, 99)
+    assert state.filter((F.col("a") == "new") & (F.col("b") == "york")
+                        ).first().n_ab == 6
