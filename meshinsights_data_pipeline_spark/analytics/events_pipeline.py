@@ -108,20 +108,30 @@ class AttributionStep(_EventStep):
 
 
 class OutlierStep(_EventStep):
-    """Per-user z-score outliers (x85); stash "events.outliers"."""
+    """Per-user outliers; stash "events.outliers". ``method``:
+    ``zscore`` (x85 — parametric; threshold in population sigmas) or
+    ``mad`` (x92 — robust; threshold in raw MAD units, so pick ~3-5:
+    one wild value cannot inflate the spread estimate and mask itself,
+    the right mode for fat-tailed telemetry)."""
 
     extra_cols = ("value",)
 
-    def __init__(self, cols: EventColumns, threshold: float = 2.0, **kw):
+    def __init__(self, cols: EventColumns, threshold: float = 2.0,
+                 method: str = "zscore", **kw):
+        if method not in ("zscore", "mad"):
+            raise ValueError(f"unknown outlier method: {method!r}")
         super().__init__(cols, name="outliers", **kw)
         self.threshold = threshold
+        self.method = method
 
     def process(self, context: PipelineContext) -> PipelineContext:
         from meshinsights_data_pipeline_spark.operators.stats import (
+            mad_outliers,
             zscore_outliers,
         )
 
-        context.processed_data["events.outliers"] = zscore_outliers(
+        detect = zscore_outliers if self.method == "zscore" else mad_outliers
+        context.processed_data["events.outliers"] = detect(
             context.raw_data, [self.cols.user], self.cols.value,
             threshold=self.threshold,
         ).filter(F.col("is_outlier"))
@@ -208,13 +218,15 @@ def build_events_pipeline(
     touch: str = "click",
     lookback_hours: int = 24,
     outlier_threshold: float = 2.0,
+    outlier_method: str = "zscore",
 ) -> Pipeline:
     cols = cols or EventColumns()
     steps = [
         SessionizeStep(cols, gap_seconds=gap_seconds),
         AttributionStep(cols, conversion=conversion, touch=touch,
                         lookback_hours=lookback_hours),
-        OutlierStep(cols, threshold=outlier_threshold),
+        OutlierStep(cols, threshold=outlier_threshold,
+                    method=outlier_method),
         TimeWeightedStep(cols),
         EventsReportStep(cols),
     ]

@@ -484,3 +484,34 @@ def test_events_pipeline_validation_raises(spark):
     with pytest.raises(ValueError, match="user_id"):
         SessionizeStep(EventColumns())(PipelineContext(
             pipeline_name="p", correlation_id="t", raw_data=bad))
+
+
+def test_events_pipeline_mad_outlier_mode(spark):
+    """OutlierStep(method='mad') routes through the robust detector and
+    the masking case proves why: one wild value inflates sigma enough
+    that zscore flags nothing at the same data, while MAD flags it."""
+    import pytest
+
+    from meshinsights_data_pipeline_spark.analytics.events_pipeline import (
+        EventColumns,
+        OutlierStep,
+    )
+    from meshinsights_data_pipeline_spark.core.context import PipelineContext
+
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1), 1, "click", float(v))
+            for i, v in enumerate([10, 10, 11, 9, 10, 11, 9, 10, 1000000])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double")
+    ctx = OutlierStep(EventColumns(), threshold=3.0, method="mad")(
+        PipelineContext(pipeline_name="p", correlation_id="t", raw_data=df))
+    flagged = ctx.processed_data["events.outliers"].collect()
+    assert [r.value for r in flagged] == [1000000.0]
+    # the parametric mode is masked by its own outlier at this threshold
+    ctx2 = OutlierStep(EventColumns(), threshold=3.0, method="zscore")(
+        PipelineContext(pipeline_name="p", correlation_id="t", raw_data=df))
+    assert ctx2.processed_data["events.outliers"].count() == 0
+    with pytest.raises(ValueError, match="unknown outlier method"):
+        OutlierStep(EventColumns(), method="iqr")
