@@ -1052,3 +1052,135 @@ def test_time_weighted_avg_matches_python(spark, obs):
     )
     assert r.span_seconds == span_us // 1_000_000
     assert r.twa_micros == ws // span_us
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-1000, 1000)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    )
+)
+@SLOW
+def test_rolling_stats_matches_python(spark, obs):
+    """Rolling n=3 sum/mean equals the pure-python sliding window on
+    arbitrary integer series (unique timestamps; DECIMAL sums exact,
+    one double division)."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        rolling_stats,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(seconds=s), i, float(v))
+            for i, (s, v) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, value double")
+    got = {r.event_id: (r.roll_n, r.roll_sum, r.roll_avg)
+           for r in rolling_stats(df, "ts", ["k"], "value", "event_id",
+                                  n=3).collect()}
+    order = sorted(range(len(obs)), key=lambda i: obs[i][0])
+    for pos, i in enumerate(order):
+        frame = [obs[j][1] for j in order[max(0, pos - 2): pos + 1]]
+        n, s = len(frame), sum(frame)
+        assert got[i] == (n, float(s), round(s / n, 6))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij kl mn".split()),
+                 min_size=3, max_size=12),
+        min_size=2, max_size=6,
+    )
+)
+@SLOW
+def test_overlap_dominates_jaccard(spark, docs):
+    """For every pair, overlap coefficient >= Jaccard (min(|A|,|B|) <=
+    |A∪B|), and overlap = 1 whenever one shingle set contains the other
+    — the structural reason x90 exists next to x04."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        overlap_coefficient_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ov = {(r.id_a, r.id_b): r.overlap
+          for r in overlap_coefficient_pairs(df, "doc_id", "text",
+                                             threshold=0.0).collect()}
+    ja = {(r.id_a, r.id_b): r.jaccard
+          for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                       threshold=0.0).collect()}
+    assert set(ov) == set(ja)  # same candidate pairs at threshold 0
+    for pair, o in ov.items():
+        assert o >= ja[pair] - 1e-9
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=2, max_size=30),
+)
+@SLOW
+def test_mad_outliers_matches_python(spark, vals):
+    """med/MAD equal python statistics.median on arbitrary integer
+    groups; flags follow the rounded-score > threshold rule; MAD=0
+    groups are absent."""
+    import statistics
+
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "k string, value double")
+    out = mad_outliers(df, ["k"], "value", threshold=2.0).collect()
+    med = statistics.median(vals)
+    mad = round(statistics.median([abs(v - med) for v in vals]), 6)
+    if mad == 0:
+        assert out == []
+    else:
+        assert len(out) == len(vals)
+        for r in out:
+            assert r.med_v == round(med, 6) and r.mad_v == mad
+            score = round(abs(r.value - med) / mad, 6)
+            assert r.score == score and r.is_outlier == (score > 2.0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()),
+                 min_size=2, max_size=8),
+        min_size=1, max_size=5,
+    )
+)
+@SLOW
+def test_pmi_matches_python(spark, docs):
+    """The full PMI table (min_count=1, top_k=inf) equals a pure-python
+    reference over the same bigram counts, including rank order."""
+    import math
+    from collections import Counter
+
+    from meshinsights_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.a, r.b, r.n_ab, r.pmi, r.rk)
+           for r in pmi_collocations(df, "doc_id", "text", min_count=1,
+                                     top_k=10_000).collect()]
+
+    bc = Counter()
+    for ws in docs:
+        for x, y in zip(ws, ws[1:]):
+            bc[(x, y)] += 1
+    n_tot = sum(bc.values())
+    la = Counter(); rb = Counter()
+    for (x, y), n in bc.items():
+        la[x] += n; rb[y] += n
+    ref = sorted(
+        ((x, y, n, round(math.log((n * n_tot) / (la[x] * rb[y])), 6))
+         for (x, y), n in bc.items()),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    ref = [(x, y, n, p, i + 1) for i, (x, y, n, p) in enumerate(ref)]
+    assert sorted(got) == sorted(ref)
