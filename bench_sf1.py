@@ -147,7 +147,30 @@ def run_sf1(
 ) -> dict[str, float]:
     """One timed noop-write run per query at sf1 (plans were already
     codegen-warmed by the sf0.1 passes; the run measures the engine on
-    10x data, which is the point)."""
+    10x data, which is the point).
+
+    The tables are page-cache-warmed first: without this, whichever
+    query the roster happens to order FIRST pays the whole dataset's
+    cold read and shows a phantom 2x — the r11 'x26 sf1 doubled' and
+    r12 'x23 sf1 doubled' moves were exactly this, flipping with the
+    roster order, not plan regressions. One full scan per table makes
+    every ratio measure compute, matching the warm sf0.1 numerator.
+
+    Residual caveat (measured, accepted): a query's FIRST sf1 run can
+    still carry a one-time codegen surcharge — AQE picks different
+    physical plans at 10x data, so the sf0.1 warm pass's compiled code
+    doesn't apply (x23 min-label CC, with its per-round replans:
+    first sf1 run 10.0s, steady-state 4.6s; x26 star: 4.35 vs 3.65).
+    That is JVM work, constant in data size — at a real 10x/100x scale
+    step it is noise, so the band stays one-timed-run; read ratios
+    near the 2x band with this in mind."""
+    for t in (*_SCALED, *_DIMS):
+        try:
+            read_table(spark, sf1_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 - warm-up must not kill bench
+            print(f"bench: sf1 warm-up {t} failed: {exc}", file=sys.stderr)
     out: dict[str, float] = {}
     for name in names:
         try:
