@@ -260,3 +260,75 @@ def last_touch_attribution(
         F.when(in_window, F.col("touch_id_asof")).alias("touch_id"),
         F.when(in_window, gap).alias("gap_seconds"),
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    k_steps: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """Most common event-type PATHS — the product-analytics "what do
+    users actually do" query next to funnel_counts (which checks one
+    prescribed order; this discovers the orders that exist). A path is
+    the first ``k_steps`` event types of a (user, calendar-day) visit
+    in (ts, id) order, joined with ``>``; returns the ``top_n`` paths
+    as ``[path, n_sessions, rk]`` ordered by count DESC then path ASC
+    (a total order, so both engines cut the same rows).
+
+    Determinism: the step order is the total order (ts, id) — same-
+    timestamp events order by id, so the rendered path is a pure
+    function of the data.
+
+    Scale shape (the chat_render pattern): ONE shuffle on (user, day)
+    into a window for the first-k filter and the same partitioning
+    reused by the path aggregate (sort_array over structs — no second
+    exchange); path counting is one map-side-combinable aggregate over
+    |visits| rows; the global cut is orderBy+limit (TakeOrdered), never
+    a single-partition sort. No corpus^2 anywhere.
+    """
+    from pyspark.sql import Window
+
+    day = F.col(ts_col).cast("date")
+    w = Window.partitionBy(F.col(user_col), day).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    firstk = (
+        df.select(
+            F.col(user_col),
+            day.alias("_d"),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k_steps))
+    )
+    paths = firstk.groupBy(user_col, "_d").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col), F.col(id_col), F.col(type_col)
+                        )
+                    )
+                ),
+                lambda s: s[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    top = counts.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(int(top_n))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    )
+    return top.select("path", "n_sessions", rk.cast("bigint").alias("rk"))

@@ -4591,9 +4591,90 @@ X93_SQL = f"""
 """
 
 
+def x94_event_paths(spark: SparkSession, sf_dir: str):
+    """Top-20 event-type paths (funnel.top_event_paths): the first 4
+    event types of each (user, calendar-day) visit in (ts, event_id)
+    order, joined with '>' — the discovered-order complement of x44's
+    prescribed funnel. Deterministic end to end: total step order,
+    count-then-path total order at the cut; strings and counts only, so
+    nothing rounds. One (user, day) shuffle reused by the first-k
+    window AND the path aggregate; the global cut is TakeOrdered."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        top_event_paths,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return top_event_paths(
+        ev, "user_id", "ts", "event_type", "event_id", k_steps=4, top_n=20
+    )
+
+
+X94_SQL = """
+    WITH r AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, d,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM r WHERE rn <= 4 GROUP BY user_id, d
+    ),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM p GROUP BY path)
+    SELECT path, n_sessions,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+                AS BIGINT) AS rk
+    FROM c ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
+def x95_winsorize(spark: SparkSession, sf_dir: str):
+    """Per-user 5/95 winsorization of event values (stats.winsorize),
+    clipped rows only — the repairing sibling of x85/x92's flagging
+    detectors. Bounds are exact interpolated percentiles (Spark
+    F.percentile == DuckDB quantile_cont, the x61 parity surface);
+    was_clipped compares unrounded values so both engines pick the same
+    rows; outputs round to 6."""
+    from meshinsights_data_pipeline_spark.operators.stats import winsorize
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        winsorize(ev, ["user_id"], "value", lower=0.05, upper=0.95)
+        .filter(F.col("was_clipped"))
+        .select("user_id", "value", "lo", "hi", "v_winsor")
+        .orderBy("user_id", "value")
+    )
+
+
+X95_SQL = """
+    WITH ev AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+        WHERE user_id < 100 AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    b AS (
+        SELECT user_id, quantile_cont(v, 0.05) AS lo,
+               quantile_cont(v, 0.95) AS hi
+        FROM ev GROUP BY user_id
+    )
+    SELECT e.user_id, e.v AS value,
+           ROUND(b.lo, 6) AS lo, ROUND(b.hi, 6) AS hi,
+           ROUND(LEAST(GREATEST(e.v, b.lo), b.hi), 6) AS v_winsor
+    FROM ev e JOIN b USING (user_id)
+    WHERE e.v < b.lo OR e.v > b.hi
+    ORDER BY user_id, value
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
+    "x94_event_paths": (x94_event_paths, X94_SQL),
+    "x95_winsorize": (x95_winsorize, X95_SQL),
     "x91_rolling_stats": (x91_rolling_stats, X91_SQL),
     "x92_mad_outliers": (x92_mad_outliers, X92_SQL),
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),

@@ -1489,3 +1489,52 @@ def test_pmi_collocations(spark):
     # ranks are 1..k dense and follow the (pmi desc, a, b) order
     rks = sorted(v[2] for v in got.values())
     assert rks == list(range(1, len(got) + 1))
+
+
+def test_top_event_paths(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        top_event_paths,
+    )
+
+    d1, d2 = datetime(2024, 1, 1, 9), datetime(2024, 1, 2, 9)
+    rows = []
+    # users 1-3, day 1: view>click>purchase (3 visits); the ts TIE between
+    # the first two events orders by event_id
+    for u in (1, 2, 3):
+        rows += [(u * 10 + 1, d1, u, "view"), (u * 10 + 2, d1, u, "click"),
+                 (u * 10 + 3, datetime(2024, 1, 1, 10), u, "purchase")]
+    # user 1, day 2: five events -> path truncates to first 4 steps
+    rows += [(101 + i, datetime(2024, 1, 2, 9 + i), 1, t)
+             for i, t in enumerate(["view", "view", "click", "view", "click"])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = [(r.path, r.n_sessions, r.rk)
+           for r in top_event_paths(df, "user_id", "ts", "event_type",
+                                    "event_id", k_steps=4, top_n=5).collect()]
+    assert out[0] == ("view>click>purchase", 3, 1)
+    assert ("view>view>click>view", 1, 2) in out  # truncated at 4 steps
+    assert len(out) == 2
+
+
+def test_winsorize(spark):
+    from meshinsights_data_pipeline_spark.operators.stats import winsorize
+
+    vals = list(range(1, 20)) + [1000]  # n=20; p95 interpolates 19..1000
+    rows = ([("a", float(v)) for v in vals]
+            + [("a", None), ("a", float("nan"))])
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {r.value: r for r in winsorize(df, ["k"], "value",
+                                         lower=0.05, upper=0.95).collect()}
+    assert len(out) == 20  # NULL/NaN absent
+    # exact interpolated percentiles: p05 = 1.95, p95 = 19 + 0.05*981
+    lo, hi = 1.95, round(19 + 0.05 * 981, 6)
+    big = out[1000.0]
+    assert (big.lo, big.hi, big.v_winsor, big.was_clipped) == (
+        lo, hi, hi, True)
+    assert (out[1.0].v_winsor, out[1.0].was_clipped) == (lo, True)
+    assert (out[10.0].v_winsor, out[10.0].was_clipped) == (10.0, False)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lower < upper"):
+        winsorize(df, ["k"], "value", lower=0.9, upper=0.1)
