@@ -1293,3 +1293,70 @@ FROM ranked WHERE rk <= {k}
         # pq_encode).
         corpus.sparkSession.catalog.dropTempView(e_view)
         corpus.sparkSession.catalog.dropTempView(q_view)
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding CENTROIDS
+    — the corpus-mixture monitor an embedding pipeline runs next to the
+    per-vector stats (x59): two sources/labels whose centroids drift
+    together are near-duplicate slices (candidates for merging or
+    deduplication budget), drifting apart signals distribution shift.
+
+    Returns ``[group_a, group_b, n_a, n_b, cosine]`` for every unordered
+    group pair (group_a < group_b), cosine rounded to ``round_to``.
+
+    Cross-engine determinism: per-dimension sums fold through
+    DECIMAL(38,12) (float summation is partition-order-dependent; the
+    x85-proven double->decimal surface), each centroid component is ONE
+    double division of that exact sum, and the pair dot/norms run as
+    SEQUENTIAL array folds over position-sorted centroid arrays — the
+    same fixed fold order DuckDB's list functions use (the x06/x59
+    parity surface) — so every float op happens in an identical order
+    in both engines.
+
+    Scale shape: one posexplode (dim x rows, map-side) into ONE
+    (group, pos) hash aggregate with map-side combine — the only
+    corpus-sized shuffle; centroid reassembly and the pair join run
+    over |groups| rows (broadcast-sized by construction: this operator
+    is for label/source cardinalities, not per-doc ones).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comp = df.select(
+        F.col(group_col), F.posexplode(v).alias("pos", "x")
+    )
+    cent = comp.groupBy(group_col, "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count("x")
+        ).alias("c"),
+        F.count("x").cast("bigint").alias("n"),
+    )
+    arr = cent.groupBy(group_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv"),
+        F.max("n").alias("n"),
+    )
+    a, b = arr.alias("a"), arr.alias("b")
+    dot = lambda x, y: F.aggregate(  # noqa: E731 - local plan builder
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+    )
+    ga, gb = F.col(f"a.{group_col}"), F.col(f"b.{group_col}")
+    pairs = a.join(F.broadcast(b), ga < gb)
+    cos = dot(F.col("a.cv"), F.col("b.cv")) / (
+        F.sqrt(dot(F.col("a.cv"), F.col("a.cv")))
+        * F.sqrt(dot(F.col("b.cv"), F.col("b.cv")))
+    )
+    return pairs.select(
+        ga.alias("group_a"),
+        gb.alias("group_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(cos, round_to).alias("cosine"),
+    )

@@ -4670,11 +4670,58 @@ X95_SQL = """
 """
 
 
+def x96_centroid_similarity(spark: SparkSession, sf_dir: str):
+    """Pairwise cosine between per-label embedding centroids
+    (similarity.label_centroid_similarity) — the corpus-mixture drift
+    monitor. Per-dimension sums fold through DECIMAL(38,12) (the x85
+    surface); the pair dot/norms are sequential array folds over
+    position-sorted centroids, the same fixed fold order as DuckDB's
+    list functions (the x06/x59 surface)."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(emb, "label").orderBy(
+        "group_a", "group_b"
+    )
+
+
+X96_SQL = """
+    WITH comp AS (
+        SELECT label, u.s.p AS p, u.s.x AS x FROM (
+            SELECT label,
+                   [struct_pack(p := i, x := v[i])
+                    FOR i IN range(1, len(v) + 1)] AS cs
+            FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        ), UNNEST(cs) AS u(s)
+    ),
+    cent AS (
+        SELECT label, p,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x) AS c,
+               CAST(COUNT(x) AS BIGINT) AS n
+        FROM comp GROUP BY label, p
+    ),
+    arr AS (
+        SELECT label, list(c ORDER BY p) AS cv, MAX(n) AS n
+        FROM cent GROUP BY label
+    )
+    SELECT a.label AS group_a, b.label AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(list_dot_product(a.cv, b.cv)
+                 / (sqrt(list_dot_product(a.cv, a.cv))
+                    * sqrt(list_dot_product(b.cv, b.cv))), 6) AS cosine
+    FROM arr a JOIN arr b ON a.label < b.label
+    ORDER BY group_a, group_b
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x94_event_paths": (x94_event_paths, X94_SQL),
     "x95_winsorize": (x95_winsorize, X95_SQL),
+    "x96_centroid_similarity": (x96_centroid_similarity, X96_SQL),
     "x91_rolling_stats": (x91_rolling_stats, X91_SQL),
     "x92_mad_outliers": (x92_mad_outliers, X92_SQL),
     "x71_bm25_topk": (x71_bm25_topk, X71_SQL),

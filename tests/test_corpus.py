@@ -1538,3 +1538,24 @@ def test_winsorize(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="lower < upper"):
         winsorize(df, ["k"], "value", lower=0.9, upper=0.1)
+
+
+def test_label_centroid_similarity(spark):
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),   # centroid (1,0,0)
+        (2, [0.0, 2.0, 0.0]),                          # centroid (0,2,0)
+        (3, [3.0, 3.0, 0.0]), (3, [1.0, 1.0, 0.0]),   # centroid (2,2,0)
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r.group_a, r.group_b): r
+           for r in label_centroid_similarity(df, "label").collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)].cosine == 0.0          # orthogonal centroids
+    import math
+    assert out[(1, 3)].cosine == round(1 / math.sqrt(2), 6)
+    assert out[(2, 3)].cosine == round(1 / math.sqrt(2), 6)
+    assert (out[(1, 3)].n_a, out[(1, 3)].n_b) == (2, 2)
