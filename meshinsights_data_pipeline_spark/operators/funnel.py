@@ -281,7 +281,9 @@ def top_event_paths(
 
     Determinism: the step order is the total order (ts, id) — same-
     timestamp events order by id, so the rendered path is a pure
-    function of the data.
+    function of the data. A NULL event type renders as '' (array_join
+    would otherwise DROP the element, silently shortening the path and
+    shifting later steps — the chat_render NULL-turn rule).
 
     Scale shape (the chat_render pattern): ONE shuffle on (user, day)
     into a window for the first-k filter and the same partitioning
@@ -317,7 +319,7 @@ def top_event_paths(
                         )
                     )
                 ),
-                lambda s: s[type_col],
+                lambda s: F.coalesce(s[type_col], F.lit("")),
             ),
             ">",
         ).alias("path")

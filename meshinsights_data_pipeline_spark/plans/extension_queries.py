@@ -4620,7 +4620,10 @@ X94_SQL = """
     ),
     p AS (
         SELECT user_id, d,
-               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               -- COALESCE mirrors the Spark side: string_agg SKIPS a
+               -- NULL element, which would silently shorten the path
+               string_agg(COALESCE(event_type, ''), '>'
+                          ORDER BY ts, event_id) AS path
         FROM r WHERE rn <= 4 GROUP BY user_id, d
     ),
     c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions

@@ -1559,3 +1559,23 @@ def test_label_centroid_similarity(spark):
     assert out[(1, 3)].cosine == round(1 / math.sqrt(2), 6)
     assert out[(2, 3)].cosine == round(1 / math.sqrt(2), 6)
     assert (out[(1, 3)].n_a, out[(1, 3)].n_b) == (2, 2)
+
+
+def test_top_event_paths_null_type_renders_empty(spark):
+    """A NULL event type renders as '' instead of being dropped — a
+    dropped element would silently shorten the path and shift later
+    steps (the chat_render NULL-turn rule)."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        top_event_paths,
+    )
+
+    rows = [(1, datetime(2024, 1, 1, 9), 1, "view"),
+            (2, datetime(2024, 1, 1, 10), 1, None),
+            (3, datetime(2024, 1, 1, 11), 1, "purchase")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = top_event_paths(df, "user_id", "ts", "event_type", "event_id",
+                          k_steps=4, top_n=5).collect()
+    assert [(r.path, r.n_sessions) for r in out] == [("view>>purchase", 1)]
