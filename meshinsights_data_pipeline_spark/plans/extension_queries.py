@@ -4719,8 +4719,48 @@ X96_SQL = """
 """
 
 
+def x97_record_linkage(spark: SparkSession, sf_dir: str):
+    """Blocked record linkage over customers
+    (linkage.blocked_record_linkage): candidate pairs share the
+    (nation, mktsegment) block, scored 0.5 * normalized-Levenshtein
+    name similarity (the x14 parity surface) + 0.5 * account-balance
+    proximity at scale 2000; pairs with ROUNDED score >= 0.9. The
+    structured-record entity-resolution sibling of the text near-dup
+    family — its output feeds the same connected-components collapse."""
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        blocked_record_linkage,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    return blocked_record_linkage(
+        cust, "c_custkey", ["c_nationkey", "c_mktsegment"],
+        "c_name", "c_acctbal", numeric_scale=2000.0, threshold=0.9,
+    ).orderBy("id_a", "id_b")
+
+
+X97_SQL = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           ROUND(0.5 * (1 - levenshtein(a.c_name, b.c_name) * 1.0
+                            / GREATEST(len(a.c_name), len(b.c_name)))
+                 + 0.5 * GREATEST(0, 1 - ABS(a.c_acctbal - b.c_acctbal)
+                                         / 2000.0),
+                 6) AS score
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE ROUND(0.5 * (1 - levenshtein(a.c_name, b.c_name) * 1.0
+                           / GREATEST(len(a.c_name), len(b.c_name)))
+                + 0.5 * GREATEST(0, 1 - ABS(a.c_acctbal - b.c_acctbal)
+                                        / 2000.0),
+                6) >= 0.9
+    ORDER BY id_a, id_b
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
+    "x97_record_linkage": (x97_record_linkage, X97_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x94_event_paths": (x94_event_paths, X94_SQL),
     "x95_winsorize": (x95_winsorize, X95_SQL),

@@ -1579,3 +1579,30 @@ def test_top_event_paths_null_type_renders_empty(spark):
     out = top_event_paths(df, "user_id", "ts", "event_type", "event_id",
                           k_steps=4, top_n=5).collect()
     assert [(r.path, r.n_sessions) for r in out] == [("view>>purchase", 1)]
+
+
+def test_blocked_record_linkage(spark):
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        blocked_record_linkage,
+    )
+
+    rows = [
+        # block (1, 'A'): near-identical pair + one distant row
+        (1, 1, "A", "acme corp", 100.0),
+        (2, 1, "A", "acme corp.", 150.0),
+        (3, 1, "A", "zzz unrelated ltd", 5000.0),
+        # different block: identical fields must NOT pair with id 1
+        (4, 2, "A", "acme corp", 100.0),
+        # NULL block component: never pairs
+        (5, None, "A", "acme corp", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, nat int, seg string, name string, bal double")
+    out = {(r.id_a, r.id_b): r.score
+           for r in blocked_record_linkage(
+               df, "id", ["nat", "seg"], "name", "bal",
+               numeric_scale=1000.0, threshold=0.8).collect()}
+    assert list(out) == [(1, 2)]
+    # lev('acme corp','acme corp.')=1, maxlen 10 -> 0.9 sim; |100-150|/1000
+    # -> 0.95 proximity; score = 0.5*0.9 + 0.5*0.95 = 0.925
+    assert out[(1, 2)] == 0.925
