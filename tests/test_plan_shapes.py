@@ -833,3 +833,39 @@ def test_pmi_collocations_takeordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange SinglePartition") <= 1  # only the k-row rank
     assert "EvalPython" not in p
+
+
+def test_centroid_similarity_single_corpus_shuffle(spark):
+    """x96's scale contract: the only corpus-sized stage is one
+    (group, pos) hash aggregate; the pair comparison broadcasts the
+    |groups|-row centroid frame — no cartesian, no Python."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, [float(i), 1.0]) for i in range(12)],
+        "label int, embedding array<float>",
+    )
+    p = _plan(label_centroid_similarity(df, "label"))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_record_linkage_equality_block_join(spark):
+    """x97's scale contract: the self-join is EQUALITY-keyed on the
+    block columns (sum-of-|block|^2, never a nested-loop corpus^2);
+    scoring is a map-side projection, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        blocked_record_linkage,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "s", f"name{i}", float(i)) for i in range(12)],
+        "id long, nat int, seg string, name string, bal double",
+    )
+    p = _plan(blocked_record_linkage(df, "id", ["nat", "seg"], "name", "bal"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
