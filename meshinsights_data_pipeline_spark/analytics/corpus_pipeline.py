@@ -581,11 +581,14 @@ def build_corpus_pipeline(
     cols: CorpusColumns | None = None,
     config: PipelineConfig | None = None,
     neardup_threshold: float = 0.5,
-    # min_label regained the default in r11: its fused loop (one
-    # checkpoint per round, explode-symmetrized edges) measures ~10%
-    # under star on the pipeline's shallow post-gate graphs at both
-    # sf0.1 and the 10x tier (4.07s vs 4.47s / 3.37s vs 3.85s warm);
-    # star remains the right pick for pathological-diameter graphs.
+    # min_label vs star, re-measured r12 AFTER star got the same
+    # explode-fusion treatment: on the pipeline's shallow post-gate
+    # graphs the e2e difference is inside run noise (interleaved 3x
+    # each at sf0.1: min_label 9.3-10.7s vs star 9.8-10.6s), so the
+    # r11 default stands to avoid churn. On the RAW x23/x26 pair
+    # graphs star is now the faster standalone twin (2.9 vs 4.0s warm,
+    # 4.2 vs 4.7s sf1 steady) and stays the pick for
+    # pathological-diameter graphs (O(log n) rounds).
     neardup_algorithm: str = "min_label",
     neardup_barrier: bool = True,
     contamination_threshold: float = 0.05,

@@ -202,9 +202,12 @@ def dedup_survivors(
     non-survivor set — one broadcast-eligible shuffle, corpus never
     self-joins). ``algorithm``: ``star`` (default; alternating
     large/small star, O(log n) rounds even on pathological diameters —
-    measured faster at BOTH sf0.1 and sf1: x26 2.9s vs x23 4.3s warm,
-    10x-data ratio 1.2x vs 3.6x, BENCH_r09) or ``min_label`` (simpler
-    label propagation; fine for shallow near-dup forests).
+    re-measured r12 after both twins got the explode fusion: faster
+    standalone on the raw pair graphs — x26 2.9s vs x23 4.0s warm,
+    4.2s vs 4.7s sf1 steady — and O(log n) rounds on any diameter) or
+    ``min_label`` (simpler label propagation; within run noise of star
+    when composed into the corpus pipeline's shallow post-gate graphs,
+    and that pipeline's default).
     """
     if algorithm not in ("min_label", "star"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")
