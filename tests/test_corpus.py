@@ -1606,3 +1606,49 @@ def test_blocked_record_linkage(spark):
     # lev('acme corp','acme corp.')=1, maxlen 10 -> 0.9 sim; |100-150|/1000
     # -> 0.95 proximity; score = 0.5*0.9 + 0.5*0.95 = 0.925
     assert out[(1, 2)] == 0.925
+
+
+def test_blocked_record_linkage_prefilter_equivalence(spark):
+    """The numeric pre-filter is a pure optimization: with the filter
+    disabled algebraically (w_numeric heavy / low threshold) vs enabled,
+    the surviving pair set over a randomized frame is identical to the
+    unfiltered brute-force score computed in python."""
+    import random
+
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        blocked_record_linkage,
+    )
+
+    rng = random.Random(7)
+    names = ["acme corp", "acme corp.", "acme co", "zenith ltd",
+             "zenith ltd.", "nadir inc"]
+    rows = [(i, rng.randint(0, 1), "S", rng.choice(names),
+             float(rng.randint(0, 3000))) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id long, nat int, seg string, name string, bal double")
+    got = sorted((r.id_a, r.id_b, r.score) for r in blocked_record_linkage(
+        df, "id", ["nat", "seg"], "name", "bal",
+        numeric_scale=1000.0, threshold=0.85).collect())
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    expect = []
+    for i in range(60):
+        for j in range(i + 1, 60):
+            ri, rj = rows[i], rows[j]
+            if (ri[1], ri[2]) != (rj[1], rj[2]):
+                continue
+            s_sim = 1 - lev(ri[3], rj[3]) / max(len(ri[3]), len(rj[3]))
+            n_sim = max(0.0, 1 - abs(ri[4] - rj[4]) / 1000.0)
+            score = round(0.5 * s_sim + 0.5 * n_sim, 6)
+            if score >= 0.85:
+                expect.append((ri[0], rj[0], score))
+    assert got == sorted(expect)
