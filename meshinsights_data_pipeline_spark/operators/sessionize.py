@@ -88,3 +88,52 @@ def sessionize_by_gap(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(session_col, running)
+
+
+def session_metrics(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    partition_by: Sequence[str],
+    tiebreak: Sequence[str | Column] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-entity session-quality metrics over idle-gap sessions — the
+    engagement report sessionization exists to feed: session count,
+    bounce count/rate (a bounce = a single-event session), and average
+    session dwell. Returns ``[*partition_by, n_sessions, n_bounces,
+    bounce_rate, avg_dwell_micros]``.
+
+    Determinism discipline: dwell is exact timestampdiff micros per
+    session (NTZ-safe, no per-side second flooring — the x86 rule);
+    ``avg_dwell_micros`` is the BIGINT truncating division of the exact
+    dwell total (Spark ``div`` == DuckDB HUGEINT ``//``, both truncate
+    toward zero); ``bounce_rate`` is ONE IEEE division of two exact
+    integers, rounded to ``round_to``.
+
+    Scale shape: inherits sessionize_by_gap's single entity-keyed
+    window shuffle; both aggregates reuse the same entity partitioning
+    ((entity, session) nests inside entity, so Catalyst needs no second
+    exchange), and the output is |entities| rows.
+    """
+    keys = list(partition_by)
+    sess = sessionize_by_gap(
+        df, ts_col, gap_seconds, keys, tiebreak=tiebreak
+    )
+    per = sess.groupBy(*keys, "session").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(ts_col).alias("_t0"),
+        F.max(ts_col).alias("_t1"),
+    ).withColumn(
+        "_dwell_us", F.expr("timestampdiff(MICROSECOND, _t0, _t1)")
+    )
+    n_sessions = F.count(F.lit(1)).cast("bigint")
+    n_bounces = F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)).cast("bigint")
+    return per.groupBy(*keys).agg(
+        n_sessions.alias("n_sessions"),
+        n_bounces.alias("n_bounces"),
+        F.round(n_bounces / n_sessions, round_to).alias("bounce_rate"),
+        F.expr("CAST(SUM(_dwell_us) div COUNT(1) AS BIGINT)").alias(
+            "avg_dwell_micros"
+        ),
+    )

@@ -4758,9 +4758,64 @@ X97_SQL = """
 """
 
 
+def x98_session_metrics(spark: SparkSession, sf_dir: str):
+    """Per-user session-quality metrics (sessionize.session_metrics
+    over x69's 12h idle-gap sessions): session count, bounce count and
+    rate (single-event sessions), average dwell in exact micros.
+    avg_dwell is BIGINT truncating division (Spark div == DuckDB
+    HUGEINT //); bounce_rate is one IEEE division of exact integers,
+    rounded 6. Inherits x69's single entity-keyed window shuffle; both
+    aggregates reuse the entity partitioning."""
+    from meshinsights_data_pipeline_spark.operators.sessionize import (
+        session_metrics,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_metrics(
+        ev, "ts", 43200, ["user_id"], tiebreak=[F.col("event_id")]
+    ).orderBy("user_id")
+
+
+X98_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 43200.0
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session
+        FROM seq
+    ),
+    s AS (
+        SELECT user_id, session, COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                   AS dwell_us
+        FROM numbered GROUP BY user_id, session
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           ROUND(COUNT(*) FILTER (n_events = 1) * 1.0 / COUNT(*), 6)
+               AS bounce_rate,
+           CAST(CAST(SUM(dwell_us) AS HUGEINT) // COUNT(*) AS BIGINT)
+               AS avg_dwell_micros
+    FROM s GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
     "x97_record_linkage": (x97_record_linkage, X97_SQL),
+    "x98_session_metrics": (x98_session_metrics, X98_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x94_event_paths": (x94_event_paths, X94_SQL),
     "x95_winsorize": (x95_winsorize, X95_SQL),

@@ -1652,3 +1652,32 @@ def test_blocked_record_linkage_prefilter_equivalence(spark):
             if score >= 0.85:
                 expect.append((ri[0], rj[0], score))
     assert got == sorted(expect)
+
+
+def test_session_metrics(spark):
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.sessionize import (
+        session_metrics,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: session A = 2 events 1h apart; 13h gap; session B = 1
+        # event (a bounce)
+        (1, 1, base), (2, 1, base + timedelta(hours=1)),
+        (3, 1, base + timedelta(hours=14)),
+        # user 2: one 3-event session spanning 30 min
+        (4, 2, base), (5, 2, base + timedelta(minutes=10)),
+        (6, 2, base + timedelta(minutes=30)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    from pyspark.sql import functions as F
+    out = {r.user_id: r for r in session_metrics(
+        df, "ts", 43200, ["user_id"], tiebreak=[F.col("event_id")]).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1.n_sessions, u1.n_bounces, u1.bounce_rate) == (2, 1, 0.5)
+    # dwells: 3600s and 0s -> avg = 1800s in micros (trunc-exact)
+    assert u1.avg_dwell_micros == 1_800_000_000
+    assert (u2.n_sessions, u2.n_bounces, u2.bounce_rate) == (1, 0, 0.0)
+    assert u2.avg_dwell_micros == 1_800_000_000
