@@ -40,6 +40,9 @@ from meshinsights_data_pipeline_spark.streaming.novelty import (
 from meshinsights_data_pipeline_spark.streaming.pmi import (
     streaming_pmi_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.rolling import (
+    streaming_rolling_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
@@ -85,6 +88,7 @@ __all__ = [
     "streaming_dsir_ingest",
     "streaming_novelty_ingest",
     "streaming_pmi_ingest",
+    "streaming_rolling_ingest",
     "streaming_basket_ingest",
     "streaming_attribution_ingest",
     "streaming_lm_ingest",

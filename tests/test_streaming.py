@@ -2001,3 +2001,55 @@ def test_streaming_pmi_full_cross_batch_parity_and_retry(spark, tmp_path):
     state = snapshot_before(spark, c_dir, 99)
     assert state.filter((F.col("a") == "new") & (F.col("b") == "york")
                         ).first().n_ab == 6
+
+
+def test_streaming_rolling_full_parity_and_bounded_tail(spark, tmp_path):
+    """For in-order ingest the rolling twin's emitted scores equal the
+    batch operator over everything ingested so far (frames only need
+    the last n-1 retained rows), the tail state stays bounded at
+    |keys| x (n-1), and a retried epoch changes nothing."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        rolling_stats,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_rolling_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.rolling import (
+        rolling_state_schema,
+    )
+
+    base = datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(u, base + timedelta(hours=i), u * 100 + i, float(i))
+         for u in (1, 2) for i in range(lo, hi)], schema)
+    b1, b2 = mk(0, 4), mk(4, 9)
+    t_dir, s_dir = str(tmp_path / "t"), str(tmp_path / "s")
+    snapshot_overwrite(
+        spark.createDataFrame([], rolling_state_schema()), t_dir, -1)
+    process = streaming_rolling_ingest(
+        ["user_id"], tail_dir=t_dir, scores_dir=s_dir, n=3)
+
+    def canon(df):
+        return sorted((r.user_id, r.event_id, r.roll_n, r.roll_sum,
+                       r.roll_avg) for r in df.collect())
+
+    process(b1, 0)
+    process(b2, 1)
+    got = canon(spark.read.parquet(s_dir))
+    expect = canon(rolling_stats(
+        b1.unionByName(b2), "ts", ["user_id"], "value", "event_id", n=3)
+        .withColumnRenamed("value", "value"))
+    assert got == expect  # FULL parity incl. frames spanning the seam
+
+    n_before = len(got)
+    process(b2, 1)  # simulated retry
+    assert spark.read.parquet(s_dir).count() == n_before
+    tail = snapshot_before(spark, t_dir, 99)
+    assert tail.count() == 2 * 2  # |keys| x (n-1)
