@@ -334,3 +334,74 @@ def top_event_paths(
         Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
     )
     return top.select("path", "n_sessions", rk.cast("bigint").alias("rk"))
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+    touch: str = "click",
+    lookback_hours: int = 24,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution — the equal-split sibling of
+    :func:`last_touch_attribution`: every ``touch`` event at-or-before
+    a conversion within the lookback window shares the conversion's
+    credit equally (credit = 1/k for k qualifying touches). The model
+    marketing uses when the whole path matters, not just the closer.
+
+    Returns ``[conv_id, user, touch_id, t_ts, credit]`` — one row per
+    (conversion, qualifying touch); conversions with NO qualifying
+    touch are absent (their full credit is unattributed; count them via
+    an anti-join on conv_id, or use last_touch_attribution's NULL-row
+    contract). ``credit`` is ROUND(1/k) with k an exact count, so both
+    engines emit identical shares.
+
+    Scale shape: the touch-conversion pairing is an equality join on
+    (user, lookback-sized time bucket) — each conversion probes at most
+    2 buckets, so the pair space is bounded by per-user touch density
+    within the lookback, never all history; the per-conversion count is
+    one conv-keyed window over the (small) qualified-pair frame.
+    """
+    lb_s = int(lookback_hours) * 3600
+    lb_us = lb_s * 1_000_000
+    conv = df.filter(F.col(type_col) == conversion).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_c_ts"),
+        F.col(id_col).alias("conv_id"),
+    )
+    tch = df.filter(F.col(type_col) == touch).select(
+        F.col(user_col),
+        F.col(ts_col).alias("t_ts"),
+        F.col(id_col).alias("touch_id"),
+    )
+    b = F.lit(lb_s)
+    cb = conv.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor((F.unix_timestamp(F.col("_c_ts")) - b) / b),
+                F.floor(F.unix_timestamp(F.col("_c_ts")) / b),
+            )
+        ),
+    )
+    tb = tch.withColumn("_b", F.floor(F.unix_timestamp(F.col("t_ts")) / b))
+    gap_us = F.expr("timestampdiff(MICROSECOND, t_ts, _c_ts)")
+    qualified = (
+        cb.join(tb, [user_col, "_b"])
+        .filter((gap_us >= 0) & (gap_us <= F.lit(lb_us)))
+        .drop("_b")
+    )
+    from pyspark.sql import Window
+
+    k = F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    return qualified.select(
+        "conv_id",
+        F.col(user_col),
+        "touch_id",
+        "t_ts",
+        F.round(F.lit(1.0) / k, round_to).alias("credit"),
+    )

@@ -4812,10 +4812,51 @@ X98_SQL = """
 """
 
 
+def x99_linear_attribution(spark: SparkSession, sf_dir: str):
+    """Multi-touch linear attribution (funnel.linear_attribution):
+    every click at-or-before a purchase within 24h shares the credit
+    equally (1/k, k exact — identical shares in both engines). The
+    equal-split sibling of x86's last-touch model; pair generation is a
+    (user, lookback-bucket) equality join (each conversion probes 2
+    buckets), the range check is exact timestampdiff micros."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        linear_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("conv_id", "touch_id")
+
+
+X99_SQL = """
+    WITH conv AS (
+        SELECT user_id, ts AS c_ts, event_id AS conv_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts AS t_ts, event_id AS touch_id
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT c.conv_id, c.user_id, t.touch_id, t.t_ts,
+               COUNT(*) OVER (PARTITION BY c.conv_id) AS k
+        FROM conv c JOIN tch t
+          ON t.user_id = c.user_id
+         AND t.t_ts <= c.c_ts
+         AND t.t_ts >= c.c_ts - INTERVAL 24 HOURS
+    )
+    SELECT conv_id, user_id, touch_id, t_ts,
+           ROUND(1.0 / k, 6) AS credit
+    FROM j ORDER BY conv_id, touch_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
     "x97_record_linkage": (x97_record_linkage, X97_SQL),
     "x98_session_metrics": (x98_session_metrics, X98_SQL),
+    "x99_linear_attribution": (x99_linear_attribution, X99_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x94_event_paths": (x94_event_paths, X94_SQL),
     "x95_winsorize": (x95_winsorize, X95_SQL),

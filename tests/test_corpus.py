@@ -1681,3 +1681,32 @@ def test_session_metrics(spark):
     assert u1.avg_dwell_micros == 1_800_000_000
     assert (u2.n_sessions, u2.n_bounces, u2.bounce_rate) == (1, 0, 0.0)
     assert u2.avg_dwell_micros == 1_800_000_000
+
+
+def test_linear_attribution(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        linear_attribution,
+    )
+
+    t = datetime(2024, 1, 2, 12, 0)
+    rows = [
+        # user 1: 3 in-window clicks (incl. one straddling the bucket
+        # boundary) + 1 click 30h before (outside) -> credit 1/3 each
+        (10, datetime(2024, 1, 1, 6, 0), 1, "click"),
+        (11, datetime(2024, 1, 1, 13, 0), 1, "click"),   # 23h before
+        (12, datetime(2024, 1, 2, 11, 0), 1, "click"),
+        (13, t, 1, "click"),                              # at conv ts
+        (14, t, 1, "purchase"),
+        # user 2: no in-window touch -> absent from output
+        (20, t, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = sorted((r.conv_id, r.touch_id, r.credit)
+                 for r in linear_attribution(
+                     df, "user_id", "ts", "event_type", "event_id").collect())
+    assert out == [(14, 11, 0.333333), (14, 12, 0.333333),
+                   (14, 13, 0.333333)]
+    # equal split sums to ~1 per conversion; out-of-window click 10 absent
