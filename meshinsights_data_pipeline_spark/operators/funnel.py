@@ -405,3 +405,86 @@ def linear_attribution(
         "t_ts",
         F.round(F.lit(1.0) / k, round_to).alias("credit"),
     )
+
+
+def step_decay_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+    touch: str = "click",
+    lookback_hours: int = 24,
+    halflife_hours: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-decay attribution with STEP-halving weights — completing
+    the attribution family (x86 last-touch: all credit to the closer;
+    x99 linear: equal split; this: recency-weighted split). Each touch
+    within the lookback weighs ``2^-floor(gap / halflife)`` — a full
+    half-life elapsed halves the weight — and a conversion's credit
+    splits proportionally: ``credit_i = w_i / sum(w)``.
+
+    Step-halving instead of continuous ``exp(-gap/tau)`` is a
+    DELIBERATE determinism choice, not a simplification: the exponent
+    is an exact integer, so every weight is a dyadic rational that
+    IEEE doubles represent EXACTLY in both engines, the per-conversion
+    weight sum is exact regardless of aggregation order (bounded
+    fractional span — lookback/halflife few bits), and the final
+    division is one IEEE op — whereas libm ``exp``/``pow`` with
+    fractional exponents differ in last ulps across runtimes, which a
+    value-hash comparison cannot absorb. The step model is also what
+    several ad platforms actually ship.
+
+    Returns ``[conv_id, user, touch_id, t_ts, w, credit]`` per
+    qualifying (conversion, touch); conversions with no touch are
+    absent (x99's contract). Scale shape: identical to
+    linear_attribution — (user, lookback-bucket) equality join, 2
+    probes per conversion, one conv-keyed window over qualified pairs.
+    """
+    lb_s = int(lookback_hours) * 3600
+    lb_us = lb_s * 1_000_000
+    hl_us = int(halflife_hours) * 3600 * 1_000_000
+    conv = df.filter(F.col(type_col) == conversion).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_c_ts"),
+        F.col(id_col).alias("conv_id"),
+    )
+    tch = df.filter(F.col(type_col) == touch).select(
+        F.col(user_col),
+        F.col(ts_col).alias("t_ts"),
+        F.col(id_col).alias("touch_id"),
+    )
+    b = F.lit(lb_s)
+    cb = conv.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor((F.unix_timestamp(F.col("_c_ts")) - b) / b),
+                F.floor(F.unix_timestamp(F.col("_c_ts")) / b),
+            )
+        ),
+    )
+    tb = tch.withColumn("_b", F.floor(F.unix_timestamp(F.col("t_ts")) / b))
+    gap_us = F.expr("timestampdiff(MICROSECOND, t_ts, _c_ts)")
+    qualified = (
+        cb.join(tb, [user_col, "_b"])
+        .filter((gap_us >= 0) & (gap_us <= F.lit(lb_us)))
+        .drop("_b")
+        .withColumn(
+            "w",
+            F.pow(F.lit(2.0), -F.floor(gap_us / F.lit(hl_us)).cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    wsum = F.sum("w").over(Window.partitionBy("conv_id"))
+    return qualified.select(
+        "conv_id",
+        F.col(user_col),
+        "touch_id",
+        "t_ts",
+        "w",
+        F.round(F.col("w") / wsum, round_to).alias("credit"),
+    )

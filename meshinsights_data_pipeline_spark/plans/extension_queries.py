@@ -4852,11 +4852,55 @@ X99_SQL = """
 """
 
 
+def x100_decay_attribution(spark: SparkSession, sf_dir: str):
+    """Step-decay attribution (funnel.step_decay_attribution, 24h
+    lookback, 6h half-life): touch weight halves per full half-life
+    elapsed — an exact integer exponent, so every weight is a dyadic
+    rational both engines represent EXACTLY and the per-conversion
+    weight sum is aggregation-order-exact; credit = one IEEE division,
+    rounded 6. Completes the family: x86 last-touch, x99 linear,
+    x100 recency-weighted."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        step_decay_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return step_decay_attribution(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("conv_id", "touch_id")
+
+
+X100_SQL = """
+    WITH conv AS (
+        SELECT user_id, ts AS c_ts, event_id AS conv_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts AS t_ts, event_id AS touch_id
+        FROM events WHERE event_type = 'click'
+    ),
+    q AS (
+        SELECT c.conv_id, c.user_id, t.touch_id, t.t_ts,
+               pow(2.0, -CAST(FLOOR(
+                   (epoch_us(c.c_ts) - epoch_us(t.t_ts))
+                   / 21600000000.0) AS DOUBLE)) AS w
+        FROM conv c JOIN tch t
+          ON t.user_id = c.user_id
+         AND t.t_ts <= c.c_ts
+         AND t.t_ts >= c.c_ts - INTERVAL 24 HOURS
+    )
+    SELECT conv_id, user_id, touch_id, t_ts, w,
+           ROUND(w / SUM(w) OVER (PARTITION BY conv_id), 6) AS credit
+    FROM q ORDER BY conv_id, touch_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
     "x97_record_linkage": (x97_record_linkage, X97_SQL),
     "x98_session_metrics": (x98_session_metrics, X98_SQL),
     "x99_linear_attribution": (x99_linear_attribution, X99_SQL),
+    "x100_decay_attribution": (x100_decay_attribution, X100_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x94_event_paths": (x94_event_paths, X94_SQL),
     "x95_winsorize": (x95_winsorize, X95_SQL),

@@ -1710,3 +1710,29 @@ def test_linear_attribution(spark):
     assert out == [(14, 11, 0.333333), (14, 12, 0.333333),
                    (14, 13, 0.333333)]
     # equal split sums to ~1 per conversion; out-of-window click 10 absent
+
+
+def test_step_decay_attribution(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        step_decay_attribution,
+    )
+
+    t = datetime(2024, 1, 2, 12, 0)
+    rows = [
+        (10, datetime(2024, 1, 2, 11, 0), 1, "click"),   # gap 1h  -> w=1
+        (11, datetime(2024, 1, 2, 5, 0), 1, "click"),    # gap 7h  -> w=1/2
+        (12, datetime(2024, 1, 1, 22, 0), 1, "click"),   # gap 14h -> w=1/4
+        (13, t, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r.touch_id: r for r in step_decay_attribution(
+        df, "user_id", "ts", "event_type", "event_id",
+        halflife_hours=6).collect()}
+    assert [out[i].w for i in (10, 11, 12)] == [1.0, 0.5, 0.25]
+    # sum = 1.75 (exact dyadic): credits 4/7, 2/7, 1/7 rounded
+    assert out[10].credit == round(1.0 / 1.75, 6)
+    assert out[11].credit == round(0.5 / 1.75, 6)
+    assert out[12].credit == round(0.25 / 1.75, 6)
