@@ -1888,3 +1888,71 @@ def drift_from_counts(counts: DataFrame) -> DataFrame:
         )
         .select("source", "n_tokens", "tv_distance", "chi_square")
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — the lexical twin
+    of the embedding-centroid drift monitor (x96): two sources whose
+    distinct-token sets overlap heavily share a register (or a
+    boilerplate template); a near-zero overlap against the rest flags a
+    different language or a degenerate generator. The
+    source-granularity complement of per-doc near-dup: it sees shared
+    LANGUAGE even when no individual documents pair.
+
+    Returns ``[src_a, src_b, vocab_a, vocab_b, n_shared,
+    vocab_jaccard]`` for every unordered source pair (src_a < src_b)
+    that shares AT LEAST ONE token — fully disjoint vocabularies
+    produce no row (inner join on the shared token; a dense zero matrix
+    would be |sources|^2 rows of noise at scale — left-join a source
+    cross-product if the zeros matter). jaccard = shared /
+    (a + b - shared), one IEEE division of exact integers, rounded.
+
+    Scale shape: the corpus collapses to the DISTINCT (source, token)
+    frame in one map-side-combinable aggregate (hot tokens combine
+    inside the scan); the self-join keys on the token, so its cost is
+    sum over tokens of (#sources sharing the token)^2 — bounded by
+    |sources|^2 per token, never corpus-sized; the final aggregate is
+    |source pairs| rows.
+    """
+    vocab = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("_src").agg(F.count(F.lit(1)).alias("_sz"))
+    a = vocab.select(F.col("_src").alias("src_a"), F.col("_tok").alias("_t"))
+    b = vocab.select(F.col("_src").alias("src_b"), F.col("_tok").alias("_t"))
+    inter = (
+        a.join(b, "_t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_src").alias("src_a"), F.col("_sz").alias("vocab_a"))
+    sb = sizes.select(F.col("_src").alias("src_b"), F.col("_sz").alias("vocab_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                round_to,
+            ).alias("vocab_jaccard"),
+        )
+    )

@@ -4895,12 +4895,57 @@ X100_SQL = """
 """
 
 
+def x101_vocab_overlap(spark: SparkSession, sf_dir: str):
+    """Pairwise source-vocabulary Jaccard (corpus.source_vocab_overlap)
+    — the lexical twin of x96's centroid drift: shared-register /
+    shared-boilerplate detection at source granularity, visible even
+    when no individual documents pair. Exact integer set sizes, one
+    IEEE division, round 6."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_vocab_overlap,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_vocab_overlap(docs).orderBy("src_a", "src_b")
+
+
+X101_SQL = f"""
+    WITH vocab AS (
+        SELECT DISTINCT source AS src, tok FROM (
+            SELECT source,
+                   unnest(string_split({_NORM_SQL.format(col='text')}, ' '))
+                       AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    sizes AS (SELECT src, COUNT(*) AS sz FROM vocab GROUP BY src),
+    inter AS (
+        SELECT a.src AS src_a, b.src AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM vocab a JOIN vocab b ON a.tok = b.tok
+        WHERE a.src < b.src
+        GROUP BY a.src, b.src
+    )
+    SELECT src_a, src_b,
+           CAST(sa.sz AS BIGINT) AS vocab_a,
+           CAST(sb.sz AS BIGINT) AS vocab_b,
+           n_shared,
+           ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6)
+               AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.src = src_a
+    JOIN sizes sb ON sb.src = src_b
+    ORDER BY src_a, src_b
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
     "x97_record_linkage": (x97_record_linkage, X97_SQL),
     "x98_session_metrics": (x98_session_metrics, X98_SQL),
     "x99_linear_attribution": (x99_linear_attribution, X99_SQL),
     "x100_decay_attribution": (x100_decay_attribution, X100_SQL),
+    "x101_vocab_overlap": (x101_vocab_overlap, X101_SQL),
     "x93_pmi_collocations": (x93_pmi_collocations, X93_SQL),
     "x94_event_paths": (x94_event_paths, X94_SQL),
     "x95_winsorize": (x95_winsorize, X95_SQL),

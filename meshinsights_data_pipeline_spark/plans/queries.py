@@ -2671,14 +2671,14 @@ _register_extensions()
 
 
 # Round-12 window. Priority bands, per the standing rotation discipline
-# (and this round's verdict): (0) the 11 queries ADDED this round, never
+# (and this round's verdict): (0) the 12 queries ADDED this round, never
 # driver-checked; (1) queries whose operator code CHANGED this round —
 # x85 (zscore NaN guard), x86 (touch_id native-type fix), x26 (star-CC
 # explode fusion + deferred node roster); (2) the full 35-query r8-stale
 # cohort, last driver-checked three rounds ago — re-verification is the
 # only proof those greens survived three rounds of shared-machinery
 # edits; (3) fill to 50 with the heaviest r9-cohort queries. The
-# remaining r9 queries (x07, x09, x10, x13, x41, x52, x64, x67, x68, q21,
+# remaining r9 queries (x07, x09, x10, x12, x13, x41, x52, x64, x67, x68, q21,
 # q20, q13, q11, ...) stay
 # r9-checked, so after this round no query is staler than r9. All
 # registered queries were also locally driver-sim-verified green this
@@ -2696,6 +2696,7 @@ _DRIVER_WINDOW_R12 = [
     "x98_session_metrics",
     "x99_linear_attribution",
     "x100_decay_attribution",
+    "x101_vocab_overlap",
     # (1) operator code changed this round
     "x85_zscore_outliers",
     "x86_last_touch",
@@ -2711,8 +2712,10 @@ _DRIVER_WINDOW_R12 = [
     "x45_cohort_retention", "x46_numeric_profile", "x47_length_ranks",
     "x58_dq_checks", "x59_vector_stats", "x60_skew_salted_agg",
     "x61_grouped_percentiles", "x65_cdc_delta", "x66_state_transitions",
-    # (3) heaviest r9-cohort fill
-    "x12_embedding_neardup_lsh",
+    # (3) no r9-fill slots remain: the 12 queries added this round
+    # consumed the fill band (the rotation discipline gives new queries
+    # absolute priority). The r9 cohort is the r13 rotation's first
+    # claim on slots.
 ]
 _DRIVER_WINDOW = _DRIVER_WINDOW_R12
 

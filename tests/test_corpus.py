@@ -1736,3 +1736,24 @@ def test_step_decay_attribution(spark):
     assert out[10].credit == round(1.0 / 1.75, 6)
     assert out[11].credit == round(0.5 / 1.75, 6)
     assert out[12].credit == round(0.25 / 1.75, 6)
+
+
+def test_source_vocab_overlap(spark):
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_vocab_overlap,
+    )
+
+    rows = [
+        (1, "s1", "alpha beta gamma"),
+        (2, "s1", "beta delta"),          # s1 vocab: {alpha,beta,gamma,delta}
+        (3, "s2", "beta gamma epsilon"),  # s2 vocab: {beta,gamma,epsilon}
+        (4, "s3", "zzz yyy"),             # disjoint from s1/s2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.src_a, r.src_b): r for r in source_vocab_overlap(df).collect()}
+    r12 = out[("s1", "s2")]
+    # shared {beta, gamma} = 2; union 4 + 3 - 2 = 5
+    assert (r12.vocab_a, r12.vocab_b, r12.n_shared) == (4, 3, 2)
+    assert r12.vocab_jaccard == 0.4
+    # disjoint pairs produce no row at all (inner join on shared tokens)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
