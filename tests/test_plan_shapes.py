@@ -869,3 +869,21 @@ def test_record_linkage_equality_block_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_vocab_overlap_token_keyed_join(spark):
+    """x101's scale contract: the source self-comparison is keyed on
+    the shared TOKEN (bounded per-token fanout), never a cartesian or
+    nested-loop source product; JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_vocab_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta gamma") for i in range(9)],
+        "doc_id long, source string, text string",
+    )
+    p = _plan(source_vocab_overlap(df))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
