@@ -488,3 +488,61 @@ def step_decay_attribution(
         "w",
         F.round(F.col("w") / wsum, round_to).alias("credit"),
     )
+
+
+def funnel_step_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """How LONG each funnel transition takes — the timing companion of
+    :func:`funnel_counts` (which says how many convert; this says how
+    fast): for every step k >= 2, the distribution of ``t_k - t_{k-1}``
+    over users who reached step k. Returns ``[step, event_type,
+    n_users, p50_seconds, p90_seconds]`` — the numbers a growth team
+    reads as "median user purchases 2h after clicking; the slowest
+    decile takes a day".
+
+    Latencies are exact timestampdiff micros converted to seconds by
+    ONE double division; p50/p90 are exact interpolated percentiles
+    (Spark F.percentile == DuckDB quantile_cont, the x61/x95 parity
+    surface), rounded to ``round_to``.
+
+    Scale shape: inherits funnel_times' k-1 user-keyed join+min stages;
+    the latency aggregate adds one map-side projection and one
+    (tiny, k-1-group) exact-percentile aggregate over |converted users|
+    rows per step.
+    """
+    times = funnel_times(df, user_col, ts_col, type_col, steps)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(steps[i - 1]).alias("event_type"),
+                (
+                    F.expr(
+                        f"timestampdiff(MICROSECOND, _t{i - 1}, _t{i})"
+                    ).cast("double")
+                    / F.lit(1_000_000.0)
+                ).alias("lat_s"),
+            )
+            for i in range(2, len(steps) + 1)
+        ]
+    )
+    lat = (
+        times.select(F.explode(rows).alias("r"))
+        .select("r.step", "r.event_type", "r.lat_s")
+        .filter(F.col("lat_s").isNotNull())
+    )
+    return lat.groupBy("step", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), round_to).alias(
+            "p50_seconds"
+        ),
+        F.round(F.percentile("lat_s", F.lit(0.9)), round_to).alias(
+            "p90_seconds"
+        ),
+    )

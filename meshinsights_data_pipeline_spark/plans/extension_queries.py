@@ -4939,8 +4939,58 @@ X101_SQL = f"""
 """
 
 
+def x102_funnel_latency(spark: SparkSession, sf_dir: str):
+    """Funnel step-latency percentiles (funnel.funnel_step_latency,
+    view -> click -> purchase): per transition, the p50/p90 of
+    t_k - t_{k-1} over users who reached step k — x44's timing
+    companion. Exact micros to seconds by one double division; exact
+    interpolated percentiles (the x61/x95 parity surface), round 6."""
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        funnel_step_latency,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_step_latency(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step")
+
+
+X102_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+),
+lat AS (
+    SELECT 2 AS step, 'click' AS event_type,
+           (epoch_us(t2) - epoch_us(t1)) / 1000000.0 AS lat_s FROM s2
+    UNION ALL
+    SELECT 3, 'purchase',
+           (epoch_us(t3) - epoch_us(t2)) / 1000000.0 FROM s3
+)
+SELECT CAST(step AS BIGINT) AS step, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_seconds,
+       ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_seconds
+FROM lat GROUP BY step, event_type
+ORDER BY step
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
+    "x102_funnel_latency": (x102_funnel_latency, X102_SQL),
     "x97_record_linkage": (x97_record_linkage, X97_SQL),
     "x98_session_metrics": (x98_session_metrics, X98_SQL),
     "x99_linear_attribution": (x99_linear_attribution, X99_SQL),

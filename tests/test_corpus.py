@@ -1757,3 +1757,33 @@ def test_source_vocab_overlap(spark):
     assert r12.vocab_jaccard == 0.4
     # disjoint pairs produce no row at all (inner join on shared tokens)
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_funnel_step_latency(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.funnel import (
+        funnel_step_latency,
+    )
+
+    d = datetime
+    rows = [
+        # user 1: view 9:00, click 10:00 (1h), purchase 13:00 (3h)
+        (1, d(2024, 1, 1, 9), 1, "view"), (2, d(2024, 1, 1, 10), 1, "click"),
+        (3, d(2024, 1, 1, 13), 1, "purchase"),
+        # user 2: view 9:00, click 12:00 (3h); never purchases
+        (4, d(2024, 1, 1, 9), 2, "view"), (5, d(2024, 1, 1, 12), 2, "click"),
+        # user 3: click only (no view) -> never enters the funnel
+        (6, d(2024, 1, 1, 9), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r.step: r for r in funnel_step_latency(
+        df, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"]).collect()}
+    assert set(out) == {2, 3}
+    # step 2 latencies: 3600s and 10800s -> p50 = 7200 (interpolated)
+    assert (out[2].n_users, out[2].p50_seconds) == (2, 7200.0)
+    assert out[2].p90_seconds == 3600.0 + 0.9 * 7200.0  # rank 0.9*(n-1)
+    assert (out[3].n_users, out[3].p50_seconds, out[3].p90_seconds) == (
+        1, 10800.0, 10800.0)
