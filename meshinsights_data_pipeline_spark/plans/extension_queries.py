@@ -4988,8 +4988,73 @@ ORDER BY step
 """
 
 
+def x103_rfm_scores(spark: SparkSession, sf_dir: str):
+    """RFM segmentation (stats.rfm_scores): per-user recency/frequency/
+    monetary, scored 1-4 against the population's exact quartile
+    thresholds — map-side threshold scoring, deliberately not a
+    global-sort ntile. Recency in exact whole days vs the dataset's own
+    max event time; monetary is the x69 integer-micros fold. The
+    users < 200 slice is applied to the INPUT, so Spark and the oracle
+    score against the same population's quartiles."""
+    from meshinsights_data_pipeline_spark.operators.stats import rfm_scores
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return rfm_scores(ev, "user_id", "ts", "value").orderBy("user_id")
+
+
+X103_SQL = """
+    WITH pu AS (
+        SELECT user_id, MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS monetary_micros
+        FROM events WHERE user_id < 200 GROUP BY user_id
+    ),
+    base AS (
+        SELECT pu.*,
+               CAST((epoch_us((SELECT MAX(last_ts) FROM pu))
+                     - epoch_us(last_ts)) // 86400000000 AS BIGINT)
+                   AS recency_days
+        FROM pu
+    ),
+    cuts AS (
+        SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r25,
+               quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r50,
+               quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r75,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+               quantile_cont(CAST(monetary_micros AS DOUBLE), 0.25) AS m25,
+               quantile_cont(CAST(monetary_micros AS DOUBLE), 0.5) AS m50,
+               quantile_cont(CAST(monetary_micros AS DOUBLE), 0.75) AS m75
+        FROM base
+    ),
+    scored AS (
+        SELECT b.user_id, b.recency_days, b.frequency, b.monetary_micros,
+               CAST(1 + (CAST(b.recency_days AS DOUBLE) < c.r75)::INT
+                      + (CAST(b.recency_days AS DOUBLE) < c.r50)::INT
+                      + (CAST(b.recency_days AS DOUBLE) < c.r25)::INT
+                    AS BIGINT) AS r_score,
+               CAST(1 + (CAST(b.frequency AS DOUBLE) > c.f25)::INT
+                      + (CAST(b.frequency AS DOUBLE) > c.f50)::INT
+                      + (CAST(b.frequency AS DOUBLE) > c.f75)::INT
+                    AS BIGINT) AS f_score,
+               CAST(1 + (CAST(b.monetary_micros AS DOUBLE) > c.m25)::INT
+                      + (CAST(b.monetary_micros AS DOUBLE) > c.m50)::INT
+                      + (CAST(b.monetary_micros AS DOUBLE) > c.m75)::INT
+                    AS BIGINT) AS m_score
+        FROM base b, cuts c
+    )
+    SELECT user_id, recency_days, frequency, monetary_micros,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM scored ORDER BY user_id
+"""
+
+
 EXTENSION_BUILDERS = {
     "x90_overlap_neardup": (x90_overlap_neardup, X90_SQL),
+    "x103_rfm_scores": (x103_rfm_scores, X103_SQL),
     "x102_funnel_latency": (x102_funnel_latency, X102_SQL),
     "x97_record_linkage": (x97_record_linkage, X97_SQL),
     "x98_session_metrics": (x98_session_metrics, X98_SQL),

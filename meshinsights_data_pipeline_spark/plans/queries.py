@@ -2671,7 +2671,7 @@ _register_extensions()
 
 
 # Round-12 window. Priority bands, per the standing rotation discipline
-# (and this round's verdict): (0) the 13 queries ADDED this round, never
+# (and this round's verdict): (0) the 14 queries ADDED this round, never
 # driver-checked; (1) queries whose operator code CHANGED this round —
 # x85 (zscore NaN guard), x86 (touch_id native-type fix), x26 (star-CC
 # explode fusion + deferred node roster); (2) the full 35-query r8-stale
@@ -2698,11 +2698,14 @@ _DRIVER_WINDOW_R12 = [
     "x100_decay_attribution",
     "x101_vocab_overlap",
     "x102_funnel_latency",
-    # (1) operator code changed this round. x85's NaN-guard change also
-    # landed, but NaN values do not exist in any testdata SF, so its
-    # driver result is bit-identical to its r11 green — it yields its
-    # slot to the 13th new query and re-verifies in r13.
-    "x86_last_touch",
+    "x103_rfm_scores",
+    # (1) operator code changed this round. x85's NaN guard and x86's
+    # native-id-type fix also landed, but neither can alter a testdata
+    # result (no NaN values exist at any SF; event ids are already
+    # BIGINT, so the dropped cast is a no-op there) — both driver
+    # results are bit-identical to their r11 greens, so they yield
+    # their slots to the 13th/14th new queries and re-verify in r13.
+    # x26 keeps its slot: the star fusion changed the executed plan.
     "x26_dedup_clusters_star",
     # (2) the r8-stale cohort, in full
     "q08", "q09", "q10",

@@ -1787,3 +1787,24 @@ def test_funnel_step_latency(spark):
     assert out[2].p90_seconds == 3600.0 + 0.9 * 7200.0  # rank 0.9*(n-1)
     assert (out[3].n_users, out[3].p50_seconds, out[3].p90_seconds) == (
         1, 10800.0, 10800.0)
+
+
+def test_rfm_scores(spark):
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.stats import rfm_scores
+
+    d = datetime
+    # 4 users with strictly separated R/F/M profiles
+    rows = []
+    rows += [(1, d(2024, 1, 30), 10.0)] * 8            # recent, frequent, rich
+    rows += [(2, d(2024, 1, 20), 5.0)] * 4
+    rows += [(3, d(2024, 1, 10), 2.0)] * 2
+    rows += [(4, d(2024, 1, 1), 1.0)] * 1              # stale, rare, poor
+    df = spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows], "user_id long, ts timestamp, value double")
+    out = {r.user_id: r for r in rfm_scores(df, "user_id", "ts", "value").collect()}
+    assert out[1].recency_days == 0 and out[4].recency_days == 29
+    assert out[1].frequency == 8 and out[1].monetary_micros == 80_000_000
+    # strictly ordered profiles -> strictly ordered scores 4..1 on every axis
+    assert [out[u].rfm for u in (1, 2, 3, 4)] == [444, 333, 222, 111]
