@@ -112,16 +112,27 @@ class OutlierStep(_EventStep):
     ``zscore`` (x85 — parametric; threshold in population sigmas) or
     ``mad`` (x92 — robust; threshold in raw MAD units, so pick ~3-5:
     one wild value cannot inflate the spread estimate and mask itself,
-    the right mode for fat-tailed telemetry)."""
+    the right mode for fat-tailed telemetry).
+
+    ``threshold=None`` (the default) resolves per method — 2.0 sigmas
+    for zscore, 3.5 MAD units for mad (the Iglewicz-Hoaglin convention)
+    — because the two scales aren't comparable: a shared 2.0 default
+    would be an over-aggressive cutoff in MAD units."""
 
     extra_cols = ("value",)
 
-    def __init__(self, cols: EventColumns, threshold: float = 2.0,
+    #: per-method resolution of threshold=None; the units differ
+    #: (population sigmas vs raw MAD units), so no single number is
+    #: right for both.
+    DEFAULT_THRESHOLDS = {"zscore": 2.0, "mad": 3.5}
+
+    def __init__(self, cols: EventColumns, threshold: float | None = None,
                  method: str = "zscore", **kw):
         if method not in ("zscore", "mad"):
             raise ValueError(f"unknown outlier method: {method!r}")
         super().__init__(cols, name="outliers", **kw)
-        self.threshold = threshold
+        self.threshold = (self.DEFAULT_THRESHOLDS[method]
+                          if threshold is None else threshold)
         self.method = method
 
     def process(self, context: PipelineContext) -> PipelineContext:
@@ -217,7 +228,7 @@ def build_events_pipeline(
     conversion: str = "purchase",
     touch: str = "click",
     lookback_hours: int = 24,
-    outlier_threshold: float = 2.0,
+    outlier_threshold: float | None = None,
     outlier_method: str = "zscore",
 ) -> Pipeline:
     cols = cols or EventColumns()

@@ -239,6 +239,7 @@ def overlap_coefficient_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise shingle-set OVERLAP COEFFICIENT >= threshold:
     ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` — the containment-style
@@ -255,17 +256,41 @@ def overlap_coefficient_pairs(
     back (AQE broadcasts when they fit) — only the final formula
     differs (min instead of inclusion-exclusion union).
 
+    ``max_doc_freq`` is the 100 TB scale lever: shingles appearing in
+    more than that many documents are dropped BEFORE the self-join —
+    a shingle in F docs contributes F(F-1)/2 candidate rows, so the
+    self-join's cost is dominated by exactly the shingles that carry
+    the least discrimination (boilerplate, stopword runs). The cap is
+    SOUND in one direction by construction: denominators still use the
+    UNCAPPED set sizes, so a capped score is a lower bound on the true
+    overlap — capping can only drop pairs (those whose surviving shared
+    shingles no longer clear the threshold; a pair vanishes entirely
+    iff EVERY shared shingle is above the cap), never add or inflate
+    one. Property-tested in tests/test_properties.py. Default ``None``
+    keeps the exact uncapped semantics.
+
     Scale: quadratic in shared-shingle bucket sizes, like every exact
-    set-overlap join — at 100 TB compose with a doc-frequency cap on the
-    shingle table (drop shingles appearing in > F docs: they contribute
-    candidates, not discrimination) or drive it from LSH candidates via
+    set-overlap join — at 100 TB set ``max_doc_freq`` (df-capped shingle
+    join) or drive it from LSH candidates via
     ``_verified_pairs_from_candidates``'s pattern; note MinHash-LSH
     recalls JACCARD-similar pairs, so for containment at scale bucket on
-    the SMALLER doc's signature length or use a df-capped shingle join.
+    the SMALLER doc's signature length or use the df-capped join.
     """
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_doc_freq is not None:
+        # sh is distinct (id, h), so count per h IS the doc frequency.
+        # One extra hash-keyed agg + semi-structured join — both on the
+        # same shuffle key the self-join needs anyway.
+        low_df = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(max_doc_freq))
+            .select("h")
+        )
+        joinable = sh.join(low_df, "h", "left_semi")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

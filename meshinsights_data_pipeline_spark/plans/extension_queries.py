@@ -4427,19 +4427,25 @@ def x90_overlap_neardup(spark: SparkSession, sf_dir: str):
     containment detector for a short doc quoted wholesale inside a long
     one, which symmetric Jaccard dilutes to ~|A|/|B|. Same shingle/hash
     chain as x04; only the denominator differs (min instead of union),
-    so any x04-vs-x90 delta isolates the formula, not the tokenizer."""
+    so any x04-vs-x90 delta isolates the formula, not the tokenizer.
+    Runs with the max_doc_freq=4 scale cap (r12 verdict #2): shingles
+    in >4 docs are dropped before the self-join — they contribute
+    O(df^2) candidate rows and no discrimination. Denominators stay
+    uncapped, so the cap can only REMOVE pairs; SQL mirrors the cap."""
     docs = read_table(spark, sf_dir, "documents")
     return D.overlap_coefficient_pairs(
-        docs, "doc_id", "text", threshold=0.5
+        docs, "doc_id", "text", threshold=0.5, max_doc_freq=4
     ).orderBy("id_a", "id_b")
 
 
 X90_SQL = f"""
 WITH {_shingles_cte()},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+low_df AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 4),
+shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN low_df ON low_df.h = sh.h),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-    FROM sh a JOIN sh b ON a.h = b.h
+    FROM shc a JOIN shc b ON a.h = b.h
     WHERE a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )

@@ -2718,12 +2718,48 @@ _DRIVER_WINDOW_R12 = [
     "x45_cohort_retention", "x46_numeric_profile", "x47_length_ranks",
     "x58_dq_checks", "x59_vector_stats", "x60_skew_salted_agg",
     "x61_grouped_percentiles", "x65_cdc_delta", "x66_state_transitions",
-    # (3) no r9-fill slots remain: the 12 queries added this round
+    # (3) no r9-fill slots remain: the 14 queries added this round
     # consumed the fill band (the rotation discipline gives new queries
     # absolute priority). The r9 cohort is the r13 rotation's first
     # claim on slots.
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R12
+
+# Round-13 window (verdict r12 #1: staleness retirement — no new
+# queries this round, so the stale cohorts get the whole window).
+# Priority bands: (1) queries whose operator code CHANGED this round —
+# x90 (overlap_coefficient_pairs gained the max_doc_freq scale cap,
+# mirrored in X90_SQL) and x97 (blocked_record_linkage generalized to
+# N weighted fields; the 2-field form now routes through the N-field
+# engine). x103's approx= addition and x91's streaming-twin NaN-tail
+# fix cannot alter their driver results (approx defaults to the
+# unchanged exact path; x91's batch operator is untouched), so both
+# yield their slots to stale queries per the r12 precedent. (2) the
+# full 39-query r9-stale cohort, last driver-checked four rounds ago.
+# (3) fill to 50 with the oldest r10 queries in the verdict's priority
+# order (q01–q07, q15, q25); x06 and x54 are the two displaced by the
+# x90/x97 code-change slots and rotate in r14. After this round no
+# query is staler than r10. All 176 registered queries were verified
+# green against the DuckDB oracle at sf0.01 by this session's full
+# pytest run, so the rotation freshens the driver RECORD, not suspected
+# rot.
+_DRIVER_WINDOW_R13 = [
+    # (1) operator code changed this round
+    "x90_overlap_neardup",
+    "x97_record_linkage",
+    # (2) the r9-stale cohort, in full
+    "q11", "q13", "q14",
+    "q16", "q17", "q18", "q19", "q20", "q21", "q22", "q23",
+    "q28", "q29", "q30", "q33",
+    "q44", "q45", "q46", "q47", "q48", "q49", "q50", "q51",
+    "q52", "q53", "q54", "q55", "q56", "q57",
+    "x07_embedding_neardup", "x09_lang_id", "x10_rp_lsh_topk",
+    "x12_embedding_neardup_lsh", "x13_multimodal_meta",
+    "x41_kmeans_update", "x52_ann_recall", "x64_scd2_merge",
+    "x67_pagerank", "x68_scd2_lookup",
+    # (3) r10 fill, verdict priority order
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q15", "q25",
+]
+_DRIVER_WINDOW = _DRIVER_WINDOW_R13
 
 
 def _rotate_for_driver() -> None:

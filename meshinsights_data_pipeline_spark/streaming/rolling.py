@@ -72,7 +72,13 @@ def streaming_rolling_ingest(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select(
+        # Same NULL/NaN guard as the batch operator, applied BEFORE the
+        # union: an unguarded NULL/NaN row would survive into the
+        # retained tail and evict a real observation, so later batches'
+        # roll_sum/roll_avg would diverge from the batch operator over
+        # the full history (the parity contract in the module docstring).
+        _v = F.col(value_col).cast("double")
+        batch = batch_df.filter(_v.isNotNull() & ~F.isnan(_v)).select(
             *keys,
             F.col(ts_col).alias("_ts"),
             F.col(id_col).alias("_id"),

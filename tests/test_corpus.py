@@ -1654,6 +1654,97 @@ def test_blocked_record_linkage_prefilter_equivalence(spark):
     assert got == sorted(expect)
 
 
+def test_blocked_record_linkage_fields_multi(spark):
+    """N-field generalization (r12 verdict #4): 2 strings + 2 numerics
+    with unequal weights/scales score as the brute-force weighted sum;
+    per-field NULLs score 0 on that field only; each numeric field's
+    pre-filter bound uses the max attainable score of the REMAINING
+    fields, so results equal the unfiltered oracle; the 2-field wrapper
+    is the fields-form with the classic spec."""
+    import random
+
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        LinkageField,
+        blocked_record_linkage,
+        blocked_record_linkage_fields,
+    )
+
+    rng = random.Random(13)
+    names = ["acme corp", "acme corp.", "acme co", "zenith ltd"]
+    cities = ["york", "yark", "paris", None]
+    rows = [(i, rng.randint(0, 1), rng.choice(names), rng.choice(cities),
+             float(rng.randint(0, 2000)),
+             None if rng.random() < 0.2 else float(rng.randint(0, 50)))
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "id long, blk int, name string, city string,"
+              " bal double, age double")
+    fields = [
+        LinkageField("name", "string", 0.4),
+        LinkageField("city", "string", 0.2),
+        LinkageField("bal", "numeric", 0.3, scale=1000.0),
+        LinkageField("age", "numeric", 0.1, scale=20.0),
+    ]
+    got = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in blocked_record_linkage_fields(
+            df, "id", ["blk"], fields, threshold=0.75).collect())
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    def s_sim(a, b):
+        if a is None or b is None:
+            return 0.0
+        return 1 - lev(a, b) / max(len(a), len(b))
+
+    def n_sim(a, b, scale):
+        if a is None or b is None:
+            return 0.0
+        return max(0.0, 1 - abs(a - b) / scale)
+
+    expect = []
+    for i in range(50):
+        for j in range(i + 1, 50):
+            ri, rj = rows[i], rows[j]
+            if ri[1] != rj[1]:
+                continue
+            score = round(0.4 * s_sim(ri[2], rj[2])
+                          + 0.2 * s_sim(ri[3], rj[3])
+                          + 0.3 * n_sim(ri[4], rj[4], 1000.0)
+                          + 0.1 * n_sim(ri[5], rj[5], 20.0), 6)
+            if score >= 0.75:
+                expect.append((ri[0], rj[0], score))
+    assert got == sorted(expect) and got  # non-vacuous
+    # the 2-field wrapper IS the fields-form with the classic spec
+    two = sorted((r.id_a, r.id_b, r.score) for r in blocked_record_linkage(
+        df, "id", ["blk"], "name", "bal",
+        numeric_scale=1000.0, threshold=0.8).collect())
+    via_fields = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in blocked_record_linkage_fields(
+            df, "id", ["blk"],
+            [LinkageField("name", "string", 0.5),
+             LinkageField("bal", "numeric", 0.5, scale=1000.0)],
+            threshold=0.8).collect())
+    assert two == via_fields
+    with pytest.raises(ValueError, match="unknown field kind"):
+        LinkageField("name", "fuzzy", 0.5)
+    with pytest.raises(ValueError, match="non-positive scale"):
+        LinkageField("bal", "numeric", 0.5, scale=0.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        blocked_record_linkage_fields(df, "id", ["blk"], [])
+
+
 def test_session_metrics(spark):
     from datetime import datetime, timedelta
 

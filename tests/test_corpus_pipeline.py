@@ -515,3 +515,9 @@ def test_events_pipeline_mad_outlier_mode(spark):
     assert ctx2.processed_data["events.outliers"].count() == 0
     with pytest.raises(ValueError, match="unknown outlier method"):
         OutlierStep(EventColumns(), method="iqr")
+    # threshold=None resolves per method (the units differ: sigmas vs
+    # raw MAD units) — a shared 2.0 default would over-flag in MAD mode
+    assert OutlierStep(EventColumns()).threshold == 2.0
+    assert OutlierStep(EventColumns(), method="mad").threshold == 3.5
+    assert OutlierStep(EventColumns(), threshold=4.0,
+                       method="mad").threshold == 4.0

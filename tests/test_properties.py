@@ -1117,6 +1117,60 @@ def test_overlap_dominates_jaccard(spark, docs):
 
 
 @given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()),
+                 min_size=3, max_size=10),
+        min_size=2, max_size=6,
+    ),
+    cap=st.integers(1, 4),
+)
+@SLOW
+def test_overlap_doc_freq_cap_only_removes(spark, docs, cap):
+    """max_doc_freq soundness (r12 verdict #2): denominators stay
+    uncapped, so every capped score <= its uncapped score (the cap can
+    only REMOVE pairs, never add or inflate); a pair vanishes from the
+    threshold-0 candidate set iff EVERY shared shingle has doc
+    frequency above the cap."""
+    from collections import Counter
+
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        overlap_coefficient_pairs,
+    )
+
+    def py_shingles(text, n=3):
+        # the vocab is pre-normalized tokens, so normalization is identity
+        toks = text.split()
+        if len(toks) < n:
+            return {text}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b): r.overlap
+            for r in overlap_coefficient_pairs(
+                df, "doc_id", "text", threshold=0.0).collect()}
+    capped = {(r.id_a, r.id_b): r.overlap
+              for r in overlap_coefficient_pairs(
+                  df, "doc_id", "text", threshold=0.0,
+                  max_doc_freq=cap).collect()}
+    assert set(capped) <= set(full)
+    for pair, o in capped.items():
+        assert o <= full[pair] + 1e-9
+    # python-side shingle sets decide which pairs MUST survive/vanish
+    sets = {i: py_shingles(t) for i, t in rows}
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    for pair in full:
+        a, b = pair
+        shared_low = {s for s in sets[a] & sets[b] if dfreq[s] <= cap}
+        if shared_low:
+            assert pair in capped
+            assert capped[pair] == round(
+                len(shared_low) / min(len(sets[a]), len(sets[b])), 6)
+        else:
+            assert pair not in capped
+
+
+@given(
     vals=st.lists(st.integers(-100, 100), min_size=2, max_size=30),
 )
 @SLOW

@@ -2053,3 +2053,54 @@ def test_streaming_rolling_full_parity_and_bounded_tail(spark, tmp_path):
     assert spark.read.parquet(s_dir).count() == n_before
     tail = snapshot_before(spark, t_dir, 99)
     assert tail.count() == 2 * 2  # |keys| x (n-1)
+
+
+def test_streaming_rolling_nan_at_seam_keeps_parity(spark, tmp_path):
+    """NULL/NaN-valued rows at the tail of a batch must NOT enter the
+    retained tail: rolling_stats excludes them from frames, so an
+    unguarded one would evict a real observation from the last-(n-1)
+    tail and the NEXT batch's roll_sum would diverge from the batch
+    operator over the full history (ADVICE r12 medium)."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        rolling_stats,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_rolling_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.rolling import (
+        rolling_state_schema,
+    )
+
+    base = datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    row = lambda i, v: (1, base + timedelta(hours=i), 100 + i, v)  # noqa: E731
+    # Batch 1 ends with a NaN and a NULL — the newest rows by (ts, id),
+    # exactly what an unguarded tail window would retain.
+    b1 = spark.createDataFrame(
+        [row(0, 1.0), row(1, 2.0), row(2, float("nan")), row(3, None)],
+        schema)
+    b2 = spark.createDataFrame([row(4, 4.0), row(5, 5.0)], schema)
+    t_dir, s_dir = str(tmp_path / "t"), str(tmp_path / "s")
+    snapshot_overwrite(
+        spark.createDataFrame([], rolling_state_schema()), t_dir, -1)
+    process = streaming_rolling_ingest(
+        ["user_id"], tail_dir=t_dir, scores_dir=s_dir, n=3)
+    process(b1, 0)
+    process(b2, 1)
+
+    def canon(df):
+        return sorted((r.user_id, r.event_id, r.roll_n, r.roll_sum,
+                       r.roll_avg) for r in df.collect())
+
+    got = canon(spark.read.parquet(s_dir))
+    expect = canon(rolling_stats(
+        b1.unionByName(b2), "ts", ["user_id"], "value", "event_id", n=3))
+    # Full parity: event 104's frame is (1.0, 2.0, 4.0) — the NaN/NULL
+    # rows neither score nor occupy tail slots.
+    assert got == expect
+    assert (1, 104, 3, 7.0, round(7.0 / 3, 6)) in got
