@@ -219,6 +219,42 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: events pipeline failed: {exc}", file=sys.stderr)
 
+    # Entity-resolution end-to-end (examples/record_linkage.py composed:
+    # blocked linkage -> connected components -> golden-record anti-join)
+    # over the customer table — a regression inside the linkage->CC
+    # composition is invisible to the per-query gates (r12 verdict #7).
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.operators.components import (
+            connected_components,
+        )
+        from meshinsights_data_pipeline_spark.operators.linkage import (
+            blocked_record_linkage,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        cust = read_table(spark, sf_dir, "customer")
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = blocked_record_linkage(
+                cust, "c_custkey", ["c_nationkey", "c_mktsegment"],
+                "c_name", "c_acctbal", numeric_scale=2000.0, threshold=0.9,
+            )
+            comp = connected_components(pairs, "id_a", "id_b")
+            losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias("c_custkey")
+            )
+            cust.join(losers, "c_custkey", "left_anti").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["record_linkage_e2e"] = runs[0]
+        extras["record_linkage_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: record linkage e2e failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost

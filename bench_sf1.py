@@ -145,9 +145,9 @@ def ensure_sf1(spark: SparkSession, sf01_dir: str) -> str:
 def run_sf1(
     spark: SparkSession, queries, names: list[str], sf1_dir: str
 ) -> dict[str, float]:
-    """One timed noop-write run per query at sf1 (plans were already
-    codegen-warmed by the sf0.1 passes; the run measures the engine on
-    10x data, which is the point).
+    """Min of TWO timed noop-write runs per query at sf1 — the same
+    steady-state discipline as the warm sf0.1 pass, so the published
+    ratio measures the PLAN on 10x data, not first-run state.
 
     The tables are page-cache-warmed first: without this, whichever
     query the roster happens to order FIRST pays the whole dataset's
@@ -156,14 +156,17 @@ def run_sf1(
     roster order, not plan regressions. One full scan per table makes
     every ratio measure compute, matching the warm sf0.1 numerator.
 
-    Residual caveat (measured, accepted): a query's FIRST sf1 run can
-    still carry a one-time codegen surcharge — AQE picks different
-    physical plans at 10x data, so the sf0.1 warm pass's compiled code
-    doesn't apply (x23 min-label CC, with its per-round replans:
-    first sf1 run 10.0s, steady-state 4.6s; x26 star: 4.35 vs 3.65).
-    That is JVM work, constant in data size — at a real 10x/100x scale
-    step it is noise, so the band stays one-timed-run; read ratios
-    near the 2x band with this in mind."""
+    The second timed pass exists because a query's FIRST sf1 run can
+    carry a one-time codegen surcharge — AQE picks different physical
+    plans at 10x data, so the sf0.1 warm pass's compiled code doesn't
+    apply (x23 min-label CC: first sf1 run 10.0s, steady-state 4.6s;
+    x26 star: 8.9 first vs 4.2 steady — the r12 verdict's two-figures
+    discrepancy). That surcharge is JVM work, constant in data size —
+    noise at a real 10x/100x scale step — so min-of-2 is the honest
+    scaling figure (r12 verdict #3). Runs as two full passes (pass 1
+    warms every roster plan, pass 2 is steady) rather than
+    back-to-back per query, so pass 2 can't ride pass 1's still-warm
+    executor-local shuffle files for the same stage boundaries."""
     for t in (*_SCALED, *_DIMS):
         try:
             read_table(spark, sf1_dir, t).write.format("noop").mode(
@@ -172,14 +175,17 @@ def run_sf1(
         except Exception as exc:  # noqa: BLE001 - warm-up must not kill bench
             print(f"bench: sf1 warm-up {t} failed: {exc}", file=sys.stderr)
     out: dict[str, float] = {}
-    for name in names:
-        try:
-            t0 = time.perf_counter()
-            queries[name].spark(spark, sf1_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 - record, keep benching
-            print(f"bench: sf1 {name} failed: {exc}", file=sys.stderr)
-            out[name] = -1.0
+    for _pass in range(2):
+        for name in names:
+            try:
+                t0 = time.perf_counter()
+                queries[name].spark(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = round(time.perf_counter() - t0, 3)
+                prev = out.get(name)
+                out[name] = sec if prev is None or prev < 0 else min(prev, sec)
+            except Exception as exc:  # noqa: BLE001 - record, keep benching
+                print(f"bench: sf1 {name} failed: {exc}", file=sys.stderr)
+                out.setdefault(name, -1.0)
     return out

@@ -555,6 +555,7 @@ def rfm_scores(
     user_col: str,
     ts_col: str,
     value_col: str,
+    approx: bool = False,
 ) -> DataFrame:
     """RFM segmentation — the classic customer-analytics scoring: per
     user, Recency (days since last event, against the dataset's own
@@ -578,7 +579,17 @@ def rfm_scores(
     the RFM frame; one 1-row aggregate computes max-ts + all nine
     quartile cuts; broadcast + map-side scoring. Two passes over the
     |users| frame, zero over the event log beyond the first aggregate.
+
+    100 TB tier: the exact interpolated ``percentile`` buffers each
+    cut's values per partition before merging — fine at |users| scales
+    that fit an executor, the wrong tool at billions of users. Pass
+    ``approx=True`` to compute the nine cuts with ``percentile_approx``
+    (t-digest sketch: bounded memory, one pass, mergeable) — scores
+    near a quartile boundary may shift by the sketch's rank error;
+    segment semantics are otherwise identical. The default stays exact
+    because it is the cross-engine oracle surface.
     """
+    pctl = F.percentile_approx if approx else F.percentile
     per_user = df.groupBy(user_col).agg(
         F.max(ts_col).alias("_last"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
@@ -594,7 +605,7 @@ def rfm_scores(
     )
     cuts = base.agg(
         *[
-            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(
+            pctl(F.col(c).cast("double"), F.lit(p)).alias(
                 f"_{c}_{int(p * 100)}"
             )
             for c in ("recency_days", "frequency", "monetary_micros")

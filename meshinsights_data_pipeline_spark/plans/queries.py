@@ -2295,7 +2295,15 @@ def q67(spark, sf_dir):
     back to the returned lines: EXISTS(other supplier) = n_supp > 1,
     NOT EXISTS(other returned supplier) = n_ret_supp = 1. The fact is
     read once and shuffles once on orderkey; orders and supplier
-    broadcast. Oracle keeps the EXISTS/NOT-EXISTS form."""
+    broadcast. Oracle keeps the EXISTS/NOT-EXISTS form.
+
+    Perf pin (r12 verdict #5): the r12 bench's 1.46->1.86s warm move
+    was NOISE, not a plan change — no q67 or shared-machinery edit
+    landed between r11 and r12, and an r13 interleaved 3x re-run
+    against the stable q38 control measured q67/q38 = 2.015/1.636 =
+    1.23 (runs 3.27/2.34/2.02 vs 2.33/1.81/1.64 in one warmed
+    session), matching r11's bench ratio 1.46/1.13 = 1.29, not r12's
+    1.65 — the same plan-warm-order variance q38 showed in r11."""
     li = _t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("_n_supp"),

@@ -1899,3 +1899,17 @@ def test_rfm_scores(spark):
     assert out[1].frequency == 8 and out[1].monetary_micros == 80_000_000
     # strictly ordered profiles -> strictly ordered scores 4..1 on every axis
     assert [out[u].rfm for u in (1, 2, 3, 4)] == [444, 333, 222, 111]
+    # 100 TB tier: approx=True swaps the nine cuts to percentile_approx
+    # (t-digest, bounded memory). The sketch returns an actual element
+    # rather than an interpolated cut, so scores AT a quartile boundary
+    # may shift by one (here: 4 users, p75 lands on the max, costing
+    # the top user one point per axis) — the documented contract is
+    # same schema, per-axis ordering preserved, per-score delta <= 1.
+    ap = {r.user_id: r
+          for r in rfm_scores(df, "user_id", "ts", "value",
+                              approx=True).collect()}
+    assert ap[1].asDict().keys() == out[1].asDict().keys()
+    for axis in ("r_score", "f_score", "m_score"):
+        scores = [ap[u][axis] for u in (1, 2, 3, 4)]
+        assert scores == sorted(scores, reverse=True)  # ordering holds
+        assert all(abs(ap[u][axis] - out[u][axis]) <= 1 for u in (1, 2, 3, 4))
