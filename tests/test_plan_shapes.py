@@ -778,6 +778,14 @@ def test_overlap_pairs_no_cartesian_jvm_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+    # max_doc_freq: the cap is a LeftSemi against the low-df hash set
+    # applied BEFORE the self-join (the whole point — the expensive join
+    # never sees a high-df shingle), still no cartesian shape
+    pc = _plan(overlap_coefficient_pairs(df, "doc_id", "text",
+                                         max_doc_freq=4))
+    assert "LeftSemi" in pc
+    assert "CartesianProduct" not in pc
+    assert "EvalPython" not in pc
 
 
 def test_rolling_stats_single_window_shuffle(spark):
