@@ -194,23 +194,48 @@ def minhash_lsh_candidates(
     )
 
 
+def _low_df_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Semi-join ``sh`` (distinct ``(id, h)`` rows) to the hashes whose
+    doc frequency is <= ``max_doc_freq`` — the shared df-cap for the
+    exact pairwise joins. A shingle in F docs contributes F(F-1)/2
+    candidate rows to a self-join and no discrimination, so the cap
+    removes exactly the hot buckets; both the aggregate and the
+    semi-join shuffle on the same hash key the self-join needs anyway.
+    """
+    low_df = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= int(max_doc_freq))
+        .select("h")
+    )
+    return sh.join(low_df, "h", "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold via shingle join.
 
     Returns [id_a, id_b, jaccard] (id_a < id_b). Intersection counts come
     from the shingle self-join; union sizes from per-doc shingle counts
     (|A|+|B|-|A∩B|). Quadratic in shared-shingle bucket sizes — compose
-    with LSH at scale.
+    with LSH at scale (:func:`minhash_dedup_pairs`), or cap the
+    self-join with ``max_doc_freq`` like the overlap sibling: shingles
+    in more than that many docs drop BEFORE the join while denominators
+    keep the UNCAPPED sizes, so an undercounted intersection OVERcounts
+    the union and every capped Jaccard is a lower bound on the true one
+    — capping only removes pairs, never adds or inflates (same
+    property-tested algebra as :func:`overlap_coefficient_pairs`).
     """
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh if max_doc_freq is None else _low_df_shingles(sh, max_doc_freq)
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -278,18 +303,7 @@ def overlap_coefficient_pairs(
     """
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    joinable = sh
-    if max_doc_freq is not None:
-        # sh is distinct (id, h), so count per h IS the doc frequency.
-        # One extra hash-keyed agg + semi-structured join — both on the
-        # same shuffle key the self-join needs anyway.
-        low_df = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= int(max_doc_freq))
-            .select("h")
-        )
-        joinable = sh.join(low_df, "h", "left_semi")
+    joinable = sh if max_doc_freq is None else _low_df_shingles(sh, max_doc_freq)
     a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, F.col("a.h") == F.col("b.h"))

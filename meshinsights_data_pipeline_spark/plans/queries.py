@@ -2738,10 +2738,12 @@ _DRIVER_WINDOW_R12 = [
 # x90 (overlap_coefficient_pairs gained the max_doc_freq scale cap,
 # mirrored in X90_SQL) and x97 (blocked_record_linkage generalized to
 # N weighted fields; the 2-field form now routes through the N-field
-# engine). x103's approx= addition and x91's streaming-twin NaN-tail
-# fix cannot alter their driver results (approx defaults to the
-# unchanged exact path; x91's batch operator is untouched), so both
-# yield their slots to stale queries per the r12 precedent. (2) the
+# engine). x103's approx= addition, x04's max_doc_freq= addition, and
+# x91's streaming-twin NaN-tail fix cannot alter their driver results
+# (both new parameters default to the unchanged exact path — the None
+# branch selects the identical frame; x91's batch operator is
+# untouched), so all three yield their slots to stale queries per the
+# r12 precedent; the full-suite oracle run re-verified them anyway. (2) the
 # full 39-query r9-stale cohort, last driver-checked four rounds ago.
 # (3) fill to 50 with the oldest r10 queries in the verdict's priority
 # order (q01–q07, q15, q25); x06 and x54 are the two displaced by the

@@ -1130,10 +1130,12 @@ def test_overlap_doc_freq_cap_only_removes(spark, docs, cap):
     uncapped, so every capped score <= its uncapped score (the cap can
     only REMOVE pairs, never add or inflate); a pair vanishes from the
     threshold-0 candidate set iff EVERY shared shingle has doc
-    frequency above the cap."""
+    frequency above the cap. Same algebra for the Jaccard sibling
+    (undercounted intersection OVERcounts the union)."""
     from collections import Counter
 
     from meshinsights_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
         overlap_coefficient_pairs,
     )
 
@@ -1168,6 +1170,17 @@ def test_overlap_doc_freq_cap_only_removes(spark, docs, cap):
                 len(shared_low) / min(len(sets[a]), len(sets[b])), 6)
         else:
             assert pair not in capped
+    # Jaccard sibling: same candidate-set rule; union uses the UNCAPPED
+    # sizes with the capped intersection, so scores only go down
+    jc = {(r.id_a, r.id_b): r.jaccard
+          for r in ngram_jaccard_pairs(
+              df, "doc_id", "text", threshold=0.0,
+              max_doc_freq=cap).collect()}
+    assert set(jc) == set(capped)
+    for (a, b), j in jc.items():
+        inter = len({s for s in sets[a] & sets[b] if dfreq[s] <= cap})
+        assert j == round(
+            inter / (len(sets[a]) + len(sets[b]) - inter), 6)
 
 
 @given(
