@@ -265,6 +265,7 @@ def overlap_coefficient_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise shingle-set OVERLAP COEFFICIENT >= threshold:
     ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` — the containment-style
@@ -296,12 +297,24 @@ def overlap_coefficient_pairs(
 
     Scale: quadratic in shared-shingle bucket sizes, like every exact
     set-overlap join — at 100 TB set ``max_doc_freq`` (df-capped shingle
-    join) or drive it from LSH candidates via
-    ``_verified_pairs_from_candidates``'s pattern; note MinHash-LSH
-    recalls JACCARD-similar pairs, so for containment at scale bucket on
-    the SMALLER doc's signature length or use the df-capped join.
+    join) or pass ``candidates`` ([id_a, id_b], id_a < id_b) to verify
+    ONLY an injected candidate-pair frame (the minhash_dedup_pairs
+    verify phase with the overlap formula — exact scores, no self-join,
+    no corpus^2 step); the two levers are mutually exclusive because
+    the cap modifies the self-join the candidate path doesn't run.
+    Note MinHash-LSH recalls JACCARD-similar pairs, so a containment
+    candidate generator should bucket on the SMALLER doc's signature
+    length or use the df-capped join.
     """
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
+    if candidates is not None:
+        if max_doc_freq is not None:
+            raise ValueError(
+                "max_doc_freq and candidates are mutually exclusive"
+            )
+        return _verified_pairs_from_candidates(
+            sh, candidates, id_col, threshold, metric="overlap"
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     joinable = sh if max_doc_freq is None else _low_df_shingles(sh, max_doc_freq)
     a, b = joinable.alias("a"), joinable.alias("b")
@@ -359,12 +372,19 @@ def minhash_dedup_pairs(
 
 
 def _verified_pairs_from_candidates(
-    sh: DataFrame, cands: DataFrame, id_col: str, threshold: float
+    sh: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    threshold: float,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact-Jaccard verification of ``cands`` [id_a, id_b] against the
-    shingle-hash frame ``sh`` [id, h] — the verify phase shared by the
-    text path (minhash_dedup_pairs) and the binary-payload path
-    (multimodal.payload_neardup_pairs)."""
+    """Exact set-similarity verification of ``cands`` [id_a, id_b]
+    against the shingle-hash frame ``sh`` [id, h] — the verify phase
+    shared by the text path (minhash_dedup_pairs), the binary-payload
+    path (multimodal.payload_neardup_pairs), and the containment path
+    (overlap_coefficient_pairs with ``candidates=``). ``metric`` picks
+    the score: ``jaccard`` = inter/union, ``overlap`` =
+    inter/min(|A|,|B|); the output column is named after it."""
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -384,15 +404,22 @@ def _verified_pairs_from_candidates(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if metric == "jaccard":
+        score = F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        )
+    elif metric == "overlap":
+        score = F.round(
+            F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+        )
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", metric)
     )
 
 

@@ -1427,6 +1427,20 @@ def test_overlap_coefficient_pairs(spark):
            for r in ngram_jaccard_pairs(df, "doc_id", "text",
                                         threshold=0.1).collect()}
     assert jac[(1, 2)] < 0.5  # would be missed at the containment threshold
+    # candidates= injection (the 100 TB verify path): exact overlap of
+    # ONLY the injected pairs — scores identical to the self-join's,
+    # un-injected pairs absent even when they would score
+    import pytest
+
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    via = {(r.id_a, r.id_b): r.overlap
+           for r in overlap_coefficient_pairs(
+               df, "doc_id", "text", threshold=0.0,
+               candidates=cands).collect()}
+    assert via == {(1, 2): 1.0}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        overlap_coefficient_pairs(df, "doc_id", "text", max_doc_freq=4,
+                                  candidates=cands)
 
 
 def test_rolling_stats(spark):
