@@ -1251,3 +1251,86 @@ def test_pmi_matches_python(spark, docs):
     )
     ref = [(x, y, n, p, i + 1) for i, (x, y, n, p) in enumerate(ref)]
     assert sorted(got) == sorted(ref)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),                      # block
+            st.sampled_from(["acme", "acmee", "zen", "zenith", "nadir"]),
+            st.sampled_from(["york", "yark", "paris"]) | st.none(),
+            st.integers(0, 2000) | st.none(),       # bal
+            st.integers(0, 40) | st.none(),         # age
+        ),
+        min_size=2, max_size=25,
+    ),
+    w=st.tuples(
+        st.floats(0.0, 1.0), st.floats(0.0, 1.0),
+        st.floats(0.0, 1.0), st.floats(0.0, 1.0),
+    ),
+    threshold=st.floats(0.1, 1.2),
+)
+@SLOW
+def test_linkage_fields_matches_bruteforce(spark, rows, w, threshold):
+    """N-field blocked linkage equals the plain-Python weighted sum on
+    randomized rows/weights/threshold — in particular the per-numeric-
+    field pre-filter (bound from the max attainable score of the
+    REMAINING fields) must be invisible: it may only prune pairs that
+    could never pass, including weight-0 fields, thresholds above the
+    total weight, and NULL-valued compare fields (which score 0)."""
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        LinkageField,
+        blocked_record_linkage_fields,
+    )
+
+    data = [(i, b, nm, ct,
+             None if bal is None else float(bal),
+             None if age is None else float(age))
+            for i, (b, nm, ct, bal, age) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id long, blk int, name string, city string,"
+              " bal double, age double")
+    fields = [
+        LinkageField("name", "string", w[0]),
+        LinkageField("city", "string", w[1]),
+        LinkageField("bal", "numeric", w[2], scale=1000.0),
+        LinkageField("age", "numeric", w[3], scale=20.0),
+    ]
+    got = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in blocked_record_linkage_fields(
+            df, "id", ["blk"], fields, threshold=threshold).collect())
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    def s_sim(a, b):
+        if a is None or b is None:
+            return 0.0
+        return 1 - lev(a, b) / max(len(a), len(b))
+
+    def n_sim(a, b, scale):
+        if a is None or b is None:
+            return 0.0
+        return max(0.0, 1 - abs(a - b) / scale)
+
+    expect = []
+    for i in range(len(data)):
+        for j in range(i + 1, len(data)):
+            ri, rj = data[i], data[j]
+            if ri[1] != rj[1]:
+                continue
+            score = round(w[0] * s_sim(ri[2], rj[2])
+                          + w[1] * s_sim(ri[3], rj[3])
+                          + w[2] * n_sim(ri[4], rj[4], 1000.0)
+                          + w[3] * n_sim(ri[5], rj[5], 20.0), 6)
+            if score >= threshold:
+                expect.append((ri[0], rj[0], score))
+    assert got == sorted(expect)
