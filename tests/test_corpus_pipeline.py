@@ -521,3 +521,12 @@ def test_events_pipeline_mad_outlier_mode(spark):
     assert OutlierStep(EventColumns(), method="mad").threshold == 3.5
     assert OutlierStep(EventColumns(), threshold=4.0,
                        method="mad").threshold == 4.0
+    # and the builder passes the None default through to the resolver
+    from meshinsights_data_pipeline_spark.analytics.events_pipeline import (
+        build_events_pipeline,
+    )
+
+    steps = {p.name: p for p in
+             build_events_pipeline(outlier_method="mad").processors}
+    assert steps["outliers"].threshold == 3.5
+    assert build_events_pipeline().processors[2].threshold == 2.0
