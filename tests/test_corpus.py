@@ -1927,3 +1927,38 @@ def test_rfm_scores(spark):
         scores = [ap[u][axis] for u in (1, 2, 3, 4)]
         assert scores == sorted(scores, reverse=True)  # ordering holds
         assert all(abs(ap[u][axis] - out[u][axis]) <= 1 for u in (1, 2, 3, 4))
+
+
+def test_cusum_changepoints(spark):
+    """A flat in-control series never alarms; after a level shift the
+    upper CUSUM ramps and crosses the threshold a few samples in (the
+    detection-delay property that makes CUSUM better than a naive
+    per-point rule); recovery resets via the running-min closed form.
+    NULL/NaN rows are excluded like the stats siblings."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    base = datetime(2024, 1, 1)
+    # in-control at 10 for 6 points, then shift to 13 (3 units up)
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0,
+            13.0, 13.1, 12.9, 13.0,
+            None, float("nan")]
+    rows = [(1, base + timedelta(hours=i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, event_id long, value double")
+    out = {r.event_id: r for r in cusum_changepoints(
+        df, "ts", ["k"], "value", "event_id",
+        target=10.0, slack=0.5, threshold=5.0).collect()}
+    assert len(out) == 10  # NULL + NaN rows dropped
+    # in-control: s_plus stays under 1, never alarms
+    assert all(out[i].s_plus < 1.0 and not out[i].alarm_up
+               for i in range(6))
+    # post-shift drift is +2.5/sample: 2.5, 5.0, 7.4, 9.9
+    assert out[6].s_plus == 2.5 and not out[6].alarm_up
+    assert out[7].s_plus == 5.1 and out[7].alarm_up  # 2.5 + (13.1-10.5)
+    assert out[8].alarm_up and out[9].alarm_up
+    # downward side never fires on an upward shift
+    assert not any(out[i].alarm_down for i in out)

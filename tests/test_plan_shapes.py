@@ -788,6 +788,28 @@ def test_overlap_pairs_no_cartesian_jvm_only(spark):
     assert "EvalPython" not in pc
 
 
+def test_cusum_single_window_shuffle(spark):
+    """CUSUM's closed form (cumsum minus running-min of prefix cumsums)
+    must execute as ONE entity-keyed exchange feeding running-aggregate
+    Window frames — no join, no second shuffle, no Python, despite the
+    textbook recurrence looking sequential."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 1, 1.0)],
+        "k string, ts timestamp, event_id long, value double",
+    )
+    p = _plan(cusum_changepoints(df, "ts", ["k"], "value", "event_id",
+                                 target=0.0))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") >= 1 and "Join" not in p
+    assert "EvalPython" not in p
+
+
 def test_rolling_stats_single_window_shuffle(spark):
     """x91's scale contract: ONE entity-keyed exchange feeding ONE
     Window node with a running ROWS frame — no join, no second shuffle,

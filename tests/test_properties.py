@@ -1334,3 +1334,50 @@ def test_linkage_fields_matches_bruteforce(spark, rows, w, threshold):
             if score >= threshold:
                 expect.append((ri[0], rj[0], score))
     assert got == sorted(expect)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 1),                 # key
+                  st.integers(0, 50),                # ts offset (ties allowed)
+                  st.floats(-20, 20, allow_nan=False,
+                            allow_infinity=False)),
+        min_size=1, max_size=40,
+    ),
+    target=st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+    slack=st.floats(0, 2, allow_nan=False, allow_infinity=False),
+)
+@SLOW
+def test_cusum_matches_recurrence(spark, obs, target, slack):
+    """The closed form (cumsum minus running-min of prefix cumsums)
+    equals the textbook recurrence S_i = max(0, S_{i-1} + d_i) computed
+    in python over the same (ts, id) total order, for both sides."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(k, base + timedelta(minutes=t), i, float(v))
+            for i, (k, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, event_id long, value double")
+    got = {r.event_id: (r.s_plus, r.s_minus, r.alarm_up, r.alarm_down)
+           for r in cusum_changepoints(
+               df, "ts", ["k"], "value", "event_id",
+               target=target, slack=slack, threshold=3.0).collect()}
+    assert len(got) == len(rows)
+    # quantize exactly as the operator does: DECIMAL(18,6) drift terms
+    q = lambda x: round(x, 6)  # noqa: E731
+    for k in {r[0] for r in rows}:
+        series = sorted((r for r in rows if r[0] == k),
+                        key=lambda r: (r[1], r[2]))
+        sp = sm = 0.0
+        for _, _, eid, v in series:
+            sp = max(0.0, sp + (q(v) - q(target) - q(slack)))
+            sm = max(0.0, sm + (q(target) - q(slack) - q(v)))
+            g = got[eid]
+            assert abs(g[0] - sp) < 1e-6 and abs(g[1] - sm) < 1e-6
+            assert g[2] == (round(sp, 6) > 3.0)
+            assert g[3] == (round(sm, 6) > 3.0)
