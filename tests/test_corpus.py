@@ -1962,3 +1962,43 @@ def test_cusum_changepoints(spark):
     assert out[8].alarm_up and out[9].alarm_up
     # downward side never fires on an upward shift
     assert not any(out[i].alarm_down for i in out)
+
+
+def test_ab_test_zscores(spark):
+    """Known cells: control 1000 units 100 conv, treatment 1000 units
+    130 conv -> z ~ 2.103 (significant at 1.96); an underpowered arm is
+    not significant; se = 0 cells yield NULL z / false, and experiments
+    without a control arm never emit."""
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        ab_test_zscores,
+    )
+
+    def cell(exp, arm, n, x):
+        return ([(exp, arm, True)] * x) + ([(exp, arm, False)] * (n - x))
+
+    rows = (cell("e1", "control", 1000, 100) + cell("e1", "t1", 1000, 130)
+            + cell("e1", "t2", 50, 7)
+            + cell("e2", "control", 20, 0) + cell("e2", "t1", 20, 0)
+            + cell("e3", "t1", 10, 5))          # no control arm
+    df = spark.createDataFrame(rows, "exp string, arm string, conv boolean")
+    out = {(r.exp, r.arm): r for r in ab_test_zscores(
+        df, "exp", "arm", "conv", control_label="control").collect()}
+
+    def z_ref(nc, xc, na, xa):
+        pc, pa = xc / nc, xa / na
+        pool = (xc + xa) / (nc + na)
+        return round((pa - pc) / math.sqrt(
+            pool * (1 - pool) * (1 / nc + 1 / na)), 6)
+
+    r = out[("e1", "t1")]
+    assert (r.n_control, r.x_control, r.n_arm, r.x_arm) == (1000, 100, 1000, 130)
+    assert r.z == z_ref(1000, 100, 1000, 130) and r.significant
+    assert abs(r.z - 2.1027) < 1e-3 and r.lift == 0.03
+    r2 = out[("e1", "t2")]
+    assert r2.z == z_ref(1000, 100, 50, 7) and not r2.significant
+    r3 = out[("e2", "t1")]          # pooled rate 0 -> se 0
+    assert r3.z is None and r3.significant is False
+    assert ("e3", "t1") not in out  # no control: inner join drops it
+    assert ("e1", "control") not in out

@@ -1381,3 +1381,55 @@ def test_cusum_matches_recurrence(spark, obs, target, slack):
             assert abs(g[0] - sp) < 1e-6 and abs(g[1] - sm) < 1e-6
             assert g[2] == (round(sp, 6) > 3.0)
             assert g[3] == (round(sm, 6) > 3.0)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1),            # experiment
+                  st.integers(0, 2),            # arm id (0 = control)
+                  st.integers(1, 30),           # n
+                  st.integers(0, 30)),          # x (capped to n below)
+        min_size=1, max_size=8,
+    ),
+)
+@SLOW
+def test_ab_test_matches_python_bitwise(spark, cells):
+    """The z-statistic is bit-identical to the same fixed-order IEEE
+    formula in python (every step — rate divisions, pooled rate, se
+    multiply/sqrt, final divide — is correctly rounded, so identical
+    operand order means identical doubles), and se = 0 cells yield
+    NULL z / false significance."""
+    import math
+    from collections import defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        ab_test_zscores,
+    )
+
+    # collapse duplicate (exp, arm) tuples the way the aggregate would
+    agg = defaultdict(lambda: [0, 0])
+    for e, a, n, x in cells:
+        agg[(f"e{e}", f"a{a}")][0] += n
+        agg[(f"e{e}", f"a{a}")][1] += min(x, n)
+    rows = []
+    for (e, a), (n, x) in agg.items():
+        rows += [(e, a, True)] * x + [(e, a, False)] * (n - x)
+    df = spark.createDataFrame(rows, "exp string, arm string, conv boolean")
+    got = {(r.exp, r.arm): (r.z, r.significant)
+           for r in ab_test_zscores(
+               df, "exp", "arm", "conv", control_label="a0").collect()}
+
+    expect = {}
+    for (e, a), (n, x) in agg.items():
+        if a == "a0" or (e, "a0") not in agg:
+            continue
+        nc, xc = agg[(e, "a0")]
+        pc, pa = xc / nc, x / n
+        pool = (xc + x) / (nc + n)
+        se = math.sqrt(pool * (1.0 - pool) * (1.0 / nc + 1.0 / n))
+        if se > 0:
+            z = round((pa - pc) / se, 6)
+            expect[(e, a)] = (z, abs(z) > 1.959964)
+        else:
+            expect[(e, a)] = (None, False)
+    assert got == expect
