@@ -70,18 +70,56 @@ def cusum_changepoints(
     minimal plan — one shuffle, two running frames; for billions of
     keys partition count is the only knob.
     """
+    clean = _cusum_clean(df, ts_col, key_cols, value_col, id_col,
+                         target, slack)
+    scored = _cusum_exact(clean, ts_col, key_cols, id_col)
+    return _cusum_round(scored, ts_col, key_cols, value_col, id_col,
+                        threshold)
+
+
+def _cusum_clean(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    target: float,
+    slack: float,
+) -> DataFrame:
+    """NULL/NaN-guarded rows with the exact DECIMAL(18,6) drift terms
+    ``_dp = x - target - slack`` and ``_dm = target - slack - x``."""
     v = F.col(value_col).cast("double")
-    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+    return df.filter(v.isNotNull() & ~F.isnan(v)).select(
         *key_cols,
         F.col(id_col),
         F.col(ts_col),
         v.alias(value_col),
-        # exact decimal drifts: d+ = x - target - slack, d- = target - slack - x
         (v.cast("decimal(18,6)") - F.lit(float(target) + float(slack)).cast(
             "decimal(18,6)")).alias("_dp"),
         (F.lit(float(target) - float(slack)).cast("decimal(18,6)")
          - v.cast("decimal(18,6)")).alias("_dm"),
     )
+
+
+def _cusum_exact(
+    clean: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    id_col: str,
+    carry_p: str | None = None,
+    carry_m: str | None = None,
+) -> DataFrame:
+    """Append exact DECIMAL ``_sp`` / ``_sm`` statistic columns.
+
+    ``carry_p`` / ``carry_m`` name optional per-row DECIMAL(38,6)
+    columns holding the statistic carried in from history BEFORE this
+    frame (the streaming twin's state; NULL/absent = 0). The carry
+    folds into the closed form exactly: seeding the recurrence with
+    s0 >= 0 equals prepending a virtual row of drift s0, so
+    ``S_i = cumsum_i - least(0, runmin_i, -s0)`` — still two running
+    frames, still exact decimal algebra, so streamed scores are
+    bit-identical to the batch operator over the full history.
+    """
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
@@ -92,12 +130,30 @@ def cusum_changepoints(
     # min over cumsum_0..cumsum_n: the j=0 empty prefix contributes 0,
     # so clamp the running min at 0 with least()
     zero = F.lit(0).cast("decimal(38,6)")
-    s_plus = (cum_p - F.least(zero, F.min(cum_p).over(w))).cast("double")
-    s_minus = (cum_m - F.least(zero, F.min(cum_m).over(w))).cast("double")
-    s_plus = F.round(s_plus, 6)
-    s_minus = F.round(s_minus, 6)
+    floor_p = F.least(zero, F.min(cum_p).over(w))
+    floor_m = F.least(zero, F.min(cum_m).over(w))
+    if carry_p is not None:
+        floor_p = F.least(floor_p, -F.coalesce(F.col(carry_p), zero))
+    if carry_m is not None:
+        floor_m = F.least(floor_m, -F.coalesce(F.col(carry_m), zero))
+    return clean.withColumn("_sp", cum_p - floor_p).withColumn(
+        "_sm", cum_m - floor_m
+    )
+
+
+def _cusum_round(
+    scored: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Project the public rounded/flagged schema from exact ``_sp``/``_sm``."""
+    s_plus = F.round(F.col("_sp").cast("double"), 6)
+    s_minus = F.round(F.col("_sm").cast("double"), 6)
     thr = F.lit(float(threshold))
-    return clean.select(
+    return scored.select(
         *key_cols,
         F.col(id_col),
         F.col(ts_col),

@@ -43,6 +43,9 @@ from meshinsights_data_pipeline_spark.streaming.pmi import (
 from meshinsights_data_pipeline_spark.streaming.rolling import (
     streaming_rolling_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.cusum import (
+    streaming_cusum_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.lm import (
     streaming_lm_ingest,
 )
@@ -89,6 +92,7 @@ __all__ = [
     "streaming_novelty_ingest",
     "streaming_pmi_ingest",
     "streaming_rolling_ingest",
+    "streaming_cusum_ingest",
     "streaming_basket_ingest",
     "streaming_attribution_ingest",
     "streaming_lm_ingest",

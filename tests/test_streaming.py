@@ -2104,3 +2104,72 @@ def test_streaming_rolling_nan_at_seam_keeps_parity(spark, tmp_path):
     # rows neither score nor occupy tail slots.
     assert got == expect
     assert (1, 104, 3, 7.0, round(7.0 / 3, 6)) in got
+
+
+def test_streaming_cusum_full_parity_and_scalar_state(spark, tmp_path):
+    """Streamed CUSUM scores are bit-identical to the batch operator
+    over everything ingested so far: the carry folds into the running-
+    min floor as exact decimals (state = two scalars per key). The
+    series drifts up across the seam so batch 2's scores are wrong
+    unless the carry participates; NULL/NaN rows at the seam must not
+    perturb carried state; a retried epoch changes nothing."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_cusum_ingest,
+    )
+    from meshinsights_data_pipeline_spark.streaming.cusum import (
+        cusum_state_schema,
+    )
+
+    base = datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    # user 1: level 10 then a +3 shift whose ramp STRADDLES the seam;
+    # user 2: drifts down (exercises s_minus carry); NaN/NULL at seam
+    b1 = spark.createDataFrame(
+        [(1, base + timedelta(hours=i), 100 + i, v)
+         for i, v in enumerate([10.0, 9.9, 13.0, 13.1])]
+        + [(2, base + timedelta(hours=i), 200 + i, v)
+           for i, v in enumerate([7.0, 6.5, 6.0])]
+        + [(1, base + timedelta(hours=4), 104, float("nan")),
+           (2, base + timedelta(hours=3), 203, None)], schema)
+    b2 = spark.createDataFrame(
+        [(1, base + timedelta(hours=5 + i), 105 + i, v)
+         for i, v in enumerate([13.2, 12.8])]
+        + [(2, base + timedelta(hours=4 + i), 204 + i, v)
+           for i, v in enumerate([5.5, 5.0])], schema)
+    s_dir, o_dir = str(tmp_path / "st"), str(tmp_path / "out")
+    snapshot_overwrite(
+        spark.createDataFrame([], cusum_state_schema()), s_dir, -1)
+    process = streaming_cusum_ingest(
+        ["user_id"], state_dir=s_dir, scores_dir=o_dir,
+        target=10.0, slack=0.5, threshold=4.0)
+    process(b1, 0)
+    process(b2, 1)
+
+    def canon(df):
+        return sorted((r.user_id, r.event_id, r.s_plus, r.s_minus,
+                       r.alarm_up, r.alarm_down) for r in df.collect())
+
+    got = canon(spark.read.parquet(o_dir))
+    expect = canon(cusum_changepoints(
+        b1.unionByName(b2), "ts", ["user_id"], "value", "event_id",
+        target=10.0, slack=0.5, threshold=4.0))
+    assert got == expect  # bit parity incl. the seam-straddling ramp
+    # the shift is only detectable WITH the carry: batch 2 alone starts
+    # from 0 and could not alarm by its second row
+    assert any(r[1] == 106 and r[4] for r in got)       # user 1 alarm_up
+    assert any(r[0] == 2 and r[5] for r in got)         # user 2 alarm_down
+    # state is two exact scalars per key
+    st = snapshot_before(spark, s_dir, 99)
+    assert st.count() == 2 and set(st.columns) == {"user_id", "_sp", "_sm"}
+    n_before = len(got)
+    process(b2, 1)  # simulated retry
+    assert spark.read.parquet(o_dir).count() == n_before
