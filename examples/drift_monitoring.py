@@ -1,0 +1,74 @@
+"""Temporal drift monitoring end-to-end on the events table: per-user
+CUSUM changepoints -> alarm summary -> A/B readout of a derived
+experiment — the telemetry-monitoring composition next to the
+distributional drift examples (PSI/TV/centroid compare populations;
+CUSUM watches each key IN TIME).
+
+1. cusum_changepoints: two-sided Page CUSUM per user over event values
+   in (ts, id) order — the max(0, S+d) recurrence computed by its
+   closed form (cumsum minus running-min of prefix sums), one shuffle.
+2. Alarm summary: first alarm time and alarm counts per user — the
+   triage frame an on-call dashboard reads.
+3. ab_test_zscores: treat odd/even user ids as experiment arms and
+   "user ever alarmed" as the conversion — the two-proportion z
+   readout pattern (here expected insignificant: the split is random).
+
+Run: python examples/drift_monitoring.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.operators.abtest import ab_test_zscores
+from meshinsights_data_pipeline_spark.operators.changepoint import (
+    cusum_changepoints,
+)
+from meshinsights_data_pipeline_spark.session import get_spark, read_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("drift-monitoring-example")
+    ev = read_table(spark, sf_dir, "events")
+
+    # target/slack from the corpus's own scale, as literals (classic
+    # CUSUM practice: baseline from history, not the window under test)
+    mu, sigma = ev.agg(
+        F.round(F.avg("value"), 2), F.round(F.stddev_pop("value"), 2)
+    ).first()
+    scored = cusum_changepoints(
+        ev, "ts", ["user_id"], "value", "event_id",
+        target=mu, slack=0.5 * sigma, threshold=4.0 * sigma,
+    )
+
+    alarms = scored.filter(F.col("alarm_up") | F.col("alarm_down"))
+    summary = alarms.groupBy("user_id").agg(
+        F.min("ts").alias("first_alarm"),
+        F.sum(F.col("alarm_up").cast("int")).alias("n_up"),
+        F.sum(F.col("alarm_down").cast("int")).alias("n_down"),
+    )
+    n_alarmed = summary.count()
+    print(f"target={mu} slack={0.5 * sigma} h={4.0 * sigma}: "
+          f"{n_alarmed} users alarmed")
+    summary.orderBy("first_alarm").show(5)
+
+    # A/B readout: random odd/even split, conversion = ever alarmed
+    units = ev.select("user_id").distinct().withColumn(
+        "arm", F.when(F.col("user_id") % 2 == 0, "control").otherwise("t1")
+    ).join(
+        summary.select("user_id").withColumn("conv", F.lit(True)),
+        "user_id", "left",
+    ).fillna(False, ["conv"]).withColumn("exp", F.lit("alarm_rate"))
+    ab_test_zscores(units, "exp", "arm", "conv",
+                    control_label="control").show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
