@@ -1433,3 +1433,55 @@ def test_ab_test_matches_python_bitwise(spark, cells):
         else:
             expect[(e, a)] = (None, False)
     assert got == expect
+
+
+@given(
+    vals=st.lists(st.floats(-15, 15, allow_nan=False,
+                            allow_infinity=False),
+                  min_size=2, max_size=24),
+    cut=st.integers(1, 23),
+)
+@SLOW
+def test_cusum_carry_identity_any_split(spark, vals, cut):
+    """The streaming twin's algebra, directly: for ANY split point,
+    scoring the suffix with the prefix's final exact statistics folded
+    into the running-min floor (_cusum_exact carry columns) is
+    bit-identical to the batch operator over the whole series."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.changepoint import (
+        _cusum_clean,
+        _cusum_exact,
+        _cusum_round,
+        cusum_changepoints,
+    )
+    from pyspark.sql import functions as F
+
+    cut = min(cut, len(vals) - 1)
+    base = datetime(2024, 1, 1)
+    mk = lambda pairs: spark.createDataFrame(  # noqa: E731
+        [(1, base + timedelta(hours=i), i, float(v)) for i, v in pairs],
+        "k int, ts timestamp, event_id long, value double")
+    full = mk(list(enumerate(vals)))
+    prefix, suffix = mk(list(enumerate(vals))[:cut]), mk(
+        list(enumerate(vals))[cut:])
+
+    whole = {r.event_id: (r.s_plus, r.s_minus) for r in cusum_changepoints(
+        full, "ts", ["k"], "value", "event_id",
+        target=1.0, slack=0.5, threshold=3.0).collect()}
+
+    pre = _cusum_exact(
+        _cusum_clean(prefix, "ts", ["k"], "value", "event_id", 1.0, 0.5),
+        "ts", ["k"], "event_id")
+    last = pre.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(
+        1).select(F.col("k"), F.col("_sp").alias("_cp"),
+                  F.col("_sm").alias("_cm"))
+    seeded = _cusum_clean(
+        suffix, "ts", ["k"], "value", "event_id", 1.0, 0.5
+    ).join(last, "k", "left")
+    scored = _cusum_round(
+        _cusum_exact(seeded, "ts", ["k"], "event_id",
+                     carry_p="_cp", carry_m="_cm"),
+        "ts", ["k"], "value", "event_id", 3.0)
+    got = {r.event_id: (r.s_plus, r.s_minus) for r in scored.collect()}
+    assert got == {e: s for e, s in whole.items() if e >= cut}
