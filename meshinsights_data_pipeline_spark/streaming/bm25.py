@@ -16,7 +16,8 @@ the same documented delta as streaming_lm_ingest.
 
 State = ONE mergeable counter table ``[key, val]`` holding ``n``,
 ``tl``, and one ``df:<term>`` row per query term — ``|Q| + 2`` rows,
-the smallest state table in the streaming family (dsir's is 4096).
+the smallest GLOBAL state table in the streaming family (dsir's is
+4096; the per-KEY minimum is the CUSUM twin's two scalars per key).
 Summed counters are not re-merge-idempotent, so state reads use
 ``snapshot_before(epoch)``; score appends are exactly-once per epoch by
 default (epoch-keyed dynamic partition overwrite).

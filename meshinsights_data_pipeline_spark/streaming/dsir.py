@@ -15,7 +15,8 @@ as streaming_lm_ingest.
 
 State = ONE mergeable snapshot table of raw bucket counts [b, c_r],
 bounded by the ``buckets`` feature-space size (4096 rows by default —
-the smallest state table in the streaming family). Summed counts are
+smaller than any corpus-growing state; bm25's |Q|+2 and the CUSUM
+twin's two scalars/key are the family minima). Summed counts are
 not re-merge-idempotent, so state reads use ``snapshot_before(epoch)``;
 score appends are exactly-once per epoch by default (epoch-keyed
 dynamic partition overwrite).

@@ -1,8 +1,8 @@
 """Incremental rolling-window stats — the streaming twin of
 ``operators.rollup.rolling_stats`` (the merged-history pattern, with a
 provably BOUNDED state: a ROWS frame of n points needs only the last
-n-1 observations per key, so state size is |keys| x (n-1) — the
-smallest state class in the twin family, next to BM25's counter rows).
+n-1 observations per key, so state size is |keys| x (n-1) — next to
+BM25's counter rows and above only the CUSUM twin's two scalars/key).
 
 Each micro-batch unions its rows with the retained tail, scores by
 CALLING THE BATCH OPERATOR on the union (definitional parity), emits
