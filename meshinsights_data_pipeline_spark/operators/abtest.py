@@ -49,7 +49,9 @@ def ab_test_zscores(
     ``se = sqrt(pool * (1 - pool) * (1/n_c + 1/n_a))`` over the pooled
     rate, both rounded to 6dp. Degenerate cells — an experiment with no
     control rows never emits (inner join); se = 0 (pooled rate 0 or 1)
-    yields NULL z and ``significant = false``, not a division blow-up.
+    yields NULL z and ``significant = false``, not a division blow-up;
+    rows with a NULL experiment or NULL arm never pair (inner equality
+    join semantics — NULL != NULL, the same rule as linkage blocking).
 
     Scale shape: ONE map-side-combinable aggregate over the event scan
     builds the |experiments x arms| cell frame; the control cells join

@@ -2144,7 +2144,9 @@ def test_streaming_cusum_full_parity_and_scalar_state(spark, tmp_path):
         [(1, base + timedelta(hours=5 + i), 105 + i, v)
          for i, v in enumerate([13.2, 12.8])]
         + [(2, base + timedelta(hours=4 + i), 204 + i, v)
-           for i, v in enumerate([5.5, 5.0])], schema)
+           for i, v in enumerate([5.5, 5.0])]
+        # user 3 first appears mid-stream: NULL carry must read as 0
+        + [(3, base + timedelta(hours=1), 300, 16.0)], schema)
     s_dir, o_dir = str(tmp_path / "st"), str(tmp_path / "out")
     snapshot_overwrite(
         spark.createDataFrame([], cusum_state_schema()), s_dir, -1)
@@ -2167,9 +2169,11 @@ def test_streaming_cusum_full_parity_and_scalar_state(spark, tmp_path):
     # from 0 and could not alarm by its second row
     assert any(r[1] == 106 and r[4] for r in got)       # user 1 alarm_up
     assert any(r[0] == 2 and r[5] for r in got)         # user 2 alarm_down
+    # mid-stream key: scored from a zero carry, alarms immediately
+    assert any(r[1] == 300 and r[2] == 5.5 and r[4] for r in got)
     # state is two exact scalars per key
     st = snapshot_before(spark, s_dir, 99)
-    assert st.count() == 2 and set(st.columns) == {"user_id", "_sp", "_sm"}
+    assert st.count() == 3 and set(st.columns) == {"user_id", "_sp", "_sm"}
     n_before = len(got)
     process(b2, 1)  # simulated retry
     assert spark.read.parquet(o_dir).count() == n_before
