@@ -376,3 +376,58 @@ class MemorySource(Source):
         if self.schema:
             return spark.createDataFrame(self.data, self.schema)
         return spark.createDataFrame(self.data)
+
+
+class TextSource(Source):
+    """Line-oriented text source/sink (``spark.read.text``) — raw-corpus
+    ingest before any structure exists (one line = one row, column
+    ``value``; ``wholetext=True`` flips to one FILE per row for
+    document-per-file layouts). The splittable line format is the 100 TB
+    shape; whole-file rows are bounded by the largest single document.
+    Writing requires exactly one string column (Spark's text-sink
+    contract) — select/alias upstream."""
+
+    def __init__(self, path: str, wholetext: bool = False,
+                 line_sep: str | None = None):
+        self.path = path
+        self.wholetext = wholetext
+        self.line_sep = line_sep
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        # wholetext/lineSep must go through text()'s own parameters — the
+        # generic .option("wholetext", ...) key is silently IGNORED by the
+        # text reader (probed: option-form returned per-line rows)
+        return spark.read.text(
+            self.path, wholetext=self.wholetext, lineSep=self.line_sep
+        )
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        df.write.mode(mode).text(self.path)
+
+
+class BinaryFileSource(Source):
+    """Raw-bytes file source (``binaryFile`` format) — the multimodal
+    ingest front door: each file becomes ``[path, modificationTime,
+    length, content binary]``, feeding the opaque-binary-column contract
+    of operators/multimodal.py (header probe, payload near-dup, decode
+    tiers) without any per-file driver loop. ``path_glob`` maps to
+    ``pathGlobFilter`` (e.g. ``"*.png"``) so pruning happens at listing
+    time, not after a full read. Read-only by Spark's own contract (no
+    binaryFile writer exists); persist extracted frames as parquet with
+    the binary column instead.
+
+    100 TB note: millions of small files are a listing/driver-memory
+    problem for ANY engine — compact small media into parquet-with-
+    binary-column (this source is the ingest step that gets you there)
+    and size ``spark.sql.files.maxPartitionBytes`` for the large ones.
+    """
+
+    def __init__(self, path: str, path_glob: str | None = None):
+        self.path = path
+        self.path_glob = path_glob
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format("binaryFile")
+        if self.path_glob:
+            reader = reader.option("pathGlobFilter", self.path_glob)
+        return reader.load(self.path)

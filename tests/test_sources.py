@@ -758,3 +758,64 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     # filter + projection reach the ORC scan
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,3)]" in plan
     assert "struct<doc_id:bigint>" in plan
+
+
+def test_text_source_roundtrip_and_wholetext(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meshinsights_data_pipeline_spark.sources import TextSource
+
+    out = str(tmp_path / "corpus_txt")
+    df = spark.createDataFrame(
+        [(f"line {i}",) for i in range(5)], "value string")
+    TextSource(out).write(df, mode="overwrite")
+    back = TextSource(out).read(spark)
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect()) == [
+        f"line {i}" for i in range(5)]
+    # wholetext: one FILE per row (document-per-file corpus layout)
+    doc_dir = tmp_path / "docs"
+    doc_dir.mkdir()
+    (doc_dir / "a.txt").write_text("alpha\nbeta")
+    (doc_dir / "b.txt").write_text("gamma")
+    whole = TextSource(str(doc_dir), wholetext=True).read(spark)
+    assert sorted(r.value for r in whole.collect()) == ["alpha\nbeta", "gamma"]
+    # the text sink contract: exactly one string column
+    two_cols = df.withColumn("extra", F.lit(1))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        TextSource(str(tmp_path / "bad")).write(two_cols)
+
+
+def test_binary_file_source(spark, tmp_path):
+    import pytest as _pytest
+
+    from meshinsights_data_pipeline_spark.sources import BinaryFileSource
+
+    media = tmp_path / "media"
+    media.mkdir()
+    png_payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    (media / "img.png").write_bytes(png_payload)
+    (media / "clip.wav").write_bytes(b"RIFF....WAVE")
+    rows = {r.path.rsplit("/", 1)[-1]: r
+            for r in BinaryFileSource(str(media)).read(spark).collect()}
+    assert set(rows) == {"img.png", "clip.wav"}
+    assert bytes(rows["img.png"].content) == png_payload
+    assert rows["img.png"].length == len(png_payload)
+    # pathGlobFilter prunes at listing time
+    only_png = BinaryFileSource(str(media), path_glob="*.png").read(spark)
+    assert [r.path.rsplit("/", 1)[-1] for r in only_png.collect()] == [
+        "img.png"]
+    # read-only by Spark's own contract
+    with _pytest.raises(NotImplementedError, match="read-only"):
+        BinaryFileSource(str(media)).write(only_png)
+    # feeds the multimodal header probe directly (binary column contract)
+    from meshinsights_data_pipeline_spark.operators.multimodal import (
+        decode_image_dims,
+    )
+    meta = decode_image_dims(
+        only_png.selectExpr("path AS media_id", "content AS payload",
+                            "'image' AS modality"),
+        backend="probe",
+    ).collect()
+    assert len(meta) == 1 and meta[0].dec_mode == "PNG"
