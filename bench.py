@@ -255,6 +255,38 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: record linkage e2e failed: {exc}", file=sys.stderr)
 
+    # Temporal drift monitoring end-to-end (examples/drift_monitoring.py's
+    # core: per-user CUSUM changepoints -> alarm triage summary) — the
+    # r14 anchor's composed plan, gated now so its regression history
+    # starts before registration.
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.operators.changepoint import (
+            cusum_changepoints,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            scored = cusum_changepoints(
+                ev, "ts", ["user_id"], "value", "event_id",
+                target=50.0, slack=12.0, threshold=95.0,
+            )
+            alarms = scored.filter(F.col("alarm_up") | F.col("alarm_down"))
+            alarms.groupBy("user_id").agg(
+                F.min("ts").alias("first_alarm"),
+                F.sum(F.col("alarm_up").cast("int")).alias("n_up"),
+                F.sum(F.col("alarm_down").cast("int")).alias("n_down"),
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["drift_monitoring_e2e"] = runs[0]
+        extras["drift_monitoring_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: drift monitoring e2e failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost
