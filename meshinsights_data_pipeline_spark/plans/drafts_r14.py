@@ -7,6 +7,12 @@ HERE, proven green against the oracle harness by
 ``tests/test_oracle_drafts.py``. Round 14 moves each (builder, SQL)
 pair into ``extension_queries.EXTENSION_BUILDERS`` and gives it a
 ``_DRIVER_WINDOW`` slot — registration is a copy, not new work.
+
+Round-14 window math (for whoever rotates next): 2 slots for x104/x105
+(new), 2 for x06/x54 (displaced from the r13 fill band by the x90/x97
+code-change slots), the 29-query r10-stale cohort in full, then fill
+to 50 with the oldest r11 queries. After that rotation no query is
+staler than r11.
 """
 
 from __future__ import annotations
