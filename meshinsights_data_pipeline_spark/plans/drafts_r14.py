@@ -150,8 +150,55 @@ FROM z
 ORDER BY experiment, arm
 """
 
+def x04_ngram_jaccard_capped(spark: SparkSession, sf_dir: str):
+    """x04's anchor with the max_doc_freq=4 scale cap — staged as the
+    r14 REPLACEMENT for the uncapped anchor (which posts the r13
+    bench's worst sf1 ratio, 4.1x, from exactly the hot-shingle
+    quadratic the cap removes; x90's identical switch took its ratio
+    4.1x -> 3.0x in r13). Denominators stay uncapped so capping only
+    removes pairs (property-tested); at sf0.01 cap=4 preserves the
+    full 25-pair result, so the driver record is unchanged by the
+    switch. r14: replace x04's builder + SQL with this pair and give
+    x04 a window slot (operator code change rule)."""
+    from meshinsights_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_doc_freq=4
+    ).orderBy("id_a", "id_b")
+
+
+def _x04_capped_sql() -> str:
+    from meshinsights_data_pipeline_spark.plans.extension_queries import (
+        _shingles_cte,
+    )
+
+    return f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+low_df AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 4),
+shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN low_df ON low_df.h = sh.h),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM shc a JOIN shc b ON a.h = b.h
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
 #: what r14 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
     "x105_ab_test": (x105_ab_test, X105_SQL),
+    "x04_ngram_jaccard_capped": (x04_ngram_jaccard_capped, _x04_capped_sql()),
 }

@@ -146,7 +146,13 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+-- threshold on the ROUNDED ratio, matching ngram_jaccard_pairs (which
+-- filters F.round(jaccard, 6) >= t): a borderline ratio in
+-- [t - 5e-7, t) rounds IN on the Spark side, so an unrounded SQL
+-- filter here would drop it from the oracle only (latent boundary
+-- split found in r13's draft review; every sibling oracle — x07, x29,
+-- x38, x90 — already thresholds post-round)
+WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2
 ORDER BY id_a, id_b
 """
 
