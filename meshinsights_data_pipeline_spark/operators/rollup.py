@@ -355,3 +355,70 @@ def rolling_stats(
         roll_sum.alias("roll_sum"),
         F.round(roll_sum / roll_n, 6).alias("roll_avg"),
     )
+
+
+def exp_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    k: int = 8,
+) -> DataFrame:
+    """Per-key K-point exponentially-weighted rolling mean in (ts, id)
+    order: ``ewa_i = sum_j w_j * x_{i-j} / sum_j w_j`` over the last
+    ``min(i, k)`` observations with ``w_j = alpha * (1-alpha)^j`` — the
+    recency-weighted smoother between :func:`rolling_stats` (equal
+    weights) and a CUSUM alarm (operators/changepoint.py). Deliberately
+    a BOUNDED window, not the infinite-history ewm recurrence: the
+    k-term truncation makes the semantics self-contained (each row's
+    value depends on exactly k rows), the tail weight it drops is
+    ``(1-alpha)^k`` (~0.4% at the defaults), and the re-normalizing
+    denominator keeps the head of each series unbiased (the same
+    ``adjust=True`` convention pandas ewm uses).
+
+    Implementation note (Spark-first): the textbook recurrence is
+    sequential, and a collect_list-then-fold depends on list order
+    guarantees — instead the k terms are k ``lag()`` expressions over
+    ONE window spec, so the whole statistic is a fixed arithmetic
+    chain inside whole-stage codegen: one entity-keyed shuffle, no
+    arrays, no Python, no order ambiguity.
+
+    Cross-engine determinism: with dyadic ``alpha`` (1/2, 1/4, ...)
+    every weight is exactly representable and each term is one
+    correctly-rounded IEEE multiply; the numerator/denominator fold in
+    fixed j-order and the result is ONE division, rounded to 6dp.
+    Rows with NULL/NaN values are dropped FIRST (the stats-family
+    guard), so lags step over clean observations only.
+
+    Scale shape: one shuffle, k lag expressions over one window —
+    O(k) per row, no frame buffering beyond the window's own k rows.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *key_cols, F.col(id_col), F.col(ts_col), v.alias(value_col)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        weight = float(alpha) * (1.0 - float(alpha)) ** j
+        term = F.lag(value_col, j).over(w) if j else F.col(value_col)
+        num = num + F.coalesce(term * F.lit(weight), F.lit(0.0))
+        den = den + F.when(term.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0.0)
+        )
+    return clean.select(
+        *key_cols,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(num / den, 6).alias("ewa"),
+    )

@@ -150,6 +150,50 @@ FROM z
 ORDER BY experiment, arm
 """
 
+def x106_exp_weighted_avg(spark: SparkSession, sf_dir: str):
+    """Per-user 8-point exponentially-weighted rolling mean over event
+    values (rollup.exp_weighted_avg, alpha=1/2): k lag terms over ONE
+    window spec — a fixed dyadic-weight arithmetic chain in whole-stage
+    codegen, re-normalized over present terms so series heads are
+    unbiased. Sliced to users < 40 like x91/x104 (per-user windows are
+    self-contained)."""
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        exp_weighted_avg,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return exp_weighted_avg(
+        ev, "ts", ["user_id"], "value", "event_id", alpha=0.5, k=8
+    ).orderBy("user_id", "ts", "event_id")
+
+
+def _x106_sql(k: int = 8, alpha: float = 0.5) -> str:
+    # the same fixed j-order fold, one LAG per term (LAG(value, 0) is
+    # the current row in DuckDB, mirroring the operator's j=0 term)
+    num = " + ".join(
+        f"COALESCE(LAG(value, {j}) OVER w * {alpha * (1 - alpha) ** j!r}, 0)"
+        for j in range(k)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL "
+        f"THEN {alpha * (1 - alpha) ** j!r} ELSE 0 END)"
+        for j in range(k)
+    )
+    return f"""
+WITH clean AS (
+    SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE user_id < 40 AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+)
+SELECT user_id, event_id, ts, value,
+       ROUND(({num}) / ({den}), 6) AS ewa
+FROM clean
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+
 def x04_ngram_jaccard_capped(spark: SparkSession, sf_dir: str):
     """x04's anchor with the max_doc_freq=4 scale cap — staged as the
     r14 REPLACEMENT for the uncapped anchor (which posts the r13
@@ -200,5 +244,6 @@ ORDER BY id_a, id_b
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
     "x105_ab_test": (x105_ab_test, X105_SQL),
+    "x106_exp_weighted_avg": (x106_exp_weighted_avg, _x106_sql()),
     "x04_ngram_jaccard_capped": (x04_ngram_jaccard_capped, _x04_capped_sql()),
 }

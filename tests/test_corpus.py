@@ -2002,3 +2002,34 @@ def test_ab_test_zscores(spark):
     assert r3.z is None and r3.significant is False
     assert ("e3", "t1") not in out  # no control: inner join drops it
     assert ("e1", "control") not in out
+
+
+def test_exp_weighted_avg(spark):
+    """Known dyadic case (alpha=0.5, k=3): weights 1/2, 1/4, 1/8 with a
+    re-normalizing denominator, so the series head is unbiased (first
+    row's ewa = its own value) and each row matches the hand fold;
+    NULL/NaN rows are dropped before lags step over them."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        exp_weighted_avg,
+    )
+
+    base = datetime(2024, 1, 1)
+    vals = [8.0, 4.0, None, 2.0, float("nan"), 1.0]
+    rows = [(1, base + timedelta(hours=i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, event_id long, value double")
+    out = {r.event_id: r.ewa for r in exp_weighted_avg(
+        df, "ts", ["k"], "value", "event_id", alpha=0.5, k=3).collect()}
+    # clean series is 8, 4, 2, 1 at events 0, 1, 3, 5
+    assert out[0] == 8.0                                   # den = 1/2
+    assert out[1] == round((4 / 2 + 8 / 4) / 0.75, 6)      # two terms
+    assert out[3] == round((2 / 2 + 4 / 4 + 8 / 8) / 0.875, 6)
+    assert out[5] == round((1 / 2 + 2 / 4 + 4 / 8) / 0.875, 6)
+    assert 2 not in out and 4 not in out                   # guarded rows
+    import pytest
+    with pytest.raises(ValueError, match="alpha"):
+        exp_weighted_avg(df, "ts", ["k"], "value", "event_id", alpha=1.0)
+    with pytest.raises(ValueError, match="k must"):
+        exp_weighted_avg(df, "ts", ["k"], "value", "event_id", k=0)

@@ -788,6 +788,26 @@ def test_overlap_pairs_no_cartesian_jvm_only(spark):
     assert "EvalPython" not in pc
 
 
+def test_exp_weighted_avg_single_window_shuffle(spark):
+    """EWA's k lag terms share ONE window spec — one entity-keyed
+    exchange, a fixed arithmetic chain, no arrays/collect_list, no
+    join, no Python."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        exp_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 1, 1.0)],
+        "k string, ts timestamp, event_id long, value double",
+    )
+    p = _plan(exp_weighted_avg(df, "ts", ["k"], "value", "event_id"))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") >= 1 and "Join" not in p
+    assert "collect_list" not in p and "EvalPython" not in p
+
+
 def test_cusum_single_window_shuffle(spark):
     """CUSUM's closed form (cumsum minus running-min of prefix cumsums)
     must execute as ONE entity-keyed exchange feeding running-aggregate

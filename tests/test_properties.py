@@ -1485,3 +1485,46 @@ def test_cusum_carry_identity_any_split(spark, vals, cut):
         "ts", ["k"], "value", "event_id", 3.0)
     got = {r.event_id: (r.s_plus, r.s_minus) for r in scored.collect()}
     assert got == {e: s for e, s in whole.items() if e >= cut}
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30),
+                  st.floats(-50, 50, allow_nan=False,
+                            allow_infinity=False)),
+        min_size=1, max_size=30,
+    ),
+    k=st.integers(1, 6),
+)
+@SLOW
+def test_exp_weighted_avg_matches_python(spark, obs, k):
+    """The lag-chain EWA equals the same fixed-order fold in python
+    over each key's (ts, id)-ordered clean series, for any window
+    length — including the short-series head where the denominator
+    re-normalizes over the present terms only."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.rollup import (
+        exp_weighted_avg,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(g, base + timedelta(minutes=t), i, float(v))
+            for i, (g, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, event_id long, value double")
+    got = {r.event_id: r.ewa for r in exp_weighted_avg(
+        df, "ts", ["k"], "value", "event_id", alpha=0.5, k=k).collect()}
+    for g in {r[0] for r in rows}:
+        series = sorted((r for r in rows if r[0] == g),
+                        key=lambda r: (r[1], r[2]))
+        for pos, (_, _, eid, _) in enumerate(series):
+            num = den = 0.0
+            for j in range(k):          # same j-order fold as the operator
+                if pos - j < 0:
+                    num = num + 0.0
+                else:
+                    w = 0.5 * 0.5 ** j
+                    num = num + series[pos - j][3] * w
+                    den = den + w
+            assert got[eid] == round(num / den, 6)
