@@ -1368,15 +1368,28 @@ def test_cusum_matches_recurrence(spark, obs, target, slack):
                df, "ts", ["k"], "value", "event_id",
                target=target, slack=slack, threshold=3.0).collect()}
     assert len(got) == len(rows)
-    # quantize exactly as the operator does: DECIMAL(18,6) drift terms
-    q = lambda x: round(x, 6)  # noqa: E731
+    # quantize exactly as the operator does: the COMBINED scalars
+    # target+slack and target-slack each become ONE DECIMAL(18,6)
+    # literal (HALF_UP, like Spark's decimal cast) — quantizing target
+    # and slack separately diverges by 1e-6 when both scalars round the
+    # same direction (hypothesis found target=1.17578125,
+    # slack=0.51171875: q(t)-q(s) = 0.664062 but q(t-s) = 0.664063).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     for k in {r[0] for r in rows}:
         series = sorted((r for r in rows if r[0] == k),
                         key=lambda r: (r[1], r[2]))
         sp = sm = 0.0
         for _, _, eid, v in series:
-            sp = max(0.0, sp + (q(v) - q(target) - q(slack)))
-            sm = max(0.0, sm + (q(target) - q(slack) - q(v)))
+            sp = max(0.0, sp + (q(v) - q(target + slack)))
+            sm = max(0.0, sm + (q(target - slack) - q(v)))
             g = got[eid]
             assert abs(g[0] - sp) < 1e-6 and abs(g[1] - sm) < 1e-6
             assert g[2] == (round(sp, 6) > 3.0)
@@ -1528,3 +1541,221 @@ def test_exp_weighted_avg_matches_python(spark, obs, k):
                     num = num + series[pos - j][3] * w
                     den = den + w
             assert got[eid] == round(num / den, 6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-4, 4)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@SLOW
+def test_mann_kendall_matches_python(spark, rows):
+    """Trend: S, tie-corrected var(S), continuity-corrected z, and the
+    Theil-Sen median slope all match an independent pure-Python
+    reference on random integer series (ties in both time and value
+    included by construction)."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (g, base + timedelta(seconds=t), i, float(v))
+        for i, (g, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "g int, ts timestamp, id long, v double")
+    got = {
+        r["g"]: r
+        for r in mann_kendall_trend(df, "ts", ["g"], "v", "id").collect()
+    }
+    for g in {g for g, _, _ in rows}:
+        series = sorted(
+            [(t, i, float(v)) for i, (gg, t, v) in enumerate(rows) if gg == g]
+        )
+        n = len(series)
+        if n < 2:
+            assert g not in got
+            continue
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dv = series[j][2] - series[i][2]
+                s += (dv > 0) - (dv < 0)
+                dt = series[j][0] - series[i][0]  # integer seconds
+                if dt > 0:
+                    slopes.append(dv / dt)
+        from collections import Counter as _C
+
+        ties = _C(v for _, _, v in series)
+        var = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        ) / 18.0
+        r = got[g]
+        assert r["n"] == n and r["s"] == s
+        assert abs(r["var_s"] - round(var, 6)) < 1e-9
+        if var <= 0:
+            assert r["z"] is None
+        elif s == 0:
+            assert r["z"] == 0.0
+        else:
+            expect_z = (s - 1 if s > 0 else s + 1) / (round(var, 6) ** 0.5)
+            assert abs(r["z"] - expect_z) < 2e-6
+        if slopes:
+            slopes.sort()
+            k = len(slopes)
+            mid = (
+                slopes[k // 2]
+                if k % 2
+                else (slopes[k // 2 - 1] + slopes[k // 2]) / 2
+            )
+            assert abs(r["sen_slope"] - mid) < 2e-6
+        else:
+            assert r["sen_slope"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-8, 8)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_ks_drift_matches_python(spark, rows):
+    """KS: the exact-integer arg-max formulation equals the direct
+    max-over-values |ECDF_g - ECDF_corpus| computed with Fractions."""
+    from fractions import Fraction
+
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g int, v double"
+    )
+    got = {r["g"]: r for r in ks_drift(df, "g", "v").collect()}
+    all_vals = sorted({v for _, v in rows})
+    n = len(rows)
+    for g in {g for g, _ in rows}:
+        mine = sorted(v for gg, v in rows if gg == g)
+        n_g = len(mine)
+        best = max(
+            abs(
+                Fraction(sum(1 for x in mine if x <= v), n_g)
+                - Fraction(sum(1 for _, x in rows if x <= v), n)
+            )
+            for v in all_vals
+        )
+        r = got[g]
+        assert r["n"] == n_g
+        assert abs(r["ks"] - round(float(best), 6)) < 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=0.001, max_value=9e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SLOW
+def test_benford_matches_python(spark, vals):
+    """Benford: chi2 and max_dev match a pure-Python reference that
+    extracts first digits from the quantized decimal rendering —
+    including the full expected-weight contribution of absent digits."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        BENFORD_EXPECTED,
+        benford_deviation,
+    )
+
+    df = spark.createDataFrame([("a", float(v)) for v in vals], "g string, v double")
+    out = benford_deviation(df, "g", "v").collect()
+    digits = []
+    for v in vals:
+        q = Decimal(repr(abs(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        ds = [c for c in str(q) if c in "123456789"]
+        if ds:
+            digits.append(int(ds[0]))
+    if not digits:
+        assert out == []
+        return
+    (r,) = out
+    n = len(digits)
+    chi2 = 0.0
+    max_dev = 0.0
+    for d, e_s in BENFORD_EXPECTED.items():
+        e = float(e_s)
+        p = digits.count(d) / n
+        chi2 += (p - e) * (p - e) / e
+        max_dev = max(max_dev, abs(p - e))
+    assert r["n"] == n
+    assert abs(r["chi2"] - n * chi2) < 1e-5
+    assert abs(r["max_dev"] - max_dev) < 2e-6
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    """Entropy/Gini closed forms: a uniform token distribution has
+    entropy ln(K), norm_entropy 1, gini 0; a single-type source has
+    entropy 0, norm_entropy NULL, gini 0."""
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "alpha beta gamma"), ("k", "same same same")],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in source_token_entropy(df, "source", "text").collect()}
+    u = got["u"]
+    assert u["n_tokens"] == 3 and u["n_types"] == 3
+    assert abs(u["entropy"] - round(math.log(3), 6)) < 1e-9
+    assert u["norm_entropy"] == 1.0
+    assert u["gini"] == 0.0
+    k = got["k"]
+    assert k["n_tokens"] == 3 and k["n_types"] == 1
+    assert k["entropy"] == 0.0
+    assert k["norm_entropy"] is None
+    assert k["gini"] == 0.0
+
+
+@given(
+    toks=st.lists(st.integers(0, 6), min_size=1, max_size=60),
+)
+@SLOW
+def test_token_entropy_matches_python(spark, toks):
+    """Entropy/Gini match a pure-Python reference on random token bags."""
+    import math
+    from collections import Counter as _C
+
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_token_entropy,
+    )
+
+    text = " ".join(f"t{t}" for t in toks)
+    df = spark.createDataFrame([("s", text)], "source string, text string")
+    (r,) = source_token_entropy(df, "source", "text").collect()
+    counts = sorted(_C(toks).values())
+    n, k = sum(counts), len(counts)
+    h = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    gini = (
+        2 * sum(i * c for i, c in enumerate(counts, start=1)) - (k + 1) * n
+    ) / (k * n)
+    assert r["n_tokens"] == n and r["n_types"] == k
+    assert abs(r["entropy"] - h) < 2e-6
+    assert abs(r["gini"] - gini) < 2e-6
+    if k >= 2:
+        assert abs(r["norm_entropy"] - h / math.log(k)) < 2e-6
+    else:
+        assert r["norm_entropy"] is None
