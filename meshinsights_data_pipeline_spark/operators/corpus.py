@@ -1956,3 +1956,90 @@ def source_vocab_overlap(
             ).alias("vocab_jaccard"),
         )
     )
+
+
+def source_token_entropy(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source token-distribution concentration report: Shannon
+    entropy, normalized entropy, and the Gini coefficient of the token
+    frequency distribution — the information-theoretic complement to
+    lexical_diversity's TTR/top-share/Zipf-slope (TTR sees only the
+    type count; entropy and Gini see the whole shape: a source whose
+    entropy collapses or Gini spikes has gone template-heavy or
+    boilerplate-dominated, a standard pretraining-mix health signal).
+
+        H      = ln(N) - (sum_t c_t * ln(c_t)) / N        (nats)
+        H_norm = H / ln(K)           (NULL when K = 1 — no spread exists)
+        gini   = (2 * sum_i i*c_(i) - (K+1) * N) / (K * N)
+
+    with N total tokens, K distinct tokens, c_(i) the counts in
+    ascending (count, token) order. Returns
+    ``[source, n_tokens, n_types, entropy, norm_entropy, gini]``.
+
+    Cross-engine determinism: every ln has an exact-integer argument
+    (the x74 ln-of-exact-input precedent; ulp-level libm disagreement
+    is absorbed by the final round), each summand folds through
+    DECIMAL(38,18) so the sum order cannot matter, the Gini rank-sum
+    ``sum i*c_i`` routes through DECIMAL(38,0) (i and c can both be
+    billions at corpus scale — the raw BIGINT product wraps), and ties
+    in the rank order are broken by token so the permutation is total
+    (Gini is invariant under tie order anyway — equal c terms commute —
+    but the determinism should not REQUIRE that argument).
+
+    Scale shape: one (source, token) count (map-side combinable), one
+    |types|-per-source ranking via the hot-group-safe
+    grouped_row_number, one final per-source aggregate — the corpus is
+    scanned once, and nothing after the first count is corpus-sized.
+    """
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_row_number,
+    )
+
+    counts = (
+        df.select(
+            F.col(source_col),
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .groupBy(source_col, "_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    ranked = grouped_row_number(
+        counts,
+        [source_col],
+        [F.col("_c").asc(), F.col("_tok").asc()],
+        out_col="_i",
+    )
+    dec0, dec18 = "decimal(38,0)", "decimal(38,18)"
+    c = F.col("_c")
+    agg = ranked.groupBy(source_col).agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((c.cast("double") * F.log(c.cast("double"))).cast(dec18))
+        .cast("double")
+        .alias("_clnc"),
+        F.sum(F.col("_i").cast(dec0) * c).cast(dec0).alias("_ic"),
+    )
+    n = F.col("n_tokens").cast("double")
+    k = F.col("n_types").cast("double")
+    h = F.log(n) - F.col("_clnc") / n
+    gini = (
+        (F.lit(2).cast(dec0) * F.col("_ic")).cast("double")
+        - (k + 1) * n
+    ) / (k * n)
+    return agg.select(
+        F.col(source_col),
+        "n_tokens",
+        "n_types",
+        F.round(h, round_to).alias("entropy"),
+        F.when(F.col("n_types") >= 2, F.round(h / F.log(k), round_to)).alias(
+            "norm_entropy"
+        ),
+        F.round(gini, round_to).alias("gini"),
+    )

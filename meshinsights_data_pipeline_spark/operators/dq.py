@@ -21,6 +21,95 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Benford's-law expected first-digit proportions, log10(1 + 1/d) for
+#: d = 1..9, pre-rounded to 12 decimals and embedded as LITERALS in both
+#: engines (never recomputed via each engine's libm — Spark's log10 and
+#: DuckDB's disagree in the final ulp on some inputs, the x33 finding).
+BENFORD_EXPECTED: dict[int, str] = {
+    1: "0.301029995664",
+    2: "0.176091259056",
+    3: "0.124938736608",
+    4: "0.096910013008",
+    5: "0.079181246048",
+    6: "0.066946789631",
+    7: "0.057991946978",
+    8: "0.051152522447",
+    9: "0.045757490561",
+}
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit conformance per group — the classic
+    fabricated-/corrupted-feed detector for naturally-occurring amounts
+    (prices, durations, counts spanning orders of magnitude): a feed
+    whose first-digit distribution departs sharply from log10(1 + 1/d)
+    was truncated, synthesized, unit-swapped, or filtered upstream.
+    Complements dq_checks (row-level rules) with a distribution-level
+    signature check.
+
+    Per group: ``chi2 = n * sum_d (p_d - e_d)^2 / e_d`` over digits
+    1..9 (digits the group never produced contribute their full e_d
+    weight — the grid is the 9-digit spine, not the observed digits)
+    and ``max_dev = max_d |p_d - e_d|``. Returns
+    ``[group, n, chi2, max_dev]``; rows whose value is NULL, NaN, or
+    rounds to 0 at 6 decimals are excluded (they have no first digit).
+
+    Cross-engine determinism: the first digit is extracted from the
+    DECIMAL(18,6) string rendering — probe-verified bit-identical
+    between Spark and DuckDB, including the 0.000000 underflow case —
+    never from floor(log10(v)) (libm log10 differs in the final ulp at
+    power-of-ten boundaries, the x33 finding). e_d are shared 12-decimal
+    literals (BENFORD_EXPECTED); p_d is one exact-integer division; the
+    9 chi-square terms fold through DECIMAL(38,18) so the sum order
+    cannot matter; max over doubles is an exact comparison.
+
+    Scale shape: one map-side digit projection, one (group, digit)
+    count (map-side combinable, at most 9 rows per group out of the
+    shuffle), then a broadcast 9-row digit spine — the corpus is
+    scanned once and never re-shuffled.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.regexp_extract(
+        F.abs(v).cast("decimal(18,6)").cast("string"), "[1-9]", 0
+    )
+    obs = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(F.col(group_col).alias("g"), digit.alias("_d"))
+        .filter(F.col("_d") != "")
+        .groupBy("g", F.col("_d").cast("int").alias("_d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    sizes = obs.groupBy("g").agg(F.sum("_c").cast("bigint").alias("_n"))
+    spine = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("_d"),
+                F.lit(e).cast("decimal(14,12)").cast("double").alias("_e"),
+            )
+            for d, e in BENFORD_EXPECTED.items()
+        ]
+    )
+    grid = (
+        sizes.select("g", "_n", F.explode(spine).alias("_s"))
+        .select("g", "_n", "_s._d", "_s._e")
+        .join(obs, ["g", "_d"], "left")
+    )
+    p = F.coalesce(F.col("_c"), F.lit(0)).cast("double") / F.col("_n")
+    dev = p - F.col("_e")
+    term = (dev * dev / F.col("_e")).cast("decimal(38,18)")
+    return grid.groupBy(F.col("g").alias(group_col)).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.round(
+            F.max("_n").cast("double") * F.sum(term).cast("double"), round_to
+        ).alias("chi2"),
+        F.round(F.max(F.abs(dev)), round_to).alias("max_dev"),
+    )
+
 
 def dq_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate named boolean rules over every row in one pass.

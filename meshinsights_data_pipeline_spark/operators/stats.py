@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.operators.weekly import sunday_week_start
@@ -431,6 +431,84 @@ def psi_drift(
             F.round(
                 F.sum(term.cast(dec)).cast("double"), round_to
             ).alias("psi"),
+        )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of each group's
+    numeric distribution against the whole corpus — the third leg of the
+    drift-monitor family (psi_drift is bin-based and misses within-bin
+    shifts; corpus.source_drift is token-level; KS is the exact
+    distribution-free sup-norm):
+
+        KS_g = max over v of |ECDF_g(v) - ECDF_corpus(v)|
+
+    evaluated at every distinct corpus value (ECDFs are step functions
+    jumping only there, so the sup over the reals IS this max). Returns
+    ``[group, n, ks]``.
+
+    Cross-engine determinism: the maximand is rewritten as the exact
+    integer |cum_g * n - cum_all * n_g| (routed through DECIMAL(38,0),
+    the psi_drift discipline — raw BIGINT products wrap past 2^63 at
+    corpus scale); the arg-max is therefore an exact integer comparison,
+    and only the FINAL division (max_num / (n_g * n)) is a double op,
+    rounded. No float enters the max.
+
+    Scale shape: one (group, value) count and one (value) count (both
+    map-side combinable), then a grid of |groups| x |distinct values|
+    rows — the group list is broadcast onto the corpus value spine, and
+    the running sums are one window per group partition. This is exact
+    KS for a BOUNDED group count (sources, experiment arms); for
+    high-cardinality values quantize first (the histogram_fixed_width
+    bins), which bounds the spine and keeps the same code path.
+    """
+    v = F.col(value_col).cast("double")
+    vals = df.select(F.col(group_col).alias("g"), v.alias("_v")).filter(
+        F.col("_v").isNotNull() & ~F.isnan("_v")
+    )
+    c_gv = vals.groupBy("g", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c_gv")
+    )
+    # corpus spine: distinct values with corpus count (derived from the
+    # (g, v) counts — the corpus is scanned once). The corpus running
+    # total is computed INSIDE the per-group grid window below, not on a
+    # single-partition global window (the repo's standing anti-pattern).
+    spine = c_gv.groupBy("_v").agg(
+        F.sum("_c_gv").cast("bigint").alias("_c_v")
+    )
+    sizes = c_gv.groupBy("g").agg(F.sum("_c_gv").cast("bigint").alias("_n_g"))
+    tot = sizes.agg(F.sum("_n_g").cast("bigint").alias("_n"))
+    grid = spine.crossJoin(F.broadcast(sizes)).join(
+        c_gv, ["g", "_v"], "left"
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_g = F.sum(F.coalesce(F.col("_c_gv"), F.lit(0))).over(w)
+    cum_all = F.sum("_c_v").over(w)
+    dec = "decimal(38,0)"
+    num = F.abs(
+        cum_g.cast(dec) * F.col("_n") - cum_all.cast(dec) * F.col("_n_g")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select("g", "_n_g", "_n", num.alias("_num"))
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("_n_g").cast("bigint").alias("n"),
+            F.round(
+                F.max("_num").cast("double")
+                / (F.max("_n_g").cast(dec) * F.max("_n")).cast("double"),
+                round_to,
+            ).alias("ks"),
         )
     )
 

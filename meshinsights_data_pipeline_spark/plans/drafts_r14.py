@@ -1,18 +1,21 @@
 """Round-14 anchor DRAFTS — NOT registered.
 
 The r13 driver window is reserved for the staleness rotation (verdict
-r12 #1), so the two operators added this round (CUSUM changepoints,
-A/B z-test) ship with their anchor queries and DuckDB oracles staged
-HERE, proven green against the oracle harness by
-``tests/test_oracle_drafts.py``. Round 14 moves each (builder, SQL)
-pair into ``extension_queries.EXTENSION_BUILDERS`` and gives it a
-``_DRIVER_WINDOW`` slot — registration is a copy, not new work.
+r12 #1), so the operators added this round (CUSUM changepoints, A/B
+z-test, k-point EW rolling mean, KS drift, Mann-Kendall/Theil-Sen
+trend, Benford conformance, token entropy/Gini) ship with their anchor
+queries and DuckDB oracles staged HERE, proven green against the
+oracle harness by ``tests/test_oracle_drafts.py``. Round 14 moves each
+(builder, SQL) pair into ``extension_queries.EXTENSION_BUILDERS`` and
+gives it a ``_DRIVER_WINDOW`` slot — registration is a copy, not new
+work.
 
-Round-14 window math (for whoever rotates next): 2 slots for x104/x105
-(new), 2 for x06/x54 (displaced from the r13 fill band by the x90/x97
-code-change slots), the 29-query r10-stale cohort in full, then fill
-to 50 with the oldest r11 queries. After that rotation no query is
-staler than r11.
+Round-14 window math (for whoever rotates next): 7 slots for
+x104–x110 (new) plus 1 for the x04 capped-anchor replacement (operator
+code change rule), 2 for x06/x54 (displaced from the r13 fill band by
+the x90/x97 code-change slots), the 29-query r10-stale cohort in full,
+then fill the remaining ~11 slots with the oldest r11 queries. After
+that rotation no query is staler than r11.
 """
 
 from __future__ import annotations
@@ -240,10 +243,256 @@ ORDER BY id_a, id_b
 """
 
 
+def x107_ks_drift(spark: SparkSession, sf_dir: str):
+    """Exact two-sample KS statistic of each event type's value
+    distribution vs the whole corpus (stats.ks_drift) — the sup-norm
+    drift monitor completing the family (PSI x88 is binned, TV/chi2 x63
+    is token-level). The maximand is the exact integer
+    |cum_g*n - cum_all*n_g| through DECIMAL(38,0); only the final
+    division is a double, so the arg-max is engine-independent by
+    construction. Grid cost |event types| x |distinct values| — bounded
+    here; quantize first at the 100 TB tier (same code path)."""
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    return ks_drift(ev, "event_type", "value").orderBy("event_type")
+
+
+X107_SQL = """
+WITH vals AS (
+    SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+cgv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c_gv FROM vals GROUP BY g, v),
+spine AS (SELECT v, CAST(SUM(c_gv) AS BIGINT) AS c_v FROM cgv GROUP BY v),
+sizes AS (SELECT g, CAST(SUM(c_gv) AS BIGINT) AS n_g FROM cgv GROUP BY g),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM sizes),
+grid AS (
+    SELECT s.g, sp.v, sp.c_v, s.n_g, COALESCE(c.c_gv, 0) AS c_gv
+    FROM spine sp CROSS JOIN sizes s
+    LEFT JOIN cgv c ON c.g = s.g AND c.v = sp.v
+),
+cums AS (
+    SELECT g, n_g,
+           SUM(c_gv) OVER w AS cum_g,
+           SUM(c_v) OVER w AS cum_all
+    FROM grid
+    WINDOW w AS (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT g AS event_type, CAST(MAX(n_g) AS BIGINT) AS n,
+       ROUND(CAST(MAX(ABS(CAST(cum_g AS DECIMAL(38,0)) * n
+                          - CAST(cum_all AS DECIMAL(38,0)) * n_g)) AS DOUBLE)
+             / CAST(CAST(MAX(n_g) AS DECIMAL(38,0)) * MAX(n) AS DOUBLE),
+             6) AS ks
+FROM cums CROSS JOIN tot
+GROUP BY g
+ORDER BY event_type
+"""
+
+
+def x108_trend(spark: SparkSession, sf_dir: str):
+    """Per-user Mann-Kendall trend test + Theil-Sen slope over event
+    values in (ts, event_id) order (trend.mann_kendall_trend). S and the
+    tie-corrected variance numerator are exact integers (DECIMAL(38,0));
+    z is continuity-corrected with single correctly-rounded IEEE ops;
+    the Sen slope is the exact interpolated median of pairwise
+    value-per-second slopes (same-timestamp pairs excluded from the
+    slope, counted in S). Sliced to users < 40 like x91/x104 — each
+    user's pair set is self-contained, and the within-entity pair join
+    is sum-of-n_e^2, the x97 blocking shape."""
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return mann_kendall_trend(
+        ev, "ts", ["user_id"], "value", "event_id"
+    ).orderBy("user_id")
+
+
+X108_SQL = """
+WITH clean AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id AS id,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE user_id < 40 AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+),
+pairs AS (
+    SELECT a.user_id,
+           CAST(SIGN(b.v - a.v) AS BIGINT) AS sgn,
+           CASE WHEN b.us > a.us
+                THEN (b.v - a.v) / (CAST(b.us - a.us AS DOUBLE) / 1000000.0)
+           END AS slope
+    FROM clean a JOIN clean b ON a.user_id = b.user_id
+     AND (a.us < b.us OR (a.us = b.us AND a.id < b.id))
+),
+st AS (
+    SELECT user_id, CAST(SUM(sgn) AS BIGINT) AS s,
+           quantile_cont(slope, 0.5) AS sen
+    FROM pairs GROUP BY user_id
+),
+ties AS (
+    SELECT user_id,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_num
+    FROM (SELECT user_id, v, COUNT(*) AS t FROM clean GROUP BY user_id, v)
+    GROUP BY user_id
+),
+sizes AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM clean GROUP BY user_id
+),
+scored AS (
+    SELECT z.user_id, z.n, st.s,
+           ROUND(CAST(CAST(z.n AS DECIMAL(38,0)) * (z.n - 1) * (2 * z.n + 5)
+                      - t.tie_num AS DOUBLE) / 18.0, 6) AS var_s,
+           st.sen
+    FROM sizes z
+    JOIN st ON st.user_id = z.user_id
+    JOIN ties t ON t.user_id = z.user_id
+    WHERE z.n >= 2
+)
+SELECT user_id, n, s, var_s,
+       ROUND(CASE WHEN var_s <= 0 THEN NULL
+                  WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(var_s)
+                  WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(var_s)
+                  ELSE 0.0 END, 6) + 0.0 AS z,
+       ROUND(sen, 6) + 0.0 AS sen_slope
+FROM scored
+ORDER BY user_id
+"""
+
+
+def x109_benford(spark: SparkSession, sf_dir: str):
+    """Benford first-digit conformance of lineitem prices per return
+    flag (dq.benford_deviation) — the fabricated-feed detector. The
+    digit comes from the DECIMAL(18,6) string rendering
+    (probe-verified bit-identical across engines), expected
+    proportions are shared 12-decimal literals, the 9 chi-square terms
+    fold through DECIMAL(38,18), and absent digits contribute their
+    full expected weight via the 9-digit spine."""
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        benford_deviation,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return benford_deviation(li, "l_returnflag", "l_extendedprice").orderBy(
+        "l_returnflag"
+    )
+
+
+def _x109_sql() -> str:
+    from meshinsights_data_pipeline_spark.operators.dq import BENFORD_EXPECTED
+
+    spine = ", ".join(
+        f"({d}, CAST({e} AS DECIMAL(14,12)))"
+        for d, e in BENFORD_EXPECTED.items()
+    )
+    return f"""
+WITH vals AS (
+    SELECT l_returnflag AS g,
+           regexp_extract(
+               CAST(CAST(ABS(CAST(l_extendedprice AS DOUBLE))
+                         AS DECIMAL(18,6)) AS VARCHAR),
+               '[1-9]') AS d
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+),
+obs AS (
+    SELECT g, CAST(d AS INT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM vals WHERE d <> '' GROUP BY g, d
+),
+sizes AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM obs GROUP BY g),
+spine(d, e) AS (VALUES {spine}),
+grid AS (
+    SELECT s.g, s.n, sp.d, CAST(sp.e AS DOUBLE) AS e,
+           COALESCE(o.c, 0) AS c
+    FROM sizes s CROSS JOIN spine sp
+    LEFT JOIN obs o ON o.g = s.g AND o.d = sp.d
+)
+SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(CAST(MAX(n) AS DOUBLE)
+             * CAST(SUM(CAST((CAST(c AS DOUBLE) / n - e)
+                             * (CAST(c AS DOUBLE) / n - e) / e
+                             AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2,
+       ROUND(MAX(ABS(CAST(c AS DOUBLE) / n - e)), 6) AS max_dev
+FROM grid
+GROUP BY g
+ORDER BY l_returnflag
+"""
+
+
+def x110_token_entropy(spark: SparkSession, sf_dir: str):
+    """Per-source token-distribution entropy + Gini concentration
+    (corpus.source_token_entropy) — the information-theoretic mix-health
+    signal next to x74's TTR/Zipf. Every ln argument is an exact
+    integer, summands fold DECIMAL(38,18), the Gini rank-sum routes
+    DECIMAL(38,0), rank ties break on token."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_token_entropy,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_token_entropy(docs, "source", "text").orderBy("source")
+
+
+def _x110_sql() -> str:
+    from meshinsights_data_pipeline_spark.plans.extension_queries import (
+        _NORM_SQL,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH counts AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT source, unnest(string_split({norm}, ' ')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY source, tok
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY c ASC, tok ASC) AS i
+    FROM counts
+),
+agg AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                         AS DECIMAL(38,18))) AS DOUBLE) AS clnc,
+           SUM(CAST(i AS DECIMAL(38,0)) * c) AS ic
+    FROM ranked GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       ROUND(ln(CAST(n_tokens AS DOUBLE))
+             - clnc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+       CASE WHEN n_types >= 2 THEN
+           ROUND((ln(CAST(n_tokens AS DOUBLE))
+                  - clnc / CAST(n_tokens AS DOUBLE))
+                 / ln(CAST(n_types AS DOUBLE)), 6)
+       END AS norm_entropy,
+       ROUND((CAST(CAST(2 AS DECIMAL(38,0)) * ic AS DOUBLE)
+              - (CAST(n_types AS DOUBLE) + 1) * CAST(n_tokens AS DOUBLE))
+             / (CAST(n_types AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+             6) AS gini
+FROM agg
+ORDER BY source
+"""
+
+
 #: what r14 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
     "x105_ab_test": (x105_ab_test, X105_SQL),
     "x106_exp_weighted_avg": (x106_exp_weighted_avg, _x106_sql()),
     "x04_ngram_jaccard_capped": (x04_ngram_jaccard_capped, _x04_capped_sql()),
+    "x107_ks_drift": (x107_ks_drift, X107_SQL),
+    "x108_trend": (x108_trend, X108_SQL),
+    "x109_benford": (x109_benford, _x109_sql()),
+    "x110_token_entropy": (x110_token_entropy, _x110_sql()),
 }
