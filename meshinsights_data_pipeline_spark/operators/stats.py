@@ -475,6 +475,19 @@ def ks_drift(
     c_gv = vals.groupBy("g", "_v").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c_gv")
     )
+    return ks_from_counts(c_gv, round_to=round_to).withColumnRenamed(
+        "g", group_col
+    )
+
+
+def ks_from_counts(counts: DataFrame, round_to: int = 6) -> DataFrame:
+    """:func:`ks_drift` from a pre-aggregated ``[g, _v, _c_gv]`` count
+    table — the mergeable-sufficient-statistic entry point the streaming
+    twin folds into (counts sum across micro-batches, so the recomputed
+    statistic has FULL cross-batch parity, the PMI/drift-twin shape).
+    Returns ``[g, n, ks]``.
+    """
+    c_gv = counts
     # corpus spine: distinct values with corpus count (derived from the
     # (g, v) counts — the corpus is scanned once). The corpus running
     # total is computed INSIDE the per-group grid window below, not on a
@@ -501,7 +514,7 @@ def ks_drift(
     return (
         grid.crossJoin(F.broadcast(tot))
         .select("g", "_n_g", "_n", num.alias("_num"))
-        .groupBy(F.col("g").alias(group_col))
+        .groupBy("g")
         .agg(
             F.max("_n_g").cast("bigint").alias("n"),
             F.round(

@@ -22,6 +22,9 @@ from meshinsights_data_pipeline_spark.streaming.drift import (
 from meshinsights_data_pipeline_spark.streaming.joins import (
     streaming_interval_join,
 )
+from meshinsights_data_pipeline_spark.streaming.ks import (
+    streaming_ks_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.attribution import (
     streaming_attribution_ingest,
 )
@@ -97,6 +100,7 @@ __all__ = [
     "streaming_attribution_ingest",
     "streaming_lm_ingest",
     "streaming_drift_ingest",
+    "streaming_ks_ingest",
     "streaming_debounce",
     "streaming_interval_join",
     "streaming_scd2_ingest",

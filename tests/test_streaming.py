@@ -2177,3 +2177,52 @@ def test_streaming_cusum_full_parity_and_scalar_state(spark, tmp_path):
     n_before = len(got)
     process(b2, 1)  # simulated retry
     assert spark.read.parquet(o_dir).count() == n_before
+
+
+def test_streaming_ks_full_parity_and_retry(spark, tmp_path):
+    """KS twin: single-batch report equals the batch operator exactly;
+    after a second batch the epoch-1 report equals the batch operator
+    over the UNION (counts are a mergeable sufficient statistic — FULL
+    cross-batch parity); a retried epoch leaves state and reports
+    unchanged."""
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_ks_ingest
+
+    schema = "source string, value double"
+    b1 = spark.createDataFrame(
+        [("web", 1.0), ("web", 2.0), ("web", 2.0), ("pdf", 5.0),
+         ("pdf", 1.0), ("web", 7.5)], schema)
+    b2 = spark.createDataFrame(
+        [("pdf", 2.0), ("forum", 9.0), ("web", 5.0), ("forum", 1.0)],
+        schema)
+    cdir, rdir = str(tmp_path / "counts"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "g string, _v double, _c_gv long"),
+        cdir, -1)
+
+    process = streaming_ks_ingest(
+        b1, "source", "value", counts_dir=cdir, report_dir=rdir)
+
+    def canon(df, gcol="g"):
+        return sorted((r[gcol], r["n"], r["ks"]) for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(ks_drift(b1, "source", "value"), "source")
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        ks_drift(b1.unionByName(b2), "source", "value"), "source")
+    # epoch-0 report is immutable history (the KS time series)
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    # 2 groups in epoch 0 + 3 in epoch 1, no duplicated rows
+    assert after.count() == 5
