@@ -12,6 +12,12 @@ CUSUM watches each key IN TIME).
 3. ab_test_zscores: treat odd/even user ids as experiment arms and
    "user ever alarmed" as the conversion — the two-proportion z
    readout pattern (here expected insignificant: the split is random).
+4. ks_drift: exact two-sample KS of each event type's value
+   distribution vs the corpus — the population-level check run NEXT to
+   the per-key CUSUM (did the whole distribution move, not just one
+   key's series?).
+5. mann_kendall_trend: per-user Mann-Kendall z + Theil-Sen slope —
+   the is-it-drifting/how-fast triage over the users CUSUM alarmed.
 
 Run: python examples/drift_monitoring.py [sf_dir]
 """
@@ -67,6 +73,25 @@ def main() -> None:
     ).fillna(False, ["conv"]).withColumn("exp", F.lit("alarm_rate"))
     ab_test_zscores(units, "exp", "arm", "conv",
                     control_label="control").show()
+
+    # population-level: did any event type's whole distribution move?
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+
+    print("KS of each event type vs the corpus:")
+    ks_drift(ev, "event_type", "value").orderBy(F.desc("ks")).show(5)
+
+    # per-key triage: of the alarmed users, whose series actually
+    # trends, and at what rate? (CUSUM flags level shifts too;
+    # Mann-Kendall separates monotone drift from a step.)
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    alarmed_events = ev.join(summary.select("user_id"), "user_id")
+    print("Mann-Kendall trend over the alarmed users:")
+    mann_kendall_trend(
+        alarmed_events, "ts", ["user_id"], "value", "event_id"
+    ).orderBy(F.desc(F.abs(F.col("z")))).show(5)
     spark.stop()
 
 
