@@ -1360,3 +1360,175 @@ def label_centroid_similarity(
         F.col("b.n").alias("n_b"),
         F.round(cos, round_to).alias("cosine"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of the embedding dimensions —
+    ``cov(i, j)`` for every 1-based pair ``i <= j`` (plus the per-dim
+    means), the second-moment health report of an embedding column:
+    collapsed dimensions (zero variance), redundant pairs (|corr| ~ 1),
+    and covariance drift between snapshots are all read off this frame,
+    and it is the input to PCA whitening (:func:`pca_components`).
+
+        cov(i,j) = E[x_i * x_j] - E[x_i] * E[x_j]
+
+    Returns ``[i, j, n, mean_i, mean_j, cov]``.
+
+    Cross-engine determinism: the product and per-dimension sums fold
+    through DECIMAL(38,12) (the x96 centroid discipline — float
+    summation is partition-order-dependent), then cov is three fixed
+    IEEE ops (two divisions inside, one multiply, one subtract),
+    rounded. Indices are 1-based in BOTH engines (Spark posexplode + 1,
+    DuckDB range(1, len+1)).
+
+    Scale shape: one posexplode to (id, i, x) and a within-row pair
+    join — d(d+1)/2 rows per vector. For corpus-scale d this is the
+    exact tier; cap with ``dims`` (leading-slice) or pre-reduce with
+    :func:`pca_components` projection. The pair frame aggregates
+    map-side (combineByKey on (i, j)), so the shuffle carries at most
+    d(d+1)/2 rows per partition, not per row.
+    """
+    v = F.col(vec_col)
+    if dims is not None:
+        v = F.slice(v, 1, int(dims))
+    comp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(v).alias("_p0", "_x"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).alias("_p"),
+        F.col("_x").cast("double").alias("_x"),
+    )
+    dec = "decimal(38,12)"
+    a, b = comp.alias("a"), comp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._id") == F.col("b._id")) & (F.col("a._p") <= F.col("b._p")),
+    ).select(
+        F.col("a._p").alias("i"),
+        F.col("b._p").alias("j"),
+        (F.col("a._x") * F.col("b._x")).cast(dec).alias("_xy"),
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_xy").cast("double").alias("_sxy"),
+    )
+    dim_means = comp.groupBy(F.col("_p").alias("_d")).agg(
+        (
+            F.sum(F.col("_x").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m")
+    )
+    mi = dim_means.select(F.col("_d").alias("i"), F.col("_m").alias("mean_i"))
+    mj = dim_means.select(F.col("_d").alias("j"), F.col("_m").alias("mean_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            # + 0.0 collapses IEEE negative zero (the engines round
+            # tiny negatives to -0.0 vs 0.0 differently); no-op else
+            (F.round(F.col("mean_i"), round_to) + F.lit(0.0)).alias(
+                "mean_i"
+            ),
+            (F.round(F.col("mean_j"), round_to) + F.lit(0.0)).alias(
+                "mean_j"
+            ),
+            (
+                F.round(
+                    F.col("_sxy") / F.col("n")
+                    - F.col("mean_i") * F.col("mean_j"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: int | None = None,
+):
+    """Top-``k`` principal components of an embedding column: the
+    covariance matrix is aggregated distributed (exact DECIMAL folds,
+    :func:`embedding_covariance`), then eigendecomposed DRIVER-side —
+    a d x d matrix is a bounded scalar by contract (d <= a few
+    thousand), the same sanctioned tiny-collect as the IVF codebooks.
+    Returns ``(components, explained_var)``: a list of k unit
+    eigenvectors (each length d) sorted by descending eigenvalue, and
+    their eigenvalues.
+
+    Sign convention: each component is flipped so its
+    largest-|coordinate| entry is positive (numpy's eigh sign is
+    otherwise arbitrary), making the result reproducible across runs.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(
+        df, id_col, vec_col, dims=dims, round_to=12
+    ).collect()  # d(d+1)/2 rows — bounded by the dimension contract
+    d = max(r["j"] for r in cov_rows)
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"] - 1, r["j"] - 1] = r["cov"]
+        m[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: list[list[float]],
+    means: list[float] | None = None,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto precomputed principal components (from
+    :func:`pca_components`): ``pca[c] = dot(x - mean, comp_c)``. The
+    components and means ship as broadcast array literals, so the
+    projection is a map-side zip_with/aggregate chain in codegen — one
+    corpus scan, zero shuffles, the dimensionality-reduction front-end
+    for the ANN family (IVF/PQ recall improves on whitened inputs).
+    """
+    v = F.col(vec_col)
+    if means is not None:
+        mean_arr = F.array(*[F.lit(float(x)) for x in means])
+        centered = F.zip_with(v, mean_arr, lambda x, mu: x.cast("double") - mu)
+    else:
+        centered = F.transform(v, lambda x: x.cast("double"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(w)) for w in comp]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        for comp in components
+    ]
+    return df.select(
+        F.col(id_col), F.array(*projs).alias(out_col)
+    )

@@ -3,18 +3,19 @@
 The r13 driver window is reserved for the staleness rotation (verdict
 r12 #1), so the operators added this round (CUSUM changepoints, A/B
 z-test, k-point EW rolling mean, KS drift, Mann-Kendall/Theil-Sen
-trend, Benford conformance, token entropy/Gini) ship with their anchor
+trend, Benford conformance, token entropy/Gini, embedding covariance/PCA,
+Kaplan-Meier survival) ship with their anchor
 queries and DuckDB oracles staged HERE, proven green against the
 oracle harness by ``tests/test_oracle_drafts.py``. Round 14 moves each
 (builder, SQL) pair into ``extension_queries.EXTENSION_BUILDERS`` and
 gives it a ``_DRIVER_WINDOW`` slot — registration is a copy, not new
 work.
 
-Round-14 window math (for whoever rotates next): 7 slots for
-x104–x110 (new) plus 1 for the x04 capped-anchor replacement (operator
+Round-14 window math (for whoever rotates next): 9 slots for
+x104–x112 (new) plus 1 for the x04 capped-anchor replacement (operator
 code change rule), 2 for x06/x54 (displaced from the r13 fill band by
 the x90/x97 code-change slots), the 29-query r10-stale cohort in full,
-then fill the remaining ~11 slots with the oldest r11 queries. After
+then fill the remaining ~9 slots with the oldest r11 queries. After
 that rotation no query is staler than r11.
 """
 
@@ -485,6 +486,133 @@ ORDER BY source
 """
 
 
+def x111_embedding_covariance(spark: SparkSession, sf_dir: str):
+    """Covariance matrix of the leading 16 embedding dimensions
+    (similarity.embedding_covariance) — the second-moment health report
+    (collapsed dims, redundant pairs, covariance drift) and the input
+    to PCA whitening. Product and per-dim sums fold DECIMAL(38,12)
+    (the x96 centroid discipline); cov is three fixed IEEE ops on the
+    UNROUNDED means; indices 1-based in both engines. The within-row
+    pair join costs d(d+1)/2 rows per vector — the dims= cap is the
+    scale lever, or pre-reduce with pca_components."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "vec_id", "embedding", dims=16).orderBy(
+        "i", "j"
+    )
+
+
+X111_SQL = """
+WITH comp AS (
+    SELECT vec_id, u.s.p AS p, u.s.x AS x FROM (
+        SELECT vec_id,
+               [struct_pack(p := i, x := v[i]) FOR i IN range(1, 17)] AS cs
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ), UNNEST(cs) AS u(s)
+),
+sums AS (
+    SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.p <= b.p
+    GROUP BY a.p, b.p
+),
+means AS (
+    SELECT p, CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x) AS m
+    FROM comp GROUP BY p
+)
+SELECT i, j, n,
+       ROUND(mi.m, 6) + 0.0 AS mean_i,
+       ROUND(mj.m, 6) + 0.0 AS mean_j,
+       ROUND(sxy / n - mi.m * mj.m, 6) + 0.0 AS cov
+FROM sums
+JOIN means mi ON mi.p = i
+JOIN means mj ON mj.p = j
+ORDER BY i, j
+"""
+
+
+def x112_km_survival(spark: SparkSession, sf_dir: str):
+    """Kaplan-Meier time-to-churn curves per user cohort
+    (survival.km_survival): duration = each user's first-to-last event
+    span in exact micros, churn observed when the user's last event
+    precedes the corpus max by > 12 hours (otherwise right-censored —
+    still active at cutoff; the threshold holds churned/censored mass
+    at every SF because the user count, not per-user density, scales), cohort = user_id % 4. The cumulative
+    product is exp(DECIMAL-folded sum of ln factors) — a windowed float
+    PRODUCT is association-order-dependent across engines — with an
+    explicit cumulative zero flag for the n=d full-death case."""
+    from meshinsights_data_pipeline_spark.operators.survival import (
+        km_survival,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_t0"), F.max("ts").alias("_t1")
+    )
+    mx = ev.agg(F.max("ts").alias("_tmax"))
+    prep = spans.crossJoin(F.broadcast(mx)).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.expr("timestampdiff(MICROSECOND, _t0, _t1)").alias("_dur"),
+        (F.col("_t1") < F.col("_tmax") - F.expr("INTERVAL 12 HOURS")).alias(
+            "_churned"
+        ),
+    )
+    return km_survival(prep, ["cohort"], "_dur", "_churned").orderBy(
+        "cohort", "t"
+    )
+
+
+X112_SQL = """
+WITH spans AS (
+    SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM events GROUP BY user_id
+),
+mx AS (SELECT MAX(ts) AS tmax FROM events),
+prep AS (
+    SELECT user_id % 4 AS cohort,
+           epoch_us(t1) - epoch_us(t0) AS dur,
+           t1 < tmax - INTERVAL 12 HOUR AS churned
+    FROM spans CROSS JOIN mx
+),
+spine AS (
+    SELECT cohort, dur AS t, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM prep GROUP BY cohort, dur
+),
+sizes AS (
+    SELECT cohort, CAST(SUM(c) AS BIGINT) AS n_g FROM spine GROUP BY cohort
+),
+risky AS (
+    SELECT s.cohort, s.t, s.c, s.d,
+           z.n_g - COALESCE(SUM(s.c) OVER (
+               PARTITION BY s.cohort ORDER BY s.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM spine s JOIN sizes z ON z.cohort = s.cohort
+),
+scored AS (
+    SELECT *,
+           MAX(CASE WHEN d >= 1 AND n_risk = d THEN 1 ELSE 0 END)
+               OVER w AS zeroed,
+           SUM(CASE WHEN d >= 1 AND n_risk > d
+                    THEN CAST(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE))
+                              AS DECIMAL(38,18)) END) OVER w AS logsum
+    FROM risky
+    WINDOW w AS (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE ROUND(exp(COALESCE(CAST(logsum AS DOUBLE), 0.0)), 6)
+       END AS survival
+FROM scored
+WHERE d >= 1
+ORDER BY cohort, t
+"""
+
+
 #: what r14 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
@@ -495,4 +623,6 @@ DRAFTS = {
     "x108_trend": (x108_trend, X108_SQL),
     "x109_benford": (x109_benford, _x109_sql()),
     "x110_token_entropy": (x110_token_entropy, _x110_sql()),
+    "x111_embedding_covariance": (x111_embedding_covariance, X111_SQL),
+    "x112_km_survival": (x112_km_survival, X112_SQL),
 }

@@ -1759,3 +1759,96 @@ def test_token_entropy_matches_python(spark, toks):
         assert abs(r["norm_entropy"] - h / math.log(k)) < 2e-6
     else:
         assert r["norm_entropy"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 8), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SLOW
+def test_km_survival_matches_python(spark, rows):
+    """Kaplan-Meier: the exp(decimal-folded ln-sum) formulation equals
+    the textbook sequential product per group, including tied durations,
+    censored-only times (no row, but risk-set shrink), and the n=d
+    full-death drop to exactly 0."""
+    from meshinsights_data_pipeline_spark.operators.survival import (
+        km_survival,
+    )
+
+    df = spark.createDataFrame(
+        [(g, t, e) for g, t, e in rows], "g int, t long, e boolean"
+    )
+    got = {
+        (r["g"], r["t"]): (r["n_risk"], r["n_events"], r["survival"])
+        for r in km_survival(df, ["g"], "t", "e").collect()
+    }
+    expect = {}
+    for g in {r[0] for r in rows}:
+        mine = [(t, e) for gg, t, e in rows if gg == g]
+        s = 1.0
+        for t in sorted({t for t, _ in mine}):
+            n_risk = sum(1 for tt, _ in mine if tt >= t)
+            d = sum(1 for tt, e in mine if tt == t and e)
+            if d >= 1:
+                s = s * (1.0 - d / n_risk)
+                expect[(g, t)] = (n_risk, d, s)
+    assert set(got) == set(expect)
+    for k, (n_risk, d, s) in expect.items():
+        gn, gd, gs = got[k]
+        assert gn == n_risk and gd == d
+        assert abs(gs - s) < 2e-6, (k, gs, s)
+        if s == 0.0:
+            assert gs == 0.0  # exact zero, not exp(-huge)
+
+
+def test_embedding_covariance_and_pca_match_numpy(spark):
+    """Covariance cells equal numpy's population cov; the PCA round trip
+    (components from the distributed cov, projection via broadcast
+    literals) reconstructs numpy's PCA scores up to the pinned sign."""
+    import numpy as np
+
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 5) @ rng.randn(5, 5) + rng.randn(5)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, vec array<double>",
+    )
+    cells = embedding_covariance(df, "id", "vec", round_to=9).collect()
+    cov_np = np.cov(x, rowvar=False, bias=True)
+    means_np = x.mean(axis=0)
+    assert len(cells) == 15  # 5*6/2 upper-triangle pairs
+    for r in cells:
+        assert abs(r["cov"] - cov_np[r["i"] - 1, r["j"] - 1]) < 1e-6
+        assert abs(r["mean_i"] - means_np[r["i"] - 1]) < 1e-6
+        assert r["n"] == 40
+
+    comps, evals = pca_components(df, "id", "vec", k=2)
+    w_np, v_np = np.linalg.eigh(cov_np)
+    order = np.argsort(w_np)[::-1][:2]
+    for c, ev, idx in zip(comps, evals, order):
+        assert abs(ev - w_np[idx]) < 1e-6
+        ref = v_np[:, idx]
+        pivot = int(np.argmax(np.abs(ref)))
+        if ref[pivot] < 0:
+            ref = -ref
+        assert np.allclose(c, ref, atol=1e-6)
+
+    proj = {
+        r["id"]: r["pca"]
+        for r in pca_project(
+            df, "id", "vec", comps, means=[float(m) for m in means_np]
+        ).collect()
+    }
+    centered = x - means_np
+    for i in range(40):
+        ref = [float(centered[i] @ np.array(c)) for c in comps]
+        assert np.allclose(proj[i], ref, atol=1e-6)
