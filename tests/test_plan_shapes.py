@@ -937,3 +937,121 @@ def test_vocab_overlap_token_keyed_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_ks_drift_broadcast_sizes_partitioned_windows(spark):
+    """x107's scale contract: group sizes and the corpus total reach the
+    grid as BROADCAST joins (the spine is the big side), the running
+    sums are per-group partitioned windows (no single-partition global
+    window), JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", float(i % 7)) for i in range(30)],
+        "g string, v double",
+    )
+    p = _plan(ks_drift(df, "g", "v"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # every window spec carries the group partition key
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("g"), spec
+
+
+def test_mann_kendall_entity_keyed_pair_join(spark):
+    """x108's scale contract: the pair join is EQUALITY-keyed on the
+    entity (sum-of-n_e^2, never corpus^2 via nested loop), aggregates
+    are map-side combinable, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i % 3, base + timedelta(seconds=i), i, float(i % 5))
+         for i in range(15)],
+        "g int, ts timestamp, id long, v double",
+    )
+    p = _plan(mann_kendall_trend(df, "ts", ["g"], "v", "id"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_benford_single_digit_shuffle(spark):
+    """x109's scale contract: one map-side digit projection feeding a
+    (group, digit) hash aggregate (<= 9 rows per group out of the
+    shuffle), the 9-digit spine explodes from a literal array — no
+    second corpus scan, no python."""
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        benford_deviation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i + 1)) for i in range(20)], "g string, v double"
+    )
+    p = _plan(benford_deviation(df, "g", "v"))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") == 0  # literal input; guard is vs rescans
+
+
+def test_token_entropy_single_corpus_shuffle(spark):
+    """x110's scale contract: one (source, token) count is the only
+    corpus-sized stage; ranking and the final aggregate run at
+    count-table cardinality; JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i % 2}", "alpha beta beta gamma") for i in range(8)],
+        "source string, text string",
+    )
+    p = _plan(source_token_entropy(df, "source", "text"))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_embedding_covariance_broadcast_means(spark):
+    """x111's scale contract: the within-row pair join is keyed on the
+    row id (d(d+1)/2 per vector, never corpus^2), the per-dim means
+    join back as BROADCASTs, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i * 2)]) for i in range(10)],
+        "id long, vec array<double>",
+    )
+    p = _plan(embedding_covariance(df, "id", "vec"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_km_survival_partitioned_windows_broadcast_sizes(spark):
+    """x112's scale contract: group sizes broadcast onto the duration
+    spine, every window is partitioned by the group (no global
+    single-partition window), JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.survival import (
+        km_survival,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2, (i * 7) % 5, i % 3 == 0) for i in range(20)],
+        "g int, t long, e boolean",
+    )
+    p = _plan(km_survival(df, ["g"], "t", "e"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "EvalPython" not in p
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("g"), spec
