@@ -51,6 +51,30 @@ def main(sf_dir: str) -> None:
     ctx.processed_data["events.outliers"].orderBy(F.desc(F.abs(F.col("z")))).show(5)
     print("-- time-weighted value per user (micros) --")
     ctx.processed_data["events.twa"].orderBy(F.desc("twa_micros")).show(5)
+
+    # Kaplan-Meier churn curve per acquisition cohort: duration = each
+    # user's first-to-last event span, churned when the last event is
+    # > 12h behind the corpus max (otherwise censored: still active).
+    from meshinsights_data_pipeline_spark.operators.survival import (
+        km_survival,
+    )
+
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    prep = spans.crossJoin(F.broadcast(mx)).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        (F.expr("timestampdiff(MICROSECOND, t0, t1)")
+         / F.lit(86_400_000_000.0)).alias("days_active"),
+        (F.col("t1") < F.col("tmax") - F.expr("INTERVAL 12 HOURS")).alias(
+            "churned"
+        ),
+    )
+    print("-- survival (fraction still active) at observed churn times --")
+    km_survival(prep, ["cohort"], "days_active", "churned").orderBy(
+        "cohort", "t"
+    ).show(8)
     spark.stop()
 
 

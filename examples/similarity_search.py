@@ -57,9 +57,22 @@ def main() -> None:
     ivf = run("ivf nprobe=4", lambda: ivf_topk(emb, queries, centroids, k=K, nprobe=4))
     pq = run("pq m=8 adc", lambda: pq_topk(emb, queries, k=K))
 
+    # PCA front-end: project to the top-16 components and search there
+    # — the dimensionality-reduction path for the same exact machinery
+    # (recall measures how much the 64->16 cut loses on THIS corpus).
+    from meshinsights_data_pipeline_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    comps, _ = pca_components(emb, "vec_id", "embedding", k=16)
+    red = pca_project(emb, "vec_id", "embedding", comps, out_col="embedding")
+    red_q = red.filter(F.col("vec_id") < 5)
+    pca = run("pca-16 exact", lambda: cosine_topk(red, red_q, k=K))
+
     truth = exact[2]
     print(f"{'strategy':<14} {'time':>7} {'recall@%d' % K:>10}")
-    for name, dt, by_q in (exact, lsh, ivf, pq):
+    for name, dt, by_q in (exact, lsh, ivf, pq, pca):
         hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
         total = sum(len(t) for t in truth.values())
         print(f"{name:<14} {dt:6.2f}s {hits / total:10.2%}")
