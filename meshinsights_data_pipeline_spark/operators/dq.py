@@ -84,6 +84,17 @@ def benford_deviation(
         .groupBy("g", F.col("_d").cast("int").alias("_d"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
+    return benford_from_counts(obs, round_to=round_to).withColumnRenamed(
+        "g", group_col
+    )
+
+
+def benford_from_counts(obs: DataFrame, round_to: int = 6) -> DataFrame:
+    """:func:`benford_deviation` from a pre-aggregated ``[g, _d, _c]``
+    digit-count table — the mergeable-sufficient-statistic entry point
+    the streaming twin folds into (digit counts sum across
+    micro-batches, so the recomputed report has FULL cross-batch
+    parity). Returns ``[g, n, chi2, max_dev]``."""
     sizes = obs.groupBy("g").agg(F.sum("_c").cast("bigint").alias("_n"))
     spine = F.array(
         *[
@@ -102,7 +113,7 @@ def benford_deviation(
     p = F.coalesce(F.col("_c"), F.lit(0)).cast("double") / F.col("_n")
     dev = p - F.col("_e")
     term = (dev * dev / F.col("_e")).cast("decimal(38,18)")
-    return grid.groupBy(F.col("g").alias(group_col)).agg(
+    return grid.groupBy("g").agg(
         F.max("_n").cast("bigint").alias("n"),
         F.round(
             F.max("_n").cast("double") * F.sum(term).cast("double"), round_to

@@ -62,6 +62,21 @@ def km_survival(
         F.count(F.lit(1)).cast("bigint").alias("_c"),
         F.sum(F.when(F.col("_e"), 1).otherwise(0)).cast("bigint").alias("_d"),
     )
+    return km_from_counts(spine, groups, round_to=round_to)
+
+
+def km_from_counts(
+    spine: DataFrame,
+    group_by: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`km_survival` from a pre-aggregated
+    ``[*group_by, _t, _c, _d]`` spine (``_c`` rows at duration ``_t``,
+    ``_d`` of them observed events) — the mergeable-sufficient-statistic
+    entry point the streaming twin folds into (counts sum across
+    micro-batches, so the recomputed curve has FULL cross-batch parity,
+    the KS/PMI/drift-twin shape)."""
+    groups = list(group_by)
     sizes = spine.groupBy(*groups).agg(
         F.sum("_c").cast("bigint").alias("_n_g")
     )

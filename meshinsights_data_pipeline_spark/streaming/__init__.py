@@ -25,6 +25,12 @@ from meshinsights_data_pipeline_spark.streaming.joins import (
 from meshinsights_data_pipeline_spark.streaming.ks import (
     streaming_ks_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.benford import (
+    streaming_benford_ingest,
+)
+from meshinsights_data_pipeline_spark.streaming.survival import (
+    streaming_km_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.attribution import (
     streaming_attribution_ingest,
 )
@@ -101,6 +107,8 @@ __all__ = [
     "streaming_lm_ingest",
     "streaming_drift_ingest",
     "streaming_ks_ingest",
+    "streaming_benford_ingest",
+    "streaming_km_ingest",
     "streaming_debounce",
     "streaming_interval_join",
     "streaming_scd2_ingest",

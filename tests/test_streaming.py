@@ -2226,3 +2226,99 @@ def test_streaming_ks_full_parity_and_retry(spark, tmp_path):
     assert canon(after.filter(F.col("epoch") == 1)) == got1
     # 2 groups in epoch 0 + 3 in epoch 1, no duplicated rows
     assert after.count() == 5
+
+
+def test_streaming_benford_full_parity_and_retry(spark, tmp_path):
+    """Benford twin: single-batch report equals the batch operator;
+    epoch-1 equals the batch operator over the UNION (9-rows-per-group
+    digit counts are a mergeable sufficient statistic); a retried epoch
+    changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        benford_deviation,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_benford_ingest,
+    )
+
+    schema = "source string, value double"
+    b1 = spark.createDataFrame(
+        [("web", 123.4), ("web", 19.0), ("web", 2.5), ("pdf", 888.0),
+         ("pdf", 41.0)], schema)
+    b2 = spark.createDataFrame(
+        [("pdf", 105.0), ("web", 77.0), ("web", 0.31)], schema)
+    cdir, rdir = str(tmp_path / "counts"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "g string, _d int, _c long"), cdir, -1)
+
+    process = streaming_benford_ingest(
+        b1, "source", "value", counts_dir=cdir, report_dir=rdir)
+
+    def canon(df, gcol="g"):
+        return sorted(
+            (r[gcol], r["n"], r["chi2"], r["max_dev"]) for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(benford_deviation(b1, "source", "value"), "source")
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        benford_deviation(b1.unionByName(b2), "source", "value"), "source")
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 4  # 2 groups per epoch, no duplicates
+
+
+def test_streaming_km_full_parity_and_retry(spark, tmp_path):
+    """KM twin: the merged (group, duration) spine reproduces the batch
+    curve exactly after each epoch (terminal observations streamed
+    once); a retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.survival import (
+        km_survival,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import streaming_km_ingest
+
+    schema = "cohort int, dur long, churned boolean"
+    b1 = spark.createDataFrame(
+        [(0, 5, True), (0, 5, False), (0, 9, True), (1, 3, True),
+         (1, 7, False)], schema)
+    b2 = spark.createDataFrame(
+        [(0, 2, True), (1, 7, True), (1, 11, False)], schema)
+    cdir, rdir = str(tmp_path / "counts"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "cohort int, _t long, _c long, _d long"),
+        cdir, -1)
+
+    process = streaming_km_ingest(
+        b1, ["cohort"], "dur", "churned", counts_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["cohort"], r["t"], r["n_risk"], r["n_events"], r["survival"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(km_survival(b1, ["cohort"], "dur", "churned"))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        km_survival(b1.unionByName(b2), ["cohort"], "dur", "churned"))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
