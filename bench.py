@@ -287,6 +287,38 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: drift monitoring e2e failed: {exc}", file=sys.stderr)
 
+    # Data-quality gate end-to-end (examples/data_quality.py's core: KS
+    # drift + Benford conformance + token entropy/Gini over three
+    # tables) — the r14 x107/x109/x110 anchors' composed plans, gated
+    # now so their regression history starts before registration.
+    try:
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            source_token_entropy,
+        )
+        from meshinsights_data_pipeline_spark.operators.dq import (
+            benford_deviation,
+        )
+        from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        li = read_table(spark, sf_dir, "lineitem")
+        docs = read_table(spark, sf_dir, "documents")
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for frame in (
+                ks_drift(ev, "event_type", "value"),
+                benford_deviation(li, "l_returnflag", "l_extendedprice"),
+                source_token_entropy(docs, "source", "text"),
+            ):
+                frame.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["data_quality_e2e"] = runs[0]
+        extras["data_quality_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: data quality e2e failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost
