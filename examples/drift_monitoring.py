@@ -90,7 +90,7 @@ def main() -> None:
     alarmed_events = ev.join(summary.select("user_id"), "user_id")
     print("Mann-Kendall trend over the alarmed users:")
     mann_kendall_trend(
-        alarmed_events, "ts", ["user_id"], "value", "event_id"
+        alarmed_events, "ts", ["user_id"], "value"
     ).orderBy(F.desc(F.abs(F.col("z")))).show(5)
     spark.stop()
 

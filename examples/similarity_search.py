@@ -65,8 +65,10 @@ def main() -> None:
         pca_project,
     )
 
-    comps, _ = pca_components(emb, "vec_id", "embedding", k=16)
-    red = pca_project(emb, "vec_id", "embedding", comps, out_col="embedding")
+    comps, _, means = pca_components(emb, "vec_id", "embedding", k=16)
+    red = pca_project(
+        emb, "vec_id", "embedding", comps, means=means, out_col="embedding"
+    )
     red_q = red.filter(F.col("vec_id") < 5)
     pca = run("pca-16 exact", lambda: cosine_topk(red, red_q, k=K))
 

@@ -56,36 +56,63 @@ def benford_deviation(
     1..9 (digits the group never produced contribute their full e_d
     weight — the grid is the 9-digit spine, not the observed digits)
     and ``max_dev = max_d |p_d - e_d|``. Returns
-    ``[group, n, chi2, max_dev]``; rows whose value is NULL, NaN, or
-    rounds to 0 at 6 decimals are excluded (they have no first digit).
+    ``[group, n, chi2, max_dev]``. Excluded rows (no first-digit
+    support): NULL/NaN/infinite values, values that round to 0 at 6
+    decimals, values with |v| >= 1e12 (outside the DECIMAL(18,6)
+    domain — under ANSI the cast would THROW, and the wider
+    DECIMAL(38,6) rendering is not engine-parity-safe above 1e22 where
+    Spark renders the shortest repr while DuckDB renders the exact
+    binary expansion; real Benford domains — prices, durations, counts
+    — live far below), and NULL group keys (a NULL-keyed group would
+    fall out of the null-unsafe spine join and score maximal deviation).
 
     Cross-engine determinism: the first digit is extracted from the
     DECIMAL(18,6) string rendering — probe-verified bit-identical
     between Spark and DuckDB, including the 0.000000 underflow case —
     never from floor(log10(v)) (libm log10 differs in the final ulp at
-    power-of-ten boundaries, the x33 finding). e_d are shared 12-decimal
-    literals (BENFORD_EXPECTED); p_d is one exact-integer division; the
-    9 chi-square terms fold through DECIMAL(38,18) so the sum order
-    cannot matter; max over doubles is an exact comparison.
+    power-of-ten boundaries, the x33 finding). Within |v| < 1e12 the
+    leading digit cannot flip between the engines' renderings: every
+    power of 10 below 1e22 is an exactly-representable double, so no
+    value sits within half an ulp of a decade boundary. e_d are shared
+    12-decimal literals (BENFORD_EXPECTED); p_d is one exact-integer
+    division; the 9 chi-square terms fold through DECIMAL(38,18) so the
+    sum order cannot matter; max over doubles is an exact comparison.
 
     Scale shape: one map-side digit projection, one (group, digit)
     count (map-side combinable, at most 9 rows per group out of the
     shuffle), then a broadcast 9-row digit spine — the corpus is
     scanned once and never re-shuffled.
     """
+    obs = benford_digit_counts(df, group_col, value_col)
+    return benford_from_counts(obs, round_to=round_to).withColumnRenamed(
+        "g", group_col
+    )
+
+
+def benford_digit_counts(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The ``[g, _d, _c]`` digit-count stage of
+    :func:`benford_deviation`, shared with the streaming twin so the
+    two can never drift: the domain guards (NULL group, NULL/NaN/Inf
+    and |v| >= 1e12 values) live here, in exactly one place. The range
+    filter runs BEFORE the decimal projection — under ANSI mode an
+    out-of-range cast throws rather than nulling."""
     v = F.col(value_col).cast("double")
     digit = F.regexp_extract(
         F.abs(v).cast("decimal(18,6)").cast("string"), "[1-9]", 0
     )
-    obs = (
-        df.filter(v.isNotNull() & ~F.isnan(v))
+    return (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v)
+            & (F.abs(v) < F.lit(1.0e12))
+        )
         .select(F.col(group_col).alias("g"), digit.alias("_d"))
         .filter(F.col("_d") != "")
         .groupBy("g", F.col("_d").cast("int").alias("_d"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    )
-    return benford_from_counts(obs, round_to=round_to).withColumnRenamed(
-        "g", group_col
     )
 
 

@@ -1380,6 +1380,14 @@ def embedding_covariance(
 
     Returns ``[i, j, n, mean_i, mean_j, cov]``.
 
+    Contract: vectors are FIXED-WIDTH (the embeddings-table invariant
+    shared with x96/x59). Ragged inputs would silently mix populations
+    — a pair's n counts only vectors carrying both dims while each mean
+    averages its own dim's population — and the DuckDB mirror counts
+    missing trailing dims as NULL rows where posexplode emits none, so
+    the engines would disagree; enforce width upstream if the source
+    can be ragged.
+
     Cross-engine determinism: the product and per-dimension sums fold
     through DECIMAL(38,12) (the x96 centroid discipline — float
     summation is partition-order-dependent), then cov is three fixed
@@ -1466,9 +1474,13 @@ def pca_components(
     :func:`embedding_covariance`), then eigendecomposed DRIVER-side —
     a d x d matrix is a bounded scalar by contract (d <= a few
     thousand), the same sanctioned tiny-collect as the IVF codebooks.
-    Returns ``(components, explained_var)``: a list of k unit
-    eigenvectors (each length d) sorted by descending eigenvalue, and
-    their eigenvalues.
+    Returns ``(components, explained_var, means)``: a list of k unit
+    eigenvectors (each length d) sorted by descending eigenvalue, their
+    eigenvalues, and the per-dimension means — the covariance is of the
+    CENTERED data, so projections must subtract these means
+    (:func:`pca_project` takes them directly; projecting uncentered
+    vectors adds a constant offset that cosine similarity is NOT
+    invariant to).
 
     Sign convention: each component is flipped so its
     largest-|coordinate| entry is positive (numpy's eigh sign is
@@ -1479,11 +1491,19 @@ def pca_components(
     cov_rows = embedding_covariance(
         df, id_col, vec_col, dims=dims, round_to=12
     ).collect()  # d(d+1)/2 rows — bounded by the dimension contract
+    if not cov_rows:
+        raise ValueError(
+            "pca_components: no vectors to decompose (empty or fully "
+            "filtered input frame)"
+        )
     d = max(r["j"] for r in cov_rows)
     m = np.zeros((d, d))
+    means = [0.0] * d
     for r in cov_rows:
         m[r["i"] - 1, r["j"] - 1] = r["cov"]
         m[r["j"] - 1, r["i"] - 1] = r["cov"]
+        means[r["i"] - 1] = float(r["mean_i"])
+        means[r["j"] - 1] = float(r["mean_j"])
     vals, vecs = np.linalg.eigh(m)
     order = np.argsort(vals)[::-1][: int(k)]
     comps = []
@@ -1493,7 +1513,7 @@ def pca_components(
         if c[pivot] < 0:
             c = -c
         comps.append([float(x) for x in c])
-    return comps, [float(vals[i]) for i in order]
+    return comps, [float(vals[i]) for i in order], means
 
 
 def pca_project(

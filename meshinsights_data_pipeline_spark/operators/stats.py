@@ -451,7 +451,10 @@ def ks_drift(
 
     evaluated at every distinct corpus value (ECDFs are step functions
     jumping only there, so the sup over the reals IS this max). Returns
-    ``[group, n, ks]``.
+    ``[group, n, ks]``. Rows with a NULL group key are EXCLUDED (a
+    NULL-keyed group would fall out of the null-unsafe grid join below
+    and score a spurious maximal ks = 1.0); route NULLs to a sentinel
+    label upstream if they should be monitored as their own group.
 
     Cross-engine determinism: the maximand is rewritten as the exact
     integer |cum_g * n - cum_all * n_g| (routed through DECIMAL(38,0),
@@ -468,15 +471,28 @@ def ks_drift(
     high-cardinality values quantize first (the histogram_fixed_width
     bins), which bounds the spine and keeps the same code path.
     """
-    v = F.col(value_col).cast("double")
-    vals = df.select(F.col(group_col).alias("g"), v.alias("_v")).filter(
-        F.col("_v").isNotNull() & ~F.isnan("_v")
-    )
-    c_gv = vals.groupBy("g", "_v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c_gv")
-    )
-    return ks_from_counts(c_gv, round_to=round_to).withColumnRenamed(
+    counts = ks_value_counts(df, group_col, value_col)
+    return ks_from_counts(counts, round_to=round_to).withColumnRenamed(
         "g", group_col
+    )
+
+
+def ks_value_counts(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The ``[g, _v, _c_gv]`` count stage of :func:`ks_drift`, shared
+    with the streaming twin so the two can never drift: NULL/NaN values
+    AND NULL group keys are excluded here, in exactly one place."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(F.col(group_col).alias("g"), v.alias("_v"))
+        .filter(
+            F.col("g").isNotNull()
+            & F.col("_v").isNotNull()
+            & ~F.isnan("_v")
+        )
+        .groupBy("g", "_v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c_gv"))
     )
 
 

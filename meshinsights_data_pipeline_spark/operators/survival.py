@@ -52,17 +52,31 @@ def km_survival(
     emit rows (S doesn't change there) but DO shrink later risk sets.
     """
     groups = list(group_by)
+    spine = km_spine(df, groups, duration_col, event_col)
+    return km_from_counts(spine, groups, round_to=round_to)
+
+
+def km_spine(
+    df: DataFrame,
+    group_by: Sequence[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """The ``[*group_by, _t, _c, _d]`` count stage of
+    :func:`km_survival`, shared with the streaming twin so the two can
+    never drift: NULL-duration rows drop and NULL event flags read as
+    censored here, in exactly one place."""
+    groups = list(group_by)
     ev = F.col(event_col).cast("boolean")
     clean = df.filter(F.col(duration_col).isNotNull()).select(
         *groups,
         F.col(duration_col).alias("_t"),
         F.coalesce(ev, F.lit(False)).alias("_e"),
     )
-    spine = clean.groupBy(*groups, "_t").agg(
+    return clean.groupBy(*groups, "_t").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c"),
         F.sum(F.when(F.col("_e"), 1).otherwise(0)).cast("bigint").alias("_d"),
     )
-    return km_from_counts(spine, groups, round_to=round_to)
 
 
 def km_from_counts(

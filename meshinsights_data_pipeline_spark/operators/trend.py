@@ -1,37 +1,50 @@
 """Monotonic-trend detection per entity: Mann-Kendall test + Theil-Sen slope.
 
 The standard nonparametric pair for "is this series drifting, and how
-fast": the Mann-Kendall S statistic with the tie-corrected normal
-approximation, and the Theil-Sen estimator (median of pairwise slopes —
-robust to 29% outliers, unlike OLS). Complements the distribution-level
-monitors (stats.psi_drift, stats.ks_drift, streaming CUSUM): those say
-"the population moved"; this says "this entity's own series trends, at
-this rate". Reference scope: the per-stage weekly trend summaries in
-Requirements/ExampleAiCode.md:229-241 motivate per-entity trend scoring.
+fast": the Mann-Kendall S statistic with the two-way tie-corrected
+normal approximation, and the Theil-Sen estimator (median of pairwise
+slopes — robust to 29% outliers, unlike OLS). Complements the
+distribution-level monitors (stats.psi_drift, stats.ks_drift, streaming
+CUSUM): those say "the population moved"; this says "this entity's own
+series trends, at this rate". Reference scope: the per-stage weekly
+trend summaries in Requirements/ExampleAiCode.md:229-241 motivate
+per-entity trend scoring.
+
+Tie treatment (the textbook Kendall 1975 / Gilbert 1987 form):
+- pairs sharing a TIMESTAMP get zero weight — they carry no temporal
+  order, and any id-based tiebreak would make S's sign depend on an
+  arbitrary labeling (same data, relabeled ids, opposite "trend");
+- var(S) corrects for ties in BOTH rankings:
+
+    var = [n(n-1)(2n+5) - SUM_t t(t-1)(2t+5) - SUM_u u(u-1)(2u+5)] / 18
+        + [SUM_t t(t-1)(t-2) * SUM_u u(u-1)(u-2)] / (9 n(n-1)(n-2))
+        + [SUM_t t(t-1) * SUM_u u(u-1)] / (2 n(n-1))
+
+  with t the value-tie group sizes and u the time-tie group sizes
+  (the cross terms are 0 when either ranking is tie-free).
 
 Cross-engine determinism (the x33/x69 discipline):
-- S and every tie term are exact integers (sign comparisons and counts).
-- var(S) = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18: the numerator is an
-  exact integer routed through DECIMAL(38,0) (n^3 in raw BIGINT is fine
-  until ~2M rows per entity; the cast removes the cliff), then ONE
-  double division by 18.0.
-- z = (S -/+ 1) / sqrt(var): continuity-corrected; subtraction is exact
-  (integer), sqrt and divide are single correctly-rounded IEEE ops in
-  fixed operand order, so z is bit-identical across engines.
+- S and every tie sum are exact integers (sign comparisons and counts,
+  DECIMAL(38,0)-routed products — n^3 in raw BIGINT wraps past ~2M
+  rows per entity).
+- Each variance term is exact-integer operands through SINGLE
+  correctly-rounded IEEE conversions and divisions in fixed operand
+  order; the three terms add in fixed order.
+- z = (S -/+ 1) / sqrt(var): continuity-corrected; sqrt and divide are
+  single correctly-rounded ops, so z is bit-identical across engines.
 - Theil-Sen: slope = dv / ds with dv exact (double subtraction of the
   raw values — one rounded op), ds = CAST(timestampdiff(MICROSECOND)
   AS DOUBLE) / 1e6 (exact integer micros, one rounded division — the
   NTZ-safe funnel.py discipline); the median is the exact
   interpolated percentile (matches DuckDB quantile_cont — the A2
-  precedent). Same-timestamp pairs are excluded from the slope (their
-  ds is 0) but still counted in S, the standard Mann-Kendall treatment.
+  precedent). Time-tied pairs have no slope either (ds = 0).
 
 Scale shape: ONE entity-keyed shuffle feeds a within-entity pair join —
 cost sum over entities of n_e^2, never corpus^2 (the x97 blocking
 argument). This is for BOUNDED per-entity series (sensor channels,
 per-user histories after recent_n capping); for million-row series use
 the O(n log n) rank formulation or pre-aggregate to a coarser grain
-first. The ties aggregate and the size aggregate reuse the same
+first. The tie aggregates and the size aggregate reuse the same
 entity-keyed partitioning.
 """
 
@@ -48,33 +61,31 @@ def mann_kendall_trend(
     ts_col: str,
     group_by: Sequence[str],
     value_col: str,
-    id_col: str,
     round_to: int = 6,
 ) -> DataFrame:
     """Per-group Mann-Kendall trend test + Theil-Sen slope.
 
     Returns ``[*group_by, n, s, var_s, z, sen_slope]`` for every group
-    with at least 2 observations: ``s`` the exact pair-sign sum, ``var_s``
-    the tie-corrected variance, ``z`` the continuity-corrected normal
-    statistic (NULL when var_s = 0, i.e. all values tied), ``sen_slope``
-    the median pairwise slope in value-units per second (NULL when every
-    pair shares a timestamp). Pairs are ordered by the total order
-    ``(ts, id)`` so the pair set is engine-independent even with tied
-    timestamps.
+    with at least 2 observations: ``s`` the exact pair-sign sum over
+    STRICTLY time-ordered pairs (time-tied pairs weigh 0), ``var_s``
+    the two-way tie-corrected variance, ``z`` the continuity-corrected
+    normal statistic (NULL when var_s <= 0 — e.g. all values or all
+    timestamps tied), ``sen_slope`` the median pairwise slope in
+    value-units per second (NULL when every pair shares a timestamp).
+    Rows with NULL timestamps or NULL/NaN values are excluded entirely
+    (a NULL ts can join no pair but would otherwise still inflate n and
+    the variance, biasing z toward 0).
     """
     groups = list(group_by)
     v = F.col(value_col).cast("double")
-    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+    clean = df.filter(
+        F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(
         *groups,
         F.col(ts_col).alias("_ts"),
-        F.col(id_col).alias("_id"),
         v.alias("_v"),
     )
     a, b = clean.alias("a"), clean.alias("b")
-    # strict lexicographic (ts, id) order => each unordered pair exactly once
-    pair_cond = (F.col("a._ts") < F.col("b._ts")) | (
-        (F.col("a._ts") == F.col("b._ts")) & (F.col("a._id") < F.col("b._id"))
-    )
     dv = F.col("b._v") - F.col("a._v")
     # exact microsecond diff, NTZ-safe (the funnel.py discipline:
     # unix_micros rejects TIMESTAMP_NTZ; unix_timestamp floors to seconds)
@@ -82,30 +93,58 @@ def mann_kendall_trend(
         F.expr("timestampdiff(MICROSECOND, a._ts, b._ts)").cast("double")
         / F.lit(1000000.0)
     )
+    # strictly time-ordered pairs only: a time-tied pair has no temporal
+    # order, so it contributes to neither S nor the slope (id tiebreaks
+    # would make S's SIGN depend on arbitrary labeling)
     pairs = a.join(
-        b, [F.col(f"a.{g}") == F.col(f"b.{g}") for g in groups] + [pair_cond]
+        b,
+        [F.col(f"a.{g}") == F.col(f"b.{g}") for g in groups]
+        + [F.col("a._ts") < F.col("b._ts")],
     ).select(
         *[F.col(f"a.{g}").alias(g) for g in groups],
         F.signum(dv).cast("bigint").alias("_sgn"),
-        F.when(ds > 0, dv / ds).alias("_slope"),
+        (dv / ds).alias("_slope"),
     )
     stats = pairs.groupBy(*groups).agg(
         F.sum("_sgn").cast("bigint").alias("s"),
         F.percentile("_slope", F.lit(0.5)).alias("_sen"),
     )
-    # tie groups: per (group, value) count t -> sum t(t-1)(2t+5), exact
     dec = "decimal(38,0)"
-    t = F.col("_t").cast(dec)
-    ties = (
-        clean.groupBy(*groups, "_v")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .groupBy(*groups)
-        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("_tie_num"))
-    )
+
+    def _tie_sums(col: str, prefix: str) -> DataFrame:
+        t = F.col("_t").cast(dec)
+        return (
+            clean.groupBy(*groups, col)
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .groupBy(*groups)
+            .agg(
+                F.sum(t * (t - 1) * (2 * t + 5)).alias(f"{prefix}5"),
+                F.sum(t * (t - 1) * (t - 2)).alias(f"{prefix}2"),
+                F.sum(t * (t - 1)).alias(f"{prefix}1"),
+            )
+        )
+
+    vties = _tie_sums("_v", "_tv")
+    uties = _tie_sums("_ts", "_tu")
     n = F.col("n").cast(dec)
-    var_num = (n * (n - 1) * (2 * n + 5) - F.col("_tie_num")).cast("double")
-    var_s = var_num / F.lit(18.0)
-    sizes = clean.groupBy(*groups).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    term1 = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tv5") - F.col("_tu5")
+    ).cast("double") / F.lit(18.0)
+    term2 = F.when(
+        F.col("n") >= 3,
+        F.col("_tv2").cast("double")
+        * F.col("_tu2").cast("double")
+        / (F.lit(9.0) * (n * (n - 1) * (n - 2)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    term3 = (
+        F.col("_tv1").cast("double")
+        * F.col("_tu1").cast("double")
+        / (F.lit(2.0) * (n * (n - 1)).cast("double"))
+    )
+    var_s = term1 + term2 + term3
+    sizes = clean.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
     sd = F.sqrt(F.col("var_s"))
     z = (
         F.when(F.col("var_s") <= 0, F.lit(None).cast("double"))
@@ -115,13 +154,14 @@ def mann_kendall_trend(
     )
     return (
         sizes.filter(F.col("n") >= 2)
-        .join(stats, groups)
-        .join(ties, groups)
-        .withColumn("var_s", F.round(var_s, round_to))
+        .join(stats, groups, "left")
+        .join(vties, groups)
+        .join(uties, groups)
+        .withColumn("var_s", F.round(var_s, round_to) + F.lit(0.0))
         .select(
             *groups,
             "n",
-            "s",
+            F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("s"),
             "var_s",
             # + 0.0 collapses IEEE negative zero (round(-1e-9, 6) -> -0.0,
             # which the two engines RENDER differently) to +0.0; a no-op

@@ -263,7 +263,8 @@ X107_SQL = """
 WITH vals AS (
     SELECT event_type AS g, CAST(value AS DOUBLE) AS v
     FROM events
-    WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    WHERE event_type IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 ),
 cgv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c_gv FROM vals GROUP BY g, v),
 spine AS (SELECT v, CAST(SUM(c_gv) AS BIGINT) AS c_v FROM cgv GROUP BY v),
@@ -295,12 +296,13 @@ ORDER BY event_type
 
 def x108_trend(spark: SparkSession, sf_dir: str):
     """Per-user Mann-Kendall trend test + Theil-Sen slope over event
-    values in (ts, event_id) order (trend.mann_kendall_trend). S and the
-    tie-corrected variance numerator are exact integers (DECIMAL(38,0));
+    values (trend.mann_kendall_trend). Time-tied pairs weigh 0 (the
+    textbook treatment — an id tiebreak would make S's sign depend on
+    arbitrary labeling) and var(S) carries the full two-way tie
+    correction. S and every tie sum are exact integers (DECIMAL(38,0));
     z is continuity-corrected with single correctly-rounded IEEE ops;
     the Sen slope is the exact interpolated median of pairwise
-    value-per-second slopes (same-timestamp pairs excluded from the
-    slope, counted in S). Sliced to users < 40 like x91/x104 — each
+    value-per-second slopes. Sliced to users < 40 like x91/x104 — each
     user's pair set is self-contained, and the within-entity pair join
     is sum-of-n_e^2, the x97 blocking shape."""
     from meshinsights_data_pipeline_spark.operators.trend import (
@@ -308,50 +310,67 @@ def x108_trend(spark: SparkSession, sf_dir: str):
     )
 
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    return mann_kendall_trend(
-        ev, "ts", ["user_id"], "value", "event_id"
-    ).orderBy("user_id")
+    return mann_kendall_trend(ev, "ts", ["user_id"], "value").orderBy(
+        "user_id"
+    )
 
 
 X108_SQL = """
 WITH clean AS (
-    SELECT user_id, epoch_us(ts) AS us, event_id AS id,
-           CAST(value AS DOUBLE) AS v
+    SELECT user_id, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
     FROM events
-    WHERE user_id < 40 AND value IS NOT NULL
+    WHERE user_id < 40 AND ts IS NOT NULL AND value IS NOT NULL
       AND NOT isnan(CAST(value AS DOUBLE))
 ),
 pairs AS (
     SELECT a.user_id,
            CAST(SIGN(b.v - a.v) AS BIGINT) AS sgn,
-           CASE WHEN b.us > a.us
-                THEN (b.v - a.v) / (CAST(b.us - a.us AS DOUBLE) / 1000000.0)
-           END AS slope
-    FROM clean a JOIN clean b ON a.user_id = b.user_id
-     AND (a.us < b.us OR (a.us = b.us AND a.id < b.id))
+           (b.v - a.v) / (CAST(b.us - a.us AS DOUBLE) / 1000000.0) AS slope
+    FROM clean a JOIN clean b ON a.user_id = b.user_id AND a.us < b.us
 ),
 st AS (
     SELECT user_id, CAST(SUM(sgn) AS BIGINT) AS s,
            quantile_cont(slope, 0.5) AS sen
     FROM pairs GROUP BY user_id
 ),
-ties AS (
+vties AS (
     SELECT user_id,
-           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_num
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tv5,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)) AS tv2,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tv1
     FROM (SELECT user_id, v, COUNT(*) AS t FROM clean GROUP BY user_id, v)
+    GROUP BY user_id
+),
+uties AS (
+    SELECT user_id,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tu5,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)) AS tu2,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tu1
+    FROM (SELECT user_id, us, COUNT(*) AS t FROM clean GROUP BY user_id, us)
     GROUP BY user_id
 ),
 sizes AS (
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM clean GROUP BY user_id
 ),
 scored AS (
-    SELECT z.user_id, z.n, st.s,
-           ROUND(CAST(CAST(z.n AS DECIMAL(38,0)) * (z.n - 1) * (2 * z.n + 5)
-                      - t.tie_num AS DOUBLE) / 18.0, 6) AS var_s,
+    SELECT z.user_id, z.n, COALESCE(st.s, 0) AS s,
+           ROUND(
+               CAST(CAST(z.n AS DECIMAL(38,0)) * (z.n - 1) * (2 * z.n + 5)
+                    - vt.tv5 - ut.tu5 AS DOUBLE) / 18.0
+               + CASE WHEN z.n >= 3 THEN
+                   CAST(vt.tv2 AS DOUBLE) * CAST(ut.tu2 AS DOUBLE)
+                   / (9.0 * CAST(CAST(z.n AS DECIMAL(38,0)) * (z.n - 1)
+                                 * (z.n - 2) AS DOUBLE))
+                 ELSE 0.0 END
+               + CAST(vt.tv1 AS DOUBLE) * CAST(ut.tu1 AS DOUBLE)
+                 / (2.0 * CAST(CAST(z.n AS DECIMAL(38,0)) * (z.n - 1)
+                               AS DOUBLE)),
+               6) + 0.0 AS var_s,
            st.sen
     FROM sizes z
-    JOIN st ON st.user_id = z.user_id
-    JOIN ties t ON t.user_id = z.user_id
+    LEFT JOIN st ON st.user_id = z.user_id
+    JOIN vties vt ON vt.user_id = z.user_id
+    JOIN uties ut ON ut.user_id = z.user_id
     WHERE z.n >= 2
 )
 SELECT user_id, n, s, var_s,
@@ -398,8 +417,10 @@ WITH vals AS (
                          AS DECIMAL(18,6)) AS VARCHAR),
                '[1-9]') AS d
     FROM lineitem
-    WHERE l_extendedprice IS NOT NULL
+    WHERE l_returnflag IS NOT NULL
+      AND l_extendedprice IS NOT NULL
       AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+      AND ABS(CAST(l_extendedprice AS DOUBLE)) < 1e12
 ),
 obs AS (
     SELECT g, CAST(d AS INT) AS d, CAST(COUNT(*) AS BIGINT) AS c

@@ -41,6 +41,7 @@ def streaming_benford_ingest(
     ``[epoch, g, n, chi2, max_dev]``.
     """
     from meshinsights_data_pipeline_spark.operators.dq import (
+        benford_digit_counts,
         benford_from_counts,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
@@ -50,17 +51,10 @@ def streaming_benford_ingest(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        v = F.col(value_col).cast("double")
-        digit = F.regexp_extract(
-            F.abs(v).cast("decimal(18,6)").cast("string"), "[1-9]", 0
-        )
-        batch_counts = (
-            batch_df.filter(v.isNotNull() & ~F.isnan(v))
-            .select(F.col(group_col).alias("g"), digit.alias("_d"))
-            .filter(F.col("_d") != "")
-            .groupBy("g", F.col("_d").cast("int").alias("_d"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-        )
+        # the batch operator's own digit stage — shared so the twin's
+        # domain guards (NULL group, |v| >= 1e12 ANSI overflow) can
+        # never drift from batch semantics
+        batch_counts = benford_digit_counts(batch_df, group_col, value_col)
         prev = snapshot_before(spark, counts_dir, epoch_id).select(
             "g", "_d", "_c"
         )

@@ -48,6 +48,7 @@ def streaming_ks_ingest(
     """
     from meshinsights_data_pipeline_spark.operators.stats import (
         ks_from_counts,
+        ks_value_counts,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
@@ -56,13 +57,9 @@ def streaming_ks_ingest(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        v = F.col(value_col).cast("double")
-        batch_counts = (
-            batch_df.select(F.col(group_col).alias("g"), v.alias("_v"))
-            .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
-            .groupBy("g", "_v")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("_c_gv"))
-        )
+        # the batch operator's own count stage — shared so the twin's
+        # guards (NULL group/value) can never drift from batch semantics
+        batch_counts = ks_value_counts(batch_df, group_col, value_col)
         prev = snapshot_before(spark, counts_dir, epoch_id).select(
             "g", "_v", "_c_gv"
         )

@@ -49,6 +49,7 @@ def streaming_km_ingest(
     """
     from meshinsights_data_pipeline_spark.operators.survival import (
         km_from_counts,
+        km_spine,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
@@ -59,22 +60,9 @@ def streaming_km_ingest(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        ev = F.col(event_col).cast("boolean")
-        batch_counts = (
-            batch_df.filter(F.col(duration_col).isNotNull())
-            .select(
-                *groups,
-                F.col(duration_col).alias("_t"),
-                F.coalesce(ev, F.lit(False)).alias("_e"),
-            )
-            .groupBy(*groups, "_t")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("_c"),
-                F.sum(F.when(F.col("_e"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("_d"),
-            )
-        )
+        # the batch operator's own spine stage — shared so the twin's
+        # guards (NULL duration/event) can never drift from batch
+        batch_counts = km_spine(batch_df, groups, duration_col, event_col)
         prev = snapshot_before(spark, counts_dir, epoch_id).select(
             *groups, "_t", "_c", "_d"
         )

@@ -976,7 +976,7 @@ def test_mann_kendall_entity_keyed_pair_join(spark):
          for i in range(15)],
         "g int, ts timestamp, id long, v double",
     )
-    p = _plan(mann_kendall_trend(df, "ts", ["g"], "v", "id"))
+    p = _plan(mann_kendall_trend(df, "ts", ["g"], "v"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p

@@ -1545,17 +1545,18 @@ def test_exp_weighted_avg_matches_python(spark, obs, k):
 
 @given(
     rows=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-4, 4)),
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-4, 4)),
         min_size=2,
         max_size=40,
     )
 )
 @SLOW
 def test_mann_kendall_matches_python(spark, rows):
-    """Trend: S, tie-corrected var(S), continuity-corrected z, and the
-    Theil-Sen median slope all match an independent pure-Python
-    reference on random integer series (ties in both time and value
-    included by construction)."""
+    """Trend: S over strictly time-ordered pairs (time-tied pairs weigh
+    0), the TWO-WAY tie-corrected var(S), continuity-corrected z, and
+    the Theil-Sen median slope all match an independent pure-Python
+    reference on random integer series (the 0-20 time range forces
+    frequent time ties, the -4..4 value range frequent value ties)."""
     from datetime import datetime, timedelta
 
     from meshinsights_data_pipeline_spark.operators.trend import (
@@ -1564,18 +1565,17 @@ def test_mann_kendall_matches_python(spark, rows):
 
     base = datetime(2024, 1, 1)
     data = [
-        (g, base + timedelta(seconds=t), i, float(v))
-        for i, (g, t, v) in enumerate(rows)
+        (g, base + timedelta(seconds=t), float(v)) for g, t, v in rows
     ]
-    df = spark.createDataFrame(data, "g int, ts timestamp, id long, v double")
+    df = spark.createDataFrame(data, "g int, ts timestamp, v double")
     got = {
         r["g"]: r
-        for r in mann_kendall_trend(df, "ts", ["g"], "v", "id").collect()
+        for r in mann_kendall_trend(df, "ts", ["g"], "v").collect()
     }
+    from collections import Counter as _C
+
     for g in {g for g, _, _ in rows}:
-        series = sorted(
-            [(t, i, float(v)) for i, (gg, t, v) in enumerate(rows) if gg == g]
-        )
+        series = sorted((t, float(v)) for gg, t, v in rows if gg == g)
         n = len(series)
         if n < 2:
             assert g not in got
@@ -1584,22 +1584,34 @@ def test_mann_kendall_matches_python(spark, rows):
         slopes = []
         for i in range(n):
             for j in range(i + 1, n):
-                dv = series[j][2] - series[i][2]
-                s += (dv > 0) - (dv < 0)
                 dt = series[j][0] - series[i][0]  # integer seconds
-                if dt > 0:
-                    slopes.append(dv / dt)
-        from collections import Counter as _C
-
-        ties = _C(v for _, _, v in series)
+                if dt <= 0:
+                    continue  # time-tied pairs weigh 0
+                dv = series[j][1] - series[i][1]
+                s += (dv > 0) - (dv < 0)
+                slopes.append(dv / dt)
+        vt = _C(v for _, v in series).values()
+        ut = _C(t for t, _ in series).values()
         var = (
             n * (n - 1) * (2 * n + 5)
-            - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+            - sum(t * (t - 1) * (2 * t + 5) for t in vt)
+            - sum(u * (u - 1) * (2 * u + 5) for u in ut)
         ) / 18.0
+        if n >= 3:
+            var += (
+                sum(t * (t - 1) * (t - 2) for t in vt)
+                * sum(u * (u - 1) * (u - 2) for u in ut)
+                / (9.0 * n * (n - 1) * (n - 2))
+            )
+        var += (
+            sum(t * (t - 1) for t in vt)
+            * sum(u * (u - 1) for u in ut)
+            / (2.0 * n * (n - 1))
+        )
         r = got[g]
         assert r["n"] == n and r["s"] == s
-        assert abs(r["var_s"] - round(var, 6)) < 1e-9
-        if var <= 0:
+        assert abs(r["var_s"] - round(var, 6)) < 1e-6, (g, r["var_s"], var)
+        if round(var, 6) <= 0:
             assert r["z"] is None
         elif s == 0:
             assert r["z"] == 0.0
@@ -1831,7 +1843,8 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
         assert abs(r["mean_i"] - means_np[r["i"] - 1]) < 1e-6
         assert r["n"] == 40
 
-    comps, evals = pca_components(df, "id", "vec", k=2)
+    comps, evals, op_means = pca_components(df, "id", "vec", k=2)
+    assert np.allclose(op_means, means_np, atol=1e-6)
     w_np, v_np = np.linalg.eigh(cov_np)
     order = np.argsort(w_np)[::-1][:2]
     for c, ev, idx in zip(comps, evals, order):
