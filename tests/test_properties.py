@@ -1865,3 +1865,78 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
     for i in range(40):
         ref = [float(centered[i] @ np.array(c)) for c in comps]
         assert np.allclose(proj[i], ref, atol=1e-6)
+
+
+def test_drift_family_edge_exclusions(spark):
+    """Review-fix pins: NULL group keys are excluded from ks_drift and
+    benford_deviation (not scored as spurious maximal drift); values at
+    or beyond the DECIMAL(18,6) domain (2e12, Infinity) are excluded
+    from Benford instead of throwing under ANSI; NULL-timestamp rows
+    are excluded from Mann-Kendall entirely (not silently inflating n
+    and deflating z)."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        benford_deviation,
+    )
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    ks = ks_drift(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), (None, 1.0), ("b", 3.0)],
+            "g string, v double",
+        ),
+        "g",
+        "v",
+    ).collect()
+    assert sorted(r["g"] for r in ks) == ["a", "b"]
+
+    bf = benford_deviation(
+        spark.createDataFrame(
+            [("a", 123.0), ("a", 2.0e12), ("a", float("inf")),
+             ("a", float("-inf")), (None, 5.0), ("a", 47.0)],
+            "g string, v double",
+        ),
+        "g",
+        "v",
+    ).collect()
+    assert [(r["g"], r["n"]) for r in bf] == [("a", 2)]
+
+    base = datetime(2024, 1, 1)
+    mk = mann_kendall_trend(
+        spark.createDataFrame(
+            [(0, base, 1.0), (0, base.replace(day=2), 2.0),
+             (0, base.replace(day=3), 3.0), (0, None, 9.0), (0, None, 9.0)],
+            "g int, ts timestamp, v double",
+        ),
+        "ts",
+        ["g"],
+        "v",
+    ).collect()
+    assert [(r["g"], r["n"], r["s"]) for r in mk] == [(0, 3, 3)]
+
+
+def test_mann_kendall_time_ties_sign_invariance(spark):
+    """Review-fix pin: a pair sharing a timestamp carries no temporal
+    order, so it must not contribute to S — under the old id tiebreak,
+    relabeling ids flipped the reported trend direction."""
+    from datetime import datetime
+
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(0, base, 1.0), (0, base, 2.0), (0, base.replace(day=2), 1.5)]
+    (r,) = mann_kendall_trend(
+        spark.createDataFrame(rows, "g int, ts timestamp, v double"),
+        "ts",
+        ["g"],
+        "v",
+    ).collect()
+    # the tied pair (1.0 vs 2.0) weighs 0; the two ordered pairs are
+    # 1.0 -> 1.5 (+1) and 2.0 -> 1.5 (-1)
+    assert r["s"] == 0 and r["n"] == 3
