@@ -4,18 +4,18 @@ The r13 driver window is reserved for the staleness rotation (verdict
 r12 #1), so the operators added this round (CUSUM changepoints, A/B
 z-test, k-point EW rolling mean, KS drift, Mann-Kendall/Theil-Sen
 trend, Benford conformance, token entropy/Gini, embedding covariance/PCA,
-Kaplan-Meier survival) ship with their anchor
+Kaplan-Meier survival, quantile normalization) ship with their anchor
 queries and DuckDB oracles staged HERE, proven green against the
 oracle harness by ``tests/test_oracle_drafts.py``. Round 14 moves each
 (builder, SQL) pair into ``extension_queries.EXTENSION_BUILDERS`` and
 gives it a ``_DRIVER_WINDOW`` slot — registration is a copy, not new
 work.
 
-Round-14 window math (for whoever rotates next): 9 slots for
-x104–x112 (new) plus 1 for the x04 capped-anchor replacement (operator
+Round-14 window math (for whoever rotates next): 10 slots for
+x104–x113 (new) plus 1 for the x04 capped-anchor replacement (operator
 code change rule), 2 for x06/x54 (displaced from the r13 fill band by
 the x90/x97 code-change slots), the 29-query r10-stale cohort in full,
-then fill the remaining ~9 slots with the oldest r11 queries. After
+then fill the remaining ~8 slots with the oldest r11 queries. After
 that rotation no query is staler than r11.
 """
 
@@ -634,6 +634,58 @@ ORDER BY cohort, t
 """
 
 
+def x113_quantile_normalize(spark: SparkSession, sf_dir: str):
+    """Quantile normalization of per-source document lengths onto the
+    corpus distribution (stats.quantile_normalize) — the pre-mixing
+    transform for incomparable per-scorer/per-source scales: equal
+    within-group ranks map to equal corpus values. Within-group ranks
+    use the total order (value, id); the corpus rank is the
+    distributed global ranker (ONE range shuffle, no single-task
+    sort); p/pos/frac/interpolation are fixed-order single IEEE ops."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id").orderBy(
+        "source", "doc_id"
+    )
+
+
+X113_SQL = """
+WITH clean AS (
+    SELECT source AS g, doc_id AS id, CAST(n_chars AS DOUBLE) AS v
+    FROM documents
+    WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      AND NOT isnan(CAST(n_chars AS DOUBLE))
+),
+rg AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS r,
+           COUNT(*) OVER (PARTITION BY g) AS n_g
+    FROM clean
+),
+corpus AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+           COUNT(*) OVER () AS n
+    FROM clean
+),
+scored AS (
+    SELECT g, id, v,
+           CASE WHEN n_g > 1
+                THEN CAST(r - 1 AS DOUBLE) / CAST(n_g - 1 AS DOUBLE)
+                ELSE 0.5 END
+             * CAST((SELECT MAX(n) FROM corpus) - 1 AS DOUBLE) AS pos
+    FROM rg
+)
+SELECT g AS source, id AS doc_id, v AS n_chars,
+       ROUND(lo.cv + (hi.cv - lo.cv) * (pos - FLOOR(pos)), 6) + 0.0 AS qnorm
+FROM scored
+JOIN corpus lo ON lo.rn = CAST(FLOOR(pos) + 1 AS BIGINT)
+JOIN corpus hi ON hi.rn = CAST(CEIL(pos) + 1 AS BIGINT)
+ORDER BY source, doc_id
+"""
+
+
 #: what r14 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
@@ -646,4 +698,5 @@ DRAFTS = {
     "x110_token_entropy": (x110_token_entropy, _x110_sql()),
     "x111_embedding_covariance": (x111_embedding_covariance, X111_SQL),
     "x112_km_survival": (x112_km_survival, X112_SQL),
+    "x113_quantile_normalize": (x113_quantile_normalize, X113_SQL),
 }

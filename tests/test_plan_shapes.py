@@ -1055,3 +1055,24 @@ def test_km_survival_partitioned_windows_broadcast_sizes(spark):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert spec.split(",")[0].strip().startswith("g"), spec
+
+
+def test_quantile_normalize_no_single_task_sort(spark):
+    """x113's scale contract: the corpus rank comes from the
+    range-shuffle global ranker — the ONLY unpartitioned window in the
+    plan runs over the #partitions-row offset frame, never the data
+    (no Exchange SinglePartition over the corpus); bracket lookups are
+    integer-keyed hash joins; JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i, float((i * 7) % 11)) for i in range(30)],
+        "g int, id long, v double",
+    )
+    p = _plan(quantile_normalize(df, "g", "v", "id"))
+    assert "CartesianProduct" not in p
+    # (a BroadcastNestedLoopJoin IS present and correct: the 1-row
+    # corpus-total broadcast crossJoin, the psi_drift shape)
+    assert "EvalPython" not in p

@@ -1940,3 +1940,42 @@ def test_mann_kendall_time_ties_sign_invariance(spark):
     # the tied pair (1.0 vs 2.0) weighs 0; the two ordered pairs are
     # 1.0 -> 1.5 (+1) and 2.0 -> 1.5 (-1)
     assert r["s"] == 0 and r["n"] == 3
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-6, 6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SLOW
+def test_quantile_normalize_matches_python(spark, rows):
+    """Quantile normalization equals the pure-python definition: the
+    corpus sorted-multiset value at the within-group quantile position,
+    linearly interpolated; singleton groups map to the corpus median."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, id long, v double")
+    got = {
+        (r["g"], r["id"]): r["qnorm"]
+        for r in quantile_normalize(df, "g", "v", "id").collect()
+    }
+    corpus = sorted(v for _, _, v in data)
+    n = len(corpus)
+
+    def corpus_at(p):
+        pos = p * (n - 1)
+        lo, hi = corpus[int(pos)], corpus[min(int(pos) + (pos > int(pos)), n - 1)]
+        return lo + (hi - lo) * (pos - int(pos))
+
+    for g in {g for g, _, _ in data}:
+        mine = sorted((v, i) for gg, i, v in data if gg == g)
+        n_g = len(mine)
+        for r_idx, (v, i) in enumerate(mine, start=1):
+            p = (r_idx - 1) / (n_g - 1) if n_g > 1 else 0.5
+            expect = corpus_at(p)
+            assert abs(got[(g, i)] - expect) < 2e-6, (g, i, got[(g, i)], expect)
