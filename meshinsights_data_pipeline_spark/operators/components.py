@@ -342,3 +342,60 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def dedup_survivors_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    algorithm: str = "star",
+) -> DataFrame:
+    """Quality-aware cluster dedup: one survivor per near-dup cluster,
+    chosen by HIGHEST ``score_col`` (ties -> smallest id) instead of
+    :func:`dedup_survivors`' min-id convention — the FineWeb-style
+    "keep the best member" policy: when a boilerplate-laden copy and a
+    clean original near-dup each other, min-id keeps whichever crawled
+    first; this keeps the one the quality scorer prefers. Docs in no
+    pair pass through untouched.
+
+    The winner rank is the total order (score DESC, id ASC), so the
+    survivor set is engine- and partitioning-independent even with
+    tied scores.
+
+    Scale shape: components run at |clustered nodes| cardinality (tiny
+    next to the corpus); the score join and winner ranking stay at that
+    cardinality (hot-group-safe grouped_row_number — a pathological
+    giant cluster spans partitions, never one task); the corpus is
+    touched exactly once, by the final anti-join on the loser set.
+    """
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_row_number,
+    )
+
+    cc = (
+        connected_components
+        if algorithm == "min_label"
+        else connected_components_star
+    )
+    comp = cc(pairs, src_col, dst_col)
+    scored = comp.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+        ),
+        "id",
+    )
+    ranked = grouped_row_number(
+        scored,
+        ["cluster_id"],
+        [F.col("_score").desc(), F.col("id").asc()],
+        out_col="_rk",
+    )
+    losers = ranked.filter(F.col("_rk") > 1).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

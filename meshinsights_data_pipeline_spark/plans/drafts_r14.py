@@ -4,18 +4,19 @@ The r13 driver window is reserved for the staleness rotation (verdict
 r12 #1), so the operators added this round (CUSUM changepoints, A/B
 z-test, k-point EW rolling mean, KS drift, Mann-Kendall/Theil-Sen
 trend, Benford conformance, token entropy/Gini, embedding covariance/PCA,
-Kaplan-Meier survival, quantile normalization) ship with their anchor
+Kaplan-Meier survival, quantile normalization, best-member survivor
+selection) ship with their anchor
 queries and DuckDB oracles staged HERE, proven green against the
 oracle harness by ``tests/test_oracle_drafts.py``. Round 14 moves each
 (builder, SQL) pair into ``extension_queries.EXTENSION_BUILDERS`` and
 gives it a ``_DRIVER_WINDOW`` slot — registration is a copy, not new
 work.
 
-Round-14 window math (for whoever rotates next): 10 slots for
-x104–x113 (new) plus 1 for the x04 capped-anchor replacement (operator
+Round-14 window math (for whoever rotates next): 11 slots for
+x104–x114 (new) plus 1 for the x04 capped-anchor replacement (operator
 code change rule), 2 for x06/x54 (displaced from the r13 fill band by
 the x90/x97 code-change slots), the 29-query r10-stale cohort in full,
-then fill the remaining ~8 slots with the oldest r11 queries. After
+then fill the remaining ~7 slots with the oldest r11 queries. After
 that rotation no query is staler than r11.
 """
 
@@ -686,6 +687,57 @@ ORDER BY source, doc_id
 """
 
 
+def x114_best_survivors(spark: SparkSession, sf_dir: str):
+    """Quality-aware cluster dedup (components.dedup_survivors_by): the
+    x23 minhash-LSH verified pair graph collapsed to one survivor per
+    cluster, chosen by HIGHEST n_chars (ties -> smallest doc_id) — the
+    FineWeb-style keep-the-best-member policy, vs dedup_survivors'
+    min-id convention. The winner rank is the total order
+    (score DESC, id ASC) via the hot-group-safe grouped_row_number;
+    the corpus is touched once, by the final anti-join."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        dedup_survivors_by,
+    )
+    from meshinsights_data_pipeline_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+    return (
+        dedup_survivors_by(docs, pairs, "doc_id", "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _x114_sql() -> str:
+    from meshinsights_data_pipeline_spark.plans.extension_queries import (
+        _dedup_clusters_sql,
+    )
+
+    base = _dedup_clusters_sql()
+    # reuse the x23 fixpoint verbatim, swap the projection for the
+    # best-member anti-join
+    tail = "SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id"
+    assert base.rstrip().endswith(tail.strip()), "x23 SQL shape changed"
+    head = base[: base.rindex("SELECT id, MIN(r)")].rstrip()
+    # head now ends with reach's closing paren; the comma continues the
+    # WITH list
+    return head + """,
+    comp AS (
+        SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+        SELECT c.id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.id ASC) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
+    ORDER BY doc_id
+    """
+
+
 #: what r14 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
@@ -699,4 +751,5 @@ DRAFTS = {
     "x111_embedding_covariance": (x111_embedding_covariance, X111_SQL),
     "x112_km_survival": (x112_km_survival, X112_SQL),
     "x113_quantile_normalize": (x113_quantile_normalize, X113_SQL),
+    "x114_best_survivors": (x114_best_survivors, _x114_sql()),
 }

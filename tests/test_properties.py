@@ -1979,3 +1979,54 @@ def test_quantile_normalize_matches_python(spark, rows):
             p = (r_idx - 1) / (n_g - 1) if n_g > 1 else 0.5
             expect = corpus_at(p)
             assert abs(got[(g, i)] - expect) < 2e-6, (g, i, got[(g, i)], expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        max_size=20,
+    ),
+    scores=st.lists(st.integers(0, 5), min_size=13, max_size=13),
+)
+@SLOW
+def test_dedup_survivors_by_matches_union_find(spark, edges, scores):
+    """Quality-aware collapse: survivors equal a pure-python union-find
+    keeping argmax((score, -id)) per component; unclustered docs always
+    pass through."""
+    from meshinsights_data_pipeline_spark.operators.components import (
+        dedup_survivors_by,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_survivors_by(df, pairs, "doc_id", "q").collect()
+    )
+    parent = list(range(13))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    clustered = {x for e in edges for x in e}
+    for i in clustered:
+        comps.setdefault(find(i), []).append(i)
+    losers = set()
+    for members in comps.values():
+        best = max(members, key=lambda i: (scores[i], -i))
+        losers |= set(members) - {best}
+    expect = sorted(set(range(13)) - losers)
+    assert got == expect, (edges, scores, got, expect)
