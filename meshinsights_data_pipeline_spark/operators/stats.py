@@ -440,6 +440,8 @@ def ks_drift(
     group_col: str,
     value_col: str,
     round_to: int = 6,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic of each group's
     numeric distribution against the whole corpus — the third leg of the
@@ -471,28 +473,67 @@ def ks_drift(
     high-cardinality values quantize first (the histogram_fixed_width
     bins), which bounds the spine and keeps the same code path.
     """
-    counts = ks_value_counts(df, group_col, value_col)
+    counts = ks_value_counts(
+        df, group_col, value_col, buckets=buckets, bounds=bounds
+    )
     return ks_from_counts(counts, round_to=round_to).withColumnRenamed(
         "g", group_col
     )
 
 
 def ks_value_counts(
-    df: DataFrame, group_col: str, value_col: str
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """The ``[g, _v, _c_gv]`` count stage of :func:`ks_drift`, shared
     with the streaming twin so the two can never drift: NULL/NaN values
-    AND NULL group keys are excluded here, in exactly one place."""
+    AND NULL group keys are excluded here, in exactly one place.
+
+    ``buckets`` is the 100 TB tier made a parameter (the x90
+    precedent): values quantize to equal-width bin ids over
+    ``bounds`` = (lo, hi), bounding the corpus spine — and the
+    streaming twin's state — at ``buckets`` rows per group instead of
+    |distinct values|. The result is then the EXACT KS of the binned
+    distributions (every quantized row keeps the same code path and
+    integer arg-max). With ``bounds=None`` the corpus's own min/max
+    are used (one extra tiny aggregate + broadcast, batch only); the
+    streaming twin REQUIRES explicit bounds — data-derived bounds
+    would shift between micro-batches and silently re-bin history.
+    Values outside explicit bounds clamp to the edge bins (same IEEE
+    assignment as histogram_fixed_width in both engines).
+    """
     v = F.col(value_col).cast("double")
-    return (
-        df.select(F.col(group_col).alias("g"), v.alias("_v"))
-        .filter(
-            F.col("g").isNotNull()
-            & F.col("_v").isNotNull()
-            & ~F.isnan("_v")
-        )
-        .groupBy("g", "_v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c_gv"))
+    vals = df.select(F.col(group_col).alias("g"), v.alias("_v")).filter(
+        F.col("g").isNotNull() & F.col("_v").isNotNull() & ~F.isnan("_v")
+    )
+    if buckets is not None:
+        if buckets < 1:
+            raise ValueError(f"buckets must be positive, got {buckets}")
+        k = F.lit(int(buckets))
+        if bounds is not None:
+            lo, hi = float(bounds[0]), float(bounds[1])
+            blo, bhi = F.lit(lo), F.lit(hi)
+            src = vals
+        else:
+            b = vals.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+            blo, bhi = F.col("_lo"), F.col("_hi")
+            src = vals.crossJoin(F.broadcast(b))
+        width = (bhi - blo) / k
+        bucket = F.when(
+            width > 0,
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    k - 1, F.floor((F.col("_v") - blo) / width).cast("int")
+                ),
+            ),
+        ).otherwise(F.lit(0))
+        vals = src.select("g", bucket.cast("double").alias("_v"))
+    return vals.groupBy("g", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c_gv")
     )
 
 

@@ -36,6 +36,8 @@ def streaming_ks_ingest(
     counts_dir: str,
     report_dir: str,
     idempotent: bool = True,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ):
     """foreachBatch callable: merge batch (group, value) counts into the
     KS state, recompute the per-group KS report from the merged counts,
@@ -45,7 +47,17 @@ def streaming_ks_ingest(
     (schema ``g string, _v double, _c_gv long``). Report rows are
     ``[epoch, g, n, ks]``. Returns the callable for
     ``stream.writeStream.foreachBatch(...)``.
+
+    ``buckets`` (with REQUIRED explicit ``bounds``) is the bounded-state
+    tier: values quantize to equal-width bin ids before the merge, so
+    state holds at most |groups| x buckets rows regardless of value
+    cardinality — the KS is then exact over the binned distributions.
     """
+    if buckets is not None and bounds is None:
+        raise ValueError(
+            "streaming KS with buckets needs explicit bounds: data-derived "
+            "bounds would shift between micro-batches and re-bin history"
+        )
     from meshinsights_data_pipeline_spark.operators.stats import (
         ks_from_counts,
         ks_value_counts,
@@ -58,8 +70,13 @@ def streaming_ks_ingest(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         # the batch operator's own count stage — shared so the twin's
-        # guards (NULL group/value) can never drift from batch semantics
-        batch_counts = ks_value_counts(batch_df, group_col, value_col)
+        # guards (NULL group/value) can never drift from batch semantics.
+        # buckets bounds the state at |groups| x buckets; bounds MUST be
+        # explicit here — data-derived bounds would shift between
+        # micro-batches and silently re-bin accumulated history.
+        batch_counts = ks_value_counts(
+            batch_df, group_col, value_col, buckets=buckets, bounds=bounds
+        )
         prev = snapshot_before(spark, counts_dir, epoch_id).select(
             "g", "_v", "_c_gv"
         )

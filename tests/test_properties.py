@@ -2030,3 +2030,46 @@ def test_dedup_survivors_by_matches_union_find(spark, edges, scores):
         losers |= set(members) - {best}
     expect = sorted(set(range(13)) - losers)
     assert got == expect, (edges, scores, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-8, 8)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SLOW
+def test_ks_drift_bucket_tier_matches_binned_exact(spark, rows):
+    """The buckets= tier equals the exact KS computed over the binned
+    values (same histogram_fixed_width assignment) — quantization
+    changes the distribution being compared, never the statistic's
+    exactness."""
+    from fractions import Fraction
+
+    from meshinsights_data_pipeline_spark.operators.stats import ks_drift
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g int, v double"
+    )
+    k = 4
+    got = {r["g"]: r["ks"] for r in ks_drift(df, "g", "v", buckets=k).collect()}
+    lo, hi = min(v for _, v in rows), max(v for _, v in rows)
+    width = (hi - lo) / k
+
+    def bin_of(v):
+        return min(k - 1, int((v - lo) // width)) if width > 0 else 0
+
+    binned = [(g, bin_of(v)) for g, v in rows]
+    all_bins = sorted({b for _, b in binned})
+    n = len(binned)
+    for g in {g for g, _ in binned}:
+        mine = [b for gg, b in binned if gg == g]
+        best = max(
+            abs(
+                Fraction(sum(1 for x in mine if x <= b), len(mine))
+                - Fraction(sum(1 for _, x in binned if x <= b), n)
+            )
+            for b in all_bins
+        )
+        assert abs(got[g] - round(float(best), 6)) < 1e-9
