@@ -2043,3 +2043,85 @@ def source_token_entropy(
         ),
         F.round(gini, round_to).alias("gini"),
     )
+
+
+def source_duplicate_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    round_to: int = 6,
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every source pair, how
+    much of each side's content also appears in the other — the
+    document-granularity complement of x101's vocabulary overlap and
+    the mixing diagnostic the x50 report card can't see (WHERE the
+    duplication between sources lives, not just how much each source
+    self-duplicates). A high dup_frac from a "new" source into an
+    existing one means the new crawl re-scraped the old corpus.
+
+    Content identity is the exact-dedup fingerprint (md5 of normalized
+    text, the x01 surface); ``prefix_tokens`` switches identity to the
+    first-k-token fingerprint — the recrawl/boilerplate-HEAD detector
+    (two scrapes of the same page differ in trailing chrome but share
+    the head, which full-text identity misses entirely).
+    Returns one row per unordered source pair
+    with any overlap: ``[src_a, src_b, fp_a, fp_b, n_shared,
+    dup_frac_a, dup_frac_b]`` where fp_* are distinct-fingerprint
+    counts and dup_frac_a = n_shared / fp_a (the share of a's distinct
+    content also in b; one exact-integer division each, rounded).
+
+    Scale shape: the corpus collapses to the distinct (source,
+    fingerprint) frame map-side (ONE shuffle on the hash); the
+    self-join keys on the fingerprint, so cost is bounded by
+    sum over fp of (#sources carrying it)^2 — |sources|^2 per
+    fingerprint worst case, never corpus^2 (the x101 argument); the
+    final aggregate is |source pairs| rows.
+    """
+    from meshinsights_data_pipeline_spark.operators.text import (
+        fingerprint,
+        normalized_text,
+    )
+
+    if prefix_tokens is None:
+        ident = fingerprint(F.col(text_col))
+    else:
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        ident = F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, int(prefix_tokens)))
+        )
+    fps = (
+        df.select(F.col(source_col).alias("_src"), ident.alias("_fp"))
+        .filter(F.col("_src").isNotNull())
+        .distinct()
+    )
+    sizes = fps.groupBy("_src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    a = fps.select(F.col("_src").alias("src_a"), F.col("_fp").alias("_f"))
+    b = fps.select(F.col("_src").alias("src_b"), F.col("_fp").alias("_f"))
+    shared = (
+        a.join(b, "_f")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_src").alias("src_a"), F.col("_sz").alias("fp_a"))
+    sb = sizes.select(F.col("_src").alias("src_b"), F.col("_sz").alias("fp_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "fp_a",
+            "fp_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("fp_a"), round_to).alias(
+                "dup_frac_a"
+            ),
+            F.round(F.col("n_shared") / F.col("fp_b"), round_to).alias(
+                "dup_frac_b"
+            ),
+        )
+    )

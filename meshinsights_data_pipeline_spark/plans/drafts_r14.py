@@ -12,11 +12,11 @@ oracle harness by ``tests/test_oracle_drafts.py``. Round 14 moves each
 gives it a ``_DRIVER_WINDOW`` slot — registration is a copy, not new
 work.
 
-Round-14 window math (for whoever rotates next): 11 slots for
-x104–x114 (new) plus 1 for the x04 capped-anchor replacement (operator
+Round-14 window math (for whoever rotates next): 12 slots for
+x104–x115 (new) plus 1 for the x04 capped-anchor replacement (operator
 code change rule), 2 for x06/x54 (displaced from the r13 fill band by
 the x90/x97 code-change slots), the 29-query r10-stale cohort in full,
-then fill the remaining ~7 slots with the oldest r11 queries. After
+then fill the remaining ~6 slots with the oldest r11 queries. After
 that rotation no query is staler than r11.
 """
 
@@ -738,6 +738,56 @@ def _x114_sql() -> str:
     """
 
 
+def x115_source_dup_matrix(spark: SparkSession, sf_dir: str):
+    """Cross-source duplicate matrix (corpus.source_duplicate_matrix):
+    per source pair, the share of each side's distinct content
+    fingerprints also present in the other — WHERE inter-source
+    duplication lives, the diagnostic the per-source report card can't
+    see. The anchor runs the prefix_tokens=8 head-fingerprint tier
+    (recrawl detection — trailing chrome differs, heads collide;
+    full-text x01 identity is vacuously empty on this corpus and stays
+    the operator default). Corpus collapses to distinct (source, fp)
+    map-side; the self-join keys on the fingerprint (|sources|^2 per
+    fp, never corpus^2); exact-integer fractions rounded once."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_duplicate_matrix,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_duplicate_matrix(
+        docs, "source", "text", prefix_tokens=8
+    ).orderBy("src_a", "src_b")
+
+
+def _x115_sql() -> str:
+    from meshinsights_data_pipeline_spark.plans.extension_queries import (
+        _NORM_SQL,
+    )
+
+    norm = _NORM_SQL.format(col="text")
+    return f"""
+WITH fps AS (
+    SELECT DISTINCT source AS src,
+           md5(array_to_string((string_split({norm}, ' '))[1:8], ' ')) AS fp
+    FROM documents WHERE source IS NOT NULL
+),
+sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sz FROM fps GROUP BY src),
+shared AS (
+    SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp
+    WHERE a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT src_a, src_b, sa.sz AS fp_a, sb.sz AS fp_b, n_shared,
+       ROUND(n_shared * 1.0 / sa.sz, 6) AS dup_frac_a,
+       ROUND(n_shared * 1.0 / sb.sz, 6) AS dup_frac_b
+FROM shared
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b
+ORDER BY src_a, src_b
+"""
+
+
 #: what r14 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
@@ -752,4 +802,5 @@ DRAFTS = {
     "x112_km_survival": (x112_km_survival, X112_SQL),
     "x113_quantile_normalize": (x113_quantile_normalize, X113_SQL),
     "x114_best_survivors": (x114_best_survivors, _x114_sql()),
+    "x115_source_dup_matrix": (x115_source_dup_matrix, _x115_sql()),
 }

@@ -2073,3 +2073,47 @@ def test_ks_drift_bucket_tier_matches_binned_exact(spark, rows):
             for b in all_bins
         )
         assert abs(got[g] - round(float(best), 6)) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(
+            ["alpha beta", "alpha beta gamma", "delta", "epsilon zeta"])),
+        min_size=1,
+        max_size=24,
+    )
+)
+@SLOW
+def test_source_duplicate_matrix_matches_python(spark, docs):
+    """Duplicate matrix equals a pure-python set computation over
+    normalized-text identities: distinct fingerprints per source, pair
+    intersections, exact fractions; pairs without overlap are absent."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_duplicate_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{g}", t) for g, t in docs], "source string, text string"
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["fp_a"], r["fp_b"], r["n_shared"],
+            r["dup_frac_a"], r["dup_frac_b"],
+        )
+        for r in source_duplicate_matrix(df, "source", "text").collect()
+    }
+    sets = {}
+    for g, t in docs:
+        sets.setdefault(f"s{g}", set()).add(t)  # texts already normalized
+    expect = {}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(sets[a] & sets[b])
+            if shared:
+                expect[(a, b)] = (
+                    len(sets[a]), len(sets[b]), shared,
+                    round(shared / len(sets[a]), 6),
+                    round(shared / len(sets[b]), 6),
+                )
+    assert got == expect, (docs, got, expect)
