@@ -1995,10 +1995,6 @@ def source_token_entropy(
     grouped_row_number, one final per-source aggregate — the corpus is
     scanned once, and nothing after the first count is corpus-sized.
     """
-    from meshinsights_data_pipeline_spark.operators.global_rank import (
-        grouped_row_number,
-    )
-
     counts = (
         df.select(
             F.col(source_col),
@@ -2010,6 +2006,29 @@ def source_token_entropy(
         .groupBy(source_col, "_tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
+    return token_entropy_from_counts(
+        counts, source_col, round_to=round_to
+    )
+
+
+def token_entropy_from_counts(
+    counts: DataFrame,
+    source_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`source_token_entropy` from a pre-aggregated
+    ``[source, _tok, _c]`` count table — the mergeable-sufficient-
+    statistic entry point the streaming twin folds into. Entropy and
+    Gini are functions of the count MULTISET only (invariant under
+    injective token renaming), so the twin can store 60-bit token
+    hashes (the drift-twin discipline) and still match the batch
+    operator bit-for-bit: rank ties break on the token column, and tie
+    order cannot change either statistic (equal-c terms commute in
+    both folds)."""
+    from meshinsights_data_pipeline_spark.operators.global_rank import (
+        grouped_row_number,
+    )
+
     ranked = grouped_row_number(
         counts,
         [source_col],

@@ -28,6 +28,9 @@ from meshinsights_data_pipeline_spark.streaming.ks import (
 from meshinsights_data_pipeline_spark.streaming.benford import (
     streaming_benford_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.entropy import (
+    streaming_entropy_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.survival import (
     streaming_km_ingest,
 )
@@ -108,6 +111,7 @@ __all__ = [
     "streaming_drift_ingest",
     "streaming_ks_ingest",
     "streaming_benford_ingest",
+    "streaming_entropy_ingest",
     "streaming_km_ingest",
     "streaming_debounce",
     "streaming_interval_join",

@@ -1,0 +1,91 @@
+"""Incremental token-entropy/Gini monitoring — the streaming twin of
+``operators.corpus.source_token_entropy``.
+
+The per-(source, token) count table is a mergeable sufficient statistic,
+and entropy/Gini are functions of the count MULTISET only (invariant
+under injective token renaming) — so the state stores 60-bit token
+hashes exactly like the drift twin (strings stay out of the merge
+shuffle) and the recomputed report still equals the batch operator over
+everything ingested (FULL cross-batch parity; tested). The per-epoch
+reports form the mix-health time series: a source whose entropy
+collapses epoch over epoch has gone template-heavy.
+
+State = one versioned snapshot table ``[source, _tok(hash), _c]`` at
+|source| x |vocab| cardinality — the same cardinality (and discipline)
+as the drift twin's state. snapshot_before(epoch) reads keep retries
+idempotent; report appends are exactly-once per epoch by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_entropy_ingest(
+    stream: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    *,
+    counts_dir: str,
+    report_dir: str,
+    idempotent: bool = True,
+):
+    """foreachBatch callable: merge batch (source, token-hash) counts
+    into the entropy state, recompute the per-source entropy/Gini
+    report from the merged counts, append it with the epoch id.
+
+    Seed the state dir with ``snapshot_overwrite(empty, counts_dir, -1)``
+    (schema ``source string, _tok long, _c long``). Report rows are
+    ``[epoch, source, n_tokens, n_types, entropy, norm_entropy, gini]``.
+    """
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        token_entropy_from_counts,
+    )
+    from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
+    from meshinsights_data_pipeline_spark.operators.text import (
+        normalized_text,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_counts = (
+            batch_df.select(
+                F.col(source_col).alias("source"),
+                F.explode(
+                    F.split(normalized_text(F.col(text_col)), " ")
+                ).alias("_t"),
+            )
+            .filter(F.col("_t") != "")
+            .groupBy("source", md5_int60(F.col("_t")).alias("_tok"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        )
+        prev = snapshot_before(spark, counts_dir, epoch_id).select(
+            "source", "_tok", "_c"
+        )
+        merged = (
+            prev.union(batch_counts)
+            .groupBy("source", "_tok")
+            .agg(F.sum("_c").cast("bigint").alias("_c"))
+            .localCheckpoint()  # consumed by the report AND the snapshot
+            # write; must not read a plan referencing its own output dir
+        )
+        snapshot_overwrite(merged, counts_dir, version=epoch_id)
+
+        report = token_entropy_from_counts(merged, "source").withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("bigint")
+        )
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(report, report_dir, epoch_id)
+        else:
+            report.write.mode("append").parquet(report_dir)
+
+    return _process
