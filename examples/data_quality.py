@@ -65,6 +65,28 @@ def main() -> None:
     print("-- per-source token entropy / Gini concentration --")
     source_token_entropy(docs, "source", "text").orderBy("source").show()
 
+    # where inter-source duplication lives: head-fingerprint matrix
+    # (recrawl detection — trailing chrome differs, heads collide)
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_duplicate_matrix,
+    )
+
+    print("-- cross-source duplicate matrix (8-token head fingerprints) --")
+    source_duplicate_matrix(docs, "source", "text", prefix_tokens=8).orderBy(
+        F.desc("dup_frac_a")
+    ).show(5)
+
+    # make per-source length scores comparable before mixing: map each
+    # source's lengths onto the corpus quantiles
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    print("-- quantile-normalized doc lengths (first rows) --")
+    quantile_normalize(docs, "source", "n_chars", "doc_id").orderBy(
+        "source", "doc_id"
+    ).show(5)
+
     spark.stop()
 
 
