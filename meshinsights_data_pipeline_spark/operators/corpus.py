@@ -1995,19 +1995,43 @@ def source_token_entropy(
     grouped_row_number, one final per-source aggregate — the corpus is
     scanned once, and nothing after the first count is corpus-sized.
     """
-    counts = (
-        df.select(
-            F.col(source_col),
-            F.explode(
-                F.split(normalized_text(F.col(text_col)), " ")
-            ).alias("_tok"),
-        )
-        .filter(F.col("_tok") != "")
-        .groupBy(source_col, "_tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    )
     return token_entropy_from_counts(
-        counts, source_col, round_to=round_to
+        source_token_counts(df, source_col, text_col),
+        source_col,
+        round_to=round_to,
+    )
+
+
+def source_token_counts(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    hashed: bool = False,
+) -> DataFrame:
+    """The ``[source, _tok, _c]`` count stage of
+    :func:`source_token_entropy`, shared with the streaming twin so the
+    twin's tokenization (normalize -> split -> drop empties) can never
+    drift from batch semantics — the ks_value_counts/benford/km_spine
+    shared-stage discipline.
+
+    ``hashed=True`` replaces the token string with its 60-bit md5 hash
+    (the drift-twin state discipline: strings stay out of the merge
+    shuffle). Entropy/Gini depend only on the count MULTISET, so hashing
+    preserves them EXCEPT under a 60-bit collision within a source,
+    which merges two token types — see ``streaming.entropy`` for the
+    probabilistic-parity caveat.
+    """
+    from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
+
+    toks = df.select(
+        F.col(source_col),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    key = md5_int60(F.col("_tok")) if hashed else F.col("_tok")
+    return toks.groupBy(F.col(source_col), key.alias("_tok")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
     )
 
 
@@ -2020,11 +2044,12 @@ def token_entropy_from_counts(
     ``[source, _tok, _c]`` count table — the mergeable-sufficient-
     statistic entry point the streaming twin folds into. Entropy and
     Gini are functions of the count MULTISET only (invariant under
-    injective token renaming), so the twin can store 60-bit token
-    hashes (the drift-twin discipline) and still match the batch
-    operator bit-for-bit: rank ties break on the token column, and tie
-    order cannot change either statistic (equal-c terms commute in
-    both folds)."""
+    INJECTIVE token renaming), so the twin can store 60-bit token
+    hashes (the drift-twin discipline) and match the batch operator
+    whenever the hash is collision-free on the observed vocabulary —
+    probabilistic parity, see ``streaming.entropy`` for the caveat.
+    Rank ties break on the token column, and tie order cannot change
+    either statistic (equal-c terms commute in both folds)."""
     from meshinsights_data_pipeline_spark.operators.global_rank import (
         grouped_row_number,
     )

@@ -503,8 +503,16 @@ def ks_value_counts(
     streaming twin REQUIRES explicit bounds — data-derived bounds
     would shift between micro-batches and silently re-bin history.
     Values outside explicit bounds clamp to the edge bins (same IEEE
-    assignment as histogram_fixed_width in both engines).
+    assignment as histogram_fixed_width in both engines). ``bounds``
+    without ``buckets`` raises: bounds only parameterize the quantized
+    tier, and silently ignoring them would hand a caller unbounded
+    per-distinct-value state while they believe the state is bounded.
     """
+    if bounds is not None and buckets is None:
+        raise ValueError(
+            "bounds without buckets is not supported: bounds only "
+            "parameterize the quantized tier — pass buckets too"
+        )
     v = F.col(value_col).cast("double")
     vals = df.select(F.col(group_col).alias("g"), v.alias("_v")).filter(
         F.col("g").isNotNull() & F.col("_v").isNotNull() & ~F.isnan("_v")
@@ -522,13 +530,19 @@ def ks_value_counts(
             blo, bhi = F.col("_lo"), F.col("_hi")
             src = vals.crossJoin(F.broadcast(b))
         width = (bhi - blo) / k
+        # The edge-bin clamp must happen BEFORE the int cast: on a value
+        # >= ~2^31 bin-widths past explicit bounds, floor((v - lo)/width)
+        # exceeds INT range and the ANSI cast throws CAST_OVERFLOW
+        # instead of clamping — crashing exactly the bounded-state tier
+        # meant to absorb unbounded junk. Clamping _v into [lo, hi]
+        # first bounds the floor at [0, k]; for in-range values the
+        # clamp is the identity, so the IEEE bin assignment is unchanged.
+        cv = F.greatest(blo, F.least(bhi, F.col("_v")))
         bucket = F.when(
             width > 0,
             F.greatest(
                 F.lit(0),
-                F.least(
-                    k - 1, F.floor((F.col("_v") - blo) / width).cast("int")
-                ),
+                F.least(k - 1, F.floor((cv - blo) / width).cast("int")),
             ),
         ).otherwise(F.lit(0))
         vals = src.select("g", bucket.cast("double").alias("_v"))

@@ -64,11 +64,20 @@ def km_spine(
 ) -> DataFrame:
     """The ``[*group_by, _t, _c, _d]`` count stage of
     :func:`km_survival`, shared with the streaming twin so the two can
-    never drift: NULL-duration rows drop and NULL event flags read as
-    censored here, in exactly one place."""
+    never drift: NULL-duration rows drop — and for a floating-point
+    duration column NaN rows drop with them (NaN is not NULL: it would
+    otherwise yield a NaN spine row that sorts LAST, inflating n_g and
+    keeping those subjects "at risk" at every event time — silently
+    biasing every survival value in the group; the ks/benford/trend
+    domain-guard discipline) — and NULL event flags read as censored
+    here, in exactly one place."""
     groups = list(group_by)
     ev = F.col(event_col).cast("boolean")
-    clean = df.filter(F.col(duration_col).isNotNull()).select(
+    dur = F.col(duration_col)
+    keep = dur.isNotNull()
+    if dict(df.dtypes).get(duration_col) in ("float", "double"):
+        keep = keep & ~F.isnan(dur)
+    clean = df.filter(keep).select(
         *groups,
         F.col(duration_col).alias("_t"),
         F.coalesce(ev, F.lit(False)).alias("_e"),

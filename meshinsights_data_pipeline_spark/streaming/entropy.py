@@ -5,8 +5,16 @@ The per-(source, token) count table is a mergeable sufficient statistic,
 and entropy/Gini are functions of the count MULTISET only (invariant
 under injective token renaming) — so the state stores 60-bit token
 hashes exactly like the drift twin (strings stay out of the merge
-shuffle) and the recomputed report still equals the batch operator over
-everything ingested (FULL cross-batch parity; tested). The per-epoch
+shuffle) and the recomputed report equals the batch operator over
+everything ingested WHENEVER the hash is injective on the observed
+vocabulary. That parity is therefore probabilistic, not exact: a 60-bit
+md5 collision within a source merges two token types, shifting
+n_types/entropy/gini (birthday bound ~2^30 distinct types per source
+before collisions become likely — beyond any real vocabulary, but
+unlike the KS/Benford/KM twins, which carry raw state and are exact by
+construction; keep raw tokens via ``source_token_counts(hashed=False)``
+if exactness is required). Cross-batch parity against the batch
+operator is tested on a collision-free vocabulary. The per-epoch
 reports form the mix-health time series: a source whose entropy
 collapses epoch over epoch has gone template-heavy.
 
@@ -40,11 +48,8 @@ def streaming_entropy_ingest(
     ``[epoch, source, n_tokens, n_types, entropy, norm_entropy, gini]``.
     """
     from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_token_counts,
         token_entropy_from_counts,
-    )
-    from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
-    from meshinsights_data_pipeline_spark.operators.text import (
-        normalized_text,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
@@ -53,17 +58,16 @@ def streaming_entropy_ingest(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_counts = (
-            batch_df.select(
-                F.col(source_col).alias("source"),
-                F.explode(
-                    F.split(normalized_text(F.col(text_col)), " ")
-                ).alias("_t"),
-            )
-            .filter(F.col("_t") != "")
-            .groupBy("source", md5_int60(F.col("_t")).alias("_tok"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        # the batch operator's own tokenize+count stage (hashed-key
+        # tier) — shared so the twin's tokenization can never drift
+        # from batch semantics if the normalization changes.
+        batch_counts = source_token_counts(
+            batch_df, source_col, text_col, hashed=True
         )
+        if source_col != "source":
+            batch_counts = batch_counts.withColumnRenamed(
+                source_col, "source"
+            )
         prev = snapshot_before(spark, counts_dir, epoch_id).select(
             "source", "_tok", "_c"
         )

@@ -1428,13 +1428,17 @@ def test_ab_test_matches_python_bitwise(spark, cells):
     for (e, a), (n, x) in agg.items():
         rows += [(e, a, True)] * x + [(e, a, False)] * (n - x)
     df = spark.createDataFrame(rows, "exp string, arm string, conv boolean")
-    got = {(r.exp, r.arm): (r.z, r.significant)
+    got = {(r.exp, r.arm): (r.z, r.significant, r.has_control)
            for r in ab_test_zscores(
                df, "exp", "arm", "conv", control_label="a0").collect()}
 
     expect = {}
     for (e, a), (n, x) in agg.items():
-        if a == "a0" or (e, "a0") not in agg:
+        if a == "a0":
+            continue
+        if (e, "a0") not in agg:
+            # missing control SURFACES (left join): NULL z, flagged
+            expect[(e, a)] = (None, False, False)
             continue
         nc, xc = agg[(e, "a0")]
         pc, pa = xc / nc, x / n
@@ -1442,9 +1446,9 @@ def test_ab_test_matches_python_bitwise(spark, cells):
         se = math.sqrt(pool * (1.0 - pool) * (1.0 / nc + 1.0 / n))
         if se > 0:
             z = round((pa - pc) / se, 6)
-            expect[(e, a)] = (z, abs(z) > 1.959964)
+            expect[(e, a)] = (z, abs(z) > 1.959964, True)
         else:
-            expect[(e, a)] = (None, False)
+            expect[(e, a)] = (None, False, True)
     assert got == expect
 
 
@@ -1944,6 +1948,61 @@ def test_mann_kendall_time_ties_sign_invariance(spark):
 
 @given(
     rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-4, 4)),
+        min_size=2,
+        max_size=40,
+    ),
+    cap=st.integers(2, 12),
+)
+@SLOW
+def test_mann_kendall_cap_n_equals_trend_of_capped_input(spark, rows, cap):
+    """cap_n algebra (the x90 max_doc_freq precedent for the verdict's
+    bounded-series prescription): mann_kendall_trend(df, cap_n=N)
+    equals mann_kendall_trend over the pre-capped input — per group the
+    N most-recent CLEAN rows by (ts desc, value desc), so NULL/NaN rows
+    (injected below) never consume cap slots. The 0-20 time range
+    forces ties; the value-desc tiebreak makes the kept multiset
+    deterministic in both the operator and this reference."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        mann_kendall_trend,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (g, base + timedelta(seconds=t), float(v)) for g, t, v in rows
+    ]
+    noisy = data + [
+        (0, None, 3.0), (1, base, None), (2, base, float("nan"))
+    ]
+    df = spark.createDataFrame(noisy, "g int, ts timestamp, v double")
+
+    kept = []
+    for g in {g for g, _, _ in rows}:
+        mine = sorted(
+            ((ts, v) for gg, ts, v in data if gg == g),
+            key=lambda tv: (tv[0], tv[1]),
+            reverse=True,
+        )
+        kept += [(g, ts, v) for ts, v in mine[:cap]]
+    capped_df = spark.createDataFrame(
+        kept, "g int, ts timestamp, v double"
+    )
+
+    def canon(frame):
+        return sorted(
+            (r["g"], r["n"], r["s"], r["var_s"], r["z"], r["sen_slope"])
+            for r in frame.collect()
+        )
+
+    assert canon(
+        mann_kendall_trend(df, "ts", ["g"], "v", cap_n=cap)
+    ) == canon(mann_kendall_trend(capped_df, "ts", ["g"], "v"))
+
+
+@given(
+    rows=st.lists(
         st.tuples(st.integers(0, 2), st.integers(-6, 6)),
         min_size=1,
         max_size=40,
@@ -2073,6 +2132,89 @@ def test_ks_drift_bucket_tier_matches_binned_exact(spark, rows):
             for b in all_bins
         )
         assert abs(got[g] - round(float(best), 6)) < 1e-9
+
+
+def test_ks_bucket_explicit_bounds_clamp_far_out_of_range(spark):
+    """Values ARBITRARILY far outside explicit bounds clamp to the edge
+    bins (the docstring's promise) instead of crashing: the pre-fix
+    floor((v-lo)/width)-then-INT-cast overflowed under ANSI mode
+    (CAST_OVERFLOW at >= ~2^31 bin widths past the bounds, reproduced
+    with bounds=(0,1), buckets=100, v=3e7) — the exact bounded-state
+    tier meant to absorb unbounded junk values."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        ks_drift,
+        ks_value_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3e7), ("a", -3e7), ("a", 1e300), ("a", 0.005), ("b", 0.995)],
+        "g string, v double",
+    )
+    bins = {
+        (r["g"], r["_v"]): r["_c_gv"]
+        for r in ks_value_counts(
+            df, "g", "v", buckets=100, bounds=(0.0, 1.0)
+        ).collect()
+    }
+    # 3e7 and 1e300 clamp to the TOP bin (99), -3e7 to bin 0 with the
+    # in-range 0.005; in-range assignments are unchanged by the clamp.
+    assert bins == {
+        ("a", 99.0): 2, ("a", 0.0): 2, ("b", 99.0): 1,
+    }, bins
+    # and the statistic itself computes without an ANSI overflow
+    got = {
+        r["g"]: r["ks"]
+        for r in ks_drift(
+            df, "g", "v", buckets=100, bounds=(0.0, 1.0)
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+
+
+def test_ks_bounds_without_buckets_raises(spark):
+    """bounds without buckets raises instead of being silently ignored —
+    a caller supplying bounds alone would otherwise get unbounded
+    per-distinct-value state while believing the state is bounded."""
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        ks_drift,
+        ks_value_counts,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="bounds without buckets"):
+        ks_value_counts(df, "g", "v", bounds=(0.0, 1.0))
+    with pytest.raises(ValueError, match="bounds without buckets"):
+        ks_drift(df, "g", "v", bounds=(0.0, 1.0))
+
+
+def test_km_spine_nan_durations_drop(spark):
+    """A NaN duration in a DOUBLE column drops with the NULLs (the
+    ks/benford/trend domain-guard discipline): pre-fix it produced a
+    NaN spine row sorting LAST, inflating n_g and keeping those
+    subjects 'at risk' at every event time — biasing every survival
+    value in the group."""
+    from meshinsights_data_pipeline_spark.operators.survival import (
+        km_survival,
+    )
+
+    rows = [("g", 1.0, True), ("g", 2.0, True), ("g", 2.0, False)]
+    base = spark.createDataFrame(rows, "g string, t double, e boolean")
+    noisy = spark.createDataFrame(
+        rows + [("g", float("nan"), True), ("g", None, True)],
+        "g string, t double, e boolean",
+    )
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["t"], r["n_risk"], r["n_events"], r["survival"])
+            for r in df.collect()
+        )
+
+    assert canon(km_survival(noisy, ["g"], "t", "e")) == canon(
+        km_survival(base, ["g"], "t", "e")
+    )
 
 
 @given(

@@ -2325,9 +2325,11 @@ def test_streaming_km_full_parity_and_retry(spark, tmp_path):
 
 
 def test_streaming_entropy_full_parity_and_retry(spark, tmp_path):
-    """Entropy twin: hashed-token state still matches the batch
-    operator bit-for-bit (entropy/Gini are count-multiset functions,
-    invariant under token renaming); epoch-1 equals the batch operator
+    """Entropy twin: hashed-token state matches the batch operator on a
+    collision-free vocabulary (entropy/Gini are count-multiset
+    functions, invariant under INJECTIVE token renaming — a 60-bit
+    collision would merge two types; see streaming/entropy.py's
+    probabilistic-parity caveat); epoch-1 equals the batch operator
     over the UNION; a retried epoch changes nothing."""
     from meshinsights_data_pipeline_spark.operators.corpus import (
         source_token_entropy,
