@@ -44,14 +44,19 @@ def ab_test_zscores(
     significance; the operator scores the rows it is given).
 
     Returns ``[experiment, arm, n_control, x_control, n_arm, x_arm,
-    p_control, p_arm, lift, z, significant]`` where ``lift`` is the
-    absolute rate difference (arm - control), ``z = lift / se`` with
-    ``se = sqrt(pool * (1 - pool) * (1/n_c + 1/n_a))`` over the pooled
-    rate, both rounded to 6dp. Degenerate cells — an experiment with no
-    control rows never emits (inner join); se = 0 (pooled rate 0 or 1)
-    yields NULL z and ``significant = false``, not a division blow-up;
-    rows with a NULL experiment or NULL arm never pair (inner equality
-    join semantics — NULL != NULL, the same rule as linkage blocking).
+    has_control, p_control, p_arm, lift, z, significant]`` where
+    ``lift`` is the absolute rate difference (arm - control), ``z =
+    lift / se`` with ``se = sqrt(pool * (1 - pool) * (1/n_c + 1/n_a))``
+    over the pooled rate, both rounded to 6dp. Degenerate cells — an
+    experiment whose control arm is ABSENT (a misconfigured feed) still
+    emits its treatment rows, with ``has_control = false`` and NULL
+    control/z columns, so the breakage SURFACES instead of the
+    experiment silently vanishing (left join on the control row);
+    se = 0 (pooled rate 0 or 1) yields NULL z and ``significant =
+    false``, not a division blow-up; rows with a NULL experiment or
+    NULL arm never pair (equality join semantics — NULL != NULL, the
+    same rule as linkage blocking; a NULL-experiment treatment cell
+    also reports ``has_control = false``).
 
     Scale shape: ONE map-side-combinable aggregate over the event scan
     builds the |experiments x arms| cell frame; the control cells join
@@ -83,7 +88,7 @@ def ab_test_zscores(
         F.col("n").alias("n_arm"),
         F.col("x").alias("x_arm"),
     )
-    j = arms.join(F.broadcast(ctrl), experiment_col)
+    j = arms.join(F.broadcast(ctrl), experiment_col, "left")
     n_c, x_c = F.col("n_control").cast("double"), F.col("x_control").cast("double")
     n_a, x_a = F.col("n_arm").cast("double"), F.col("x_arm").cast("double")
     p_c = x_c / n_c
@@ -100,6 +105,7 @@ def ab_test_zscores(
         "x_control",
         "n_arm",
         "x_arm",
+        F.col("n_control").isNotNull().alias("has_control"),
         F.round(p_c, 6).alias("p_control"),
         F.round(p_a, 6).alias("p_arm"),
         F.round(lift, 6).alias("lift"),

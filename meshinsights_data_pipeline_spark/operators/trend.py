@@ -41,11 +41,14 @@ Cross-engine determinism (the x33/x69 discipline):
 
 Scale shape: ONE entity-keyed shuffle feeds a within-entity pair join —
 cost sum over entities of n_e^2, never corpus^2 (the x97 blocking
-argument). This is for BOUNDED per-entity series (sensor channels,
-per-user histories after recent_n capping); for million-row series use
-the O(n log n) rank formulation or pre-aggregate to a coarser grain
-first. The tie aggregates and the size aggregate reuse the same
-entity-keyed partitioning.
+argument). The bounded-series precondition is a PARAMETER, not prose:
+``cap_n=N`` applies the recent_n cap inside the operator (N most-recent
+clean rows per entity, deterministic tiebreak), bounding the join at
+sum min(n_e, N)^2 — the trend is then exactly the trend of the capped
+series. For million-row series where the full history matters, use the
+O(n log n) rank formulation or pre-aggregate to a coarser grain first.
+The tie aggregates and the size aggregate reuse the same entity-keyed
+partitioning.
 """
 
 from __future__ import annotations
@@ -62,6 +65,7 @@ def mann_kendall_trend(
     group_by: Sequence[str],
     value_col: str,
     round_to: int = 6,
+    cap_n: int | None = None,
 ) -> DataFrame:
     """Per-group Mann-Kendall trend test + Theil-Sen slope.
 
@@ -75,6 +79,18 @@ def mann_kendall_trend(
     Rows with NULL timestamps or NULL/NaN values are excluded entirely
     (a NULL ts can join no pair but would otherwise still inflate n and
     the variance, biasing z toward 0).
+
+    ``cap_n`` is the operator's own 100 TB answer (the x90
+    ``max_doc_freq`` precedent — a scale precondition should be a
+    parameter, not prose): the within-entity pair join costs sum of
+    n_e^2, so an UNBOUNDED per-entity history is a quadratic blowup.
+    ``cap_n=N`` keeps each group's N most-recent CLEAN observations
+    (``recent_n`` over the filtered frame, so NULL/NaN rows never
+    consume cap slots; ties in ts break on value desc — rows identical
+    in (ts, value) are exchangeable for every statistic, so the kept
+    multiset is deterministic) and the trend is then EXACTLY the trend
+    of that capped series (property-tested). The cap reuses the same
+    entity-keyed shuffle the pair join needs anyway.
     """
     groups = list(group_by)
     v = F.col(value_col).cast("double")
@@ -85,6 +101,14 @@ def mann_kendall_trend(
         F.col(ts_col).alias("_ts"),
         v.alias("_v"),
     )
+    if cap_n is not None:
+        if cap_n < 2:
+            raise ValueError(f"cap_n must be >= 2, got {cap_n}")
+        from meshinsights_data_pipeline_spark.operators.recent_n import (
+            recent_n,
+        )
+
+        clean = recent_n(clean, cap_n, groups, "_ts", tiebreak=["_v"])
     a, b = clean.alias("a"), clean.alias("b")
     dv = F.col("b._v") - F.col("a._v")
     # exact microsecond diff, NTZ-safe (the funnel.py discipline:

@@ -93,7 +93,11 @@ def x105_ab_test(spark: SparkSession, sf_dir: str):
     across engines; significance compares the ROUNDED |z|. One
     map-side-combinable aggregate + a broadcast control join; the
     corpus is scanned once (the cell frame is a materialize() barrier
-    — without it each join side replayed the scan)."""
+    — without it each join side replayed the scan). The control join is
+    LEFT so an experiment with a missing control arm surfaces with
+    ``has_control = false`` instead of silently vanishing (every
+    experiment here HAS one — the column is exercised as all-true and
+    the missing-control path is unit-tested)."""
     from meshinsights_data_pipeline_spark.operators.abtest import (
         ab_test_zscores,
     )
@@ -126,7 +130,7 @@ j AS (
            c.n AS n_control, c.x AS x_control,
            a.n AS n_arm, a.x AS x_arm
     FROM cells a
-    JOIN cells c ON c.experiment = a.experiment AND c.arm = 'control'
+    LEFT JOIN cells c ON c.experiment = a.experiment AND c.arm = 'control'
     WHERE a.arm <> 'control'
 ),
 calc AS (
@@ -145,6 +149,7 @@ z AS (
     FROM calc
 )
 SELECT experiment, arm, n_control, x_control, n_arm, x_arm,
+       n_control IS NOT NULL AS has_control,
        ROUND(p_c, 6) AS p_control,
        ROUND(p_a, 6) AS p_arm,
        ROUND(p_a - p_c, 6) AS lift,
@@ -305,23 +310,36 @@ def x108_trend(spark: SparkSession, sf_dir: str):
     the Sen slope is the exact interpolated median of pairwise
     value-per-second slopes. Sliced to users < 40 like x91/x104 — each
     user's pair set is self-contained, and the within-entity pair join
-    is sum-of-n_e^2, the x97 blocking shape."""
+    is sum-of-n_e^2, the x97 blocking shape. The anchor runs the
+    ``cap_n=50`` tier (the operator's 100 TB lever, x90 precedent):
+    each user keeps their 50 most-recent clean observations before the
+    pair join — genuinely truncating here (users carry 52-83 events at
+    sf0.01), mirrored in the oracle's ROW_NUMBER CTE."""
     from meshinsights_data_pipeline_spark.operators.trend import (
         mann_kendall_trend,
     )
 
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    return mann_kendall_trend(ev, "ts", ["user_id"], "value").orderBy(
-        "user_id"
-    )
+    return mann_kendall_trend(
+        ev, "ts", ["user_id"], "value", cap_n=50
+    ).orderBy("user_id")
 
 
 X108_SQL = """
-WITH clean AS (
+WITH clean0 AS (
     SELECT user_id, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
     FROM events
     WHERE user_id < 40 AND ts IS NOT NULL AND value IS NOT NULL
       AND NOT isnan(CAST(value AS DOUBLE))
+),
+clean AS (
+    -- the cap_n=50 recent-N tier: ts desc, value-desc tiebreak
+    -- (identical (ts, v) rows are exchangeable for every statistic)
+    SELECT user_id, us, v FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY us DESC, v DESC) AS rn
+        FROM clean0
+    ) WHERE rn <= 50
 ),
 pairs AS (
     SELECT a.user_id,

@@ -1967,8 +1967,10 @@ def test_cusum_changepoints(spark):
 def test_ab_test_zscores(spark):
     """Known cells: control 1000 units 100 conv, treatment 1000 units
     130 conv -> z ~ 2.103 (significant at 1.96); an underpowered arm is
-    not significant; se = 0 cells yield NULL z / false, and experiments
-    without a control arm never emit."""
+    not significant; se = 0 cells yield NULL z / false, and an
+    experiment WITHOUT a control arm surfaces with has_control = false
+    and NULL control/z columns instead of silently vanishing (a
+    misconfigured feed must be visible in the readout)."""
     import math
 
     from meshinsights_data_pipeline_spark.operators.abtest import (
@@ -1999,8 +2001,14 @@ def test_ab_test_zscores(spark):
     r2 = out[("e1", "t2")]
     assert r2.z == z_ref(1000, 100, 50, 7) and not r2.significant
     r3 = out[("e2", "t1")]          # pooled rate 0 -> se 0
-    assert r3.z is None and r3.significant is False
-    assert ("e3", "t1") not in out  # no control: inner join drops it
+    assert r3.z is None and r3.significant is False and r3.has_control
+    r4 = out[("e3", "t1")]          # no control arm: surfaced, flagged
+    assert r4.has_control is False
+    assert r4.n_control is None and r4.x_control is None
+    assert r4.p_control is None and r4.lift is None
+    assert r4.z is None and r4.significant is False
+    assert (r4.n_arm, r4.x_arm) == (10, 5)
+    assert r.has_control and r2.has_control
     assert ("e1", "control") not in out
 
 
