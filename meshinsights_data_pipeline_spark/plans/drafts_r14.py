@@ -1,23 +1,19 @@
-"""Round-14 anchor DRAFTS — NOT registered.
+"""Round-14 anchor queries x104–x115 — REGISTERED as of r14.
 
-The r13 driver window is reserved for the staleness rotation (verdict
-r12 #1), so the operators added this round (CUSUM changepoints, A/B
-z-test, k-point EW rolling mean, KS drift, Mann-Kendall/Theil-Sen
-trend, Benford conformance, token entropy/Gini, embedding covariance/PCA,
+The operators added in round 13 (CUSUM changepoints, A/B z-test,
+k-point EW rolling mean, KS drift, Mann-Kendall/Theil-Sen trend,
+Benford conformance, token entropy/Gini, embedding covariance/PCA,
 Kaplan-Meier survival, quantile normalization, best-member survivor
-selection) ship with their anchor
-queries and DuckDB oracles staged HERE, proven green against the
-oracle harness by ``tests/test_oracle_drafts.py``. Round 14 moves each
-(builder, SQL) pair into ``extension_queries.EXTENSION_BUILDERS`` and
-gives it a ``_DRIVER_WINDOW`` slot — registration is a copy, not new
-work.
-
-Round-14 window math (for whoever rotates next): 12 slots for
-x104–x115 (new) plus 1 for the x04 capped-anchor replacement (operator
-code change rule), 2 for x06/x54 (displaced from the r13 fill band by
-the x90/x97 code-change slots), the 29-query r10-stale cohort in full,
-then fill the remaining ~6 slots with the oldest r11 queries. After
-that rotation no query is staler than r11.
+selection, cross-source duplicate matrix) shipped with their anchor
+queries and DuckDB oracles STAGED here in r13 (proven green by
+``tests/test_oracle_drafts.py``) so they would not displace that
+round's staleness rotation. Round 14 executed the staged plan:
+``plans.queries._register_extensions`` now registers every ``DRAFTS``
+pair into ``QUERIES`` (names keep their x1NN identity), each holds a
+``_DRIVER_WINDOW_R14`` slot, and the x04 capped-anchor replacement
+moved into ``extension_queries.x04_ngram_jaccard`` (same name — the
+anchor's operator call changed, so x04 takes a window slot under the
+code-change rule).
 """
 
 from __future__ import annotations
@@ -201,52 +197,6 @@ SELECT user_id, event_id, ts, value,
 FROM clean
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, ts, event_id
-"""
-
-
-def x04_ngram_jaccard_capped(spark: SparkSession, sf_dir: str):
-    """x04's anchor with the max_doc_freq=4 scale cap — staged as the
-    r14 REPLACEMENT for the uncapped anchor (which posts the r13
-    bench's worst sf1 ratio, 4.1x, from exactly the hot-shingle
-    quadratic the cap removes; x90's identical switch took its ratio
-    4.1x -> 3.0x in r13). Denominators stay uncapped so capping only
-    removes pairs (property-tested); at sf0.01 cap=4 preserves the
-    full 25-pair result, so the driver record is unchanged by the
-    switch. r14: replace x04's builder + SQL with this pair and give
-    x04 a window slot (operator code change rule)."""
-    from meshinsights_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-
-    docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.2, max_doc_freq=4
-    ).orderBy("id_a", "id_b")
-
-
-def _x04_capped_sql() -> str:
-    from meshinsights_data_pipeline_spark.plans.extension_queries import (
-        _shingles_cte,
-    )
-
-    return f"""
-WITH {_shingles_cte()},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-low_df AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 4),
-shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN low_df ON low_df.h = sh.h),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-    FROM shc a JOIN shc b ON a.h = b.h
-    WHERE a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2
-ORDER BY id_a, id_b
 """
 
 
@@ -806,12 +756,11 @@ ORDER BY src_a, src_b
 """
 
 
-#: what r14 registers: name -> (builder, oracle_sql)
+#: registered into QUERIES by plans.queries._register_extensions
 DRAFTS = {
     "x104_cusum_changepoints": (x104_cusum_changepoints, X104_SQL),
     "x105_ab_test": (x105_ab_test, X105_SQL),
     "x106_exp_weighted_avg": (x106_exp_weighted_avg, _x106_sql()),
-    "x04_ngram_jaccard_capped": (x04_ngram_jaccard_capped, _x04_capped_sql()),
     "x107_ks_drift": (x107_ks_drift, X107_SQL),
     "x108_trend": (x108_trend, X108_SQL),
     "x109_benford": (x109_benford, _x109_sql()),

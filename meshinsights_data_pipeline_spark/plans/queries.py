@@ -2669,9 +2669,13 @@ QUERIES: dict[str, Query] = {
 
 
 def _register_extensions() -> None:
+    from meshinsights_data_pipeline_spark.plans.drafts_r14 import DRAFTS
     from meshinsights_data_pipeline_spark.plans.extension_queries import EXTENSION_BUILDERS
 
-    for name, (fn, oracle) in EXTENSION_BUILDERS.items():
+    # DRAFTS (x104-x115, staged+oracle-proven in r13, registered r14)
+    # after EXTENSION_BUILDERS; the x04 capped replacement lives in
+    # extension_queries under its original name.
+    for name, (fn, oracle) in {**EXTENSION_BUILDERS, **DRAFTS}.items():
         QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
 
 
@@ -2769,7 +2773,53 @@ _DRIVER_WINDOW_R13 = [
     # (3) r10 fill, verdict priority order
     "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q15", "q25",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R13
+# Round-14 window (verdict r13 #1: execute the staged rotation exactly
+# as written). Priority bands: (0) the 12 queries REGISTERED this round
+# (x104–x115 — staged + oracle-proven in r13, never driver-checked) and
+# x04, whose ANCHOR changed to the max_doc_freq=4 capped operator call
+# (operator code-change rule; at sf0.01 the capped result is identical
+# to the uncapped 25 pairs, so this re-proves the unchanged record on
+# the new code path). x105/x108 carry this round's abtest-left-join and
+# trend-cap_n code changes inside their own slots. (1) the full
+# 29-query r10-stale cohort (q12, q24, q26/q27, q31/q32, q34–q43,
+# q58–q62, x06, x15–x20, x54 — includes the x06/x54 displaced from the
+# r13 fill band), last driver-checked four rounds ago. (2) fill the 8
+# remaining slots with the heaviest r11-stale queries by recorded warm
+# bench time (re-verification value concentrates where the plans are
+# heaviest; x23 is also the r13 verdict's watch item): x23 5.18s, x79
+# 2.42s, x11 2.23s, x57 2.10s, x49 2.00s, x29 1.94s, x83 1.93s, x08
+# 1.93s. After this round no registered query is staler than r11. All
+# 176 pre-round queries were driver-sim-verified green this session
+# (.claude/skills/verify/driver_sim.py, 176/176) and the 12 new + x04
+# anchors proven by the sf0.01 oracle harness before registration.
+_DRIVER_WINDOW_R14 = [
+    # (0) registered this round + the x04 anchor change
+    "x104_cusum_changepoints",
+    "x105_ab_test",
+    "x106_exp_weighted_avg",
+    "x107_ks_drift",
+    "x108_trend",
+    "x109_benford",
+    "x110_token_entropy",
+    "x111_embedding_covariance",
+    "x112_km_survival",
+    "x113_quantile_normalize",
+    "x114_best_survivors",
+    "x115_source_dup_matrix",
+    "x04_ngram_jaccard",
+    # (1) the r10-stale cohort, in full
+    "q12", "q24", "q26", "q27", "q31", "q32",
+    "q34", "q35", "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43",
+    "q58", "q59", "q60", "q61", "q62",
+    "x06_cosine_topk", "x15_ivf_topk", "x16_asof_join",
+    "x17_interval_join", "x18_time_rollup", "x19_kusto_decode",
+    "x20_doc_chunks", "x54_zorder_keys",
+    # (2) r11 fill, heaviest recorded warm time first
+    "x23_dedup_clusters", "x79_sq_topk", "x11_minhash_dedup_pairs",
+    "x57_source_overlap", "x49_span_excision", "x29_contamination_bloom",
+    "x83_basket_lift", "x08_text_stats",
+]
+_DRIVER_WINDOW = _DRIVER_WINDOW_R14
 
 
 def _rotate_for_driver() -> None:

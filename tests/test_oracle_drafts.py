@@ -1,9 +1,10 @@
-"""Oracle parity for the r14 anchor DRAFTS (plans/drafts_r14.py).
+"""Oracle parity for the r14 anchors (plans/drafts_r14.py) — staged in
+r13, REGISTERED in r14 (so test_queries_oracle now covers them too;
+this file keeps the direct DRAFTS-pair gate as the registration-
+independent proof, the form that let them land pre-proven).
 
-Same gate as test_query_matches_oracle — row count, column names,
-portable output types, and canonicalized values vs DuckDB at sf0.01 —
-run against the staged (builder, SQL) pairs BEFORE registration, so
-the r14 window additions land pre-proven.
+Same gate as test_query_matches_oracle: row count, column names,
+portable output types, and canonicalized values vs DuckDB at sf0.01.
 """
 
 from __future__ import annotations
