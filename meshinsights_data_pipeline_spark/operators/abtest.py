@@ -1,20 +1,23 @@
-"""Two-proportion A/B test — experiment-arm conversion comparison.
+"""A/B tests — experiment-arm comparison vs the control arm.
 
-The experimentation primitive next to the attribution family (x86/x99/
-x100 assign credit; this decides whether an arm's conversion RATE
-differs from control): per (experiment, arm) the pooled two-proportion
-z-statistic against the control arm, the standard first-pass readout
-of every A/B platform.
+The experimentation primitives next to the attribution family (x86/x99/
+x100 assign credit; these decide whether an arm DIFFERS from control):
+:func:`ab_test_zscores` for conversion RATES (pooled two-proportion z)
+and :func:`welch_ttest` for continuous METRICS (revenue per user, dwell
+time, latency — Welch's unequal-variance two-sample t, the form that
+stays valid when arms have different spreads/sizes). Together the
+standard first-pass readout of every A/B platform.
 
-Cross-engine determinism: counts are exact integers; every float step
-(two divisions for the rates, the pooled rate, the standard error's
-multiplies and sqrt, the final division) is an IEEE correctly-rounded
-operation applied in a FIXED operand order, so Spark and any IEEE-754
-engine produce bit-identical doubles; z rounds to 6dp and significance
-compares the ROUNDED |z| so borderline arms decide identically.
-p-values are deliberately out of scope — erf/normal-CDF
-implementations differ across engines' libm in last ulps; the caller
-thresholds on z (1.959964 ~ two-sided 5%).
+Cross-engine determinism: counts are exact integers and the continuous
+moments fold through DECIMAL with the zscore pivot discipline; every
+float step is an IEEE correctly-rounded operation applied in a FIXED
+operand order, so Spark and any IEEE-754 engine produce bit-identical
+doubles; z/t round to 6dp and significance compares the ROUNDED
+statistic so borderline arms decide identically. p-values are
+deliberately out of scope — erf/Student-CDF implementations differ
+across engines' libm in last ulps; the caller thresholds on z/t
+(1.959964 ~ two-sided 5% as df -> inf; pick the Student critical value
+for the reported Welch df when arms are small).
 """
 
 from __future__ import annotations
@@ -111,6 +114,134 @@ def ab_test_zscores(
         F.round(lift, 6).alias("lift"),
         z.alias("z"),
         F.coalesce(F.abs(z) > F.lit(float(z_crit)), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    control_label: str,
+    t_crit: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per (experiment, arm != control): Welch's unequal-variance
+    two-sample t vs the experiment's control arm, over a CONTINUOUS
+    per-unit metric — the companion of :func:`ab_test_zscores` for
+    revenue-per-user / dwell / latency readouts, in the form that stays
+    valid when arms have different variances and sizes (the pooled
+    Student t silently assumes equal variances; Welch is the default
+    every experimentation platform actually wants).
+
+        t  = (mean_a - mean_c) / sqrt(s2_a/n_a + s2_c/n_c)
+        df = (s2_a/n_a + s2_c/n_c)^2
+             / [ (s2_a/n_a)^2/(n_a-1) + (s2_c/n_c)^2/(n_c-1) ]
+
+    with s2 the SAMPLE variance. Returns ``[experiment, arm, n_control,
+    n_arm, has_control, mean_control, mean_arm, diff, t, df,
+    significant]``; ``significant`` compares the ROUNDED |t| against
+    ``t_crit`` (1.959964 ~ two-sided 5% as df -> inf; pass the Student
+    critical value for your df regime when arms are small — p-values
+    stay out of scope, the libm-CDF rule in the module docstring).
+
+    Degenerate cells: a missing control arm surfaces with
+    ``has_control = false`` and NULL control/t columns (the
+    ab_test_zscores left-join discipline — a misconfigured feed must be
+    visible, not vanish); a cell with n < 2 has no sample variance and
+    yields NULL t/df, significant = false; se = 0 (both arms constant)
+    likewise. NULL experiment/arm keys and NULL/NaN values are excluded
+    up front (the zscore domain guard — NaN would poison the decimal
+    folds differently per engine).
+
+    Cross-engine determinism: per-cell moments use the zscore PIVOT
+    discipline — sums of d = v - min(cell) fold through DECIMAL(38,12)
+    (exact, order-independent; with the cell's own min as pivot the
+    magnitudes are the cell's RANGE, so sq/n - (s/n)^2 cannot
+    catastrophically cancel on epoch-like values); mean/variance/se/t/df
+    are then single correctly-rounded IEEE ops in a FIXED operand
+    order, bit-identical across engines; t and df round once.
+
+    Scale shape: one tiny (experiment, arm) min aggregate broadcast
+    back, ONE map-side-combinable moment aggregate over the corpus
+    scan, and the cell frame MATERIALIZED before feeding both sides of
+    the control join (the diamond-barrier lesson — without it each side
+    replays the scan). Everything after the moment table is
+    |experiments x arms|-row algebra.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(experiment_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+        & v.isNotNull()
+        & ~F.isnan(v)
+    ).select(F.col(experiment_col), F.col(arm_col), v.alias("_v"))
+    keys = [experiment_col, arm_col]
+    pivots = base.groupBy(*keys).agg(F.min("_v").alias("_p"))
+    d = F.col("_v") - F.col("_p")
+    dec = "decimal(38,12)"
+    cells = _materialize(
+        base.join(F.broadcast(pivots), keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("_p").alias("p"),
+            F.sum(d.cast(dec)).cast("double").alias("s"),
+            F.sum((d * d).cast(dec)).cast("double").alias("sq"),
+        )
+    )
+
+    def _stats(frame: DataFrame, suffix: str) -> DataFrame:
+        m = F.col("s") / F.col("n")
+        mean = F.col("p") + m
+        var_s = F.when(
+            F.col("n") >= 2,
+            (F.col("sq") / F.col("n") - m * m)
+            * (F.col("n").cast("double") / (F.col("n") - 1)),
+        )
+        return frame.select(
+            F.col(experiment_col),
+            *([] if suffix == "_control" else [F.col(arm_col).alias("arm")]),
+            F.col("n").alias(f"n{suffix}"),
+            mean.alias(f"_mean{suffix}"),
+            var_s.alias(f"_var{suffix}"),
+        )
+
+    ctrl = _stats(
+        cells.filter(F.col(arm_col) == control_label), "_control"
+    )
+    arms = _stats(cells.filter(F.col(arm_col) != control_label), "_arm")
+    j = arms.join(F.broadcast(ctrl), experiment_col, "left")
+    a1 = F.col("_var_arm") / F.col("n_arm")
+    a2 = F.col("_var_control") / F.col("n_control")
+    se = F.sqrt(a1 + a2)
+    diff = F.col("_mean_arm") - F.col("_mean_control")
+    t = F.when(se > 0, F.round(diff / se, round_to))
+    wdf = F.when(
+        se > 0,
+        F.round(
+            (a1 + a2) * (a1 + a2)
+            / (
+                a1 * a1 / (F.col("n_arm") - 1)
+                + a2 * a2 / (F.col("n_control") - 1)
+            ),
+            round_to,
+        ),
+    )
+    return j.select(
+        F.col(experiment_col),
+        "arm",
+        "n_control",
+        "n_arm",
+        F.col("n_control").isNotNull().alias("has_control"),
+        F.round(F.col("_mean_control"), round_to).alias("mean_control"),
+        F.round(F.col("_mean_arm"), round_to).alias("mean_arm"),
+        F.round(diff, round_to).alias("diff"),
+        t.alias("t"),
+        wdf.alias("df"),
+        F.coalesce(F.abs(t) > F.lit(float(t_crit)), F.lit(False)).alias(
             "significant"
         ),
     )

@@ -2035,6 +2035,131 @@ def source_token_counts(
     )
 
 
+#: ln(2) pre-rounded to 12 decimals and embedded as a LITERAL in both
+#: engines (the BENFORD_EXPECTED discipline — never each engine's libm).
+LN2_LITERAL = "0.693147180560"
+
+
+def source_js_divergence(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    from the whole corpus — the symmetric, bounded drift score
+    completing the token-level family (x63's TV distance counts
+    mass moved; PSI/KS are numeric-column monitors; JS is the
+    information-theoretic mixture distance — bounded in [0, ln 2],
+    symmetric, defined even on disjoint vocabularies, the standard
+    pretraining-mix distance in data-curation pipelines):
+
+        JS(P_s || Q) = 1/2 KL(P_s || M) + 1/2 KL(Q || M),  M = (P_s+Q)/2
+
+    with P_s the source's token distribution and Q the CORPUS's (the
+    ks_drift group-vs-whole convention). Returns ``[source, n_tokens,
+    n_types, js, js_norm]`` with ``js`` in nats and ``js_norm = js/ln2``
+    in [0, 1].
+    """
+    return js_from_counts(
+        source_token_counts(df, source_col, text_col),
+        source_col,
+        round_to=round_to,
+    )
+
+
+def js_from_counts(
+    counts: DataFrame,
+    source_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`source_js_divergence` from a pre-aggregated
+    ``[source, _tok, _c]`` count table — the mergeable-sufficient-
+    statistic entry point the streaming twin folds into (counts sum
+    across micro-batches; JS depends on per-token (p, q) PAIRS, which
+    are invariant under injective token renaming, so the twin can store
+    60-bit hashes with the same probabilistic-parity caveat as the
+    entropy twin).
+
+    Cross-engine determinism: the tokens a source is MISSING never
+    materialize — for an absent token p = 0, so its whole contribution
+    is q/2 * ln 2, and the absent mass folds into one closed-form
+    term: ``JS = 1/2 [ sum_present p*ln(2*c_st*n / D) +
+    sum_present q*ln(2*c_t*n_s / D) + ln2 * (1 - Q_present) ]`` with
+    ``D = c_st*n + c_t*n_s`` an exact integer. Every ln argument is a
+    ratio of exact integers (DECIMAL(38,0) products, one IEEE division
+    each — the psi_drift discipline), each summand folds through
+    DECIMAL(38,18) so sum order cannot matter, ``Q_present`` is an
+    exact integer ratio (DECIMAL(38,0) sum of corpus counts over
+    present tokens), and ln2 is the shared 12-decimal literal
+    ``LN2_LITERAL`` (never each engine's libm). One final round.
+
+    Scale shape: the corpus collapses to (source, token) counts
+    map-side (ONE shuffle); the token spine [_tok, c_t] derives from
+    the SAME count table and joins back on the token key (never a
+    grid — only PRESENT (source, token) pairs materialize, so cost is
+    the count-table size); the per-source fold and the 1-row corpus
+    total broadcast are all |sources|-bounded. Nothing after the first
+    count is corpus-sized.
+
+    NULL source keys are EXCLUDED here, before the corpus spine is
+    derived (they would otherwise silently fall out of the equality
+    join below while still inflating Q — the ks_drift NULL-group rule;
+    route NULLs to a sentinel label upstream to monitor them).
+    """
+    counts = counts.filter(F.col(source_col).isNotNull())
+    spine = counts.groupBy("_tok").agg(
+        F.sum("_c").cast("bigint").alias("_ct")
+    )
+    sizes = counts.groupBy(source_col).agg(
+        F.sum("_c").cast("bigint").alias("_ns"),
+        F.count(F.lit(1)).cast("bigint").alias("_types"),
+    )
+    tot = spine.agg(F.sum("_ct").cast("bigint").alias("_n"))
+    dec0, dec18 = "decimal(38,0)", "decimal(38,18)"
+    joined = (
+        counts.join(spine, "_tok")
+        .join(F.broadcast(sizes), source_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    # D = c_st*n + c_t*n_s, exact; p = c_st/n_s, q = c_t/n, one IEEE
+    # division each; ln args are exact-integer ratios via one division
+    big_d = (
+        F.col("_c").cast(dec0) * F.col("_n")
+        + F.col("_ct").cast(dec0) * F.col("_ns")
+    ).cast("double")
+    p = F.col("_c").cast("double") / F.col("_ns").cast("double")
+    q = F.col("_ct").cast("double") / F.col("_n").cast("double")
+    arg_p = (F.lit(2).cast(dec0) * F.col("_c") * F.col("_n")).cast(
+        "double"
+    ) / big_d
+    arg_q = (F.lit(2).cast(dec0) * F.col("_ct") * F.col("_ns")).cast(
+        "double"
+    ) / big_d
+    term = ((p * F.log(arg_p)) + (q * F.log(arg_q))).cast(dec18)
+    ln2 = F.lit(LN2_LITERAL).cast("decimal(14,12)").cast("double")
+    agg = joined.groupBy(source_col).agg(
+        F.max("_ns").cast("bigint").alias("n_tokens"),
+        F.max("_types").cast("bigint").alias("n_types"),
+        F.max("_n").cast("bigint").alias("_nn"),
+        F.sum(term).cast("double").alias("_present"),
+        F.sum(F.col("_ct").cast(dec0)).cast(dec0).alias("_ct_present"),
+    )
+    q_present = F.col("_ct_present").cast("double") / F.col(
+        "_nn"
+    ).cast("double")
+    js = (
+        F.col("_present") + ln2 * (F.lit(1.0) - q_present)
+    ) / F.lit(2.0)
+    return agg.select(
+        F.col(source_col),
+        "n_tokens",
+        "n_types",
+        (F.round(js, round_to) + F.lit(0.0)).alias("js"),
+        (F.round(js / ln2, round_to) + F.lit(0.0)).alias("js_norm"),
+    )
+
+
 def token_entropy_from_counts(
     counts: DataFrame,
     source_col: str,

@@ -149,6 +149,102 @@ def benford_from_counts(obs: DataFrame, round_to: int = 6) -> DataFrame:
     )
 
 
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-square test of independence + Cramér's V between two
+    categorical columns — the association detector for feed forensics
+    (is `source` independent of `label`? did the sharding key leak into
+    the split? is missingness correlated with the supplier?), the
+    categorical sibling of the numeric drift family (PSI/KS watch one
+    distribution move; this scores the JOINT structure of two).
+
+        chi2 = sum over cells (o - e)^2 / e,   e = row_tot * col_tot / N
+        V    = sqrt( chi2 / (N * min(R-1, C-1)) )
+
+    Returns ONE row ``[n, r_levels, c_levels, dof, chi2, cramers_v]``
+    (dof = (R-1)(C-1); V is NULL when either column has a single level —
+    no association is defined). Rows with a NULL in either column are
+    excluded (route NULLs to a sentinel level upstream to test
+    missingness itself — usually the interesting question).
+
+    Cross-engine determinism: each cell's term is rewritten over exact
+    integers — (o - e)^2/e = (o*N - r*c)^2 / (N*r*c) — with the
+    difference o*N - r*c computed in DECIMAL(38,0) (exact; fits to
+    N ~ 1e19 against DECIMAL 38's 1e38 ceiling), then ONE IEEE square,
+    ONE IEEE division per cell in fixed order, terms folded through
+    DECIMAL(38,18) so the sum order cannot matter; chi2 and V round
+    once, and V divides the UNROUNDED chi2.
+
+    Scale shape: one (a, b) count aggregate (map-side combinable,
+    |A x B| rows out of the shuffle) MATERIALIZED once (it feeds the
+    row marginals, the column marginals, AND the term fold — the
+    diamond-barrier lesson); both marginal tables and the scalar totals
+    broadcast back onto the cell frame. The corpus is scanned once;
+    everything after is contingency-table-sized.
+    """
+    from meshinsights_data_pipeline_spark.operators.barrier import (
+        materialize as _materialize,
+    )
+
+    cells = _materialize(
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
+    )
+    rows = cells.groupBy("_a").agg(F.sum("_o").cast("bigint").alias("_r"))
+    cols = cells.groupBy("_b").agg(F.sum("_o").cast("bigint").alias("_c"))
+    tot = cells.agg(
+        F.sum("_o").cast("bigint").alias("_n"),
+        F.count_distinct("_a").cast("bigint").alias("_ra"),
+        F.count_distinct("_b").cast("bigint").alias("_cb"),
+    )
+    dec0, dec18 = "decimal(38,0)", "decimal(38,18)"
+    dnum = (
+        F.col("_o").cast(dec0) * F.col("_n")
+        - F.col("_r").cast(dec0) * F.col("_c")
+    ).cast("double")
+    denom = (
+        F.col("_n").cast(dec0) * F.col("_r") * F.col("_c")
+    ).cast("double")
+    term = ((dnum * dnum) / denom).cast(dec18)
+    agg = (
+        cells.join(F.broadcast(rows), "_a")
+        .join(F.broadcast(cols), "_b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.max("_n").cast("bigint").alias("n"),
+            F.max("_ra").cast("bigint").alias("r_levels"),
+            F.max("_cb").cast("bigint").alias("c_levels"),
+            F.sum(term).cast("double").alias("_chi2"),
+        )
+    )
+    mindof = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    return agg.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.col("_chi2"), round_to).alias("chi2"),
+        F.when(
+            mindof >= 1,
+            F.round(
+                F.sqrt(
+                    F.col("_chi2")
+                    / (F.col("n").cast(dec0) * mindof).cast("double")
+                ),
+                round_to,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
 def dq_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate named boolean rules over every row in one pass.
 

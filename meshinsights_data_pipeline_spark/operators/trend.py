@@ -55,7 +55,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -196,3 +196,116 @@ def mann_kendall_trend(
             ),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    group_by: Sequence[str],
+    value_col: str,
+    id_col: str,
+    lags: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group sample autocorrelation at lags 1..``lags`` over the
+    (ts, id) total order — the periodicity/momentum detector completing
+    the per-entity family (CUSUM finds level SHIFTS, Mann-Kendall finds
+    monotone DRIFT; the ACF finds self-similarity: a daily-cycling
+    sensor shows a positive lag at its period, white telemetry decays
+    to ~0, a stuck value pins near 1):
+
+        acf_k = sum_t (d_t * d_{t-k}) / sum_t d_t^2,   d = v - mean_g
+
+    (the standard n-normalized sample ACF — both sums over the same
+    group, so the n vs n-k normalization convention cancels out of
+    nothing and this matches numpy/statsmodels' default). Returns one
+    row per (group, lag): ``[*group_by, lag, n, acf]`` with ``acf``
+    NULL when the group is constant (zero variance — no correlation is
+    defined) or too short (n <= lag: no pairs). Rows with NULL
+    timestamps or NULL/NaN values are excluded entirely (the
+    mann_kendall domain guard). ``id_col`` breaks timestamp ties so the
+    lag pairing is a total order — without it, tied rows would make
+    acf partition-order-dependent (the CUSUM discipline).
+
+    Cross-engine determinism: the group mean comes from the zscore
+    PIVOT discipline (d-sums folded through DECIMAL(38,12), mean =
+    pivot + s/n — single IEEE ops); each centered product is two IEEE
+    subtractions and one multiplication in fixed order, folded through
+    DECIMAL(38,12) so the numerator/denominator sums are
+    order-independent; the final ratio is one IEEE division, rounded.
+
+    Scale shape: ONE entity-keyed shuffle (the window sort) carries all
+    ``lags`` LAG terms in a single window spec; the mean table is a
+    tiny broadcast (|groups| rows); numerators for every lag fold in
+    the SAME aggregate pass. Nothing after the first aggregate is
+    corpus-sized; cost is O(lags) per row, all in whole-stage codegen.
+    """
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    groups = list(group_by)
+    v = F.col(value_col).cast("double")
+    clean = df.filter(
+        F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(
+        *groups,
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    )
+    dec = "decimal(38,12)"
+    pivots = clean.groupBy(*groups).agg(F.min("_v").alias("_p"))
+    dpv = F.col("_v") - F.col("_p")
+    moments = (
+        clean.join(F.broadcast(pivots), groups)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.min("_p").alias("_p"),
+            F.sum(dpv.cast(dec)).cast("double").alias("_s"),
+        )
+    )
+    means = moments.select(
+        *groups,
+        "_n",
+        (F.col("_p") + F.col("_s") / F.col("_n")).alias("_mean"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_ts", "_id")
+    d = F.col("_v") - F.col("_mean")
+    centered = clean.join(F.broadcast(means), groups).select(
+        *groups, "_n", "_ts", "_id", d.alias("_d")
+    )
+    aggs = [
+        F.max("_n").cast("bigint").alias("n"),
+        F.sum((F.col("_d") * F.col("_d")).cast(dec))
+        .cast("double")
+        .alias("_den"),
+    ]
+    lagged = centered.select(
+        *groups,
+        "_n",
+        "_d",
+        *[F.lag("_d", k).over(w).alias(f"_d{k}") for k in range(1, lags + 1)],
+    )
+    for k in range(1, lags + 1):
+        aggs.append(
+            F.sum((F.col("_d") * F.col(f"_d{k}")).cast(dec))
+            .cast("double")
+            .alias(f"_num{k}")
+        )
+    stats = lagged.groupBy(*groups).agg(*aggs)
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.when(
+                    (F.col("_den") > 0) & (F.col("n") > k),
+                    F.round(F.col(f"_num{k}") / F.col("_den"), round_to)
+                    + F.lit(0.0),
+                ).alias("acf"),
+            )
+            for k in range(1, lags + 1)
+        ]
+    )
+    return stats.select(
+        *groups, "n", F.explode(out).alias("_r")
+    ).select(*groups, F.col("_r.lag").alias("lag"), "n", "_r.acf")

@@ -31,6 +31,9 @@ from meshinsights_data_pipeline_spark.streaming.benford import (
 from meshinsights_data_pipeline_spark.streaming.entropy import (
     streaming_entropy_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.jsd import (
+    streaming_jsd_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.survival import (
     streaming_km_ingest,
 )
@@ -112,6 +115,7 @@ __all__ = [
     "streaming_ks_ingest",
     "streaming_benford_ingest",
     "streaming_entropy_ingest",
+    "streaming_jsd_ingest",
     "streaming_km_ingest",
     "streaming_debounce",
     "streaming_interval_join",

@@ -11,9 +11,15 @@ from __future__ import annotations
 
 import pytest
 
-from meshinsights_data_pipeline_spark.plans.drafts_r14 import DRAFTS
+from meshinsights_data_pipeline_spark.plans.drafts_r14 import (
+    DRAFTS as DRAFTS_R14,
+)
+from meshinsights_data_pipeline_spark.plans.drafts_r15 import (
+    DRAFTS as DRAFTS_R15,
+)
 from tests.oracle_harness import compare
 
+DRAFTS = {**DRAFTS_R14, **DRAFTS_R15}
 SF_DIR = "/root/testdata/sf0.01"
 
 

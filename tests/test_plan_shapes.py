@@ -1076,3 +1076,91 @@ def test_quantile_normalize_no_single_task_sort(spark):
     # (a BroadcastNestedLoopJoin IS present and correct: the 1-row
     # corpus-total broadcast crossJoin, the psi_drift shape)
     assert "EvalPython" not in p
+
+
+def test_welch_ttest_single_scan_broadcast_control(spark):
+    """x116's scale contract (staged r15): the cell moment frame is
+    MATERIALIZED before feeding both sides of the control join (one
+    corpus scan, the ab_test diamond-barrier shape), the pivot and
+    control joins are broadcasts, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        welch_ttest,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{i % 2}", f"a{i % 3}", float(i % 7)) for i in range(30)],
+        "exp string, arm string, v double",
+    )
+    p = _plan(welch_ttest(df, "exp", "arm", "v", control_label="a0"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # the materialize() barrier replaces the corpus lineage: both join
+    # sides read the checkpointed cell RDD, not a replayed scan
+    assert "Scan ExistingRDD" in p
+
+
+def test_chi2_independence_single_scan_broadcast_marginals(spark):
+    """x117's scale contract (staged r15): ONE (a, b) count aggregate is
+    materialized and feeds rows/cols/total (no corpus re-scan), the
+    marginals and the 1-row total broadcast back, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(
+        [(f"a{i % 3}", f"b{i % 4}") for i in range(24)],
+        "x string, y string",
+    )
+    p = _plan(chi2_independence(df, "x", "y"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized cell frame
+
+
+def test_autocorrelation_entity_partitioned_windows(spark):
+    """x118's scale contract (staged r15): all lag terms ride ONE
+    entity-partitioned window spec (no single-partition window over
+    the data), the mean table joins back broadcast, JVM-only."""
+    import re
+
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        autocorrelation,
+    )
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i % 3, base + timedelta(seconds=i), i, float((i * 5) % 7))
+         for i in range(24)],
+        "g int, ts timestamp, id long, v double",
+    )
+    p = _plan(autocorrelation(df, "ts", ["g"], "v", "id", lags=3))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("g"), spec
+
+
+def test_js_divergence_count_table_joins_only(spark):
+    """x119's scale contract (staged r15): after the one (source, token)
+    count shuffle, the spine joins back on the TOKEN key (hash join,
+    never a grid/cartesian over the vocabulary); the per-source sizes
+    and the 1-row total broadcast (the 1-row crossJoin's
+    BroadcastNestedLoopJoin is the sanctioned psi_drift shape);
+    JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_js_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i % 2}", "alpha beta beta gamma delta") for i in range(8)],
+        "source string, text string",
+    )
+    p = _plan(source_js_divergence(df, "source", "text"))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p

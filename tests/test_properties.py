@@ -1453,6 +1453,116 @@ def test_ab_test_matches_python_bitwise(spark, cells):
 
 
 @given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1),                 # experiment
+                  st.integers(0, 2),                 # arm id (0 = control)
+                  st.lists(st.integers(-20, 20),     # metric * 4
+                           min_size=1, max_size=8)),
+        min_size=1, max_size=6,
+    ),
+)
+@SLOW
+def test_welch_ttest_matches_python_bitwise(spark, cells):
+    """Welch's t/df are bit-identical to the same fixed-order IEEE
+    formula in python over the pivot-disciplined moments (values are
+    quarter-integers, so d = v - min is exactly representable and the
+    DECIMAL(38,12) folds equal the exact sums); n < 2 cells and
+    missing-control experiments yield NULL t with has_control
+    surfacing the latter."""
+    from collections import defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        welch_ttest,
+    )
+
+    agg = defaultdict(list)
+    for e, a, vals in cells:
+        agg[(f"e{e}", f"a{a}")] += [v / 4.0 for v in vals]
+    rows = [
+        (e, a, v) for (e, a), vals in agg.items() for v in vals
+    ]
+    df = spark.createDataFrame(rows, "exp string, arm string, v double")
+    got = {
+        (r.exp, r.arm): (r.t, r.df, r.has_control)
+        for r in welch_ttest(
+            df, "exp", "arm", "v", control_label="a0"
+        ).collect()
+    }
+
+    def stats(vals):
+        n, p = len(vals), min(vals)
+        s = sum(v - p for v in vals)          # exact: dyadic quarters
+        sq = sum((v - p) * (v - p) for v in vals)
+        mean = p + s / n
+        var = ((sq / n - (s / n) * (s / n)) * (n / (n - 1))
+               if n >= 2 else None)
+        return n, mean, var
+
+    expect = {}
+    for (e, a), vals in agg.items():
+        if a == "a0":
+            continue
+        if (e, "a0") not in agg:
+            expect[(e, a)] = (None, None, False)
+            continue
+        n_a, mean_a, var_a = stats(vals)
+        n_c, mean_c, var_c = stats(agg[(e, "a0")])
+        if var_a is None or var_c is None:
+            expect[(e, a)] = (None, None, True)
+            continue
+        a1, a2 = var_a / n_a, var_c / n_c
+        se = (a1 + a2) ** 0.5
+        if se > 0:
+            t = round((mean_a - mean_c) / se, 6)
+            wdf = round(
+                (a1 + a2) * (a1 + a2)
+                / (a1 * a1 / (n_a - 1) + a2 * a2 / (n_c - 1)), 6)
+            expect[(e, a)] = (t, wdf, True)
+        else:
+            expect[(e, a)] = (None, None, True)
+    assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)),
+        min_size=1, max_size=60,
+    ),
+)
+@SLOW
+def test_chi2_independence_matches_python(spark, pairs):
+    """chi2/Cramér's V equal the textbook contingency formula computed
+    in python (exact-integer cell algebra, one rounding per term);
+    single-level margins yield chi2 = 0 and NULL V."""
+    from collections import Counter
+
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(
+        [(f"a{a}", f"b{b}") for a, b in pairs], "x string, y string"
+    )
+    (r,) = chi2_independence(df, "x", "y").collect()
+    cells = Counter(pairs)
+    rows = Counter(a for a, _ in pairs)
+    cols = Counter(b for _, b in pairs)
+    n = len(pairs)
+    chi2 = sum(
+        float(o * n - rows[a] * cols[b]) ** 2 / float(n * rows[a] * cols[b])
+        for (a, b), o in cells.items()
+    )
+    dof_min = min(len(rows) - 1, len(cols) - 1)
+    assert (r.n, r.r_levels, r.c_levels) == (n, len(rows), len(cols))
+    assert r.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-9
+    if dof_min >= 1:
+        assert abs(r.cramers_v - round((chi2 / (n * dof_min)) ** 0.5, 6)) < 1e-9
+    else:
+        assert r.cramers_v is None
+
+
+@given(
     vals=st.lists(st.floats(-15, 15, allow_nan=False,
                             allow_infinity=False),
                   min_size=2, max_size=24),
@@ -1999,6 +2109,116 @@ def test_mann_kendall_cap_n_equals_trend_of_capped_input(spark, rows, cap):
     assert canon(
         mann_kendall_trend(df, "ts", ["g"], "v", cap_n=cap)
     ) == canon(mann_kendall_trend(capped_df, "ts", ["g"], "v"))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-20, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_autocorrelation_matches_python(spark, rows):
+    """acf_k is bit-identical to the n-normalized sample ACF computed in
+    python with the same pivot-disciplined mean and fixed op order
+    (values are quarter-integers so every fold is exact); constant and
+    too-short groups yield NULL."""
+    from datetime import datetime, timedelta
+
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        autocorrelation,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (g, base + timedelta(seconds=i), i, v / 4.0)
+        for i, (g, v) in enumerate(rows)
+    ]
+    noisy = data + [(0, None, 900, 1.0), (1, base, 901, None)]
+    df = spark.createDataFrame(
+        noisy, "g int, ts timestamp, id long, v double"
+    )
+    lags = 3
+    got = {
+        (r["g"], r["lag"]): (r["n"], r["acf"])
+        for r in autocorrelation(
+            df, "ts", ["g"], "v", "id", lags=lags
+        ).collect()
+    }
+    expect = {}
+    for g in {g for g, _ in rows}:
+        series = [v / 4.0 for gg, v in rows if gg == g]
+        n, p = len(series), min(series)
+        s = sum(v - p for v in series)       # exact dyadic sums
+        mean = p + s / n
+        d = [v - mean for v in series]
+        den = sum(x * x for x in d)
+        for k in range(1, lags + 1):
+            if den > 0 and n > k:
+                num = sum(d[i] * d[i - k] for i in range(k, n))
+                expect[(g, k)] = (n, round(num / den, 6))
+            else:
+                expect[(g, k)] = (n, None)
+    assert set(got) == set(expect)
+    for key in expect:
+        en, ea = expect[key]
+        gn, ga = got[key]
+        assert gn == en
+        if ea is None:
+            assert ga is None
+        else:
+            assert ga == ea + 0.0, (key, ga, ea)
+
+
+def test_js_divergence_matches_python_and_bounds(spark):
+    """JS equals the textbook 0.5*KL(P||M) + 0.5*KL(Q||M) computed in
+    python over the token counts (within the fold/libm tolerance); a
+    source distributed identically to the corpus scores 0; disjoint
+    sources score the ln2 bound; js_norm lands in [0, 1]."""
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_js_divergence,
+    )
+
+    docs = [
+        (1, "webA", "alpha beta beta gamma"),
+        (2, "webB", "alpha beta beta gamma"),   # identical mix -> js 0
+        (3, "pdf", "delta delta epsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           source_js_divergence(df, "source", "text").collect()}
+
+    from collections import Counter
+    per = {s: Counter(t.split()) for _, s, t in docs}
+    merged = Counter()
+    for c in per.values():
+        merged.update(c)
+    n = sum(merged.values())
+    for s, cnt in per.items():
+        ns = sum(cnt.values())
+        js = 0.0
+        for tok, ct in merged.items():
+            p = cnt.get(tok, 0) / ns
+            q = ct / n
+            m = (p + q) / 2.0
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            js += 0.5 * q * math.log(q / m)
+        r = got[s]
+        assert abs(r["js"] - js) < 1e-6, (s, r["js"], js)
+        assert 0.0 <= r["js_norm"] <= 1.0
+        assert r["n_tokens"] == ns and r["n_types"] == len(cnt)
+
+    # two identical single-source halves: each IS the corpus mix -> 0
+    same = spark.createDataFrame(
+        [(1, "a", "x y y z"), (2, "b", "x y y z")],
+        "doc_id long, source string, text string",
+    )
+    for r in source_js_divergence(same, "source", "text").collect():
+        assert r["js"] == 0.0 and r["js_norm"] == 0.0
 
 
 @given(

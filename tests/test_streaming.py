@@ -2378,3 +2378,58 @@ def test_streaming_entropy_full_parity_and_retry(spark, tmp_path):
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
     assert after.count() == 5
+
+
+def test_streaming_jsd_full_parity_and_retry(spark, tmp_path):
+    """JS twin: hashed-token state matches the batch operator on a
+    collision-free vocabulary (JS depends only on per-token (p, q)
+    count pairs, invariant under INJECTIVE renaming — the entropy
+    twin's probabilistic-parity caveat applies); epoch-1 equals the
+    batch operator over the UNION; a retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_js_divergence,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_jsd_ingest,
+    )
+
+    schema = "doc_id long, source string, text string"
+    b1 = spark.createDataFrame(
+        [(1, "web", "spark rows and columns and rows"),
+         (2, "web", "columns of rows"),
+         (3, "pdf", "entirely different words here")], schema)
+    b2 = spark.createDataFrame(
+        [(4, "pdf", "words words repeat here"),
+         (5, "forum", "fresh source appears mid stream")], schema)
+    cdir, rdir = str(tmp_path / "counts"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "source string, _tok long, _c long"),
+        cdir, -1)
+
+    process = streaming_jsd_ingest(
+        b1, counts_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["source"], r["n_tokens"], r["n_types"], r["js"],
+             r["js_norm"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(source_js_divergence(b1, "source", "text"))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        source_js_divergence(b1.unionByName(b2), "source", "text"))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 5
