@@ -11,6 +11,12 @@ quality report an ingest pipeline runs before promoting a batch.
    move?
 4. source_token_entropy: per-source token entropy + Gini — a source
    whose entropy collapses has gone template-heavy.
+5. chi2_independence: is order status independent of priority? —
+   joint-structure forensics the one-distribution monitors can't see
+   (sharding leaks, correlated missingness).
+6. source_js_divergence: symmetric bounded mix distance of each
+   source from the corpus token distribution — the pretraining-mix
+   drift score.
 
 Run: python examples/data_quality.py [sf_dir]
 """
@@ -86,6 +92,28 @@ def main() -> None:
     quantile_normalize(docs, "source", "n_chars", "doc_id").orderBy(
         "source", "doc_id"
     ).show(5)
+
+    # joint-structure forensics: is status independent of priority?
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        chi2_independence,
+    )
+
+    print("-- chi-square independence: order status vs priority --")
+    chi2_independence(
+        read_table(spark, sf_dir, "orders"),
+        "o_orderstatus", "o_orderpriority",
+    ).show()
+
+    # symmetric bounded mix distance: which source diverges from the
+    # corpus it feeds?
+    from meshinsights_data_pipeline_spark.operators.corpus import (
+        source_js_divergence,
+    )
+
+    print("-- Jensen-Shannon divergence of each source vs the corpus --")
+    source_js_divergence(docs, "source", "text").orderBy(
+        F.desc("js_norm")
+    ).show()
 
     spark.stop()
 

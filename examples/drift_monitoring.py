@@ -90,8 +90,35 @@ def main() -> None:
     alarmed_events = ev.join(summary.select("user_id"), "user_id")
     print("Mann-Kendall trend over the alarmed users:")
     mann_kendall_trend(
-        alarmed_events, "ts", ["user_id"], "value"
+        alarmed_events, "ts", ["user_id"], "value", cap_n=200
     ).orderBy(F.desc(F.abs(F.col("z")))).show(5)
+
+    # continuous-metric readout: did the arms' mean VALUE differ, not
+    # just the alarm rate? (Welch stays valid under unequal variances)
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        welch_ttest,
+    )
+
+    print("Welch t of mean event value, odd vs even users:")
+    metric = ev.select(
+        F.lit("mean_value").alias("exp"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        F.col("value"),
+    )
+    welch_ttest(metric, "exp", "arm", "value",
+                control_label="control").show()
+
+    # periodicity triage: does an alarmed user's series self-correlate
+    # (daily cycle / stuck sensor) rather than drift?
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        autocorrelation,
+    )
+
+    print("Lag-1..3 autocorrelation over the alarmed users:")
+    autocorrelation(
+        alarmed_events, "ts", ["user_id"], "value", "event_id", lags=3
+    ).orderBy(F.desc(F.abs(F.col("acf")))).show(6)
     spark.stop()
 
 
