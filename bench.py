@@ -349,6 +349,60 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: data quality e2e failed: {exc}", file=sys.stderr)
 
+    # Statistical-tests end-to-end (the r15 staged anchors' composed
+    # plans: Welch t + chi-square independence + lag-k ACF + JS mix
+    # divergence) — gated now so their regression history starts before
+    # registration (the r13 drift/data-quality precedent).
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.operators.abtest import (
+            mann_whitney_u,
+            welch_ttest,
+        )
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            source_js_divergence,
+        )
+        from meshinsights_data_pipeline_spark.operators.dq import (
+            chi2_independence,
+        )
+        from meshinsights_data_pipeline_spark.operators.trend import (
+            autocorrelation,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        orders = read_table(spark, sf_dir, "orders")
+        docs = read_table(spark, sf_dir, "documents")
+        metric = ev.select(
+            F.col("event_type").alias("exp"),
+            F.when(F.col("user_id") % 2 == 0, "control")
+            .otherwise("t1").alias("arm"),
+            F.col("value"),
+        )
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for frame in (
+                welch_ttest(metric, "exp", "arm", "value",
+                            control_label="control"),
+                mann_whitney_u(metric, "exp", "arm", "value",
+                               control_label="control"),
+                chi2_independence(orders, "o_orderstatus",
+                                  "o_orderpriority"),
+                autocorrelation(
+                    ev.filter(F.col("user_id") < 40), "ts",
+                    ["user_id"], "value", "event_id", lags=3,
+                ),
+                source_js_divergence(docs, "source", "text"),
+            ):
+                frame.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["stat_tests_e2e"] = runs[0]
+        extras["stat_tests_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: stat tests e2e failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost

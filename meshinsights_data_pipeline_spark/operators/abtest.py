@@ -22,7 +22,7 @@ for the reported Welch df when arms are small).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.operators.barrier import (
@@ -242,6 +242,152 @@ def welch_ttest(
         t.alias("t"),
         wdf.alias("df"),
         F.coalesce(F.abs(t) > F.lit(float(t_crit)), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    control_label: str,
+    z_crit: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per (experiment, arm != control): the Mann-Whitney U test
+    (Wilcoxon rank-sum) vs the experiment's control arm — the
+    NONPARAMETRIC leg completing the two-sample triad
+    (:func:`ab_test_zscores` for proportions, :func:`welch_ttest` for
+    means, U for whole distributions): valid for ordinal/heavy-tailed
+    metrics where a mean comparison is meaningless, and sensitive to
+    any stochastic-dominance shift, not just location.
+
+        U = R_a - n_a(n_a+1)/2          (R_a = arm's rank sum over the
+                                         pooled two-sample ranking,
+                                         AVERAGE ranks on ties)
+        z = (U - n_a*n_c/2 -/+ 0.5) / sqrt(var_U)    (continuity-corr.)
+        var_U = n_a*n_c/12 * [ (n+1) - sum_t (t^3 - t) / (n(n-1)) ]
+
+    with the standard tie correction (t the pooled tie-group sizes).
+    Returns ``[experiment, arm, n_control, n_arm, has_control, u, z,
+    significant]``; ``u`` is exact (a half-integer double), ``z``
+    rounds and ``significant`` compares the ROUNDED |z|; var_U = 0
+    (all values tied) yields NULL z; a missing control arm surfaces
+    with ``has_control = false`` and NULL z (the family's left-join
+    discipline). NULL experiment/arm keys and NULL/NaN values are
+    excluded up front.
+
+    Cross-engine determinism: ranks never materialize per row — the
+    pooled ranking reduces to per-(pair, value) COUNTS: with cum the
+    total count strictly below a value and t the count at it, the tie
+    group's average rank is (2*cum + t + 1)/2, so DOUBLED rank sums
+    stay exact integers end-to-end (DECIMAL(38,0) folds — u, the tie
+    sums, and U - mean_U are integer-halves with no float until the
+    final three IEEE ops: the tie-term division, the variance
+    multiply, the z division). Both engines therefore agree on every
+    comparison, including borderline significance.
+
+    Scale shape: ONE (experiment, arm, value) count aggregate
+    (map-side combinable) is the only corpus-sized stage; control
+    counts replicate per treatment arm via a broadcast of the
+    |experiments x arms| arm list; the pooled ranking is one window
+    over the (pair, value) spine at distinct-value cardinality. For
+    continuous metrics at the 100 TB tier, quantize values first
+    (histogram_fixed_width bin ids, the ks_drift precedent) — ranks
+    over bins are the same statistic on the binned distribution and
+    the spine is bounded at |pairs| x buckets.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(experiment_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+        & v.isNotNull()
+        & ~F.isnan(v)
+    ).select(F.col(experiment_col), F.col(arm_col), v.alias("_v"))
+    cells = _materialize(
+        base.groupBy(experiment_col, arm_col, "_v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+    )
+    arm_cells = cells.filter(F.col(arm_col) != control_label).select(
+        F.col(experiment_col),
+        F.col(arm_col).alias("arm"),
+        "_v",
+        F.col("_c").alias("_c_a"),
+        F.lit(0).cast("bigint").alias("_c_c"),
+    )
+    arm_list = arm_cells.select(experiment_col, "arm").distinct()
+    ctrl_cells = (
+        cells.filter(F.col(arm_col) == control_label)
+        .select(F.col(experiment_col), "_v", F.col("_c").alias("_cc"))
+        .join(F.broadcast(arm_list), experiment_col)
+        .select(
+            F.col(experiment_col),
+            "arm",
+            "_v",
+            F.lit(0).cast("bigint").alias("_c_a"),
+            F.col("_cc").alias("_c_c"),
+        )
+    )
+    pooled = (
+        arm_cells.unionByName(ctrl_cells)
+        .groupBy(experiment_col, "arm", "_v")
+        .agg(
+            F.sum("_c_a").cast("bigint").alias("_c_a"),
+            F.sum("_c_c").cast("bigint").alias("_c_c"),
+        )
+    )
+    t_cnt = F.col("_c_a") + F.col("_c_c")
+    w = (
+        Window.partitionBy(experiment_col, "arm")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(t_cnt).over(w), F.lit(0))
+    dec0 = "decimal(38,0)"
+    # doubled average rank of the tie group: 2*cum + t + 1 (integer)
+    rank2 = (F.lit(2) * cum + t_cnt + 1).cast(dec0)
+    stats = pooled.withColumn("_r2", rank2).groupBy(
+        experiment_col, "arm"
+    ).agg(
+        F.sum("_c_a").cast("bigint").alias("n_arm"),
+        F.sum("_c_c").cast("bigint").alias("n_control"),
+        F.sum(F.col("_c_a").cast(dec0) * F.col("_r2"))
+        .cast(dec0)
+        .alias("_r2a"),
+        F.sum(
+            (t_cnt.cast(dec0) * t_cnt * t_cnt - t_cnt).cast(dec0)
+        ).cast(dec0).alias("_ties"),
+    )
+    n_a, n_c = F.col("n_arm"), F.col("n_control")
+    n = n_a + n_c
+    # 2U = 2*R_a - n_a(n_a+1); U - mean_U = (2U - n_a*n_c)/2
+    u2 = F.col("_r2a") - (n_a.cast(dec0) * (n_a + 1)).cast(dec0)
+    d_half = (u2 - (n_a.cast(dec0) * n_c)).cast("double") / F.lit(2.0)
+    prod_d = (n_a.cast(dec0) * n_c).cast("double")
+    tie_term = F.col("_ties").cast("double") / (
+        n.cast(dec0) * (n - 1)
+    ).cast("double")
+    var_u = prod_d / F.lit(12.0) * ((n + 1).cast("double") - tie_term)
+    sd = F.sqrt(var_u)
+    z = (
+        F.when(~(var_u > 0), F.lit(None).cast("double"))
+        .when(d_half > 0, (d_half - F.lit(0.5)) / sd)
+        .when(d_half < 0, (d_half + F.lit(0.5)) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    z = F.when(n_c > 0, F.round(z, round_to) + F.lit(0.0))
+    return stats.select(
+        F.col(experiment_col),
+        "arm",
+        F.when(n_c > 0, n_c).alias("n_control"),
+        "n_arm",
+        (n_c > 0).alias("has_control"),
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(z_crit)), F.lit(False)).alias(
             "significant"
         ),
     )

@@ -3,18 +3,19 @@
 The r14 driver window is consumed by the staged-r13 registration plus
 the staleness rotation (VERDICT r13 #1), so the operators added THIS
 round — Welch's unequal-variance t-test, chi-square independence +
-Cramér's V, per-entity lag-k autocorrelation, and per-source
-Jensen-Shannon mix divergence (+ its hashed-state streaming twin) —
+Cramér's V, per-entity lag-k autocorrelation, per-source
+Jensen-Shannon mix divergence (+ its hashed-state streaming twin),
+and the Mann-Whitney U rank-sum test —
 ship with their anchor queries and DuckDB oracles staged HERE, proven
 green by ``tests/test_oracle_drafts.py`` (which parametrizes over both
 draft generations). Round 15 registers each (builder, SQL) pair and
 gives it a window slot — registration is a copy, not new work (the
 r13 -> r14 precedent).
 
-Round-15 window math (for whoever rotates next): 4 slots for
-x116–x119 (new), then the full 41-query r11-stale cohort (the 49 r11
+Round-15 window math (for whoever rotates next): 5 slots for
+x116–x120 (new), then the full 41-query r11-stale cohort (the 49 r11
 queries minus the 8 re-checked in r14: x23/x79/x11/x57/x49/x29/x83/
-x08), then fill the remaining ~5 slots with the oldest r12 queries.
+x08), then fill the remaining ~4 slots with the oldest r12 queries.
 After that rotation no query is staler than r12.
 """
 
@@ -304,10 +305,129 @@ ORDER BY source
 """
 
 
+def x120_mann_whitney(spark: SparkSession, sf_dir: str):
+    """Mann-Whitney U vs control over the x116 derived experiment
+    (abtest.mann_whitney_u) — the nonparametric leg of the two-sample
+    triad (x105 proportions, x116 means, x120 distributions). Ranks
+    never materialize per row: the pooled average-rank algebra runs on
+    (pair, value) COUNTS with doubled rank sums as exact
+    DECIMAL(38,0) integers, so u and every comparison are
+    engine-exact; only the tie-term/variance/z divisions are IEEE ops,
+    in fixed order, rounded once."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        F.col("value"),
+    )
+    return mann_whitney_u(
+        ev, "experiment", "arm", "value", control_label="control"
+    ).orderBy("experiment", "arm")
+
+
+X120_SQL = """
+WITH ev AS (
+    SELECT event_type AS experiment,
+           CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 't1' END AS arm,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS (
+    SELECT experiment, arm, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY experiment, arm, v
+),
+armcells AS (
+    SELECT experiment, arm, v, c AS c_a, CAST(0 AS BIGINT) AS c_c
+    FROM cells WHERE arm <> 'control'
+),
+armlist AS (SELECT DISTINCT experiment, arm FROM armcells),
+ctrlcells AS (
+    SELECT al.experiment, al.arm, c.v,
+           CAST(0 AS BIGINT) AS c_a, c.c AS c_c
+    FROM armlist al
+    JOIN (SELECT experiment, v, c FROM cells WHERE arm = 'control') c
+      ON c.experiment = al.experiment
+),
+pooled AS (
+    SELECT experiment, arm, v,
+           CAST(SUM(c_a) AS BIGINT) AS c_a,
+           CAST(SUM(c_c) AS BIGINT) AS c_c
+    FROM (SELECT * FROM armcells UNION ALL SELECT * FROM ctrlcells)
+    GROUP BY experiment, arm, v
+),
+ranked AS (
+    SELECT *,
+           CAST(2 * COALESCE(SUM(c_a + c_c) OVER (
+                    PARTITION BY experiment, arm ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (c_a + c_c) + 1 AS DECIMAL(38,0)) AS r2
+    FROM pooled
+),
+stats AS (
+    SELECT experiment, arm,
+           CAST(SUM(c_a) AS BIGINT) AS n_arm,
+           CAST(SUM(c_c) AS BIGINT) AS n_control,
+           SUM(CAST(c_a AS DECIMAL(38,0)) * r2) AS r2a,
+           SUM(CAST(CAST(c_a + c_c AS DECIMAL(38,0))
+                    * (c_a + c_c) * (c_a + c_c)
+                    - (c_a + c_c) AS DECIMAL(38,0))) AS ties
+    FROM ranked GROUP BY experiment, arm
+),
+calc AS (
+    SELECT *,
+           r2a - CAST(CAST(n_arm AS DECIMAL(38,0)) * (n_arm + 1)
+                      AS DECIMAL(38,0)) AS u2,
+           n_arm + n_control AS n
+    FROM stats
+),
+zc AS (
+    SELECT *,
+           CAST(u2 - CAST(n_arm AS DECIMAL(38,0)) * n_control
+                AS DOUBLE) / 2.0 AS d_half,
+           CAST(CAST(n_arm AS DECIMAL(38,0)) * n_control
+                AS DOUBLE) AS prod_d,
+           CAST(ties AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)
+             AS tie_term
+    FROM calc
+),
+vv AS (
+    SELECT *, prod_d / 12.0 * (CAST(n + 1 AS DOUBLE) - tie_term) AS var_u
+    FROM zc
+),
+fin AS (
+    SELECT *,
+           CASE WHEN NOT (var_u > 0) THEN NULL
+                WHEN d_half > 0 THEN (d_half - 0.5) / SQRT(var_u)
+                WHEN d_half < 0 THEN (d_half + 0.5) / SQRT(var_u)
+                ELSE 0.0 END AS zraw
+    FROM vv
+)
+SELECT experiment, arm,
+       CASE WHEN n_control > 0 THEN n_control END AS n_control,
+       n_arm,
+       n_control > 0 AS has_control,
+       CAST(u2 AS DOUBLE) / 2.0 AS u,
+       CASE WHEN n_control > 0 THEN ROUND(zraw, 6) + 0.0 END AS z,
+       COALESCE(ABS(CASE WHEN n_control > 0
+                         THEN ROUND(zraw, 6) + 0.0 END) > 1.959964,
+                FALSE) AS significant
+FROM fin
+ORDER BY experiment, arm
+"""
+
+
 #: what r15 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x116_welch_ttest": (x116_welch_ttest, X116_SQL),
     "x117_chi2_independence": (x117_chi2_independence, X117_SQL),
     "x118_autocorrelation": (x118_autocorrelation, X118_SQL),
     "x119_js_divergence": (x119_js_divergence, _x119_sql()),
+    "x120_mann_whitney": (x120_mann_whitney, X120_SQL),
 }

@@ -1164,3 +1164,29 @@ def test_js_divergence_count_table_joins_only(spark):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_mann_whitney_count_spine_windows(spark):
+    """x120's scale contract (staged r15): ranks never materialize per
+    row — one (experiment, arm, value) count aggregate is the only
+    corpus-sized stage (materialized, one scan), control counts
+    replicate via a BROADCAST of the arm list, and the pooled-rank
+    window is partitioned on (experiment, arm) — no single-partition
+    window; JVM-only."""
+    import re
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{i % 2}", f"a{i % 3}", float(i % 5)) for i in range(30)],
+        "exp string, arm string, v double",
+    )
+    p = _plan(mann_whitney_u(df, "exp", "arm", "v", control_label="a0"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized count frame
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("exp"), spec

@@ -1524,6 +1524,77 @@ def test_welch_ttest_matches_python_bitwise(spark, cells):
 
 
 @given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1),                 # experiment
+                  st.integers(0, 2),                 # arm id (0 = control)
+                  st.lists(st.integers(-4, 4),       # metric (forced ties)
+                           min_size=1, max_size=10)),
+        min_size=1, max_size=6,
+    ),
+)
+@SLOW
+def test_mann_whitney_matches_python_bitwise(spark, cells):
+    """U is exact and z bit-identical to the textbook average-rank /
+    tie-corrected / continuity-corrected formula computed in python
+    with the same fixed op order (the -4..4 metric range forces heavy
+    ties); all-tied pairs yield NULL z, missing controls surface."""
+    from collections import Counter, defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+
+    agg = defaultdict(list)
+    for e, a, vals in cells:
+        agg[(f"e{e}", f"a{a}")] += [float(v) for v in vals]
+    rows = [(e, a, v) for (e, a), vals in agg.items() for v in vals]
+    df = spark.createDataFrame(rows, "exp string, arm string, v double")
+    got = {
+        (r.exp, r.arm): (r.u, r.z, r.has_control)
+        for r in mann_whitney_u(
+            df, "exp", "arm", "v", control_label="a0"
+        ).collect()
+    }
+
+    expect = {}
+    for (e, a), vals in agg.items():
+        if a == "a0":
+            continue
+        ctrl = agg.get((e, "a0"), [])
+        pool = Counter(vals) + Counter(ctrl)
+        n_a, n_c = len(vals), len(ctrl)
+        n = n_a + n_c
+        # doubled average ranks from counts (the operator's algebra)
+        r2 = {}
+        cum = 0
+        for v in sorted(pool):
+            t = pool[v]
+            r2[v] = 2 * cum + t + 1
+            cum += t
+        r2a = sum(Counter(vals)[v] * r2[v] for v in set(vals))
+        u2 = r2a - n_a * (n_a + 1)
+        u = u2 / 2.0
+        if n_c == 0:
+            expect[(e, a)] = (u, None, False)
+            continue
+        ties = sum(t ** 3 - t for t in pool.values())
+        d_half = float(u2 - n_a * n_c) / 2.0
+        prod_d = float(n_a * n_c)
+        tie_term = float(ties) / float(n * (n - 1)) if n >= 2 else 0.0
+        var_u = prod_d / 12.0 * (float(n + 1) - tie_term)
+        if not var_u > 0:
+            z = None
+        elif d_half > 0:
+            z = round((d_half - 0.5) / var_u ** 0.5, 6) + 0.0
+        elif d_half < 0:
+            z = round((d_half + 0.5) / var_u ** 0.5, 6) + 0.0
+        else:
+            z = 0.0
+        expect[(e, a)] = (u, z, True)
+    assert got == expect
+
+
+@given(
     pairs=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 3)),
         min_size=1, max_size=60,
