@@ -109,6 +109,16 @@ def main() -> None:
     welch_ttest(metric, "exp", "arm", "value",
                 control_label="control").show()
 
+    # the nonparametric readout of the same experiment: any
+    # distribution shift, not just the mean (heavy tails welcome)
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+
+    print("Mann-Whitney U of the same arms:")
+    mann_whitney_u(metric, "exp", "arm", "value",
+                   control_label="control").show()
+
     # periodicity triage: does an alarmed user's series self-correlate
     # (daily cycle / stuck sensor) rather than drift?
     from meshinsights_data_pipeline_spark.operators.trend import (
