@@ -255,6 +255,8 @@ def mann_whitney_u(
     control_label: str,
     z_crit: float = 1.959964,
     round_to: int = 6,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Per (experiment, arm != control): the Mann-Whitney U test
     (Wilcoxon rank-sum) vs the experiment's control arm — the
@@ -293,12 +295,22 @@ def mann_whitney_u(
     (map-side combinable) is the only corpus-sized stage; control
     counts replicate per treatment arm via a broadcast of the
     |experiments x arms| arm list; the pooled ranking is one window
-    over the (pair, value) spine at distinct-value cardinality. For
-    continuous metrics at the 100 TB tier, quantize values first
-    (histogram_fixed_width bin ids, the ks_drift precedent) — ranks
-    over bins are the same statistic on the binned distribution and
-    the spine is bounded at |pairs| x buckets.
+    over the (pair, value) spine at distinct-value cardinality.
+    ``buckets`` is the 100 TB tier made a PARAMETER (the
+    ks_drift/x90/cap_n precedent): values quantize to equal-width bin
+    ids over ``bounds`` = (lo, hi) — the histogram_fixed_width/
+    ks_value_counts assignment, including the clamp-before-cast edge
+    discipline — bounding the rank spine at |pairs| x buckets; the
+    result is then the EXACT U test of the binned distributions
+    (property-tested equal to the exact test over pre-binned values).
+    ``bounds=None`` uses the corpus's own min/max (one tiny extra
+    aggregate + broadcast); ``bounds`` without ``buckets`` raises.
     """
+    if bounds is not None and buckets is None:
+        raise ValueError(
+            "bounds without buckets is not supported: bounds only "
+            "parameterize the quantized tier — pass buckets too"
+        )
     v = F.col(value_col).cast("double")
     base = df.filter(
         F.col(experiment_col).isNotNull()
@@ -306,6 +318,33 @@ def mann_whitney_u(
         & v.isNotNull()
         & ~F.isnan(v)
     ).select(F.col(experiment_col), F.col(arm_col), v.alias("_v"))
+    if buckets is not None:
+        if buckets < 1:
+            raise ValueError(f"buckets must be positive, got {buckets}")
+        k = F.lit(int(buckets))
+        if bounds is not None:
+            blo, bhi = F.lit(float(bounds[0])), F.lit(float(bounds[1]))
+            src = base
+        else:
+            b = base.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+            blo, bhi = F.col("_lo"), F.col("_hi")
+            src = base.crossJoin(F.broadcast(b))
+        width = (bhi - blo) / k
+        # clamp BEFORE the int cast — the ks_value_counts ANSI
+        # CAST_OVERFLOW lesson: far-out values must hit the edge bins
+        cv = F.greatest(blo, F.least(bhi, F.col("_v")))
+        bucket = F.when(
+            width > 0,
+            F.greatest(
+                F.lit(0),
+                F.least(k - 1, F.floor((cv - blo) / width).cast("int")),
+            ),
+        ).otherwise(F.lit(0))
+        base = src.select(
+            F.col(experiment_col),
+            F.col(arm_col),
+            bucket.cast("double").alias("_v"),
+        )
     cells = _materialize(
         base.groupBy(experiment_col, arm_col, "_v").agg(
             F.count(F.lit(1)).cast("bigint").alias("_c")

@@ -1595,6 +1595,105 @@ def test_mann_whitney_matches_python_bitwise(spark, cells):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-8, 8)),
+        min_size=2, max_size=40,
+    ),
+)
+@SLOW
+def test_mann_whitney_bucket_tier_matches_binned_exact(spark, rows):
+    """The buckets= tier equals the exact U test computed over the
+    pre-binned values (the histogram_fixed_width assignment) — the
+    ks_drift quantization property, proven for the rank statistic:
+    quantization changes the distribution being compared, never the
+    test's exactness."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+
+    import math
+
+    data = [("e", "a0" if a == 0 else "t1", float(v)) for a, v in rows]
+    df = spark.createDataFrame(data, "exp string, arm string, v double")
+    k = 4
+    lo = min(v for _, _, v in data)
+    hi = max(v for _, _, v in data)
+    width = (hi - lo) / k
+
+    def bin_of(v):
+        # divide-then-floor, matching Spark's floor(div) exactly (see
+        # test_mann_whitney_bounds_edges_and_guards on python's //)
+        if width <= 0:
+            return 0.0
+        return float(min(k - 1, int(math.floor((v - lo) / width))))
+
+    binned = spark.createDataFrame(
+        [(e, a, bin_of(v)) for e, a, v in data],
+        "exp string, arm string, v double",
+    )
+
+    def canon(frame):
+        return sorted(
+            (r.exp, r.arm, r.n_control, r.n_arm, r.u, r.z, r.significant)
+            for r in frame.collect()
+        )
+
+    assert canon(
+        mann_whitney_u(df, "exp", "arm", "v", control_label="a0",
+                       buckets=k)
+    ) == canon(
+        mann_whitney_u(binned, "exp", "arm", "v", control_label="a0")
+    )
+
+
+def test_mann_whitney_bounds_edges_and_guards(spark):
+    """Explicit bounds: far-out values clamp to the edge bins without
+    an ANSI overflow (the ks_value_counts lesson), and bounds without
+    buckets raises."""
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [("e", "a0", 3e7), ("e", "a0", 0.1), ("e", "t1", -3e7),
+         ("e", "t1", 0.9), ("e", "t1", 1e300)],
+        "exp string, arm string, v double",
+    )
+    rows = mann_whitney_u(
+        df, "exp", "arm", "v", control_label="a0",
+        buckets=10, bounds=(0.0, 1.0),
+    ).collect()
+    assert len(rows) == 1 and rows[0].n_control == 2
+    # expected bins via the SAME IEEE expression: divide-then-floor,
+    # NOT python's //, which floors the TRUE quotient (0.9 // 0.1 = 8)
+    # while floor(0.9 / 0.1) floors the ROUNDED one (= 9, matching
+    # Spark's floor(div))
+    import math
+
+    width = (1.0 - 0.0) / 10
+
+    def bin_of(v):
+        cv = max(0.0, min(1.0, v))
+        return float(max(0, min(9, int(math.floor((cv - 0.0) / width)))))
+
+    binned = spark.createDataFrame(
+        [("e", "a0", bin_of(3e7)), ("e", "a0", bin_of(0.1)),
+         ("e", "t1", bin_of(-3e7)), ("e", "t1", bin_of(0.9)),
+         ("e", "t1", bin_of(1e300))],
+        "exp string, arm string, v double",
+    )
+    (rb,) = mann_whitney_u(
+        binned, "exp", "arm", "v", control_label="a0"
+    ).collect()
+    assert (rows[0].u, rows[0].z) == (rb.u, rb.z)
+    with pytest.raises(ValueError, match="bounds without buckets"):
+        mann_whitney_u(df, "exp", "arm", "v", control_label="a0",
+                       bounds=(0.0, 1.0))
+
+
+@given(
     pairs=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 3)),
         min_size=1, max_size=60,
@@ -2408,7 +2507,12 @@ def test_ks_drift_bucket_tier_matches_binned_exact(spark, rows):
     width = (hi - lo) / k
 
     def bin_of(v):
-        return min(k - 1, int((v - lo) // width)) if width > 0 else 0
+        # divide-then-floor, matching Spark's floor(div): python's //
+        # floors the TRUE quotient and can disagree by one bin when
+        # the division is inexact (0.9 // 0.1 = 8 vs floor(0.9/0.1) = 9)
+        import math
+
+        return min(k - 1, int(math.floor((v - lo) / width))) if width > 0 else 0
 
     binned = [(g, bin_of(v)) for g, v in rows]
     all_bins = sorted({b for _, b in binned})
