@@ -70,13 +70,48 @@ def ab_test_zscores(
     showed 4 scans/0 reuse. With it, the corpus is touched exactly
     once at any data size and everything after is tiny-frame algebra.
     """
-    conv = F.col(converted_col).cast("boolean").cast("int")
     cells = _materialize(
-        df.groupBy(experiment_col, arm_col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(conv).cast("bigint").alias("x"),
-        )
+        ab_cell_counts(df, experiment_col, arm_col, converted_col)
     )
+    return ab_from_counts(
+        cells, experiment_col, arm_col, control_label, z_crit=z_crit
+    )
+
+
+def ab_cell_counts(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """The ``[experiment, arm, n, x]`` cell stage of
+    :func:`ab_test_zscores`, shared with the streaming twin so the
+    two can never drift (the ks/benford/km shared-stage discipline):
+    the boolean coercion of the conversion flag lives here, in exactly
+    one place. Counts are exact integers, so cells SUM across
+    micro-batches — the mergeable sufficient statistic."""
+    conv = F.col(converted_col).cast("boolean").cast("int")
+    return df.groupBy(experiment_col, arm_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(conv).cast("bigint").alias("x"),
+    )
+
+
+def ab_from_counts(
+    cells: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    control_label: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """:func:`ab_test_zscores` from a pre-aggregated
+    ``[experiment, arm, n, x]`` cell table — the mergeable-sufficient-
+    statistic entry point the streaming twin folds into (cells sum
+    across micro-batches, so the recomputed report has FULL
+    cross-batch parity). The cell frame feeds BOTH sides of the
+    control join: pass it materialized/checkpointed (as
+    :func:`ab_test_zscores` and the twin both do) or Spark replays its
+    lineage once per side."""
     ctrl = (
         cells.filter(F.col(arm_col) == control_label)
         .select(

@@ -190,11 +190,31 @@ def chi2_independence(
         materialize as _materialize,
     )
 
-    cells = _materialize(
+    cells = _materialize(chi2_cell_counts(df, col_a, col_b))
+    return chi2_from_counts(cells, round_to=round_to)
+
+
+def chi2_cell_counts(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """The ``[_a, _b, _o]`` contingency-cell stage of
+    :func:`chi2_independence`, shared with the streaming twin so the
+    two can never drift: the NULL-level exclusion lives here, in
+    exactly one place. Counts are exact integers, so cells SUM across
+    micro-batches — the mergeable sufficient statistic."""
+    return (
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
     )
+
+
+def chi2_from_counts(cells: DataFrame, round_to: int = 6) -> DataFrame:
+    """:func:`chi2_independence` from a pre-aggregated ``[_a, _b, _o]``
+    cell table — the mergeable-sufficient-statistic entry point the
+    streaming twin folds into (cells sum across micro-batches, FULL
+    cross-batch parity). The cell frame feeds the row marginals, the
+    column marginals, AND the term fold: pass it materialized/
+    checkpointed (as :func:`chi2_independence` and the twin both do)
+    or Spark replays its lineage once per consumer."""
     rows = cells.groupBy("_a").agg(F.sum("_o").cast("bigint").alias("_r"))
     cols = cells.groupBy("_b").agg(F.sum("_o").cast("bigint").alias("_c"))
     tot = cells.agg(

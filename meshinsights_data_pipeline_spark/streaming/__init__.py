@@ -34,6 +34,12 @@ from meshinsights_data_pipeline_spark.streaming.entropy import (
 from meshinsights_data_pipeline_spark.streaming.jsd import (
     streaming_jsd_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.abtest import (
+    streaming_abtest_ingest,
+)
+from meshinsights_data_pipeline_spark.streaming.chi2 import (
+    streaming_chi2_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.survival import (
     streaming_km_ingest,
 )
@@ -114,6 +120,8 @@ __all__ = [
     "streaming_drift_ingest",
     "streaming_ks_ingest",
     "streaming_benford_ingest",
+    "streaming_abtest_ingest",
+    "streaming_chi2_ingest",
     "streaming_entropy_ingest",
     "streaming_jsd_ingest",
     "streaming_km_ingest",

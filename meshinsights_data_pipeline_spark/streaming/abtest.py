@@ -1,0 +1,103 @@
+"""Incremental A/B readout — the streaming twin of
+``operators.abtest.ab_test_zscores``.
+
+The per-(experiment, arm) [n, x] cell table is a mergeable sufficient
+statistic (exact integer counts sum across micro-batches), so after any
+batch the recomputed report equals the batch operator run over
+everything ingested — FULL cross-batch parity, the KS/Benford/KM twin
+shape (no hashing, exact by construction). The per-epoch reports form
+the experiment dashboard time series.
+
+The statistical caveat is the caller's, not the twin's: re-reading a
+z-score every epoch and stopping on the first significant one is
+sequential testing (peeking) and inflates the false-positive rate —
+the twin faithfully reports the CURRENT pooled z exactly as the batch
+operator would; apply a sequential correction (alpha spending,
+always-valid inference) in the decision layer if epochs gate decisions.
+
+State = one versioned snapshot table ``[experiment, arm, n, x]`` at
+|experiments x arms| cardinality — the smallest state in the twin
+family after Benford's. Summed counts are not re-merge-idempotent, so
+state reads use ``snapshot_before(epoch)``: a retried micro-batch
+recomputes from pre-epoch state and overwrites its own snapshot
+(the streaming_drift discipline). Report appends are exactly-once per
+epoch by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_abtest_ingest(
+    stream: DataFrame,
+    experiment_col: str = "experiment",
+    arm_col: str = "arm",
+    converted_col: str = "converted",
+    control_label: str = "control",
+    *,
+    cells_dir: str,
+    report_dir: str,
+    z_crit: float = 1.959964,
+    idempotent: bool = True,
+):
+    """foreachBatch callable: merge batch (experiment, arm) conversion
+    cells into the A/B state, recompute the per-arm z report from the
+    merged cells, append it with the epoch id.
+
+    Seed the state dir with ``snapshot_overwrite(empty, cells_dir, -1)``
+    (schema ``experiment string, arm string, n long, x long``). Report
+    rows are ``[epoch, experiment, arm, n_control, x_control, n_arm,
+    x_arm, has_control, p_control, p_arm, lift, z, significant]``.
+    """
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        ab_cell_counts,
+        ab_from_counts,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # the batch operator's own cell stage — shared so the twin's
+        # conversion coercion can never drift from batch semantics.
+        batch_cells = ab_cell_counts(
+            batch_df, experiment_col, arm_col, converted_col
+        )
+        if experiment_col != "experiment":
+            batch_cells = batch_cells.withColumnRenamed(
+                experiment_col, "experiment"
+            )
+        if arm_col != "arm":
+            batch_cells = batch_cells.withColumnRenamed(arm_col, "arm")
+        prev = snapshot_before(spark, cells_dir, epoch_id).select(
+            "experiment", "arm", "n", "x"
+        )
+        merged = (
+            prev.union(batch_cells)
+            .groupBy("experiment", "arm")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("x"),
+            )
+            .localCheckpoint()  # feeds BOTH control-join sides AND the
+            # snapshot write; must not read its own output dir
+        )
+        snapshot_overwrite(merged, cells_dir, version=epoch_id)
+
+        report = ab_from_counts(
+            merged, "experiment", "arm", control_label, z_crit=z_crit
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(report, report_dir, epoch_id)
+        else:
+            report.write.mode("append").parquet(report_dir)
+
+    return _process

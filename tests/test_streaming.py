@@ -2380,6 +2380,118 @@ def test_streaming_entropy_full_parity_and_retry(spark, tmp_path):
     assert after.count() == 5
 
 
+def test_streaming_abtest_full_parity_and_retry(spark, tmp_path):
+    """A/B twin: integer cell counts merge exactly, so every epoch's
+    report equals the batch operator over everything ingested —
+    including arms and experiments that first APPEAR mid-stream and a
+    missing-control experiment surfacing has_control=false; a retried
+    epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        ab_test_zscores,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_abtest_ingest,
+    )
+
+    schema = "experiment string, arm string, converted boolean"
+    b1 = spark.createDataFrame(
+        [("e1", "control", True)] * 10 + [("e1", "control", False)] * 90
+        + [("e1", "t1", True)] * 20 + [("e1", "t1", False)] * 80
+        + [("e2", "t1", True)] * 5,            # control-less, surfaces
+        schema)
+    b2 = spark.createDataFrame(
+        [("e1", "t1", True)] * 30 + [("e1", "t2", False)] * 15
+        + [("e2", "control", True)] * 4,       # control appears late
+        schema)
+    cdir, rdir = str(tmp_path / "cells"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], "experiment string, arm string, n long, x long"),
+        cdir, -1)
+
+    process = streaming_abtest_ingest(
+        b1, cells_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["experiment"], r["arm"], r["n_control"], r["x_control"],
+             r["n_arm"], r["x_arm"], r["has_control"], r["p_control"],
+             r["p_arm"], r["lift"], r["z"], r["significant"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(ab_test_zscores(
+        b1, "experiment", "arm", "converted", control_label="control"))
+    assert any(r[6] is False for r in got0)    # e2 surfaced flagged
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(ab_test_zscores(
+        b1.unionByName(b2), "experiment", "arm", "converted",
+        control_label="control"))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+
+
+def test_streaming_chi2_full_parity_and_retry(spark, tmp_path):
+    """chi2 twin: integer contingency cells merge exactly, so every
+    epoch's chi2/Cramér's V equals the batch operator over everything
+    ingested, including levels that first appear mid-stream; a retried
+    epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.dq import (
+        chi2_independence,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_chi2_ingest,
+    )
+
+    schema = "x string, y string"
+    b1 = spark.createDataFrame(
+        [("a1", "b1")] * 12 + [("a1", "b2")] * 3
+        + [("a2", "b1")] * 4 + [("a2", "b2")] * 9, schema)
+    b2 = spark.createDataFrame(
+        [("a1", "b1")] * 2 + [("a3", "b3")] * 7, schema)  # new levels
+    cdir, rdir = str(tmp_path / "cells"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "_a string, _b string, _o long"),
+        cdir, -1)
+
+    process = streaming_chi2_ingest(
+        b1, "x", "y", cells_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["n"], r["r_levels"], r["c_levels"], r["dof"], r["chi2"],
+             r["cramers_v"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(chi2_independence(b1, "x", "y"))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(chi2_independence(b1.unionByName(b2), "x", "y"))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 2
+
+
 def test_streaming_jsd_full_parity_and_retry(spark, tmp_path):
     """JS twin: hashed-token state matches the batch operator on a
     collision-free vocabulary (JS depends only on per-token (p, q)
