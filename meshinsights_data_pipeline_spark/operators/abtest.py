@@ -341,6 +341,35 @@ def mann_whitney_u(
     ``bounds=None`` uses the corpus's own min/max (one tiny extra
     aggregate + broadcast); ``bounds`` without ``buckets`` raises.
     """
+    cells = _materialize(
+        mw_cell_counts(
+            df, experiment_col, arm_col, value_col,
+            buckets=buckets, bounds=bounds,
+        )
+    )
+    return mw_from_counts(
+        cells, experiment_col, arm_col, control_label,
+        z_crit=z_crit, round_to=round_to,
+    )
+
+
+def mw_cell_counts(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """The ``[experiment, arm, _v, _c]`` count stage of
+    :func:`mann_whitney_u`, shared with the streaming twin so the two
+    can never drift: the domain guards (NULL keys, NULL/NaN values)
+    and the ``buckets`` quantization live here, in exactly one place.
+    Counts are exact integers, so cells SUM across micro-batches — the
+    mergeable sufficient statistic. The streaming twin REQUIRES
+    explicit ``bounds`` with ``buckets`` (data-derived bounds would
+    shift between micro-batches and re-bin history — the
+    ks_value_counts rule)."""
     if bounds is not None and buckets is None:
         raise ValueError(
             "bounds without buckets is not supported: bounds only "
@@ -380,11 +409,27 @@ def mann_whitney_u(
             F.col(arm_col),
             bucket.cast("double").alias("_v"),
         )
-    cells = _materialize(
-        base.groupBy(experiment_col, arm_col, "_v").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_c")
-        )
+    return base.groupBy(experiment_col, arm_col, "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
     )
+
+
+def mw_from_counts(
+    cells: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    control_label: str,
+    z_crit: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`mann_whitney_u` from a pre-aggregated
+    ``[experiment, arm, _v, _c]`` cell table — the mergeable-
+    sufficient-statistic entry point the streaming twin folds into
+    (cells sum across micro-batches, FULL cross-batch parity; the
+    whole average-rank algebra is a function of the count table). The
+    cell frame feeds the arm list, the arm cells, AND the replicated
+    control cells: pass it materialized/checkpointed (as
+    :func:`mann_whitney_u` and the twin both do)."""
     arm_cells = cells.filter(F.col(arm_col) != control_label).select(
         F.col(experiment_col),
         F.col(arm_col).alias("arm"),

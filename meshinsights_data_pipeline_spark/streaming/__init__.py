@@ -36,6 +36,7 @@ from meshinsights_data_pipeline_spark.streaming.jsd import (
 )
 from meshinsights_data_pipeline_spark.streaming.abtest import (
     streaming_abtest_ingest,
+    streaming_mann_whitney_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.chi2 import (
     streaming_chi2_ingest,
@@ -122,6 +123,7 @@ __all__ = [
     "streaming_benford_ingest",
     "streaming_abtest_ingest",
     "streaming_chi2_ingest",
+    "streaming_mann_whitney_ingest",
     "streaming_entropy_ingest",
     "streaming_jsd_ingest",
     "streaming_km_ingest",

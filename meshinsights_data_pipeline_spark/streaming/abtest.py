@@ -1,12 +1,14 @@
-"""Incremental A/B readout — the streaming twin of
-``operators.abtest.ab_test_zscores``.
+"""Incremental A/B readouts — the streaming twins of
+``operators.abtest.ab_test_zscores`` (proportions) and
+``operators.abtest.mann_whitney_u`` (whole distributions).
 
-The per-(experiment, arm) [n, x] cell table is a mergeable sufficient
-statistic (exact integer counts sum across micro-batches), so after any
-batch the recomputed report equals the batch operator run over
-everything ingested — FULL cross-batch parity, the KS/Benford/KM twin
-shape (no hashing, exact by construction). The per-epoch reports form
-the experiment dashboard time series.
+The per-(experiment, arm) [n, x] cell table and the per-(experiment,
+arm, value) count table are mergeable sufficient statistics (exact
+integer counts sum across micro-batches), so after any batch each
+recomputed report equals its batch operator run over everything
+ingested — FULL cross-batch parity, the KS/Benford/KM twin shape (no
+hashing, exact by construction). The per-epoch reports form the
+experiment dashboard time series.
 
 The statistical caveat is the caller's, not the twin's: re-reading a
 z-score every epoch and stopping on the first significant one is
@@ -89,6 +91,93 @@ def streaming_abtest_ingest(
         snapshot_overwrite(merged, cells_dir, version=epoch_id)
 
         report = ab_from_counts(
+            merged, "experiment", "arm", control_label, z_crit=z_crit
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(report, report_dir, epoch_id)
+        else:
+            report.write.mode("append").parquet(report_dir)
+
+    return _process
+
+
+def streaming_mann_whitney_ingest(
+    stream: DataFrame,
+    experiment_col: str = "experiment",
+    arm_col: str = "arm",
+    value_col: str = "value",
+    control_label: str = "control",
+    *,
+    cells_dir: str,
+    report_dir: str,
+    z_crit: float = 1.959964,
+    idempotent: bool = True,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
+):
+    """foreachBatch callable: merge batch (experiment, arm, value)
+    counts into the U-test state, recompute the per-arm U/z report
+    from the merged counts, append it with the epoch id.
+
+    Seed the state dir with ``snapshot_overwrite(empty, cells_dir, -1)``
+    (schema ``experiment string, arm string, _v double, _c long``).
+    Report rows are ``[epoch, experiment, arm, n_control, n_arm,
+    has_control, u, z, significant]``.
+
+    ``buckets`` (with REQUIRED explicit ``bounds``) is the
+    bounded-state tier: values quantize to equal-width bin ids before
+    the merge, so state holds at most |pairs| x buckets rows
+    regardless of value cardinality — the recomputed U is then the
+    exact test of the binned distributions (the streaming-KS rule:
+    data-derived bounds would shift between micro-batches and re-bin
+    history, so they are rejected here).
+    """
+    if buckets is not None and bounds is None:
+        raise ValueError(
+            "streaming Mann-Whitney with buckets needs explicit bounds: "
+            "data-derived bounds would shift between micro-batches and "
+            "re-bin history"
+        )
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mw_cell_counts,
+        mw_from_counts,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # the batch operator's own count stage — shared so the twin's
+        # guards and quantization can never drift from batch semantics.
+        batch_cells = mw_cell_counts(
+            batch_df, experiment_col, arm_col, value_col,
+            buckets=buckets, bounds=bounds,
+        )
+        if experiment_col != "experiment":
+            batch_cells = batch_cells.withColumnRenamed(
+                experiment_col, "experiment"
+            )
+        if arm_col != "arm":
+            batch_cells = batch_cells.withColumnRenamed(arm_col, "arm")
+        prev = snapshot_before(spark, cells_dir, epoch_id).select(
+            "experiment", "arm", "_v", "_c"
+        )
+        merged = (
+            prev.union(batch_cells)
+            .groupBy("experiment", "arm", "_v")
+            .agg(F.sum("_c").cast("bigint").alias("_c"))
+            .localCheckpoint()  # feeds arm list + arm cells + control
+            # replication AND the snapshot write
+        )
+        snapshot_overwrite(merged, cells_dir, version=epoch_id)
+
+        report = mw_from_counts(
             merged, "experiment", "arm", control_label, z_crit=z_crit
         ).withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
         if idempotent:

@@ -2441,6 +2441,69 @@ def test_streaming_abtest_full_parity_and_retry(spark, tmp_path):
     assert canon(after.filter(F.col("epoch") == 1)) == got1
 
 
+def test_streaming_mann_whitney_full_parity_and_retry(spark, tmp_path):
+    """Mann-Whitney twin: the (experiment, arm, value) count table
+    merges exactly, so every epoch's U/z equals the batch operator
+    over everything ingested (the whole average-rank algebra is a
+    function of the count table), including values and arms first
+    appearing mid-stream; the bounded-state buckets tier requires
+    explicit bounds; a retried epoch changes nothing."""
+    import pytest
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mann_whitney_u,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_mann_whitney_ingest,
+    )
+
+    with pytest.raises(ValueError, match="explicit bounds"):
+        streaming_mann_whitney_ingest(
+            None, cells_dir="x", report_dir="y", buckets=4)
+
+    schema = "experiment string, arm string, value double"
+    b1 = spark.createDataFrame(
+        [("e1", "control", float(v)) for v in (1, 2, 2, 3, 5, 8)]
+        + [("e1", "t1", float(v)) for v in (2, 3, 3, 9)], schema)
+    b2 = spark.createDataFrame(
+        [("e1", "control", 2.0), ("e1", "t1", 7.0), ("e1", "t2", 4.0)],
+        schema)
+    cdir, rdir = str(tmp_path / "cells"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], "experiment string, arm string, _v double, _c long"),
+        cdir, -1)
+
+    process = streaming_mann_whitney_ingest(
+        b1, cells_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["experiment"], r["arm"], r["n_control"], r["n_arm"],
+             r["has_control"], r["u"], r["z"], r["significant"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(mann_whitney_u(
+        b1, "experiment", "arm", "value", control_label="control"))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(mann_whitney_u(
+        b1.unionByName(b2), "experiment", "arm", "value",
+        control_label="control"))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+
+
 def test_streaming_chi2_full_parity_and_retry(spark, tmp_path):
     """chi2 twin: integer contingency cells merge exactly, so every
     epoch's chi2/Cramér's V equals the batch operator over everything
