@@ -510,3 +510,131 @@ def mw_from_counts(
             "significant"
         ),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    round_to: int = 6,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Per experiment: the Kruskal-Wallis H test over ALL its arms —
+    the k-sample omnibus completing the rank family
+    (:func:`mann_whitney_u` answers "does THIS arm differ from
+    control"; H answers "do ANY of the k arms differ at all", the
+    gate an experimentation platform runs before k pairwise readouts
+    inflate the error budget):
+
+        H = [ 12 / (n(n+1)) * sum_arms R_a^2 / n_a - 3(n+1) ] / C
+        C = 1 - sum_t (t^3 - t) / (n^3 - n)        (tie correction)
+
+    with R_a each arm's rank sum over the experiment's POOLED ranking
+    (average ranks on ties). Returns one row per experiment with >= 2
+    arms: ``[experiment, k_arms, n, dof, h]`` — ``dof = k - 1``;
+    compare ``h`` against the chi-square critical value for dof
+    upstream (p-values stay out of scope, the module's libm-CDF
+    rule). ``h`` is NULL when every pooled value is tied (C = 0 — no
+    ranking information exists). NULL keys and NULL/NaN values are
+    excluded by the shared count stage.
+
+    Cross-engine determinism: the pooled ranking is the
+    :func:`mann_whitney_u` count-table algebra — ONE ranking per
+    experiment (not per pair), doubled average ranks as exact
+    DECIMAL(38,0) integers, so every rank sum is integer-exact. Each
+    arm's R_a^2/n_a term is two IEEE ops on the exact doubled sum
+    (square, divide) folded through DECIMAL(38,6) — magnitudes reach
+    ~n^2 * n_a, far above DECIMAL(38,18)'s 1e20 ceiling but within
+    38,6's 1e32, and the 1e-6 quantum is absorbed by the final round;
+    H's remaining steps are single fixed-order IEEE ops mirrored in
+    the oracle.
+
+    Scale shape: ONE (experiment, arm, value) count aggregate — the
+    shared :func:`mw_cell_counts` stage, so the ``buckets``/``bounds``
+    quantized tier bounds the rank spine exactly as documented there —
+    then a per-experiment window over the pooled value spine and two
+    tiny aggregates. The corpus is scanned once.
+    """
+    cells = _materialize(
+        mw_cell_counts(
+            df, experiment_col, arm_col, value_col,
+            buckets=buckets, bounds=bounds,
+        )
+    )
+    return kw_from_counts(cells, experiment_col, arm_col, round_to=round_to)
+
+
+def kw_from_counts(
+    cells: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`kruskal_wallis` from a pre-aggregated
+    ``[experiment, arm, _v, _c]`` cell table (the SAME mergeable
+    sufficient statistic as :func:`mw_from_counts` — one state serves
+    both readouts in a streaming deployment). Pass it materialized."""
+    dec0, dec6 = "decimal(38,0)", "decimal(38,6)"
+    pooled = cells.groupBy(experiment_col, "_v").agg(
+        F.sum("_c").cast("bigint").alias("_t")
+    )
+    w = (
+        Window.partitionBy(experiment_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ranked = pooled.select(
+        experiment_col,
+        "_v",
+        "_t",
+        (F.lit(2) * cum + F.col("_t") + 1).cast(dec0).alias("_r2"),
+    )
+    arm_sums = (
+        cells.join(ranked, [experiment_col, "_v"])
+        .groupBy(experiment_col, arm_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n_a"),
+            F.sum(F.col("_c").cast(dec0) * F.col("_r2"))
+            .cast(dec0)
+            .alias("_r2a"),
+        )
+    )
+    r2d = F.col("_r2a").cast("double")
+    term = (r2d * r2d / F.col("_n_a")).cast(dec6)
+    per_exp = arm_sums.groupBy(experiment_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_arms"),
+        F.sum("_n_a").cast("bigint").alias("n"),
+        F.sum(term).cast("double").alias("_s4"),
+    )
+    ties = pooled.groupBy(experiment_col).agg(
+        F.sum(
+            (F.col("_t").cast(dec0) * F.col("_t") * F.col("_t")
+             - F.col("_t")).cast(dec0)
+        ).cast(dec0).alias("_ties")
+    )
+    n = F.col("n")
+    # H_raw = 12/(n(n+1)) * (s4/4) - 3(n+1) = 3*s4/(n(n+1)) - 3(n+1),
+    # each step one IEEE op in fixed order, mirrored in the oracle
+    h_raw = (
+        F.lit(3.0) * F.col("_s4")
+        / (n.cast(dec0) * (n + 1)).cast("double")
+        - F.lit(3.0) * (n + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("_ties").cast("double") / (
+        n.cast(dec0) * n * n - n
+    ).cast("double")
+    h = F.when(corr > 0, F.round(h_raw / corr, round_to) + F.lit(0.0))
+    return (
+        per_exp.join(ties, experiment_col)
+        .filter(F.col("k_arms") >= 2)
+        .select(
+            F.col(experiment_col),
+            "k_arms",
+            "n",
+            (F.col("k_arms") - 1).cast("bigint").alias("dof"),
+            h.alias("h"),
+        )
+    )

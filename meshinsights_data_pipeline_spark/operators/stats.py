@@ -893,3 +893,93 @@ def quantile_normalize(
             (F.round(qnorm, round_to) + F.lit(0.0)).alias("qnorm"),
         )
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    group_by: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two numeric columns —
+    the robust association readout next to the rank-test family
+    (mann_whitney/kruskal compare GROUPS of one metric; this scores the
+    monotone relationship BETWEEN two metrics, immune to outliers and
+    monotone transforms that break Pearson: does quality score track
+    length, does latency track payload size, per source/segment):
+
+        rho = Pearson(rank(x), rank(y))     (average ranks on ties)
+
+    computed in closed form from the rank sums. Returns one row per
+    group: ``[*group_by, n, rho]`` with ``rho`` NULL when either
+    column is constant within the group (no ranking information) or
+    n < 2. Rows with a NULL group key, or NULL/NaN in EITHER column,
+    are excluded up front (a half-present row has no rank pair).
+
+    Cross-engine determinism: per-column average ranks come from the
+    mann_whitney count-table algebra — (group, value) counts, one
+    window over the value spine, DOUBLED average ranks (2*cum + t + 1)
+    as exact DECIMAL(38,0) integers — so every sum in the closed form
+    (n*Sxy - Sx*Sy, n*Sxx - Sx^2, n*Syy - Sy^2, over doubled ranks)
+    is an exact integer: the doubling cancels between numerator and
+    denominator, and the ONLY float steps are one multiply, one sqrt,
+    one division at the very end, in fixed order, rounded once. Exact
+    integer range holds to n ~ 1e9 per group against DECIMAL(38,0)'s
+    ceiling (the n^4 product bound); pre-aggregate or sample beyond.
+
+    Scale shape: two (group, value) count aggregates (map-side
+    combinable, distinct-value cardinality) with per-group spine
+    windows build the rank tables; the corpus joins back on
+    (group, value) — two hash joins, no pair join, never corpus^2 —
+    and ONE final aggregate emits |groups| rows.
+    """
+    groups = list(group_by)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    keep = (
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    )
+    for g in groups:
+        keep = keep & F.col(g).isNotNull()
+    clean = df.filter(keep).select(
+        *groups, x.alias("_x"), y.alias("_y")
+    )
+    dec0 = "decimal(38,0)"
+
+    def _rank_table(col: str, out: str) -> DataFrame:
+        counts = clean.groupBy(*groups, col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_t")
+        )
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = F.coalesce(F.sum("_t").over(w), F.lit(0))
+        return counts.select(
+            *groups,
+            col,
+            (F.lit(2) * cum + F.col("_t") + 1).cast(dec0).alias(out),
+        )
+
+    joined = clean.join(_rank_table("_x", "_rx"), [*groups, "_x"]).join(
+        _rank_table("_y", "_ry"), [*groups, "_y"]
+    )
+    agg = joined.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_rx").cast(dec0).alias("_sx"),
+        F.sum("_ry").cast(dec0).alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).cast(dec0).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).cast(dec0).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).cast(dec0).alias("_sxy"),
+    )
+    n0 = F.col("n").cast(dec0)
+    num = (n0 * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    d1 = (n0 * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    d2 = (n0 * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    rho = F.when(
+        (F.col("n") >= 2) & (d1 > 0) & (d2 > 0),
+        F.round(num / F.sqrt(d1 * d2), round_to) + F.lit(0.0),
+    )
+    return agg.select(*groups, "n", rho.alias("rho"))

@@ -423,6 +423,169 @@ ORDER BY experiment, arm
 """
 
 
+def x121_kruskal_wallis(spark: SparkSession, sf_dir: str):
+    """Kruskal-Wallis H per experiment over THREE arms
+    (abtest.kruskal_wallis): event_type is the experiment, user_id % 3
+    the arm — the k-sample omnibus gate upstream of x120's pairwise
+    readouts. One pooled ranking per experiment (the x120 count-table
+    algebra, doubled ranks as exact integers), per-arm R^2/n terms
+    folded DECIMAL(38,6), fixed-order IEEE H with the full tie
+    correction."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        kruskal_wallis,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        (F.col("user_id") % 3).cast("string").alias("arm"),
+        F.col("value"),
+    )
+    return kruskal_wallis(ev, "experiment", "arm", "value").orderBy(
+        "experiment"
+    )
+
+
+X121_SQL = """
+WITH ev AS (
+    SELECT event_type AS experiment,
+           CAST(user_id % 3 AS VARCHAR) AS arm,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS (
+    SELECT experiment, arm, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY experiment, arm, v
+),
+pooled AS (
+    SELECT experiment, v, CAST(SUM(c) AS BIGINT) AS t
+    FROM cells GROUP BY experiment, v
+),
+ranked AS (
+    SELECT *,
+           CAST(2 * COALESCE(SUM(t) OVER (
+                    PARTITION BY experiment ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS DECIMAL(38,0)) AS r2
+    FROM pooled
+),
+armsums AS (
+    SELECT c.experiment, c.arm,
+           CAST(SUM(c.c) AS BIGINT) AS n_a,
+           SUM(CAST(c.c AS DECIMAL(38,0)) * r.r2) AS r2a
+    FROM cells c
+    JOIN ranked r ON r.experiment = c.experiment AND r.v = c.v
+    GROUP BY c.experiment, c.arm
+),
+perexp AS (
+    SELECT experiment, CAST(COUNT(*) AS BIGINT) AS k_arms,
+           CAST(SUM(n_a) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE) / n_a
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s4
+    FROM armsums GROUP BY experiment
+),
+tiesums AS (
+    SELECT experiment,
+           SUM(CAST(CAST(t AS DECIMAL(38,0)) * t * t - t
+                    AS DECIMAL(38,0))) AS ties
+    FROM pooled GROUP BY experiment
+),
+fin AS (
+    SELECT p.experiment, k_arms, n, s4,
+           1.0 - CAST(ties AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DOUBLE)
+               AS corr,
+           3.0 * s4 / CAST(CAST(n AS DECIMAL(38,0)) * (n + 1) AS DOUBLE)
+               - 3.0 * CAST(n + 1 AS DOUBLE) AS h_raw
+    FROM perexp p JOIN tiesums USING (experiment)
+    WHERE k_arms >= 2
+)
+SELECT experiment, k_arms, n, CAST(k_arms - 1 AS BIGINT) AS dof,
+       CASE WHEN corr > 0 THEN ROUND(h_raw / corr, 6) + 0.0 END AS h
+FROM fin
+ORDER BY experiment
+"""
+
+
+def x122_spearman(spark: SparkSession, sf_dir: str):
+    """Spearman rank correlation of quantity vs price per return flag
+    (stats.spearman_correlation) — the monotone-association readout
+    over two metrics, with l_quantity's integer values forcing heavy
+    ties through the average-rank algebra. Doubled ranks keep every
+    closed-form sum an exact DECIMAL(38,0) integer; the only float
+    steps are one multiply, one sqrt, one division, rounded once."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        spearman_correlation,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return spearman_correlation(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+X122_SQL = """
+WITH clean AS (
+    SELECT l_returnflag AS g,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL
+      AND l_quantity IS NOT NULL
+      AND NOT isnan(CAST(l_quantity AS DOUBLE))
+      AND l_extendedprice IS NOT NULL
+      AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+),
+xc AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t FROM clean GROUP BY g, x),
+xr AS (
+    SELECT g, x,
+           CAST(2 * COALESCE(SUM(t) OVER (
+                    PARTITION BY g ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS DECIMAL(38,0)) AS rx
+    FROM xc
+),
+yc AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t FROM clean GROUP BY g, y),
+yr AS (
+    SELECT g, y,
+           CAST(2 * COALESCE(SUM(t) OVER (
+                    PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS DECIMAL(38,0)) AS ry
+    FROM yc
+),
+j AS (
+    SELECT c.g, xr.rx, yr.ry
+    FROM clean c
+    JOIN xr ON xr.g = c.g AND xr.x = c.x
+    JOIN yr ON yr.g = c.g AND yr.y = c.y
+),
+agg AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(rx) AS sx, SUM(ry) AS sy,
+           SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+           SUM(rx * ry) AS sxy
+    FROM j GROUP BY g
+)
+SELECT g AS l_returnflag, n,
+       CASE WHEN n >= 2
+                 AND CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                          AS DOUBLE) > 0
+                 AND CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                          AS DOUBLE) > 0
+            THEN ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy
+                            AS DOUBLE)
+                       / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                                   AS DOUBLE)
+                              * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                                     AS DOUBLE)), 6) + 0.0
+       END AS rho
+FROM agg
+ORDER BY l_returnflag
+"""
+
+
 #: what r15 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x116_welch_ttest": (x116_welch_ttest, X116_SQL),
@@ -430,4 +593,6 @@ DRAFTS = {
     "x118_autocorrelation": (x118_autocorrelation, X118_SQL),
     "x119_js_divergence": (x119_js_divergence, _x119_sql()),
     "x120_mann_whitney": (x120_mann_whitney, X120_SQL),
+    "x121_kruskal_wallis": (x121_kruskal_wallis, X121_SQL),
+    "x122_spearman": (x122_spearman, X122_SQL),
 }

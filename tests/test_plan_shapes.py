@@ -1190,3 +1190,50 @@ def test_mann_whitney_count_spine_windows(spark):
     assert "Scan ExistingRDD" in p  # the materialized count frame
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert spec.split(",")[0].strip().startswith("exp"), spec
+
+
+def test_kruskal_wallis_single_scan_pooled_windows(spark):
+    """x121's scale contract (staged r15): the shared mw_cell_counts
+    stage is the only corpus-sized aggregate (materialized, one scan);
+    the pooled ranking window is partitioned per experiment; JVM-only,
+    no cartesian."""
+    import re
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{i % 2}", f"a{i % 3}", float(i % 5)) for i in range(30)],
+        "exp string, arm string, v double",
+    )
+    p = _plan(kruskal_wallis(df, "exp", "arm", "v"))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized count frame
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("exp"), spec
+
+
+def test_spearman_rank_tables_join_back(spark):
+    """x122's scale contract (staged r15): two (group, value) count
+    aggregates with group-partitioned spine windows build the rank
+    tables, the corpus joins back on (group, value) hash keys — no
+    pair join, no cartesian, JVM-only."""
+    import re
+
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        spearman_correlation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", float(i % 4), float((i * 3) % 7))
+         for i in range(24)],
+        "g string, x double, y double",
+    )
+    p = _plan(spearman_correlation(df, ["g"], "x", "y"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("g"), spec

@@ -1694,6 +1694,132 @@ def test_mann_whitney_bounds_edges_and_guards(spark):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # experiment
+                  st.integers(0, 2),      # arm (k = up to 3)
+                  st.integers(-4, 4)),    # metric (forced ties)
+        min_size=2, max_size=50,
+    ),
+)
+@SLOW
+def test_kruskal_wallis_matches_python(spark, rows):
+    """H is bit-identical to the textbook tie-corrected formula
+    computed in python with the operator's exact op order — doubled
+    integer rank sums, per-arm R^2/n terms HALF_UP-quantized to the
+    DECIMAL(38,6) fold's quantum, fixed-order IEEE H; all-tied
+    experiments yield NULL, single-arm experiments don't emit."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{e}", f"a{a}", float(v)) for e, a, v in rows],
+        "exp string, arm string, v double",
+    )
+    got = {
+        (r.exp): (r.k_arms, r.n, r.dof, r.h)
+        for r in kruskal_wallis(df, "exp", "arm", "v").collect()
+    }
+    by_exp = defaultdict(lambda: defaultdict(list))
+    for e, a, v in rows:
+        by_exp[f"e{e}"][f"a{a}"].append(float(v))
+    expect = {}
+    for e, arms in by_exp.items():
+        if len(arms) < 2:
+            assert e not in got
+            continue
+        pool = Counter(v for vals in arms.values() for v in vals)
+        n = sum(pool.values())
+        r2 = {}
+        cum = 0
+        for v in sorted(pool):
+            r2[v] = 2 * cum + pool[v] + 1
+            cum += pool[v]
+        s4 = Decimal(0)
+        for vals in arms.values():
+            r2a = sum(Counter(vals)[v] * r2[v] for v in set(vals))
+            term = float(r2a) * float(r2a) / len(vals)
+            s4 += Decimal(term).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        s4f = float(s4)
+        ties = sum(t ** 3 - t for t in pool.values())
+        h_raw = 3.0 * s4f / float(n * (n + 1)) - 3.0 * float(n + 1)
+        corr = 1.0 - float(ties) / float(n ** 3 - n) if n >= 2 else 0.0
+        h = round(h_raw / corr, 6) + 0.0 if corr > 0 else None
+        expect[e] = (len(arms), n, len(arms) - 1, h)
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # group
+                  st.integers(-3, 3),     # x (heavy ties)
+                  st.integers(-5, 5)),    # y
+        min_size=1, max_size=40,
+    ),
+)
+@SLOW
+def test_spearman_matches_python(spark, rows):
+    """rho is bit-identical to the closed-form average-rank Spearman
+    computed in python over exact integers (doubled ranks cancel);
+    constant columns and singleton groups yield NULL."""
+    import math
+    from collections import Counter, defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        spearman_correlation,
+    )
+
+    data = [(f"g{g}", float(x), float(y)) for g, x, y in rows]
+    noisy = data + [
+        ("g0", None, 1.0), ("g0", 1.0, float("nan")), (None, 1.0, 1.0)
+    ]
+    df = spark.createDataFrame(noisy, "g string, x double, y double")
+    got = {
+        r.g: (r.n, r.rho)
+        for r in spearman_correlation(df, ["g"], "x", "y").collect()
+    }
+    by_g = defaultdict(list)
+    for g, x, y in data:
+        by_g[g].append((x, y))
+    expect = {}
+    for g, pts in by_g.items():
+        n = len(pts)
+
+        def ranks(vals):
+            cnt = Counter(vals)
+            r2, cum = {}, 0
+            for v in sorted(cnt):
+                r2[v] = 2 * cum + cnt[v] + 1
+                cum += cnt[v]
+            return r2
+
+        r2x = ranks([x for x, _ in pts])
+        r2y = ranks([y for _, y in pts])
+        rx = [r2x[x] for x, _ in pts]
+        ry = [r2y[y] for _, y in pts]
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if n >= 2 and d1 > 0 and d2 > 0:
+            rho = round(
+                float(num) / math.sqrt(float(d1) * float(d2)), 6
+            ) + 0.0
+        else:
+            rho = None
+        expect[g] = (n, rho)
+    assert got == expect
+
+
+@given(
     pairs=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 3)),
         min_size=1, max_size=60,
