@@ -5,17 +5,19 @@ the staleness rotation (VERDICT r13 #1), so the operators added THIS
 round — Welch's unequal-variance t-test, chi-square independence +
 Cramér's V, per-entity lag-k autocorrelation, per-source
 Jensen-Shannon mix divergence (+ its hashed-state streaming twin),
-and the Mann-Whitney U rank-sum test —
+the Mann-Whitney U rank-sum test (+ exact-state streaming twin, with
+the A/B-z and chi-square twins riding the same refactor), the
+Kruskal-Wallis k-sample omnibus, and Spearman rank correlation —
 ship with their anchor queries and DuckDB oracles staged HERE, proven
 green by ``tests/test_oracle_drafts.py`` (which parametrizes over both
 draft generations). Round 15 registers each (builder, SQL) pair and
 gives it a window slot — registration is a copy, not new work (the
 r13 -> r14 precedent).
 
-Round-15 window math (for whoever rotates next): 5 slots for
-x116–x120 (new), then the full 41-query r11-stale cohort (the 49 r11
+Round-15 window math (for whoever rotates next): 7 slots for
+x116–x122 (new), then the full 41-query r11-stale cohort (the 49 r11
 queries minus the 8 re-checked in r14: x23/x79/x11/x57/x49/x29/x83/
-x08), then fill the remaining ~4 slots with the oldest r12 queries.
+x08), then fill the remaining 2 slots with the heaviest r12 queries.
 After that rotation no query is staler than r12.
 """
 
