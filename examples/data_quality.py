@@ -115,6 +115,22 @@ def main() -> None:
         F.desc("js_norm")
     ).show()
 
+    # monotone association: does a doc's quality score just track its
+    # length? (a |rho| near 1 means the scorer adds nothing beyond
+    # length — drop it from the mix weighting)
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        spearman_correlation,
+    )
+    from meshinsights_data_pipeline_spark.operators.text import (
+        quality_score,
+    )
+
+    print("-- Spearman rho of quality score vs length, per source --")
+    scored = docs.withColumn("q", quality_score(F.col("text")))
+    spearman_correlation(scored, ["source"], "q", "n_chars").orderBy(
+        F.desc(F.abs(F.col("rho")))
+    ).show(5)
+
     spark.stop()
 
 

@@ -119,6 +119,22 @@ def main() -> None:
     mann_whitney_u(metric, "exp", "arm", "value",
                    control_label="control").show()
 
+    # k-arm omnibus BEFORE pairwise readouts: do any of three
+    # user-segments differ at all? (gate the k pairwise tests on H)
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        kruskal_wallis,
+    )
+
+    print("Kruskal-Wallis H across three user segments:")
+    kruskal_wallis(
+        ev.select(
+            F.lit("mean_value").alias("exp"),
+            (F.col("user_id") % 3).cast("string").alias("arm"),
+            F.col("value"),
+        ),
+        "exp", "arm", "value",
+    ).show()
+
     # periodicity triage: does an alarmed user's series self-correlate
     # (daily cycle / stuck sensor) rather than drift?
     from meshinsights_data_pipeline_spark.operators.trend import (
