@@ -983,3 +983,84 @@ def spearman_correlation(
         F.round(num / F.sqrt(d1 * d2), round_to) + F.lit(0.0),
     )
     return agg.select(*groups, "n", rho.alias("rho"))
+
+
+def correlation_ratio(
+    df: DataFrame,
+    group_by: Sequence[str],
+    category_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group correlation ratio eta^2 between a CATEGORICAL column
+    and a NUMERIC one — the third leg of the association triad
+    (chi2_independence scores cat-cat, spearman_correlation num-num;
+    eta^2 = SS_between / SS_total scores how much of a metric's
+    variance the category explains). With category = hour-of-day or
+    day-of-week it IS the seasonality-strength score (eta^2 near 1:
+    the series is its schedule; near 0: no calendar structure) — the
+    triage signal beside the ACF's lag view.
+
+    Returns one row per group: ``[*group_by, n, k_levels, eta2]`` with
+    ``eta2`` NULL when the metric is constant within the group
+    (SS_total = 0 — no variance to explain) or n < 2. Rows with a NULL
+    group key, NULL category, or NULL/NaN value are excluded up front
+    (route NULL categories to a sentinel level upstream to score
+    missingness itself).
+
+    Cross-engine determinism: one PIVOT per group (the zscore
+    discipline — d = v - group-min keeps magnitudes at the group's
+    range); per-(group, category) moments fold d and d^2 through
+    DECIMAL(38,12) (exact, order-independent); the pivot cancels
+    algebraically out of both sums of squares, so
+    SS_between = sum_c s_c^2/n_c - S^2/n and SS_total = SQ - S^2/n
+    need only the per-category s_c^2/n_c terms (two IEEE ops each,
+    folded DECIMAL(38,6) — the kruskal_wallis fold, its 1e-6 quantum
+    absorbed by the final round) plus fixed-order IEEE ops on the
+    exact decimal totals, mirrored in the oracle; one final round.
+
+    Scale shape: one broadcast of the |groups|-row pivot table, ONE
+    (group, category) moment aggregate (map-side combinable) as the
+    only corpus-sized stage, one |groups x categories|-row final
+    aggregate. The corpus is scanned twice (pivot + moments), shuffled
+    never.
+    """
+    groups = list(group_by)
+    v = F.col(value_col).cast("double")
+    keep = (
+        F.col(category_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    )
+    for g in groups:
+        keep = keep & F.col(g).isNotNull()
+    clean = df.filter(keep).select(
+        *groups, F.col(category_col).alias("_cat"), v.alias("_v")
+    )
+    dec12, dec6 = "decimal(38,12)", "decimal(38,6)"
+    pivots = clean.groupBy(*groups).agg(F.min("_v").alias("_p"))
+    d = F.col("_v") - F.col("_p")
+    cat_moments = (
+        clean.join(F.broadcast(pivots), groups)
+        .groupBy(*groups, "_cat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_c"),
+            F.sum(d.cast(dec12)).cast(dec12).alias("_s_c"),
+            F.sum((d * d).cast(dec12)).cast(dec12).alias("_sq_c"),
+        )
+    )
+    s_cd = F.col("_s_c").cast("double")
+    term = (s_cd * s_cd / F.col("_n_c")).cast(dec6)
+    agg = cat_moments.groupBy(*groups).agg(
+        F.sum("_n_c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_levels"),
+        F.sum("_s_c").cast("double").alias("_s"),
+        F.sum("_sq_c").cast("double").alias("_sq"),
+        F.sum(term).cast("double").alias("_t1"),
+    )
+    corr = F.col("_s") * F.col("_s") / F.col("n")
+    sst = F.col("_sq") - corr
+    ssb = F.col("_t1") - corr
+    eta2 = F.when(
+        (F.col("n") >= 2) & (sst > 0),
+        F.round(ssb / sst, round_to) + F.lit(0.0),
+    )
+    return agg.select(*groups, "n", "k_levels", eta2.alias("eta2"))

@@ -14,10 +14,10 @@ draft generations). Round 15 registers each (builder, SQL) pair and
 gives it a window slot — registration is a copy, not new work (the
 r13 -> r14 precedent).
 
-Round-15 window math (for whoever rotates next): 7 slots for
-x116–x122 (new), then the full 41-query r11-stale cohort (the 49 r11
+Round-15 window math (for whoever rotates next): 8 slots for
+x116–x123 (new), then the full 41-query r11-stale cohort (the 49 r11
 queries minus the 8 re-checked in r14: x23/x79/x11/x57/x49/x29/x83/
-x08), then fill the remaining 2 slots with the heaviest r12 queries.
+x08), then fill the remaining slot with the heaviest r12 query.
 After that rotation no query is staler than r12.
 """
 
@@ -588,6 +588,64 @@ ORDER BY l_returnflag
 """
 
 
+def x123_correlation_ratio(spark: SparkSession, sf_dir: str):
+    """Correlation ratio eta^2 of event value vs hour-of-day per event
+    type (stats.correlation_ratio) — the seasonality-strength /
+    cat-num association score completing the triad (x117 cat-cat, x122
+    num-num). Pivot-disciplined DECIMAL(38,12) per-(type, hour)
+    moments; s_c^2/n_c terms folded DECIMAL(38,6) (the x121 fold);
+    fixed-order IEEE SS algebra mirrored in the oracle."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        correlation_ratio,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.hour("ts").alias("hod"),
+        F.col("value"),
+    )
+    return correlation_ratio(
+        ev, ["event_type"], "hod", "value"
+    ).orderBy("event_type")
+
+
+X123_SQL = """
+WITH clean AS (
+    SELECT event_type AS g,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS cat,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+pv AS (SELECT g, MIN(v) AS p FROM clean GROUP BY g),
+cm AS (
+    SELECT c.g, c.cat,
+           CAST(COUNT(*) AS BIGINT) AS n_c,
+           SUM(CAST(c.v - pv.p AS DECIMAL(38,12))) AS s_c,
+           SUM(CAST((c.v - pv.p) * (c.v - pv.p)
+                    AS DECIMAL(38,12))) AS sq_c
+    FROM clean c JOIN pv USING (g)
+    GROUP BY c.g, c.cat
+),
+agg AS (
+    SELECT g, CAST(SUM(n_c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k_levels,
+           CAST(SUM(s_c) AS DOUBLE) AS s,
+           CAST(SUM(sq_c) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c
+                         AS DECIMAL(38,6))) AS DOUBLE) AS t1
+    FROM cm GROUP BY g
+)
+SELECT g AS event_type, n, k_levels,
+       CASE WHEN n >= 2 AND sq - s * s / n > 0
+            THEN ROUND((t1 - s * s / n) / (sq - s * s / n), 6) + 0.0
+       END AS eta2
+FROM agg
+ORDER BY event_type
+"""
+
+
 #: what r15 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x116_welch_ttest": (x116_welch_ttest, X116_SQL),
@@ -597,4 +655,5 @@ DRAFTS = {
     "x120_mann_whitney": (x120_mann_whitney, X120_SQL),
     "x121_kruskal_wallis": (x121_kruskal_wallis, X121_SQL),
     "x122_spearman": (x122_spearman, X122_SQL),
+    "x123_correlation_ratio": (x123_correlation_ratio, X123_SQL),
 }

@@ -1237,3 +1237,22 @@ def test_spearman_rank_tables_join_back(spark):
     assert "EvalPython" not in p
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert spec.split(",")[0].strip().startswith("g"), spec
+
+
+def test_correlation_ratio_single_moment_shuffle(spark):
+    """x123's scale contract (staged r15): one broadcast pivot join,
+    ONE (group, category) moment aggregate as the only corpus-sized
+    stage, no windows over the data, no cartesian, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        correlation_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"c{i % 4}", float(i % 7)) for i in range(28)],
+        "g string, cat string, v double",
+    )
+    p = _plan(correlation_ratio(df, ["g"], "cat", "v"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "windowspecdefinition" not in p

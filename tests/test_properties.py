@@ -1820,6 +1820,65 @@ def test_spearman_matches_python(spark, rows):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),               # group
+                  st.integers(0, 3),               # category
+                  st.integers(-20, 20)),           # metric * 4
+        min_size=1, max_size=40,
+    ),
+)
+@SLOW
+def test_correlation_ratio_matches_python(spark, rows):
+    """eta^2 is bit-identical to SS_between/SS_total computed in python
+    with the operator's op order (quarter-integer values make the
+    DECIMAL(38,12) folds exact; the DECIMAL(38,6) term fold is
+    mirrored via HALF_UP quantization); constant groups yield NULL and
+    eta^2 lands in [0, 1]."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        correlation_ratio,
+    )
+
+    data = [(f"g{g}", f"c{c}", v / 4.0) for g, c, v in rows]
+    noisy = data + [
+        ("g0", None, 1.0), ("g0", "c0", None),
+        ("g0", "c0", float("nan")), (None, "c0", 1.0),
+    ]
+    df = spark.createDataFrame(noisy, "g string, cat string, v double")
+    got = {
+        r.g: (r.n, r.k_levels, r.eta2)
+        for r in correlation_ratio(df, ["g"], "cat", "v").collect()
+    }
+    by_g = defaultdict(lambda: defaultdict(list))
+    for g, c, v in data:
+        by_g[g][c].append(v)
+    expect = {}
+    for g, cats in by_g.items():
+        vals = [v for vs in cats.values() for v in vs]
+        n, p = len(vals), min(vals)
+        s = sum(v - p for v in vals)          # exact dyadic sums
+        sq = sum((v - p) * (v - p) for v in vals)
+        t1 = Decimal(0)
+        for vs in cats.values():
+            s_c = sum(v - p for v in vs)
+            t1 += Decimal(s_c * s_c / len(vs)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        t1f = float(t1)
+        corr = s * s / n
+        sst = sq - corr
+        if n >= 2 and sst > 0:
+            eta2 = round((t1f - corr) / sst, 6) + 0.0
+            assert -1e-9 <= eta2 <= 1.0 + 1e-9
+        else:
+            eta2 = None
+        expect[g] = (n, len(cats), eta2)
+    assert got == expect
+
+
+@given(
     pairs=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 3)),
         min_size=1, max_size=60,
