@@ -7,7 +7,8 @@ Cramér's V, per-entity lag-k autocorrelation, per-source
 Jensen-Shannon mix divergence (+ its hashed-state streaming twin),
 the Mann-Whitney U rank-sum test (+ exact-state streaming twin, with
 the A/B-z and chi-square twins riding the same refactor), the
-Kruskal-Wallis k-sample omnibus, and Spearman rank correlation —
+Kruskal-Wallis k-sample omnibus, Spearman rank correlation, and the
+correlation ratio eta^2 (cat-num association / seasonality strength) —
 ship with their anchor queries and DuckDB oracles staged HERE, proven
 green by ``tests/test_oracle_drafts.py`` (which parametrizes over both
 draft generations). Round 15 registers each (builder, SQL) pair and
