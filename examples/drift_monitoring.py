@@ -145,6 +145,19 @@ def main() -> None:
     autocorrelation(
         alarmed_events, "ts", ["user_id"], "value", "event_id", lags=3
     ).orderBy(F.desc(F.abs(F.col("acf")))).show(6)
+
+    # seasonality strength: how much of each event type's value
+    # variance is its hour-of-day schedule? (eta^2 near 1 = the series
+    # IS its schedule; drift alarms there need seasonal baselines)
+    from meshinsights_data_pipeline_spark.operators.stats import (
+        correlation_ratio,
+    )
+
+    print("eta^2 of value vs hour-of-day, per event type:")
+    correlation_ratio(
+        ev.select("event_type", F.hour("ts").alias("hod"), "value"),
+        ["event_type"], "hod", "value",
+    ).orderBy(F.desc("eta2")).show(5)
     spark.stop()
 
 
