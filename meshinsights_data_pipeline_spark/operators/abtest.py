@@ -47,7 +47,8 @@ def ab_test_zscores(
     significance; the operator scores the rows it is given).
 
     Returns ``[experiment, arm, n_control, x_control, n_arm, x_arm,
-    has_control, p_control, p_arm, lift, z, significant]`` where
+    has_control, p_control, p_arm, lift, z, significant]`` (the
+    experiment/arm columns keep the CALLER's names) where
     ``lift`` is the absolute rate difference (arm - control), ``z =
     lift / se`` with ``se = sqrt(pool * (1 - pool) * (1/n_c + 1/n_a))``
     over the pooled rate, both rounded to 6dp. Degenerate cells — an
@@ -122,7 +123,7 @@ def ab_from_counts(
     )
     arms = cells.filter(F.col(arm_col) != control_label).select(
         F.col(experiment_col),
-        F.col(arm_col).alias("arm"),
+        F.col(arm_col).alias("_arm"),
         F.col("n").alias("n_arm"),
         F.col("x").alias("x_arm"),
     )
@@ -138,7 +139,7 @@ def ab_from_counts(
     z = F.when(se > 0, z)  # se = 0 -> NULL z, never a NaN/Inf
     return j.select(
         F.col(experiment_col),
-        "arm",
+        F.col("_arm").alias(arm_col),
         "n_control",
         "x_control",
         "n_arm",
@@ -177,7 +178,8 @@ def welch_ttest(
 
     with s2 the SAMPLE variance. Returns ``[experiment, arm, n_control,
     n_arm, has_control, mean_control, mean_arm, diff, t, df,
-    significant]``; ``significant`` compares the ROUNDED |t| against
+    significant]`` (the experiment/arm columns keep the CALLER's
+    names); ``significant`` compares the ROUNDED |t| against
     ``t_crit`` (1.959964 ~ two-sided 5% as df -> inf; pass the Student
     critical value for your df regime when arms are small — p-values
     stay out of scope, the libm-CDF rule in the module docstring).
@@ -238,7 +240,7 @@ def welch_ttest(
         )
         return frame.select(
             F.col(experiment_col),
-            *([] if suffix == "_control" else [F.col(arm_col).alias("arm")]),
+            *([] if suffix == "_control" else [F.col(arm_col).alias("_arm")]),
             F.col("n").alias(f"n{suffix}"),
             mean.alias(f"_mean{suffix}"),
             var_s.alias(f"_var{suffix}"),
@@ -267,7 +269,7 @@ def welch_ttest(
     )
     return j.select(
         F.col(experiment_col),
-        "arm",
+        F.col("_arm").alias(arm_col),
         "n_control",
         "n_arm",
         F.col("n_control").isNotNull().alias("has_control"),
@@ -309,12 +311,15 @@ def mann_whitney_u(
 
     with the standard tie correction (t the pooled tie-group sizes).
     Returns ``[experiment, arm, n_control, n_arm, has_control, u, z,
-    significant]``; ``u`` is exact (a half-integer double), ``z``
-    rounds and ``significant`` compares the ROUNDED |z|; var_U = 0
-    (all values tied) yields NULL z; a missing control arm surfaces
-    with ``has_control = false`` and NULL z (the family's left-join
-    discipline). NULL experiment/arm keys and NULL/NaN values are
-    excluded up front.
+    significant]`` (the experiment/arm columns keep the CALLER's
+    names — the family-wide schema contract); ``u`` is exact (a
+    half-integer double), ``z`` rounds and ``significant`` compares
+    the ROUNDED |z|; var_U = 0 (all values tied) yields NULL z; a
+    missing control arm surfaces with ``has_control = false`` and
+    NULL n_control/u/z (the family's left-join discipline — a
+    degenerate one-sample ranking would otherwise emit u = 0, which
+    reads as "every arm value below control"). NULL experiment/arm
+    keys and NULL/NaN values are excluded up front.
 
     Cross-engine determinism: ranks never materialize per row — the
     pooled ranking reduces to per-(pair, value) COUNTS: with cum the
@@ -432,19 +437,19 @@ def mw_from_counts(
     :func:`mann_whitney_u` and the twin both do)."""
     arm_cells = cells.filter(F.col(arm_col) != control_label).select(
         F.col(experiment_col),
-        F.col(arm_col).alias("arm"),
+        F.col(arm_col).alias("_arm"),
         "_v",
         F.col("_c").alias("_c_a"),
         F.lit(0).cast("bigint").alias("_c_c"),
     )
-    arm_list = arm_cells.select(experiment_col, "arm").distinct()
+    arm_list = arm_cells.select(experiment_col, "_arm").distinct()
     ctrl_cells = (
         cells.filter(F.col(arm_col) == control_label)
         .select(F.col(experiment_col), "_v", F.col("_c").alias("_cc"))
         .join(F.broadcast(arm_list), experiment_col)
         .select(
             F.col(experiment_col),
-            "arm",
+            "_arm",
             "_v",
             F.lit(0).cast("bigint").alias("_c_a"),
             F.col("_cc").alias("_c_c"),
@@ -452,7 +457,7 @@ def mw_from_counts(
     )
     pooled = (
         arm_cells.unionByName(ctrl_cells)
-        .groupBy(experiment_col, "arm", "_v")
+        .groupBy(experiment_col, "_arm", "_v")
         .agg(
             F.sum("_c_a").cast("bigint").alias("_c_a"),
             F.sum("_c_c").cast("bigint").alias("_c_c"),
@@ -460,7 +465,7 @@ def mw_from_counts(
     )
     t_cnt = F.col("_c_a") + F.col("_c_c")
     w = (
-        Window.partitionBy(experiment_col, "arm")
+        Window.partitionBy(experiment_col, "_arm")
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -469,7 +474,7 @@ def mw_from_counts(
     # doubled average rank of the tie group: 2*cum + t + 1 (integer)
     rank2 = (F.lit(2) * cum + t_cnt + 1).cast(dec0)
     stats = pooled.withColumn("_r2", rank2).groupBy(
-        experiment_col, "arm"
+        experiment_col, "_arm"
     ).agg(
         F.sum("_c_a").cast("bigint").alias("n_arm"),
         F.sum("_c_c").cast("bigint").alias("n_control"),
@@ -498,13 +503,17 @@ def mw_from_counts(
         .otherwise(F.lit(0.0))
     )
     z = F.when(n_c > 0, F.round(z, round_to) + F.lit(0.0))
+    # missing control: the pooled ranking degenerates to the arm alone,
+    # making u2 identically 0 — a dashboard would read u = 0 as "every
+    # arm value below control", so u masks NULL like n_control/z do
+    u = F.when(n_c > 0, u2.cast("double") / F.lit(2.0))
     return stats.select(
         F.col(experiment_col),
-        "arm",
+        F.col("_arm").alias(arm_col),
         F.when(n_c > 0, n_c).alias("n_control"),
         "n_arm",
         (n_c > 0).alias("has_control"),
-        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        u.alias("u"),
         z.alias("z"),
         F.coalesce(F.abs(z) > F.lit(float(z_crit)), F.lit(False)).alias(
             "significant"

@@ -25,6 +25,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from meshinsights_data_pipeline_spark.operators.barrier import (
+    materialize as _materialize,
+)
 from meshinsights_data_pipeline_spark.operators.weekly import sunday_week_start
 
 
@@ -928,11 +931,16 @@ def spearman_correlation(
     integer range holds to n ~ 1e9 per group against DECIMAL(38,0)'s
     ceiling (the n^4 product bound); pre-aggregate or sample beyond.
 
-    Scale shape: two (group, value) count aggregates (map-side
-    combinable, distinct-value cardinality) with per-group spine
-    windows build the rank tables; the corpus joins back on
-    (group, value) — two hash joins, no pair join, never corpus^2 —
-    and ONE final aggregate emits |groups| rows.
+    Scale shape: ONE (group, x, y) count aggregate (map-side
+    combinable, distinct-PAIR cardinality) is the only corpus-sized
+    stage; it is MATERIALIZED (the diamond-barrier lesson — it feeds
+    both rank tables AND the weighted probe, and without the barrier
+    each consumer replays the corpus scan, the welch/chi2 shape).
+    Per-column rank tables are count roll-ups of the cell frame with
+    per-group spine windows; the closed-form sums are COUNT-WEIGHTED
+    over the cells (sum c*rx, sum c*rx^2, ... — identical exact
+    integers to the per-row sums), so nothing after the first
+    aggregate exceeds distinct-pair cardinality.
     """
     groups = list(group_by)
     x = F.col(x_col).cast("double")
@@ -942,14 +950,16 @@ def spearman_correlation(
     )
     for g in groups:
         keep = keep & F.col(g).isNotNull()
-    clean = df.filter(keep).select(
-        *groups, x.alias("_x"), y.alias("_y")
+    cells = _materialize(
+        df.filter(keep)
+        .groupBy(*groups, x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
     dec0 = "decimal(38,0)"
 
     def _rank_table(col: str, out: str) -> DataFrame:
-        counts = clean.groupBy(*groups, col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("_t")
+        counts = cells.groupBy(*groups, col).agg(
+            F.sum("_c").cast("bigint").alias("_t")
         )
         w = (
             Window.partitionBy(*groups)
@@ -963,16 +973,17 @@ def spearman_correlation(
             (F.lit(2) * cum + F.col("_t") + 1).cast(dec0).alias(out),
         )
 
-    joined = clean.join(_rank_table("_x", "_rx"), [*groups, "_x"]).join(
+    joined = cells.join(_rank_table("_x", "_rx"), [*groups, "_x"]).join(
         _rank_table("_y", "_ry"), [*groups, "_y"]
     )
+    c0 = F.col("_c").cast(dec0)
     agg = joined.groupBy(*groups).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("_rx").cast(dec0).alias("_sx"),
-        F.sum("_ry").cast(dec0).alias("_sy"),
-        F.sum(F.col("_rx") * F.col("_rx")).cast(dec0).alias("_sxx"),
-        F.sum(F.col("_ry") * F.col("_ry")).cast(dec0).alias("_syy"),
-        F.sum(F.col("_rx") * F.col("_ry")).cast(dec0).alias("_sxy"),
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(c0 * F.col("_rx")).cast(dec0).alias("_sx"),
+        F.sum(c0 * F.col("_ry")).cast(dec0).alias("_sy"),
+        F.sum(c0 * F.col("_rx") * F.col("_rx")).cast(dec0).alias("_sxx"),
+        F.sum(c0 * F.col("_ry") * F.col("_ry")).cast(dec0).alias("_syy"),
+        F.sum(c0 * F.col("_rx") * F.col("_ry")).cast(dec0).alias("_sxy"),
     )
     n0 = F.col("n").cast(dec0)
     num = (n0 * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")

@@ -58,6 +58,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from meshinsights_data_pipeline_spark.operators.barrier import (
+    materialize as _materialize,
+)
+
 
 def mann_kendall_trend(
     df: DataFrame,
@@ -239,18 +243,27 @@ def autocorrelation(
     tiny broadcast (|groups| rows); numerators for every lag fold in
     the SAME aggregate pass. Nothing after the first aggregate is
     corpus-sized; cost is O(lags) per row, all in whole-stage codegen.
+    The cleaned 4-column projection is MATERIALIZED (the diamond-
+    barrier lesson): it feeds the pivot aggregate, the moment
+    aggregate, AND the centered frame — without the barrier each
+    consumer replays the corpus scan (three scans per call). The
+    persisted frame is a narrow projection of the filtered input and
+    spills to disk past memory; unpersist it downstream if composing
+    many calls in one session.
     """
     if lags < 1:
         raise ValueError(f"lags must be >= 1, got {lags}")
     groups = list(group_by)
     v = F.col(value_col).cast("double")
-    clean = df.filter(
-        F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
-    ).select(
-        *groups,
-        F.col(ts_col).alias("_ts"),
-        F.col(id_col).alias("_id"),
-        v.alias("_v"),
+    clean = _materialize(
+        df.filter(
+            F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+        ).select(
+            *groups,
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            v.alias("_v"),
+        )
     )
     dec = "decimal(38,12)"
     pivots = clean.groupBy(*groups).agg(F.min("_v").alias("_p"))

@@ -416,7 +416,7 @@ SELECT experiment, arm,
        CASE WHEN n_control > 0 THEN n_control END AS n_control,
        n_arm,
        n_control > 0 AS has_control,
-       CAST(u2 AS DOUBLE) / 2.0 AS u,
+       CASE WHEN n_control > 0 THEN CAST(u2 AS DOUBLE) / 2.0 END AS u,
        CASE WHEN n_control > 0 THEN ROUND(zraw, 6) + 0.0 END AS z,
        COALESCE(ABS(CASE WHEN n_control > 0
                          THEN ROUND(zraw, 6) + 0.0 END) > 1.959964,

@@ -1575,7 +1575,10 @@ def test_mann_whitney_matches_python_bitwise(spark, cells):
         u2 = r2a - n_a * (n_a + 1)
         u = u2 / 2.0
         if n_c == 0:
-            expect[(e, a)] = (u, None, False)
+            # missing control masks u too — the degenerate one-sample
+            # ranking gives u = 0 identically, which a dashboard would
+            # misread as "every arm value below control"
+            expect[(e, a)] = (None, None, False)
             continue
         ties = sum(t ** 3 - t for t in pool.values())
         d_half = float(u2 - n_a * n_c) / 2.0
