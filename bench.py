@@ -17,6 +17,18 @@ import sys
 import time
 
 
+def _regressed(sec: float, exp: float) -> bool:
+    """2x-of-expectation, PLUS an absolute slack: a ~100ms step or
+    query carries ~100-200ms of fixed overhead (job scheduling,
+    noop-write commit, GC) that varies with machine state, so a pure
+    ratio test on a sub-200ms expectation measures the scheduler, not
+    the plan (r13: dataset_split, an 87ms map-side projection, tripped
+    the gate at 0.19s on a session running uniformly ~1.15x slower).
+    The slack is far below any real regression in the >=1s band the
+    gates exist for."""
+    return sec > 2.0 * exp and sec - exp > 0.25
+
+
 def _spin_once(dur: float) -> int:
     t_end = time.perf_counter() + dur
     n = 0
@@ -463,6 +475,106 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: streaming dedup failed: {exc}", file=sys.stderr)
 
+    # Streaming stat-ingest tier (VERDICT r14 #7): the hashed-state
+    # JSD + entropy twins over the documents stream and the exact-state
+    # Mann-Whitney twin over the events stream, driven through a real
+    # availableNow foreachBatch query each — the driver-visible anchor
+    # path for the r14 streaming statistical twins (x110/x119/x120's
+    # batch anchors cover the shared count stages; this covers the
+    # merge-state + epoch-report plumbing at sf0.1 scale). Same cost
+    # model as the dedup extra: a fresh checkpoint per run IS the cost,
+    # min-of-2 strips one-time JIT.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.session import read_table
+        from meshinsights_data_pipeline_spark.sources.layout import (
+            snapshot_overwrite,
+        )
+        from meshinsights_data_pipeline_spark.streaming import (
+            streaming_entropy_ingest,
+            streaming_jsd_ingest,
+            streaming_mann_whitney_ingest,
+        )
+
+        stage_dir = tempfile.mkdtemp(prefix="bench_statstream_")
+        try:
+            docs = read_table(spark, sf_dir, "documents")
+            ev = read_table(spark, sf_dir, "events").select(
+                F.col("event_type").alias("experiment"),
+                F.when(F.col("user_id") % 2 == 0, "control")
+                .otherwise("t1").alias("arm"),
+                F.col("value"),
+            )
+            dsrc, esrc = f"{stage_dir}/docs", f"{stage_dir}/events"
+            docs.write.parquet(dsrc)
+            ev.write.parquet(esrc)
+            runs = []
+            for attempt in range(2):
+                root = f"{stage_dir}/run{attempt}"
+                t0 = time.perf_counter()
+                for d in ("jsd_state", "ent_state"):
+                    snapshot_overwrite(
+                        spark.createDataFrame(
+                            [], "source string, _tok long, _c long"
+                        ),
+                        f"{root}/{d}", -1,
+                    )
+                snapshot_overwrite(
+                    spark.createDataFrame(
+                        [],
+                        "experiment string, arm string, _v double, _c long",
+                    ),
+                    f"{root}/mw_state", -1,
+                )
+                jsd_proc = streaming_jsd_ingest(
+                    docs, counts_dir=f"{root}/jsd_state",
+                    report_dir=f"{root}/jsd_report",
+                )
+                ent_proc = streaming_entropy_ingest(
+                    docs, counts_dir=f"{root}/ent_state",
+                    report_dir=f"{root}/ent_report",
+                )
+
+                def _doc_batch(batch_df, epoch_id):
+                    jsd_proc(batch_df, epoch_id)
+                    ent_proc(batch_df, epoch_id)
+
+                qd = (
+                    spark.readStream.schema(
+                        spark.read.parquet(dsrc).schema
+                    ).parquet(dsrc)
+                    .writeStream.foreachBatch(_doc_batch)
+                    .option("checkpointLocation", f"{root}/ckpt_docs")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                qd.awaitTermination(300)
+                mw_proc = streaming_mann_whitney_ingest(
+                    ev, cells_dir=f"{root}/mw_state",
+                    report_dir=f"{root}/mw_report",
+                )
+                qe = (
+                    spark.readStream.schema(
+                        spark.read.parquet(esrc).schema
+                    ).parquet(esrc)
+                    .writeStream.foreachBatch(mw_proc)
+                    .option("checkpointLocation", f"{root}/ckpt_events")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                qe.awaitTermination(300)
+                runs.append(round(time.perf_counter() - t0, 3))
+            extras_cold["streaming_stat_ingest_e2e"] = runs[0]
+            extras["streaming_stat_ingest_e2e"] = min(runs)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: streaming stat ingest failed: {exc}", file=sys.stderr)
+
     # Per-step breakdown of the corpus pipeline (same config as the e2e
     # run). The e2e number times ONE fused plan — Catalyst collapses the
     # steps, which is the production execution and stays the headline.
@@ -487,6 +599,7 @@ def main() -> None:
     step_regressions: dict[str, str] = {}
     query_regressions: dict[str, str] = {}
     extra_regressions: dict[str, str] = {}
+    expect_all: dict = {}
     try:
         expect_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_EXPECT.json"
@@ -494,17 +607,6 @@ def main() -> None:
         if os.path.exists(expect_path):
             with open(expect_path) as fh:
                 expect_all = json.load(fh)
-
-            # 2x-of-expectation, PLUS an absolute slack: a ~100ms step or
-            # query carries ~100-200ms of fixed overhead (job scheduling,
-            # noop-write commit, GC) that varies with machine state, so a
-            # pure ratio test on a sub-200ms expectation measures the
-            # scheduler, not the plan (r13: dataset_split, an 87ms
-            # map-side projection, tripped the gate at 0.19s on a session
-            # running uniformly ~1.15x slower). The slack is far below
-            # any real regression in the >=1s band the gates exist for.
-            def _regressed(sec: float, exp: float) -> bool:
-                return sec > 2.0 * exp and sec - exp > 0.25
 
             for step, sec in corpus_steps.items():
                 exp = expect_all.get("corpus_steps", {}).get(step)
@@ -533,6 +635,113 @@ def main() -> None:
                 print(f"bench: REGRESSION: {msg}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 - the gate must not kill the bench
         print(f"bench: regression gate failed: {exc}", file=sys.stderr)
+
+    # Self-adjudication (VERDICT r14 #2/#4): the r14 driver sample's
+    # q27-q42 band showed 2.7-5.1x its gate values from a transient host
+    # stall during that band's contiguous execution, and the record
+    # could only be adjudicated after the fact by hand. So: any query
+    # that trips its expectation gate, OR runs >2x (+0.25s) its value in
+    # the previous committed full-run gate record at the same sf, is
+    # re-run INTERLEAVED with two at-expectation controls
+    # (x09_lang_id / q67, the PERF_NOTES_r14 pin pair) and the pins land
+    # in this run's own gate-log record. If the pin no longer trips the
+    # gate, the flag was transient and is cleared; if the controls
+    # inflated comparably, the flag is annotated host-inflated — the
+    # committed record adjudicates itself.
+    adjudication: dict[str, dict] = {}
+    try:
+        suspects = set(query_regressions)
+        prev_queries: dict[str, float] = {}
+        gate_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_GATE_LOG.jsonl",
+        )
+        if os.path.exists(gate_path):
+            with open(gate_path) as fh:
+                for ln in fh:
+                    try:
+                        rec = json.loads(ln)
+                    except ValueError:
+                        continue
+                    # full runs only (pins/partial runs have few queries),
+                    # same sf only (a sf0.01 smoke run is not a baseline)
+                    if len(rec.get("queries", {})) >= 150 and (
+                        rec.get("sf") == sf
+                    ):
+                        prev_queries = rec["queries"]
+        for qname, sec in timings.items():
+            p = prev_queries.get(qname)
+            if p and p > 0 and sec > 2.0 * p and sec - p > 0.25:
+                suspects.add(qname)
+        if suspects:
+            controls = [
+                c for c in ("x09_lang_id", "q67")
+                if c in QUERIES and c not in suspects
+            ]
+            # bound the adjudication wall time: worst offenders first
+            ranked = sorted(
+                suspects, key=lambda n: -timings.get(n, 0.0)
+            )[:12]
+            if len(ranked) < len(suspects):
+                print(
+                    f"bench: adjudicating only the {len(ranked)} slowest "
+                    f"of {len(suspects)} suspects",
+                    file=sys.stderr,
+                )
+            pin_runs: dict[str, list[float]] = {
+                n: [] for n in [*ranked, *controls]
+            }
+            for _ in range(2):
+                for n in [*ranked, *controls]:  # interleaved, not banded
+                    t0 = time.perf_counter()
+                    QUERIES[n].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    pin_runs[n].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+            pins = {n: min(v) for n, v in pin_runs.items()}
+            ctrl_infl = []
+            for c in controls:
+                base = (
+                    expect_all.get("queries", {}).get(c)
+                    or prev_queries.get(c)
+                    or timings.get(c)
+                )
+                if base and base > 0:
+                    ctrl_infl.append(pins[c] / base)
+            ctrl_factor = (
+                round(sorted(ctrl_infl)[len(ctrl_infl) // 2], 2)
+                if ctrl_infl else None
+            )
+            for n in ranked:
+                exp = expect_all.get("queries", {}).get(n)
+                base = exp or prev_queries.get(n)
+                if base and not _regressed(pins[n], base):
+                    verdict = "cleared-by-pin"
+                    query_regressions.pop(n, None)
+                elif ctrl_factor is not None and ctrl_factor >= 1.5:
+                    verdict = f"host-inflated (controls {ctrl_factor}x)"
+                else:
+                    verdict = "regressed"
+                adjudication[n] = {
+                    "sample": timings.get(n),
+                    "pin": pins[n],
+                    "expect": exp,
+                    "prev_committed": prev_queries.get(n),
+                    "controls": {c: pins[c] for c in controls},
+                    "control_inflation": ctrl_factor,
+                    "verdict": verdict,
+                }
+                if n in query_regressions and verdict != "regressed":
+                    query_regressions[n] += f" [adjudicated: {verdict}]"
+                print(
+                    f"bench: ADJUDICATION {n}: sample {timings.get(n)}s, "
+                    f"pin {pins[n]}s, controls x{ctrl_factor} -> {verdict}",
+                    file=sys.stderr,
+                )
+    except Exception as exc:  # noqa: BLE001 - must not kill the bench
+        print(f"bench: self-adjudication failed: {exc}", file=sys.stderr)
 
     # sf1 scaling row: run the 10 slowest queries (by this run's warm
     # timings) against a 10x-scaled dataset, turning the "would this plan
@@ -645,6 +854,7 @@ def main() -> None:
         "step_regressions": step_regressions,
         "query_regressions": query_regressions,
         "extra_regressions": extra_regressions,
+        "adjudication": adjudication,
         "sf1_slowest": sf1_timings,
         "sf1_autobits_neardup": sf1_autobits,
         "sf1_steps": sf1_steps,
@@ -711,6 +921,10 @@ def main() -> None:
         compact["query_regressions"] = query_regressions
     if extra_regressions:
         compact["extra_regressions"] = extra_regressions
+    if adjudication:
+        compact["adjudication"] = {
+            _short(k): v["verdict"] for k, v in adjudication.items()
+        }
     if sf1_timings:
         compact["sf1_slowest"] = {
             _short(k): round(v, 1) for k, v in sf1_timings.items()

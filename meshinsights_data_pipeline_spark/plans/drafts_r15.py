@@ -1,25 +1,26 @@
-"""Round-15 anchor DRAFTS — NOT registered.
+"""Round-15 anchor drafts — staged r14, REGISTERED r15.
 
-The r14 driver window is consumed by the staged-r13 registration plus
-the staleness rotation (VERDICT r13 #1), so the operators added THIS
-round — Welch's unequal-variance t-test, chi-square independence +
+The r14 driver window was consumed by the staged-r13 registration plus
+the staleness rotation (VERDICT r13 #1), so the operators added in
+r14 — Welch's unequal-variance t-test, chi-square independence +
 Cramér's V, per-entity lag-k autocorrelation, per-source
 Jensen-Shannon mix divergence (+ its hashed-state streaming twin),
 the Mann-Whitney U rank-sum test (+ exact-state streaming twin, with
 the A/B-z and chi-square twins riding the same refactor), the
 Kruskal-Wallis k-sample omnibus, Spearman rank correlation, and the
 correlation ratio eta^2 (cat-num association / seasonality strength) —
-ship with their anchor queries and DuckDB oracles staged HERE, proven
-green by ``tests/test_oracle_drafts.py`` (which parametrizes over both
-draft generations). Round 15 registers each (builder, SQL) pair and
-gives it a window slot — registration is a copy, not new work (the
-r13 -> r14 precedent).
+shipped with their anchor queries and DuckDB oracles staged HERE,
+proven green by ``tests/test_oracle_drafts.py`` (which parametrizes
+over both draft generations). Round 15 registered each (builder, SQL)
+pair via ``plans.queries._register_extensions`` and gave all eight the
+leading slots of ``_DRIVER_WINDOW_R15`` (the r13 -> r14 precedent;
+this file stays the registration-independent proof, like drafts_r14).
 
-Round-15 window math (for whoever rotates next): 8 slots for
-x116–x123 (new), then the full 41-query r11-stale cohort (the 49 r11
-queries minus the 8 re-checked in r14: x23/x79/x11/x57/x49/x29/x83/
-x08), then fill the remaining slot with the heaviest r12 query.
-After that rotation no query is staler than r12.
+The r14 window math predicted a 41-query r11-stale cohort; the
+CORRECTNESS_r1-r14 union gives exactly 40 (see the _DRIVER_WINDOW_R15
+comment in plans/queries.py), so two r12 fill slots remained
+(x26_dedup_clusters_star, q67 — heaviest by the r14 gate-run warm
+times). After the r15 rotation no registered query is staler than r12.
 """
 
 from __future__ import annotations

@@ -2669,13 +2669,21 @@ QUERIES: dict[str, Query] = {
 
 
 def _register_extensions() -> None:
-    from meshinsights_data_pipeline_spark.plans.drafts_r14 import DRAFTS
+    from meshinsights_data_pipeline_spark.plans.drafts_r14 import (
+        DRAFTS as DRAFTS_R14,
+    )
+    from meshinsights_data_pipeline_spark.plans.drafts_r15 import (
+        DRAFTS as DRAFTS_R15,
+    )
     from meshinsights_data_pipeline_spark.plans.extension_queries import EXTENSION_BUILDERS
 
-    # DRAFTS (x104-x115, staged+oracle-proven in r13, registered r14)
-    # after EXTENSION_BUILDERS; the x04 capped replacement lives in
-    # extension_queries under its original name.
-    for name, (fn, oracle) in {**EXTENSION_BUILDERS, **DRAFTS}.items():
+    # DRAFTS_R14 (x104-x115, staged+oracle-proven in r13, registered
+    # r14) and DRAFTS_R15 (x116-x123, staged+oracle-proven in r14,
+    # registered r15) after EXTENSION_BUILDERS; the x04 capped
+    # replacement lives in extension_queries under its original name.
+    for name, (fn, oracle) in {
+        **EXTENSION_BUILDERS, **DRAFTS_R14, **DRAFTS_R15
+    }.items():
         QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
 
 
@@ -2819,7 +2827,55 @@ _DRIVER_WINDOW_R14 = [
     "x57_source_overlap", "x49_span_excision", "x29_contamination_bloom",
     "x83_basket_lift", "x08_text_stats",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R14
+# Round-15 window (verdict r14 #1: execute the staged rotation as
+# written in drafts_r15.py). Priority bands: (0) the 8 queries
+# REGISTERED this round (x116-x123 — staged + oracle-proven in r14,
+# never driver-checked; x118/x120/x122 carry this round's advisor
+# fixes — autocorrelation/spearman single-scan materialization and the
+# mw u-mask — inside their own slots). The other operators whose code
+# changed this round cannot alter a driver result and yield their
+# slots per the r12 x85/x86 precedent: the A/B-family arm-column
+# rename is a no-op for every anchor (all pass arm_col="arm";
+# x105/x116 re-proven bit-identical by this session's driver-sim and
+# draft-oracle runs), and welch/kruskal share only that rename.
+# (1) the full 40-query r11-stale cohort, last driver-checked four
+# rounds ago (the 48 r11-checked queries minus the 8 heaviest
+# re-checked in r14: x23/x79/x11/x57/x49/x29/x83/x08 — the drafts_r15
+# docstring's "41" miscounted; the union of CORRECTNESS_r1-r14 gives
+# exactly these 40). (2) fill the 2 remaining slots with the heaviest
+# r12-stale queries by the r14 gate-run warm time: x26 3.52s, q67
+# 2.46s. After this round no registered query is staler than r12.
+# All 40+2 rotation queries were re-verified green at the driver tier
+# by this session's full driver-sim before the window landed.
+_DRIVER_WINDOW_R15 = [
+    # (0) registered this round
+    "x116_welch_ttest",
+    "x117_chi2_independence",
+    "x118_autocorrelation",
+    "x119_js_divergence",
+    "x120_mann_whitney",
+    "x121_kruskal_wallis",
+    "x122_spearman",
+    "x123_correlation_ratio",
+    # (1) the r11-stale cohort, in full
+    "x01_exact_dedup", "x02_minhash_signatures", "x03_minhash_lsh_pairs",
+    "x05_simhash", "x14_fuzzy_neardup", "x21_winnow_fingerprints",
+    "x22_gopher_quality", "x25_contamination", "x32_vocabulary",
+    "x33_tfidf_terms", "x34_repetition_signals", "x37_pq_topk",
+    "x39_boilerplate_ngrams", "x48_duplicate_spans", "x50_corpus_report",
+    "x51_lm_quality", "x53_quality_top_fraction", "x55_weighted_sample",
+    "x56_semantic_decontamination", "x62_line_dedup", "x63_source_drift",
+    "x69_gap_sessions", "x70_dsir_weights", "x71_bm25_topk",
+    "x72_binary_neardup", "x73_stratified_sample", "x74_lexical_diversity",
+    "x75_url_blocklist", "x76_chat_render", "x77_gram_novelty",
+    "x78_line_signals", "x80_temperature_mixture", "x81_triangle_counts",
+    "x82_gap_interpolate", "x84_histogram", "x85_zscore_outliers",
+    "x86_last_touch", "x87_time_weighted_avg", "x88_psi_drift",
+    "x89_windowed_dedup",
+    # (2) r12 fill, heaviest recorded warm time first
+    "x26_dedup_clusters_star", "q67",
+]
+_DRIVER_WINDOW = _DRIVER_WINDOW_R15
 
 
 def _rotate_for_driver() -> None:
