@@ -896,11 +896,18 @@ def main() -> None:
 
     def _short(name: str) -> str:
         # Compact-line keys only: extension queries collapse to their
-        # unique xNN prefix ("x26_dedup_clusters_star" -> "x26") to keep
-        # the one-line JSON inside the driver's ~2000-char stdout tail.
+        # FULL numeric prefix ("x26_dedup_clusters_star" -> "x26",
+        # "x110_token_entropy" -> "x110") to keep the one-line JSON
+        # inside the driver's ~2000-char stdout tail. The prefix must
+        # be the whole digit run: the earlier fixed name[:3] collided
+        # three-digit queries with two-digit ones (x110/x114 -> "x11",
+        # overwriting x11's value in the committed compact record).
         # Full names always live in BENCH_DETAIL.json.
-        if name[0] == "x" and name[1:3].isdigit():
-            return name[:3]
+        if name[0] == "x" and name[1:2].isdigit():
+            i = 1
+            while i < len(name) and name[i].isdigit():
+                i += 1
+            return name[:i]
         return name
 
     compact = {

@@ -521,6 +521,134 @@ def mw_from_counts(
     )
 
 
+def cliffs_delta(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    control_label: str,
+    round_to: int = 6,
+    buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Per (experiment, arm != control): Cliff's delta vs the
+    experiment's control arm — the nonparametric EFFECT SIZE beside
+    :func:`mann_whitney_u`'s significance (z says whether the shift is
+    real; delta says whether it is big enough to care about, the
+    p-value-vs-effect-size discipline every experimentation readout
+    needs):
+
+        delta = (#{a > c} - #{a < c}) / (n_a * n_c)   in [-1, 1]
+
+    the probability a random arm value exceeds a random control value
+    minus the reverse (0 = stochastically identical; |delta| >= 0.474
+    is Romano et al.'s "large"). Returns ``[experiment, arm,
+    n_control, n_arm, has_control, delta]`` (caller's column names);
+    a missing control arm surfaces with ``has_control = false`` and
+    NULL n_control/delta (the family's left-join discipline).
+
+    Cross-engine determinism: delta is a pure function of the
+    Mann-Whitney U — delta = (2U - n_a*n_c) / (n_a*n_c) — and 2U is
+    the count-table doubled-rank integer (DECIMAL(38,0)-exact, ties
+    counted half by the average-rank algebra), so the numerator and
+    denominator are exact integers and delta is ONE IEEE division,
+    rounded once.
+
+    Scale shape: identical to :func:`mann_whitney_u` — the shared
+    :func:`mw_cell_counts` stage (with the same ``buckets``/``bounds``
+    quantized tier) is the only corpus-sized aggregate; delta needs no
+    tie-variance term, so the rank spine window and one tiny aggregate
+    finish the job.
+    """
+    cells = _materialize(
+        mw_cell_counts(
+            df, experiment_col, arm_col, value_col,
+            buckets=buckets, bounds=bounds,
+        )
+    )
+    return cliffs_delta_from_counts(
+        cells, experiment_col, arm_col, control_label, round_to=round_to
+    )
+
+
+def cliffs_delta_from_counts(
+    cells: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    control_label: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`cliffs_delta` from a pre-aggregated
+    ``[experiment, arm, _v, _c]`` cell table — the SAME mergeable
+    sufficient statistic as :func:`mw_from_counts` (one streaming
+    state serves U, z, AND delta). Pass it materialized."""
+    arm_cells = cells.filter(F.col(arm_col) != control_label).select(
+        F.col(experiment_col),
+        F.col(arm_col).alias("_arm"),
+        "_v",
+        F.col("_c").alias("_c_a"),
+        F.lit(0).cast("bigint").alias("_c_c"),
+    )
+    arm_list = arm_cells.select(experiment_col, "_arm").distinct()
+    ctrl_cells = (
+        cells.filter(F.col(arm_col) == control_label)
+        .select(F.col(experiment_col), "_v", F.col("_c").alias("_cc"))
+        .join(F.broadcast(arm_list), experiment_col)
+        .select(
+            F.col(experiment_col),
+            "_arm",
+            "_v",
+            F.lit(0).cast("bigint").alias("_c_a"),
+            F.col("_cc").alias("_c_c"),
+        )
+    )
+    pooled = (
+        arm_cells.unionByName(ctrl_cells)
+        .groupBy(experiment_col, "_arm", "_v")
+        .agg(
+            F.sum("_c_a").cast("bigint").alias("_c_a"),
+            F.sum("_c_c").cast("bigint").alias("_c_c"),
+        )
+    )
+    t_cnt = F.col("_c_a") + F.col("_c_c")
+    w = (
+        Window.partitionBy(experiment_col, "_arm")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(t_cnt).over(w), F.lit(0))
+    dec0 = "decimal(38,0)"
+    rank2 = (F.lit(2) * cum + t_cnt + 1).cast(dec0)
+    stats = pooled.withColumn("_r2", rank2).groupBy(
+        experiment_col, "_arm"
+    ).agg(
+        F.sum("_c_a").cast("bigint").alias("n_arm"),
+        F.sum("_c_c").cast("bigint").alias("n_control"),
+        F.sum(F.col("_c_a").cast(dec0) * F.col("_r2"))
+        .cast(dec0)
+        .alias("_r2a"),
+    )
+    n_a, n_c = F.col("n_arm"), F.col("n_control")
+    # 2U = 2*R_a - n_a(n_a+1); delta = (2U - n_a*n_c) / (n_a*n_c)
+    u2 = F.col("_r2a") - (n_a.cast(dec0) * (n_a + 1)).cast(dec0)
+    prod = (n_a.cast(dec0) * n_c).cast(dec0)
+    delta = F.when(
+        n_c > 0,
+        F.round(
+            (u2 - prod).cast("double") / prod.cast("double"), round_to
+        )
+        + F.lit(0.0),
+    )
+    return stats.select(
+        F.col(experiment_col),
+        F.col("_arm").alias(arm_col),
+        F.when(n_c > 0, n_c).alias("n_control"),
+        "n_arm",
+        (n_c > 0).alias("has_control"),
+        delta.alias("delta"),
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     experiment_col: str,

@@ -1,0 +1,331 @@
+"""Round-16 anchor DRAFTS — NOT registered.
+
+The r15 driver window is consumed by the staged-r14 registration plus
+the staleness rotation (VERDICT r14 #1), so the operators added THIS
+round — the classifier/LLM-judge evaluation family: ROC-AUC via the
+exact rank-sum identity (+ exact-state streaming twin), the
+calibration report (ECE/MCE/Brier, + streaming twin), Cohen's kappa
+inter-rater agreement, and Cliff's delta effect size (sharing the
+Mann-Whitney count-table state) — ship with their anchor queries and
+DuckDB oracles staged HERE, proven green by
+``tests/test_oracle_drafts.py`` (which parametrizes over every draft
+generation). Round 16 registers each (builder, SQL) pair and gives it
+a window slot — registration is a copy, not new work (the r13 -> r14
+-> r15 precedent).
+
+Round-16 window math (for whoever rotates next): 4 slots for
+x124–x127 (new), then the full 46-query r12-stale cohort (the 48
+r12-checked queries minus the 2 re-checked in r15: x26, q67) —
+4 + 46 = 50 exactly, no fill band. After that rotation no query is
+staler than r13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from meshinsights_data_pipeline_spark.session import read_table
+
+
+def x124_roc_auc(spark: SparkSession, sf_dir: str):
+    """Per-event-type ROC-AUC (mleval.roc_auc) of the event VALUE as a
+    scorer for the even-user class — the threshold-free
+    classifier-quality readout over the same derived labeling the
+    x105/x116/x120 experiment family uses, closing the loop from
+    "do the arms differ" to "how well does this score separate them".
+    Ranks never materialize per row: the rank-sum identity runs on
+    (group, score) pos/neg COUNTS with doubled average ranks as exact
+    DECIMAL(38,0) integers (the x120 algebra), so the numerator
+    2*R_pos - n_pos(n_pos+1) is integer-exact and AUC is one IEEE
+    division, rounded once."""
+    from meshinsights_data_pipeline_spark.operators.mleval import roc_auc
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        (F.col("user_id") % 2 == 0).alias("label"),
+        F.col("value"),
+    )
+    return roc_auc(ev, ["event_type"], "label", "value").orderBy(
+        "event_type"
+    )
+
+
+X124_SQL = """
+WITH ev AS (
+    SELECT event_type, (user_id % 2 = 0) AS y,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS (
+    SELECT event_type, v,
+           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+    FROM ev GROUP BY event_type, v
+),
+ranked AS (
+    SELECT *,
+           CAST(2 * COALESCE(SUM(pos + neg) OVER (
+                    PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (pos + neg) + 1 AS DECIMAL(38,0)) AS r2
+    FROM cells
+),
+agg AS (
+    SELECT event_type,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           SUM(CAST(pos AS DECIMAL(38,0)) * r2) AS r2p
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           ROUND(CAST(r2p - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)
+                      AS DOUBLE)
+                 / (2.0 * CAST(CAST(n_pos AS DECIMAL(38,0)) * n_neg
+                               AS DOUBLE)), 6) + 0.0
+       END AS auc
+FROM agg
+ORDER BY event_type
+"""
+
+
+def x125_calibration(spark: SparkSession, sf_dir: str):
+    """Per-event-type calibration report (mleval.calibration_report):
+    value/100 as a [0,1] confidence for the user_id%3 outcome —
+    ECE/MCE over 10 fixed equal-width bins plus the binning-free Brier
+    score. ~1/4 of the scores exceed 1.0, exercising the
+    clamp-before-cast edge-bin rule (the ks_value_counts ANSI lesson)
+    in the anchor itself. Bin moments fold DECIMAL(38,12) (bounded
+    domain — exact over a fixed quantum), ECE terms fold
+    DECIMAL(38,18), fixed-order IEEE ops mirrored in the oracle."""
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        calibration_report,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        (F.col("value").cast("double") / F.lit(100.0)).alias("score"),
+        (F.col("user_id") % 3 == 0).alias("label"),
+    )
+    return calibration_report(
+        ev, ["event_type"], "score", "label", bins=10
+    ).orderBy("event_type")
+
+
+X125_SQL = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(value AS DOUBLE) / 100.0 AS s,
+           (user_id % 3 = 0) AS y
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE) / 100.0)
+),
+binned AS (
+    SELECT event_type, s,
+           CASE WHEN y THEN 1 ELSE 0 END AS yi,
+           LEAST(9, CAST(FLOOR(GREATEST(0.0, LEAST(1.0, s)) * 10)
+                         AS INT)) AS b
+    FROM ev
+),
+per_bin AS (
+    SELECT event_type, b,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(yi) AS BIGINT) AS np,
+           SUM(CAST(s AS DECIMAL(38,12))) AS ssum,
+           SUM(CAST((s - CAST(yi AS DOUBLE)) * (s - CAST(yi AS DOUBLE))
+                    AS DECIMAL(38,12))) AS rsum
+    FROM binned GROUP BY event_type, b
+),
+gaps AS (
+    SELECT event_type, n_b, rsum,
+           ABS(CAST(np AS DOUBLE) / n_b
+               - CAST(ssum AS DOUBLE) / n_b) AS gap
+    FROM per_bin
+)
+SELECT event_type,
+       CAST(SUM(n_b) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(CAST(n_b AS DOUBLE) * gap AS DECIMAL(38,18)))
+                  AS DOUBLE) / SUM(n_b), 6) + 0.0 AS ece,
+       ROUND(MAX(gap), 6) + 0.0 AS mce,
+       ROUND(CAST(SUM(rsum) AS DOUBLE) / SUM(n_b), 6) + 0.0 AS brier
+FROM gaps
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def x126_cohens_kappa(spark: SparkSession, sf_dir: str):
+    """Per-source Cohen's kappa (mleval.cohens_kappa) between the
+    document language label and a deterministically-noised copy (every
+    7th doc relabeled 'xx') — the LLM-judge-vs-rater agreement readout
+    over the documents table; sources where the noise never fired
+    exercise the pe=1 NULL guard. Every operand of kappa stays an
+    exact DECIMAL(38,0) integer via the (n*diag - sum_rc) /
+    (n^2 - sum_rc) rewrite; one IEEE division, rounded once."""
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        cohens_kappa,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("rater_b"),
+    )
+    return cohens_kappa(docs, ["source"], "rater_a", "rater_b").orderBy(
+        "source"
+    )
+
+
+X126_SQL = """
+WITH base AS (
+    SELECT source,
+           lang AS a,
+           CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+    FROM documents
+    WHERE source IS NOT NULL AND lang IS NOT NULL
+),
+cells AS (
+    SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY source, a, b
+),
+rows_ AS (
+    SELECT source, a, CAST(SUM(c) AS BIGINT) AS r
+    FROM cells GROUP BY source, a
+),
+cols_ AS (
+    SELECT source, b, CAST(SUM(c) AS BIGINT) AS k
+    FROM cells GROUP BY source, b
+),
+tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+    FROM cells GROUP BY source
+),
+rc AS (
+    SELECT rows_.source,
+           SUM(CAST(r AS DECIMAL(38,0)) * k) AS sum_rc
+    FROM rows_ JOIN cols_
+      ON cols_.source = rows_.source AND cols_.b = rows_.a
+    GROUP BY rows_.source
+)
+SELECT tot.source, n,
+       ROUND(CAST(diag AS DOUBLE) / n, 6) + 0.0 AS po,
+       ROUND(CAST(COALESCE(sum_rc, 0) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE), 6)
+           + 0.0 AS pe,
+       CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * n - COALESCE(sum_rc, 0)
+                      AS DOUBLE) > 0
+            THEN ROUND(CAST(CAST(n AS DECIMAL(38,0)) * diag
+                            - COALESCE(sum_rc, 0) AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0)) * n
+                              - COALESCE(sum_rc, 0) AS DOUBLE), 6) + 0.0
+       END AS kappa
+FROM tot LEFT JOIN rc ON rc.source = tot.source
+ORDER BY tot.source
+"""
+
+
+def x127_cliffs_delta(spark: SparkSession, sf_dir: str):
+    """Cliff's delta effect size vs control (abtest.cliffs_delta) over
+    the x120 derived experiment — the magnitude companion of x120's
+    significance readout, computed from the SAME Mann-Whitney
+    count-table sufficient statistic: delta = (2U - n_a*n_c) /
+    (n_a*n_c) with 2U the doubled-rank exact integer, so delta is one
+    IEEE division of exact DECIMAL(38,0) operands, rounded once; a
+    missing control surfaces with has_control=false and NULL
+    n_control/delta (the family's left-join discipline)."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        cliffs_delta,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        F.col("value"),
+    )
+    return cliffs_delta(
+        ev, "experiment", "arm", "value", control_label="control"
+    ).orderBy("experiment", "arm")
+
+
+X127_SQL = """
+WITH ev AS (
+    SELECT event_type AS experiment,
+           CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 't1' END AS arm,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS (
+    SELECT experiment, arm, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY experiment, arm, v
+),
+armcells AS (
+    SELECT experiment, arm, v, c AS c_a, CAST(0 AS BIGINT) AS c_c
+    FROM cells WHERE arm <> 'control'
+),
+armlist AS (SELECT DISTINCT experiment, arm FROM armcells),
+ctrlcells AS (
+    SELECT al.experiment, al.arm, c.v,
+           CAST(0 AS BIGINT) AS c_a, c.c AS c_c
+    FROM armlist al
+    JOIN (SELECT experiment, v, c FROM cells WHERE arm = 'control') c
+      ON c.experiment = al.experiment
+),
+pooled AS (
+    SELECT experiment, arm, v,
+           CAST(SUM(c_a) AS BIGINT) AS c_a,
+           CAST(SUM(c_c) AS BIGINT) AS c_c
+    FROM (SELECT * FROM armcells UNION ALL SELECT * FROM ctrlcells)
+    GROUP BY experiment, arm, v
+),
+ranked AS (
+    SELECT *,
+           CAST(2 * COALESCE(SUM(c_a + c_c) OVER (
+                    PARTITION BY experiment, arm ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (c_a + c_c) + 1 AS DECIMAL(38,0)) AS r2
+    FROM pooled
+),
+stats AS (
+    SELECT experiment, arm,
+           CAST(SUM(c_a) AS BIGINT) AS n_arm,
+           CAST(SUM(c_c) AS BIGINT) AS n_control,
+           SUM(CAST(c_a AS DECIMAL(38,0)) * r2) AS r2a
+    FROM ranked GROUP BY experiment, arm
+),
+calc AS (
+    SELECT *,
+           r2a - CAST(CAST(n_arm AS DECIMAL(38,0)) * (n_arm + 1)
+                      AS DECIMAL(38,0)) AS u2,
+           CAST(CAST(n_arm AS DECIMAL(38,0)) * n_control
+                AS DECIMAL(38,0)) AS prod
+    FROM stats
+)
+SELECT experiment, arm,
+       CASE WHEN n_control > 0 THEN n_control END AS n_control,
+       n_arm,
+       n_control > 0 AS has_control,
+       CASE WHEN n_control > 0 THEN
+           ROUND(CAST(u2 - prod AS DOUBLE) / CAST(prod AS DOUBLE), 6) + 0.0
+       END AS delta
+FROM calc
+ORDER BY experiment, arm
+"""
+
+
+#: what r16 registers: name -> (builder, oracle_sql)
+DRAFTS = {
+    "x124_roc_auc": (x124_roc_auc, X124_SQL),
+    "x125_calibration": (x125_calibration, X125_SQL),
+    "x126_cohens_kappa": (x126_cohens_kappa, X126_SQL),
+    "x127_cliffs_delta": (x127_cliffs_delta, X127_SQL),
+}

@@ -41,6 +41,10 @@ from meshinsights_data_pipeline_spark.streaming.abtest import (
 from meshinsights_data_pipeline_spark.streaming.chi2 import (
     streaming_chi2_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.mleval import (
+    streaming_auc_ingest,
+    streaming_calibration_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.survival import (
     streaming_km_ingest,
 )
@@ -123,6 +127,8 @@ __all__ = [
     "streaming_benford_ingest",
     "streaming_abtest_ingest",
     "streaming_chi2_ingest",
+    "streaming_auc_ingest",
+    "streaming_calibration_ingest",
     "streaming_mann_whitney_ingest",
     "streaming_entropy_ingest",
     "streaming_jsd_ingest",

@@ -1256,3 +1256,89 @@ def test_correlation_ratio_single_moment_shuffle(spark):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "windowspecdefinition" not in p
+
+
+def test_roc_auc_count_spine_windows(spark):
+    """x124's scale contract (staged r16): ranks never materialize per
+    row — one (group, score) pos/neg count aggregate is the only
+    corpus-sized stage (materialized, one scan), and the pooled-rank
+    window is partitioned on the group — no single-partition window;
+    JVM-only, no cartesian."""
+    import re
+
+    from meshinsights_data_pipeline_spark.operators.mleval import roc_auc
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i % 3 == 0, float(i % 5)) for i in range(30)],
+        "g string, y boolean, s double",
+    )
+    p = _plan(roc_auc(df, ["g"], "y", "s"))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized count frame
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("g"), spec
+
+
+def test_calibration_report_single_aggregate(spark):
+    """x125's scale contract (staged r16): ONE map-side-combinable
+    (group, bin) moment aggregate is the only corpus-sized stage
+    (Brier's residual moments fold in the same pass); no windows over
+    the data, no joins, JVM-only."""
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", (i % 13) / 10.0, i % 3 == 0) for i in range(39)],
+        "g string, s double, y boolean",
+    )
+    p = _plan(calibration_report(df, ["g"], "s", "y", bins=10))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "windowspecdefinition" not in p
+    assert "Join" not in p  # two chained aggregates, nothing else
+
+
+def test_cohens_kappa_single_scan_contingency(spark):
+    """x126's scale contract (staged r16): ONE (group, a, b)
+    contingency aggregate is materialized and feeds the diagonal,
+    both marginals, and the total (no corpus re-scan — the
+    chi2_independence diamond); label-pair-sized algebra after;
+    JVM-only, no cartesian."""
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"l{i % 3}", f"l{(i * 2) % 3}") for i in range(24)],
+        "g string, a string, b string",
+    )
+    p = _plan(cohens_kappa(df, ["g"], "a", "b"))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized contingency frame
+
+
+def test_cliffs_delta_count_spine_windows(spark):
+    """x127's scale contract (staged r16): the shared mw_cell_counts
+    stage is the only corpus-sized aggregate (materialized, one
+    scan); control counts replicate via a BROADCAST of the arm list;
+    the rank window is partitioned on (experiment, arm); JVM-only."""
+    import re
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        cliffs_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{i % 2}", f"a{i % 3}", float(i % 5)) for i in range(30)],
+        "exp string, arm string, v double",
+    )
+    p = _plan(cliffs_delta(df, "exp", "arm", "v", control_label="a0"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized count frame
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("exp"), spec

@@ -2842,3 +2842,237 @@ def test_source_duplicate_matrix_matches_python(spark, docs):
                     round(shared / len(sets[b]), 6),
                 )
     assert got == expect, (docs, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # group
+                  st.integers(0, 1),      # label
+                  st.integers(-4, 4)),    # score (forced ties)
+        min_size=1, max_size=50,
+    ),
+)
+@SLOW
+def test_roc_auc_matches_python(spark, rows):
+    """AUC is bit-identical to the rank-sum identity computed in
+    python with the operator's exact op order (doubled integer rank
+    sums, one multiply + one division); equals the brute-force
+    P(pos > neg) + 0.5*P(pos = neg) definition; a single-class group
+    yields NULL (the degenerate class surfaces, never auc=0)."""
+    from collections import Counter, defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.mleval import roc_auc
+
+    data = [(f"g{g}", bool(y), float(s)) for g, y, s in rows]
+    noisy = data + [
+        ("g0", None, 1.0), ("g0", True, float("nan")), (None, True, 1.0)
+    ]
+    df = spark.createDataFrame(noisy, "g string, y boolean, s double")
+    got = {
+        r.g: (r.n_pos, r.n_neg, r.auc)
+        for r in roc_auc(df, ["g"], "y", "s").collect()
+    }
+
+    by_g = defaultdict(list)
+    for g, y, s in data:
+        by_g[g].append((y, s))
+    expect = {}
+    for g, pts in by_g.items():
+        pos = [s for y, s in pts if y]
+        neg = [s for y, s in pts if not y]
+        if not pos or not neg:
+            expect[g] = (len(pos), len(neg), None)
+            continue
+        pool = Counter(s for _, s in pts)
+        r2, cum = {}, 0
+        for v in sorted(pool):
+            r2[v] = 2 * cum + pool[v] + 1
+            cum += pool[v]
+        r2p = sum(r2[s] for s in pos)
+        n_p, n_n = len(pos), len(neg)
+        u2 = r2p - n_p * (n_p + 1)
+        # the operator's exact op order: double(u2) / (2.0 * double(prod))
+        auc = round(float(u2) / (2.0 * float(n_p * n_n)), 6) + 0.0
+        # brute force agrees (rank-sum identity, ties counted half)
+        bf = sum(
+            1.0 if p > q else 0.5 if p == q else 0.0
+            for p in pos for q in neg
+        ) / (n_p * n_n)
+        assert abs(auc - bf) < 1e-6, (g, auc, bf)
+        expect[g] = (n_p, n_n, auc)
+    assert got == expect, (data, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # group
+                  st.integers(0, 1),      # outcome
+                  st.integers(-2, 12)),   # score*10 (exercises clamp)
+        min_size=1, max_size=50,
+    ),
+)
+@SLOW
+def test_calibration_report_matches_python(spark, rows):
+    """ECE/MCE/Brier are bit-identical to the binned definitions
+    computed in python with the operator's exact op order — fixed
+    [0,1] domain, clamp-before-cast bin assignment (out-of-range
+    scores land in the edge bins), DECIMAL-quantized folds."""
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+    import math
+
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        calibration_report,
+    )
+
+    data = [(f"g{g}", float(s) / 10.0, bool(y)) for g, y, s in rows]
+    noisy = data + [
+        ("g0", None, True), ("g0", float("nan"), False),
+        ("g0", 0.5, None), (None, 0.5, True),
+    ]
+    df = spark.createDataFrame(noisy, "g string, s double, y boolean")
+    got = {
+        r.g: (r.n, r.ece, r.mce, r.brier)
+        for r in calibration_report(df, ["g"], "s", "y", bins=10).collect()
+    }
+
+    q12 = Decimal("0.000000000001")
+    q18 = Decimal("0.000000000000000001")
+
+    def d12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    by_gb = defaultdict(list)
+    for g, s, y in data:
+        cv = max(0.0, min(1.0, s))
+        b = min(9, int(math.floor(cv * 10)))
+        by_gb[(g, b)].append((s, 1 if y else 0))
+    expect = {}
+    per_g = defaultdict(list)
+    for (g, b), pts in by_gb.items():
+        per_g[g].append(pts)
+    for g, bins_pts in per_g.items():
+        n = sum(len(p) for p in bins_pts)
+        e = Decimal(0)
+        mce = 0.0
+        bsum = Decimal(0)
+        for pts in bins_pts:
+            n_b = len(pts)
+            ssum = sum((d12(s) for s, _ in pts), Decimal(0))
+            np_ = sum(y for _, y in pts)
+            conf = float(ssum) / n_b
+            acc = float(np_) / n_b
+            gap = abs(acc - conf)
+            mce = max(mce, gap)
+            e += Decimal(repr(float(n_b) * gap)).quantize(
+                q18, rounding=ROUND_HALF_UP
+            )
+            bsum += sum(
+                (d12((s - float(y)) * (s - float(y))) for s, y in pts),
+                Decimal(0),
+            )
+        expect[g] = (
+            n,
+            round(float(e) / n, 6) + 0.0,
+            round(mce, 6) + 0.0,
+            round(float(bsum) / n, 6) + 0.0,
+        )
+    assert got == expect, (data, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # group
+                  st.integers(0, 2),      # rater a label
+                  st.integers(0, 2)),     # rater b label
+        min_size=1, max_size=50,
+    ),
+)
+@SLOW
+def test_cohens_kappa_matches_python(spark, rows):
+    """kappa is bit-identical to the exact-integer rewrite
+    (n*diag - sum_rc) / (n^2 - sum_rc) and equals the textbook
+    (po - pe) / (1 - pe); both-raters-constant-and-agreeing groups
+    yield NULL (pe = 1 — agreement is vacuous)."""
+    from collections import Counter, defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        cohens_kappa,
+    )
+
+    data = [(f"g{g}", f"l{a}", f"l{b}") for g, a, b in rows]
+    noisy = data + [("g0", None, "l0"), ("g0", "l0", None), (None, "l0", "l0")]
+    df = spark.createDataFrame(noisy, "g string, a string, b string")
+    got = {
+        r.g: (r.n, r.po, r.pe, r.kappa)
+        for r in cohens_kappa(df, ["g"], "a", "b").collect()
+    }
+
+    by_g = defaultdict(list)
+    for g, a, b in data:
+        by_g[g].append((a, b))
+    expect = {}
+    for g, pts in by_g.items():
+        n = len(pts)
+        diag = sum(1 for a, b in pts if a == b)
+        ra = Counter(a for a, _ in pts)
+        cb = Counter(b for _, b in pts)
+        sum_rc = sum(ra[k] * cb.get(k, 0) for k in ra)
+        po = round(float(diag) / n, 6) + 0.0
+        pe = round(float(sum_rc) / float(n * n), 6) + 0.0
+        den = float(n * n - sum_rc)
+        kappa = (
+            round(float(n * diag - sum_rc) / den, 6) + 0.0
+            if den > 0 else None
+        )
+        expect[g] = (n, po, pe, kappa)
+    assert got == expect, (data, got, expect)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1),                 # experiment
+                  st.integers(0, 2),                 # arm id (0 = control)
+                  st.lists(st.integers(-4, 4),       # metric (forced ties)
+                           min_size=1, max_size=10)),
+        min_size=1, max_size=6,
+    ),
+)
+@SLOW
+def test_cliffs_delta_matches_brute_force(spark, cells):
+    """delta is bit-identical to one IEEE division of the exact
+    integers (2U - n_a*n_c, n_a*n_c) and equals the brute-force
+    (#{a>c} - #{a<c}) / (n_a*n_c) definition; a missing control
+    surfaces with has_control=false and NULL n_control/delta."""
+    from collections import defaultdict
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        cliffs_delta,
+    )
+
+    agg = defaultdict(list)
+    for e, a, vals in cells:
+        agg[(f"e{e}", f"a{a}")] += [float(v) for v in vals]
+    rows = [(e, a, v) for (e, a), vals in agg.items() for v in vals]
+    df = spark.createDataFrame(rows, "exp string, arm string, v double")
+    got = {
+        (r.exp, r.arm): (r.n_control, r.delta, r.has_control)
+        for r in cliffs_delta(
+            df, "exp", "arm", "v", control_label="a0"
+        ).collect()
+    }
+
+    expect = {}
+    for (e, a), vals in agg.items():
+        if a == "a0":
+            continue
+        ctrl = agg.get((e, "a0"), [])
+        if not ctrl:
+            expect[(e, a)] = (None, None, False)
+            continue
+        gt = sum(1 for x in vals for y in ctrl if x > y)
+        lt = sum(1 for x in vals for y in ctrl if x < y)
+        prod = len(vals) * len(ctrl)
+        delta = round(float(gt - lt) / float(prod), 6) + 0.0
+        expect[(e, a)] = (len(ctrl), delta, True)
+    assert got == expect, (dict(agg), got, expect)

@@ -2608,3 +2608,119 @@ def test_streaming_jsd_full_parity_and_retry(spark, tmp_path):
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
     assert after.count() == 5
+
+
+def test_streaming_auc_full_parity_and_retry(spark, tmp_path):
+    """AUC twin: integer (group, score) pos/neg cells merge exactly, so
+    every epoch's report equals the batch rank-sum AUC over everything
+    ingested — including a group whose second class first APPEARS
+    mid-stream (NULL auc surfaces until then); a retried epoch changes
+    nothing."""
+    from meshinsights_data_pipeline_spark.operators.mleval import roc_auc
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_auc_ingest,
+    )
+
+    schema = "g string, y boolean, s double"
+    b1 = spark.createDataFrame(
+        [("m1", True, 0.9), ("m1", True, 0.4), ("m1", False, 0.4),
+         ("m1", False, 0.1),
+         ("m2", True, 0.8), ("m2", True, 0.6)],   # one-class so far
+        schema)
+    b2 = spark.createDataFrame(
+        [("m1", True, 0.7), ("m1", False, 0.9),
+         ("m2", False, 0.5)],                      # class arrives late
+        schema)
+    cdir, rdir = str(tmp_path / "cells"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], "g string, _v double, _pos long, _neg long"),
+        cdir, -1)
+
+    process = streaming_auc_ingest(
+        b1, group_col="g", label_col="y", score_col="s",
+        cells_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["n_pos"], r["n_neg"], r["auc"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(roc_auc(b1, ["g"], "y", "s"))
+    assert any(r[3] is None for r in got0)      # m2 one-class surfaced
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(roc_auc(b1.unionByName(b2), ["g"], "y", "s"))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 4
+
+
+def test_streaming_calibration_full_parity_and_retry(spark, tmp_path):
+    """Calibration twin: per-(group, bin) integer counts and
+    DECIMAL(38,12) moment folds merge exactly (exact sums over a fixed
+    quantum), so every epoch's ECE/MCE/Brier equals the batch operator
+    over everything ingested — including the clamp-edge bins; a
+    retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.mleval import (
+        calibration_report,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_calibration_ingest,
+    )
+
+    schema = "g string, s double, y boolean"
+    b1 = spark.createDataFrame(
+        [("m1", 0.05, False), ("m1", 0.15, True), ("m1", 0.95, True),
+         ("m1", 1.4, True),                       # clamps into bin 9
+         ("m2", 0.5, False)],
+        schema)
+    b2 = spark.createDataFrame(
+        [("m1", 0.95, False), ("m1", -0.2, False),  # clamps into bin 0
+         ("m2", 0.55, True)],
+        schema)
+    sdir, rdir = str(tmp_path / "state"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [],
+            "g string, _b int, _n long, _np long, "
+            "_ssum decimal(38,12), _rsum decimal(38,12)"),
+        sdir, -1)
+
+    process = streaming_calibration_ingest(
+        b1, group_col="g", score_col="s", label_col="y",
+        bins=10, state_dir=sdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["n"], r["ece"], r["mce"], r["brier"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(calibration_report(b1, ["g"], "s", "y", bins=10))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        calibration_report(b1.unionByName(b2), ["g"], "s", "y", bins=10))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 4
