@@ -20,6 +20,9 @@ big is the effect it detects — the model-facing readout family
 5. cliffs_delta: the nonparametric effect size vs control over the
    derived experiment — the magnitude readout beside mann_whitney_u's
    significance, from the SAME count-table sufficient statistic.
+6. bootstrap_mean_ci: a distribution-free 95% band on each event
+   type's mean value via the deterministic Poisson bootstrap — the
+   uncertainty readout for metrics where the parametric se is fiction.
 
 Run: python examples/judge_eval.py [sf_dir]
 """
@@ -95,6 +98,15 @@ def main() -> None:
     cliffs_delta(
         arms, "experiment", "arm", "value", control_label="control"
     ).orderBy("experiment", "arm").show()
+
+    print("=== Bootstrap 95% CI on the mean value per event type ===")
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    bootstrap_mean_ci(
+        ev, ["event_type"], "value", "event_id", b=60
+    ).orderBy("event_type").show()
 
     spark.stop()
 

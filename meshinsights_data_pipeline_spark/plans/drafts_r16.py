@@ -13,11 +13,12 @@ generation). Round 16 registers each (builder, SQL) pair and gives it
 a window slot — registration is a copy, not new work (the r13 -> r14
 -> r15 precedent).
 
-Round-16 window math (for whoever rotates next): 4 slots for
-x124–x127 (new), then the full 46-query r12-stale cohort (the 48
-r12-checked queries minus the 2 re-checked in r15: x26, q67) —
-4 + 46 = 50 exactly, no fill band. After that rotation no query is
-staler than r13.
+Round-16 window math (for whoever rotates next): 5 slots for
+x124–x128 (new), then the r12-stale cohort (the 48 r12-checked
+queries minus the 2 re-checked in r15: x26, q67 — i.e. 46 queries) of
+which 45 fit: defer the LIGHTEST r12 query (x36_profile, 0.38s warm —
+re-verification value concentrates in heavy plans) to r17. 5 + 45 =
+50. After that rotation no query is staler than r13 except x36.
 """
 
 from __future__ import annotations
@@ -322,10 +323,112 @@ ORDER BY experiment, arm
 """
 
 
+def x128_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    """Percentile-bootstrap 95% CI of the mean event value per event
+    type (bootstrap.bootstrap_mean_ci, B=60) — the distribution-free
+    uncertainty band the z/t readouts (x105/x116) approximate
+    parametrically. Every (row, replicate) Poisson weight is a pure
+    function of (event_id, b) via the md5_int60 surface against shared
+    12-decimal Poisson(1)-CDF literals, so the resamples — and the CI —
+    are bit-identical across engines: replicate means fold w*v through
+    DECIMAL(38,12), the sample mean rides the same single pass as
+    pseudo-replicate b=-1, and the bounds are exact interpolated
+    percentiles over the replicate means."""
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, ["event_type"], "value", "event_id", b=60
+    ).orderBy("event_type")
+
+
+def _x128_sql() -> str:
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        POISSON1_CDF,
+    )
+
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    ) + " ELSE 6 END"
+    return f"""
+WITH base AS (
+    SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+reps AS (
+    SELECT g, id, v, b
+    FROM base CROSS JOIN (SELECT unnest(range(-1, 60)) AS b) bs
+),
+wts AS (
+    SELECT g, b, v,
+           CASE WHEN b = -1 THEN 1 ELSE {w_case} END AS w
+    FROM (
+        SELECT *,
+               CAST(('0x' || substring(
+                         md5(id || '|' || CAST(b AS VARCHAR)), 1, 15)
+                     )::BIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+        FROM reps
+    )
+),
+moments AS (
+    SELECT g, b,
+           SUM(CAST(w * v AS DECIMAL(38,12))) AS s,
+           CAST(SUM(w) AS BIGINT) AS n_w,
+           CAST(COUNT(*) AS BIGINT) AS rows_
+    FROM wts GROUP BY g, b
+),
+means AS (
+    SELECT g, b, rows_, CAST(s AS DOUBLE) / n_w AS m
+    FROM moments WHERE n_w > 0
+),
+sample AS (
+    SELECT g, rows_ AS n, m AS sample_mean FROM means WHERE b = -1
+),
+ranked AS (
+    SELECT g, m, ROW_NUMBER() OVER (PARTITION BY g ORDER BY m) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nb
+    FROM means WHERE b >= 0
+),
+lo AS (
+    SELECT r.g, r.nb AS b_reps,
+           ROUND(r.m + (h.m - r.m)
+                 * (CAST(r.nb - 1 AS DOUBLE) * 0.025
+                    - FLOOR(CAST(r.nb - 1 AS DOUBLE) * 0.025)), 6)
+               + 0.0 AS ci_lo
+    FROM ranked r
+    JOIN ranked h ON h.g = r.g
+       AND h.rk = CAST(CEIL(CAST(r.nb - 1 AS DOUBLE) * 0.025) + 1 AS BIGINT)
+    WHERE r.rk = CAST(FLOOR(CAST(r.nb - 1 AS DOUBLE) * 0.025) + 1 AS BIGINT)
+),
+hi AS (
+    SELECT r.g,
+           ROUND(r.m + (h.m - r.m)
+                 * (CAST(r.nb - 1 AS DOUBLE) * 0.975
+                    - FLOOR(CAST(r.nb - 1 AS DOUBLE) * 0.975)), 6)
+               + 0.0 AS ci_hi
+    FROM ranked r
+    JOIN ranked h ON h.g = r.g
+       AND h.rk = CAST(CEIL(CAST(r.nb - 1 AS DOUBLE) * 0.975) + 1 AS BIGINT)
+    WHERE r.rk = CAST(FLOOR(CAST(r.nb - 1 AS DOUBLE) * 0.975) + 1 AS BIGINT)
+)
+SELECT sample.g AS event_type, n, b_reps,
+       ROUND(sample_mean, 6) + 0.0 AS mean, ci_lo, ci_hi
+FROM sample JOIN lo ON lo.g = sample.g JOIN hi ON hi.g = sample.g
+ORDER BY event_type
+"""
+
+
 #: what r16 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x124_roc_auc": (x124_roc_auc, X124_SQL),
     "x125_calibration": (x125_calibration, X125_SQL),
     "x126_cohens_kappa": (x126_cohens_kappa, X126_SQL),
     "x127_cliffs_delta": (x127_cliffs_delta, X127_SQL),
+    "x128_bootstrap_ci": (x128_bootstrap_ci, _x128_sql()),
 }

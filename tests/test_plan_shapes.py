@@ -1342,3 +1342,28 @@ def test_cliffs_delta_count_spine_windows(spark):
     assert "Scan ExistingRDD" in p  # the materialized count frame
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert spec.split(",")[0].strip().startswith("exp"), spec
+
+
+def test_bootstrap_mean_ci_single_exploded_scan(spark):
+    """x128's scale contract (staged r16): ONE corpus scan exploded
+    x(B+1) map-side feeds a combinable (group, b) moment aggregate; the
+    tiny replicate-mean frame is materialized before the rank window
+    and the percentile bracket filters (five consumers — the diamond
+    lesson); rank windows are group-partitioned; JVM-only, no
+    cartesian beyond the sanctioned 1-row shapes."""
+    import re
+
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i, float(i % 7)) for i in range(30)],
+        "g string, id long, v double",
+    )
+    p = _plan(bootstrap_mean_ci(df, ["g"], "v", "id", b=8))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the materialized replicate means
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].strip().startswith("g"), spec

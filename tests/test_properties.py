@@ -3076,3 +3076,87 @@ def test_cliffs_delta_matches_brute_force(spark, cells):
         delta = round(float(gt - lt) / float(prod), 6) + 0.0
         expect[(e, a)] = (len(ctrl), delta, True)
     assert got == expect, (dict(agg), got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # group
+                  st.integers(-4, 4)),    # metric
+        min_size=1, max_size=12,
+    ),
+)
+@SLOW
+def test_bootstrap_mean_ci_matches_python(spark, rows):
+    """The Poisson-bootstrap CI is bit-identical to a python mirror of
+    the same deterministic procedure — md5-derived weights against the
+    shared CDF literals, DECIMAL(38,12) replicate folds, exact
+    interpolated percentiles — and the sample mean matches the plain
+    mean (the b=-1 pseudo-replicate)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        POISSON1_CDF,
+        bootstrap_mean_ci,
+    )
+
+    B = 10
+    data = [(f"g{g}", i, float(v)) for i, (g, v) in enumerate(rows)]
+    noisy = data + [
+        ("g0", 900, None), ("g0", 901, float("nan")), (None, 902, 1.0)
+    ]
+    df = spark.createDataFrame(noisy, "g string, id long, v double")
+    got = {
+        r.g: (r.n, r.b_reps, r.mean, r.ci_lo, r.ci_hi)
+        for r in bootstrap_mean_ci(df, ["g"], "v", "id", b=B).collect()
+    }
+
+    cdf = [float(x) for x in POISSON1_CDF]
+    q12 = Decimal("0.000000000001")
+
+    def d12(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    def weight(idv: str, b: int) -> int:
+        u = int(
+            hashlib.md5(f"{idv}|{b}".encode()).hexdigest()[:15], 16
+        ) / float(2 ** 60)
+        for k, t in enumerate(cdf):
+            if u < t:
+                return k
+        return 6
+
+    by_g = defaultdict(list)
+    for g, i, v in data:
+        by_g[g].append((str(i), v))
+    expect = {}
+    for g, pts in by_g.items():
+        means = []
+        for b in range(B):
+            s, nw = Decimal(0), 0
+            for idv, v in pts:
+                w = weight(idv, b)
+                s += d12(float(w * v))
+                nw += w
+            if nw > 0:
+                means.append(float(s) / nw)
+        means.sort()
+        nb = len(means)
+        sm = round(
+            float(sum((d12(1.0 * v) for _, v in pts), Decimal(0)))
+            / len(pts), 6,
+        ) + 0.0
+        if nb == 0:
+            continue  # operator emits no row (inner percentile join)
+
+        def pct(q: float) -> float:
+            pos = float(nb - 1) * q
+            lo, hi = math.floor(pos), math.ceil(pos)
+            return round(
+                means[lo] + (means[hi] - means[lo]) * (pos - lo), 6
+            ) + 0.0
+
+        expect[g] = (len(pts), nb, sm, pct(0.05 / 2.0), pct(1.0 - 0.05 / 2.0))
+    assert got == expect, (data, got, expect)
