@@ -43,6 +43,7 @@ from meshinsights_data_pipeline_spark.streaming.chi2 import (
 )
 from meshinsights_data_pipeline_spark.streaming.mleval import (
     streaming_auc_ingest,
+    streaming_bootstrap_ingest,
     streaming_calibration_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.survival import (
@@ -128,6 +129,7 @@ __all__ = [
     "streaming_abtest_ingest",
     "streaming_chi2_ingest",
     "streaming_auc_ingest",
+    "streaming_bootstrap_ingest",
     "streaming_calibration_ingest",
     "streaming_mann_whitney_ingest",
     "streaming_entropy_ingest",

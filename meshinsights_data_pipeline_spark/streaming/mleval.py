@@ -99,6 +99,182 @@ def streaming_auc_ingest(
     return _process
 
 
+def streaming_bootstrap_ingest(
+    stream: DataFrame,
+    group_col: str = "group",
+    value_col: str = "value",
+    id_col: str = "id",
+    *,
+    b: int = 100,
+    alpha: float = 0.05,
+    state_dir: str,
+    report_dir: str,
+    round_to: int = 6,
+    idempotent: bool = True,
+):
+    """foreachBatch callable: merge each batch's per-(group, replicate)
+    Poisson-bootstrap moments into the state, recompute the per-group
+    mean + percentile CI from the merged moments, append it with the
+    epoch id — the continuously-updated uncertainty band over
+    EVERYTHING ingested (the batch operator's (group, b) moment table
+    is a mergeable sufficient statistic: weights are pure functions of
+    (id, b), decimal/integer sums merge exactly, so every epoch's CI is
+    bit-identical to ``bootstrap_mean_ci`` over the union — assuming
+    ids are unique across batches, the same contract the dedup twins
+    state).
+
+    ``b``/``alpha`` are part of the state's identity (start a new state
+    dir to change them). Seed the state dir with
+    ``snapshot_overwrite(empty, state_dir, -1)`` (schema
+    ``group string, _b int, _s decimal(38,12), _n_w long, _rows long``
+    with your group column's name/type). Report rows are
+    ``[epoch, group, n, b_reps, mean, ci_lo, ci_hi]``.
+    """
+    if b < 2:
+        raise ValueError(f"b must be >= 2, got {b}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import Window
+
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        poisson_weight,
+    )
+    from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    dec12 = "decimal(38,12)"
+
+    def _batch_moments(batch_df: DataFrame) -> DataFrame:
+        # the batch operator's guards / hash / weight rules, one place
+        v = F.col(value_col).cast("double")
+        keep = (
+            v.isNotNull() & ~F.isnan(v)
+            & F.col(id_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        base = batch_df.filter(keep).select(
+            F.col(group_col),
+            F.col(id_col).cast("string").alias("_id"),
+            v.alias("_v"),
+        )
+        reps = base.select(
+            group_col, "_id", "_v",
+            F.explode(F.sequence(F.lit(-1), F.lit(int(b) - 1))).alias("_b"),
+        )
+        u = md5_int60(
+            F.concat_ws("|", F.col("_id"), F.col("_b").cast("string"))
+        ).cast("double") / F.lit(float(1 << 60))
+        w = F.when(F.col("_b") == -1, F.lit(1)).otherwise(poisson_weight(u))
+        return (
+            reps.select(group_col, "_b", w.alias("_w"), "_v")
+            .groupBy(group_col, "_b")
+            .agg(
+                F.sum((F.col("_w") * F.col("_v")).cast(dec12))
+                .cast(dec12)
+                .alias("_s"),
+                F.sum("_w").cast("bigint").alias("_n_w"),
+                F.count(F.lit(1)).cast("bigint").alias("_rows"),
+            )
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_m = _batch_moments(batch_df)
+        prev = snapshot_before(spark, state_dir, epoch_id).select(
+            group_col, "_b", "_s", "_n_w", "_rows"
+        )
+        merged = (
+            prev.union(batch_m)
+            .groupBy(group_col, "_b")
+            .agg(
+                F.sum("_s").cast(dec12).alias("_s"),
+                F.sum("_n_w").cast("bigint").alias("_n_w"),
+                F.sum("_rows").cast("bigint").alias("_rows"),
+            )
+            .localCheckpoint()  # feeds the report AND the snapshot write
+        )
+        snapshot_overwrite(merged, state_dir, version=epoch_id)
+
+        means = merged.filter(F.col("_n_w") > 0).select(
+            group_col,
+            "_b",
+            "_rows",
+            (F.col("_s").cast("double") / F.col("_n_w")).alias("_mean"),
+        )
+        sample = means.filter(F.col("_b") == -1).select(
+            group_col,
+            F.col("_rows").alias("n"),
+            F.col("_mean").alias("_sample_mean"),
+        )
+        boot = means.filter(F.col("_b") >= 0)
+        wspec = Window.partitionBy(group_col).orderBy("_mean")
+        ranked = boot.select(
+            group_col,
+            "_mean",
+            F.row_number().over(wspec).alias("_rk"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(group_col)
+            ).alias("_nb"),
+        )
+
+        def _pct(q: float, out: str) -> DataFrame:
+            pos = (F.col("_nb") - 1).cast("double") * F.lit(float(q))
+            lo_rk = (F.floor(pos) + 1).cast("int")
+            hi_rk = (F.ceil(pos) + 1).cast("int")
+            frac = pos - F.floor(pos)
+            lo = ranked.filter(F.col("_rk") == lo_rk).select(
+                group_col,
+                F.col("_mean").alias("_lo"),
+                F.col("_nb").alias(
+                    "b_reps" if out == "ci_lo" else "_nb_drop"
+                ),
+                frac.alias("_frac"),
+            )
+            hi = ranked.filter(F.col("_rk") == hi_rk).select(
+                group_col, F.col("_mean").alias("_hi")
+            )
+            out_frame = lo.join(hi, [group_col]).select(
+                group_col,
+                *(["b_reps"] if out == "ci_lo" else []),
+                (
+                    F.round(
+                        F.col("_lo")
+                        + (F.col("_hi") - F.col("_lo")) * F.col("_frac"),
+                        round_to,
+                    )
+                    + F.lit(0.0)
+                ).alias(out),
+            )
+            return out_frame
+
+        report = (
+            sample.join(_pct(alpha / 2.0, "ci_lo"), [group_col])
+            .join(_pct(1.0 - alpha / 2.0, "ci_hi"), [group_col])
+            .select(
+                F.col(group_col),
+                "n",
+                "b_reps",
+                (F.round(F.col("_sample_mean"), round_to) + F.lit(0.0))
+                .alias("mean"),
+                "ci_lo",
+                "ci_hi",
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
+        )
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(report, report_dir, epoch_id)
+        else:
+            report.write.mode("append").parquet(report_dir)
+
+    return _process
+
+
 def streaming_calibration_ingest(
     stream: DataFrame,
     group_col: str = "group",

@@ -2724,3 +2724,62 @@ def test_streaming_calibration_full_parity_and_retry(spark, tmp_path):
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
     assert after.count() == 4
+
+
+def test_streaming_bootstrap_full_parity_and_retry(spark, tmp_path):
+    """Bootstrap twin: the per-(group, replicate) Poisson moments are a
+    mergeable sufficient statistic (weights are pure functions of
+    (id, b); decimal/integer sums merge exactly), so every epoch's
+    mean + CI equals the batch operator over everything ingested; a
+    retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_bootstrap_ingest,
+    )
+
+    schema = "g string, id long, v double"
+    b1 = spark.createDataFrame(
+        [("m1", i, float((i * 7) % 23)) for i in range(20)]
+        + [("m2", 100 + i, float(i % 5)) for i in range(5)],
+        schema)
+    b2 = spark.createDataFrame(
+        [("m1", 200 + i, float((i * 3) % 11)) for i in range(8)]
+        + [("m3", 300, 42.0)],                 # group appears mid-stream
+        schema)
+    sdir, rdir = str(tmp_path / "state"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [],
+            "g string, _b int, _s decimal(38,12), _n_w long, _rows long"),
+        sdir, -1)
+
+    B = 12
+    process = streaming_bootstrap_ingest(
+        b1, group_col="g", value_col="v", id_col="id",
+        b=B, state_dir=sdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["n"], r["b_reps"], r["mean"], r["ci_lo"], r["ci_hi"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(bootstrap_mean_ci(b1, ["g"], "v", "id", b=B))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        bootstrap_mean_ci(b1.unionByName(b2), ["g"], "v", "id", b=B))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 5
