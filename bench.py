@@ -415,6 +415,72 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: stat tests e2e failed: {exc}", file=sys.stderr)
 
+    # Judge/classifier-evaluation end-to-end (the r16 staged anchors'
+    # composed plans: ROC-AUC + calibration report + Cohen's kappa +
+    # Cliff's delta + bootstrap CI) — gated now so their regression
+    # history starts before registration (the stat_tests_e2e
+    # precedent).
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.operators.abtest import (
+            cliffs_delta,
+        )
+        from meshinsights_data_pipeline_spark.operators.bootstrap import (
+            bootstrap_mean_ci,
+        )
+        from meshinsights_data_pipeline_spark.operators.mleval import (
+            calibration_report,
+            cohens_kappa,
+            roc_auc,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        docs = read_table(spark, sf_dir, "documents")
+        scored = ev.select(
+            F.col("event_type"),
+            (F.col("user_id") % 2 == 0).alias("label"),
+            F.col("value"),
+        )
+        conf = ev.select(
+            F.col("event_type"),
+            (F.col("value").cast("double") / F.lit(100.0)).alias("score"),
+            (F.col("user_id") % 3 == 0).alias("label"),
+        )
+        raters = docs.select(
+            F.col("source"),
+            F.col("lang").alias("rater_a"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+            .otherwise(F.col("lang")).alias("rater_b"),
+        )
+        arms = ev.select(
+            F.col("event_type").alias("experiment"),
+            F.when(F.col("user_id") % 2 == 0, "control")
+            .otherwise("t1").alias("arm"),
+            F.col("value"),
+        )
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for frame in (
+                roc_auc(scored, ["event_type"], "label", "value"),
+                calibration_report(
+                    conf, ["event_type"], "score", "label", bins=10
+                ),
+                cohens_kappa(raters, ["source"], "rater_a", "rater_b"),
+                cliffs_delta(arms, "experiment", "arm", "value",
+                             control_label="control"),
+                bootstrap_mean_ci(ev, ["event_type"], "value",
+                                  "event_id", b=60),
+            ):
+                frame.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["judge_eval_e2e"] = runs[0]
+        extras["judge_eval_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: judge eval e2e failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost

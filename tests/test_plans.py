@@ -304,3 +304,35 @@ def test_sessionize_by_gap_rejects_nonpositive_gap(spark):
     df = spark.createDataFrame([], "u long, ts timestamp")
     with _pytest.raises(ValueError, match="positive"):
         sessionize_by_gap(df, "ts", 0, ["u"])
+
+
+def test_driver_window_invariants():
+    """The driver oracle-checks only the FIRST 50 of QUERIES: the
+    window must hold exactly 50 unique registered names, lead the dict
+    in order, and every entry must carry an oracle (a rows-only check
+    in a window slot would silently weaken the round's gate).
+    _rotate_for_driver raises at import time; this pins the contract
+    in CI with a readable failure."""
+    from meshinsights_data_pipeline_spark.plans.queries import (
+        QUERIES,
+        _DRIVER_WINDOW,
+    )
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert list(QUERIES)[:50] == list(_DRIVER_WINDOW)
+    missing_oracle = [n for n in _DRIVER_WINDOW if QUERIES[n].oracle is None]
+    assert not missing_oracle, missing_oracle
+
+
+def test_staged_drafts_do_not_collide_with_registered():
+    """Staged next-round anchors (plans/drafts_r16.py) must not reuse a
+    registered query name — registration is a dict update, and a
+    collision would silently replace a driver-checked anchor."""
+    from meshinsights_data_pipeline_spark.plans.drafts_r16 import (
+        DRAFTS as NEXT,
+    )
+    from meshinsights_data_pipeline_spark.plans.queries import QUERIES
+
+    overlap = sorted(set(NEXT) & set(QUERIES))
+    assert not overlap, overlap
