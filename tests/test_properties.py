@@ -1321,16 +1321,32 @@ def test_linkage_fields_matches_bruteforce(spark, rows, w, threshold):
             return 0.0
         return max(0.0, 1 - abs(a - b) / scale)
 
+    # mirror Spark's F.round exactly: HALF_UP on the double's SHORTEST
+    # decimal repr (BigDecimal.valueOf semantics). Plain python round()
+    # is half-EVEN on the exact binary value and diverges when a score
+    # lands on a decimal-repr midpoint — hypothesis found one via the
+    # dyadic weight 0.03125 (score 0.5296875 -> Spark 0.529688, python
+    # round 0.529687). The HALF_UP-on-repr form is the suite-wide
+    # reference convention (the welch/calibration tests).
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     expect = []
     for i in range(len(data)):
         for j in range(i + 1, len(data)):
             ri, rj = data[i], data[j]
             if ri[1] != rj[1]:
                 continue
-            score = round(w[0] * s_sim(ri[2], rj[2])
-                          + w[1] * s_sim(ri[3], rj[3])
-                          + w[2] * n_sim(ri[4], rj[4], 1000.0)
-                          + w[3] * n_sim(ri[5], rj[5], 20.0), 6)
+            score = r6(w[0] * s_sim(ri[2], rj[2])
+                       + w[1] * s_sim(ri[3], rj[3])
+                       + w[2] * n_sim(ri[4], rj[4], 1000.0)
+                       + w[3] * n_sim(ri[5], rj[5], 20.0))
             if score >= threshold:
                 expect.append((ri[0], rj[0], score))
     assert got == sorted(expect)
