@@ -155,6 +155,142 @@ def ab_from_counts(
     )
 
 
+def sprt_constants(
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> dict[str, str]:
+    """The four SPRT constants as 12-decimal string literals — computed
+    ONCE here in python (ln never runs inside either engine, the
+    BENFORD_EXPECTED/LN2_LITERAL discipline) and shared verbatim by the
+    Spark plan, the DuckDB oracle, and the streaming twin:
+
+        c1 = ln(p1/p0)              (per-success log-likelihood step)
+        c0 = ln((1-p1)/(1-p0))      (per-failure step)
+        upper = ln((1-beta)/alpha)  (accept H1 at llr >= upper)
+        lower = ln(beta/(1-alpha))  (accept H0 at llr <= lower)
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0):
+        raise ValueError(f"p0/p1 must be in (0, 1), got {p0}, {p1}")
+    if p0 == p1:
+        raise ValueError("p0 and p1 must differ (nothing to test)")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError(
+            f"alpha/beta must be in (0, 1), got {alpha}, {beta}"
+        )
+    q = Decimal("0.000000000001")
+
+    def lit(x: float) -> str:
+        return str(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    return {
+        "c1": lit(math.log(p1 / p0)),
+        "c0": lit(math.log((1.0 - p1) / (1.0 - p0))),
+        "upper": lit(math.log((1.0 - beta) / alpha)),
+        "lower": lit(math.log(beta / (1.0 - alpha))),
+    }
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    converted_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per (experiment, arm): Wald's sequential probability ratio test
+    of the arm's conversion rate — H0: p = p0 vs H1: p = p1 — the
+    ANYTIME-VALID decision layer the streaming A/B twins point at
+    (their documented peeking caveat: re-reading a fixed-sample z every
+    epoch and stopping on the first significant one inflates the
+    false-positive rate; the SPRT's thresholds are valid at EVERY
+    sample size, so an epoch series of these decisions can gate a
+    launch the moment a boundary is crossed, with error rates bounded
+    by alpha/beta by construction — Wald 1945):
+
+        llr = x*ln(p1/p0) + (n-x)*ln((1-p1)/(1-p0))
+        accept_h1 at llr >= ln((1-beta)/alpha)
+        accept_h0 at llr <= ln(beta/(1-alpha))
+        else continue
+
+    Returns ``[experiment, arm, n, x, llr, decision]`` (caller's column
+    names; decision in {'accept_h1','accept_h0','continue'}). Works
+    symmetrically for p1 < p0 (testing for a DROP).
+
+    Cross-engine determinism — the family's strongest: the four ln
+    constants are python-computed 12-decimal literals (ln never runs in
+    either engine), x and n-x are exact integers, so the llr and BOTH
+    boundary comparisons are pure exact-DECIMAL algebra — no IEEE
+    operation exists anywhere in the statistic, and borderline
+    decisions are bit-identical by construction. The quantized
+    constants ARE the test's definition (a 1e-12 quantum on c1 shifts
+    llr by <= 1e-12 * n — immaterial against unit-scale thresholds
+    until n ~ 1e10; pre-aggregate upstream past that).
+
+    Scale shape: the shared :func:`ab_cell_counts` stage (ONE map-side
+    combinable aggregate) is the only corpus-sized stage; the test is
+    |experiments x arms|-row literal algebra after. The (n, x) cells
+    are the SAME mergeable state the A/B-z twin snapshots — one state
+    serves the z readout and the sequential decision.
+    """
+    cells = ab_cell_counts(df, experiment_col, arm_col, converted_col)
+    return sprt_from_counts(
+        cells, experiment_col, arm_col, p0, p1,
+        alpha=alpha, beta=beta, round_to=round_to,
+    )
+
+
+def sprt_from_counts(
+    cells: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`sprt_bernoulli` from a pre-aggregated ``[experiment, arm,
+    n, x]`` cell table — the A/B-z twin's own state, so a streaming
+    deployment gets the anytime-valid decision for free from the state
+    it already keeps. No diamond: the cell frame is consumed once."""
+    k = sprt_constants(p0, p1, alpha=alpha, beta=beta)
+    dec = "decimal(14,12)"
+    c1 = F.lit(k["c1"]).cast(dec)
+    c0 = F.lit(k["c0"]).cast(dec)
+    upper = F.lit(k["upper"]).cast(dec)
+    lower = F.lit(k["lower"]).cast(dec)
+    # NULL-keyed cells never reach a decision (ab_from_counts drops
+    # them through its filters; this path has no filter, so be explicit)
+    cells = cells.filter(
+        F.col(experiment_col).isNotNull() & F.col(arm_col).isNotNull()
+    )
+    x = F.col("x").cast("bigint")
+    miss = (F.col("n") - F.col("x")).cast("bigint")
+    llr = x * c1 + miss * c0  # exact decimal: int * (14,12) literals
+    decision = (
+        F.when(llr >= upper, F.lit("accept_h1"))
+        .when(llr <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return cells.select(
+        F.col(experiment_col),
+        F.col(arm_col),
+        "n",
+        "x",
+        (F.round(llr.cast("double"), round_to) + F.lit(0.0)).alias("llr"),
+        decision.alias("decision"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     experiment_col: str,

@@ -13,12 +13,13 @@ generation). Round 16 registers each (builder, SQL) pair and gives it
 a window slot — registration is a copy, not new work (the r13 -> r14
 -> r15 precedent).
 
-Round-16 window math (for whoever rotates next): 5 slots for
-x124–x128 (new), then the r12-stale cohort (the 48 r12-checked
+Round-16 window math (for whoever rotates next): 6 slots for
+x124–x129 (new), then the r12-stale cohort (the 48 r12-checked
 queries minus the 2 re-checked in r15: x26, q67 — i.e. 46 queries) of
-which 45 fit: defer the LIGHTEST r12 query (x36_profile, 0.38s warm —
-re-verification value concentrates in heavy plans) to r17. 5 + 45 =
-50. After that rotation no query is staler than r13 except x36.
+which 44 fit: defer the TWO lightest r12 queries by the r15 gate-run
+warm times (q68 0.263s, x24_source_quota 0.318s — re-verification
+value concentrates in heavy plans) to r17. 6 + 44 = 50. After that
+rotation no query is staler than r13 except q68/x24.
 """
 
 from __future__ import annotations
@@ -424,6 +425,70 @@ ORDER BY event_type
 """
 
 
+def x129_sprt(spark: SparkSession, sf_dir: str):
+    """Wald SPRT decisions per (event type, derived arm)
+    (abtest.sprt_bernoulli): is each arm's rate of high-value events
+    (value > 30) at baseline p0=0.3 or lifted p1=0.35 — the
+    anytime-valid decision layer the A/B twins' peeking caveat points
+    at. The four ln constants are python-computed 12-decimal literals
+    shared verbatim with this oracle; llr and both boundary
+    comparisons are pure exact-DECIMAL algebra (exact integer counts x
+    literal constants), so borderline decisions are bit-identical by
+    construction — no IEEE op exists in the statistic."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        sprt_bernoulli,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        (F.col("value") > 30).alias("conv"),
+    )
+    return sprt_bernoulli(
+        ev, "experiment", "arm", "conv", p0=0.3, p1=0.35
+    ).orderBy("experiment", "arm")
+
+
+def _x129_sql() -> str:
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        sprt_constants,
+    )
+
+    k = sprt_constants(0.3, 0.35, alpha=0.05, beta=0.2)
+    return f"""
+WITH ev AS (
+    SELECT event_type AS experiment,
+           CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 't1' END AS arm,
+           CASE WHEN value > 30 THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+cells AS (
+    SELECT experiment, arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conv) AS BIGINT) AS x
+    FROM ev GROUP BY experiment, arm
+),
+calc AS (
+    SELECT *,
+           CAST(x AS DECIMAL(18,0)) * CAST('{k["c1"]}' AS DECIMAL(14,12))
+         + CAST(n - x AS DECIMAL(18,0)) * CAST('{k["c0"]}' AS DECIMAL(14,12))
+               AS llr
+    FROM cells
+    WHERE experiment IS NOT NULL AND arm IS NOT NULL
+)
+SELECT experiment, arm, n, x,
+       ROUND(CAST(llr AS DOUBLE), 6) + 0.0 AS llr,
+       CASE WHEN llr >= CAST('{k["upper"]}' AS DECIMAL(14,12))
+                THEN 'accept_h1'
+            WHEN llr <= CAST('{k["lower"]}' AS DECIMAL(14,12))
+                THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM calc
+ORDER BY experiment, arm
+"""
+
+
 #: what r16 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x124_roc_auc": (x124_roc_auc, X124_SQL),
@@ -431,4 +496,5 @@ DRAFTS = {
     "x126_cohens_kappa": (x126_cohens_kappa, X126_SQL),
     "x127_cliffs_delta": (x127_cliffs_delta, X127_SQL),
     "x128_bootstrap_ci": (x128_bootstrap_ci, _x128_sql()),
+    "x129_sprt": (x129_sprt, _x129_sql()),
 }

@@ -37,6 +37,7 @@ from meshinsights_data_pipeline_spark.streaming.jsd import (
 from meshinsights_data_pipeline_spark.streaming.abtest import (
     streaming_abtest_ingest,
     streaming_mann_whitney_ingest,
+    streaming_sprt_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.chi2 import (
     streaming_chi2_ingest,
@@ -132,6 +133,7 @@ __all__ = [
     "streaming_bootstrap_ingest",
     "streaming_calibration_ingest",
     "streaming_mann_whitney_ingest",
+    "streaming_sprt_ingest",
     "streaming_entropy_ingest",
     "streaming_jsd_ingest",
     "streaming_km_ingest",

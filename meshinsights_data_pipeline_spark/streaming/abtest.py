@@ -190,3 +190,89 @@ def streaming_mann_whitney_ingest(
             report.write.mode("append").parquet(report_dir)
 
     return _process
+
+
+def streaming_sprt_ingest(
+    stream: DataFrame,
+    experiment_col: str = "experiment",
+    arm_col: str = "arm",
+    converted_col: str = "converted",
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    cells_dir: str,
+    report_dir: str,
+    idempotent: bool = True,
+):
+    """foreachBatch callable: merge batch (experiment, arm) conversion
+    cells into the SAME [n, x] state shape the A/B-z twin keeps, and
+    append each epoch's Wald-SPRT decisions — the ANYTIME-VALID decision
+    layer this module's peeking caveat points at: the SPRT boundaries
+    hold at every sample size, so stopping the moment an epoch's
+    decision leaves 'continue' keeps the error rates bounded by
+    alpha/beta by construction (unlike stopping on the first
+    significant z). Point the two twins at the SAME cells_dir to get
+    the z dashboard and the sequential decision from one state —
+    decisions are a pure literal-algebra function of the merged cells,
+    bit-identical to ``sprt_bernoulli`` over everything ingested.
+
+    Seed the state dir with ``snapshot_overwrite(empty, cells_dir, -1)``
+    (schema ``experiment string, arm string, n long, x long``). Report
+    rows are ``[epoch, experiment, arm, n, x, llr, decision]``.
+    """
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        ab_cell_counts,
+        sprt_from_counts,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    # validate the constants at wiring time, not first micro-batch
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        sprt_constants,
+    )
+
+    sprt_constants(p0, p1, alpha=alpha, beta=beta)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cells = ab_cell_counts(
+            batch_df, experiment_col, arm_col, converted_col
+        )
+        if experiment_col != "experiment":
+            batch_cells = batch_cells.withColumnRenamed(
+                experiment_col, "experiment"
+            )
+        if arm_col != "arm":
+            batch_cells = batch_cells.withColumnRenamed(arm_col, "arm")
+        prev = snapshot_before(spark, cells_dir, epoch_id).select(
+            "experiment", "arm", "n", "x"
+        )
+        merged = (
+            prev.union(batch_cells)
+            .groupBy("experiment", "arm")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("x"),
+            )
+            .localCheckpoint()
+        )
+        snapshot_overwrite(merged, cells_dir, version=epoch_id)
+
+        report = sprt_from_counts(
+            merged, "experiment", "arm", p0, p1, alpha=alpha, beta=beta
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(report, report_dir, epoch_id)
+        else:
+            report.write.mode("append").parquet(report_dir)
+
+    return _process

@@ -3176,3 +3176,72 @@ def test_bootstrap_mean_ci_matches_python(spark, rows):
 
         expect[g] = (len(pts), nb, sm, pct(0.05 / 2.0), pct(1.0 - 0.05 / 2.0))
     assert got == expect, (data, got, expect)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1),      # experiment
+                  st.integers(0, 1),      # arm
+                  st.integers(1, 400),    # n
+                  st.integers(0, 400)),   # x (clamped to n)
+        min_size=1, max_size=8,
+    ),
+    p=st.tuples(st.integers(1, 9), st.integers(1, 9)),
+)
+@SLOW
+def test_sprt_bernoulli_matches_python(spark, cells, p):
+    """llr and the boundary decisions are bit-identical to the python
+    Decimal mirror — the statistic is pure exact-decimal algebra over
+    the shared quantized constants, so even exactly-on-boundary cells
+    decide identically."""
+    from decimal import Decimal
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        sprt_bernoulli,
+        sprt_constants,
+    )
+
+    p0, p1 = p[0] / 10.0, p[1] / 10.0
+    if p0 == p1:
+        p1 = min(0.9, p0 + 0.1)
+    agg = {}
+    for e, a, n, x in cells:
+        agg[(f"e{e}", f"a{a}")] = (n, min(x, n))
+    rows = [
+        (e, a, i < x)
+        for (e, a), (n, x) in agg.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "exp string, arm string, conv boolean")
+    got = {
+        (r.exp, r.arm): (r.n, r.x, r.llr, r.decision)
+        for r in sprt_bernoulli(
+            df, "exp", "arm", "conv", p0=p0, p1=p1
+        ).collect()
+    }
+
+    from decimal import ROUND_HALF_UP
+
+    k = sprt_constants(p0, p1)
+    c1, c0 = Decimal(k["c1"]), Decimal(k["c0"])
+    upper, lower = Decimal(k["upper"]), Decimal(k["lower"])
+
+    def r6(v: float) -> float:
+        # mirror Spark's F.round: HALF_UP on the double's shortest repr
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    expect = {}
+    for (e, a), (n, x) in agg.items():
+        llr = x * c1 + (n - x) * c0
+        if llr >= upper:
+            d = "accept_h1"
+        elif llr <= lower:
+            d = "accept_h0"
+        else:
+            d = "continue"
+        expect[(e, a)] = (n, x, r6(float(llr)) + 0.0, d)
+    assert got == expect, (agg, got, expect)

@@ -2783,3 +2783,66 @@ def test_streaming_bootstrap_full_parity_and_retry(spark, tmp_path):
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
     assert after.count() == 5
+
+
+def test_streaming_sprt_full_parity_and_retry(spark, tmp_path):
+    """SPRT twin: the [n, x] cells (the A/B-z twin's own state shape)
+    merge exactly, so every epoch's decisions equal sprt_bernoulli over
+    everything ingested — including an arm crossing from 'continue' to
+    a boundary as evidence accumulates; a retried epoch changes
+    nothing."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        sprt_bernoulli,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_sprt_ingest,
+    )
+
+    schema = "experiment string, arm string, converted boolean"
+    # e1/t1 converts at ~0.6 vs p0=0.3/p1=0.35 — accepts H1 once
+    # enough evidence lands; e1/control at ~0.05 heads for H0.
+    b1 = spark.createDataFrame(
+        [("e1", "t1", True)] * 12 + [("e1", "t1", False)] * 8
+        + [("e1", "control", False)] * 20 + [("e1", "control", True)],
+        schema)
+    b2 = spark.createDataFrame(
+        [("e1", "t1", True)] * 30 + [("e1", "t1", False)] * 20
+        + [("e1", "control", False)] * 40
+        + [("e2", "t1", True)] * 3,            # appears mid-stream
+        schema)
+    cdir, rdir = str(tmp_path / "cells"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], "experiment string, arm string, n long, x long"),
+        cdir, -1)
+
+    process = streaming_sprt_ingest(
+        b1, p0=0.3, p1=0.35, cells_dir=cdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["experiment"], r["arm"], r["n"], r["x"], r["llr"],
+             r["decision"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(sprt_bernoulli(
+        b1, "experiment", "arm", "converted", p0=0.3, p1=0.35))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(sprt_bernoulli(
+        b1.unionByName(b2), "experiment", "arm", "converted",
+        p0=0.3, p1=0.35))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+    # the epoch series shows decisions RESOLVING as evidence lands
+    assert {r[5] for r in got1} & {"accept_h1", "accept_h0"}
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
