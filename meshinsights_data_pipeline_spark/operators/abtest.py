@@ -420,6 +420,134 @@ def welch_ttest(
     )
 
 
+def cuped_adjusted_means(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    covariate_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per (experiment, arm): the CUPED-adjusted metric mean — variance
+    reduction via a pre-experiment covariate (Deng et al. 2013,
+    "Improving the sensitivity of online controlled experiments"), the
+    standard way an A/B platform shrinks confidence intervals without
+    more traffic:
+
+        theta    = cov(x, y) / var(x)        (pooled over the experiment)
+        y_adj_i  = y_i - theta * (x_i - xbar)
+        mean_adj = ybar_arm - theta * (xbar_arm - xbar)
+        var_adj  = var_y - 2*theta*cov + theta^2*var_x   (per arm)
+
+    The covariate must be PRE-EXPERIMENT (independent of assignment) or
+    the adjustment biases the readout — that contract is the caller's.
+    Returns ``[experiment, arm, n, mean_raw, mean_adj, theta,
+    var_reduction]`` (caller's column names): ``theta`` is the
+    experiment's pooled coefficient, ``var_reduction`` the arm's
+    1 - var_adj/var_raw (the fraction of metric variance the covariate
+    explains — the CI-shrink factor). ``theta``/``mean_adj`` are NULL
+    when the covariate is constant (var(x) = 0 — nothing to adjust
+    with); ``var_reduction`` is NULL when additionally var_y = 0 or
+    n < 2. Rows with NULL keys or NULL/NaN in EITHER metric are
+    excluded up front (a half-present row has no (x, y) pair).
+
+    Cross-engine determinism: per-(experiment, arm) moments use the
+    zscore PIVOT discipline with the pivots keyed per EXPERIMENT (both
+    columns), so arm moments SUM exactly across arms (DECIMAL(38,12)
+    folds with one shared pivot) into the pooled theta — no second
+    scan, no per-arm/pooled pivot mismatch; every downstream step is a
+    fixed-order single IEEE op mirrored in the oracle, rounded once.
+
+    Scale shape: ONE map-side-combinable moment aggregate over the
+    corpus scan (five folds per cell) MATERIALIZED (it feeds the pooled
+    roll-up AND the per-arm readout — the family diamond); everything
+    after is |experiments x arms|-row algebra.
+    """
+    y = F.col(value_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.filter(
+        F.col(experiment_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+        & y.isNotNull() & ~F.isnan(y)
+        & x.isNotNull() & ~F.isnan(x)
+    ).select(F.col(experiment_col), F.col(arm_col), y.alias("_y"), x.alias("_x"))
+    pivots = base.groupBy(experiment_col).agg(
+        F.min("_y").alias("_py"), F.min("_x").alias("_px")
+    )
+    dy = F.col("_y") - F.col("_py")
+    dx = F.col("_x") - F.col("_px")
+    dec = "decimal(38,12)"
+    cells = _materialize(
+        base.join(F.broadcast(pivots), experiment_col)
+        .groupBy(experiment_col, arm_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(dy.cast(dec)).alias("_sy"),
+            F.sum(dx.cast(dec)).alias("_sx"),
+            F.sum((dy * dy).cast(dec)).alias("_syy"),
+            F.sum((dx * dx).cast(dec)).alias("_sxx"),
+            F.sum((dx * dy).cast(dec)).alias("_sxy"),
+        )
+    )
+    pooled = cells.groupBy(experiment_col).agg(
+        F.sum("_n").cast("bigint").alias("_pn"),
+        F.sum("_sy").cast("double").alias("_psy"),
+        F.sum("_sx").cast("double").alias("_psx"),
+        F.sum("_sxx").cast("double").alias("_psxx"),
+        F.sum("_sxy").cast("double").alias("_psxy"),
+    )
+    pn = F.col("_pn").cast("double")
+    # pooled var/cov in the pivot frame (shift-invariant)
+    pvar_x = F.col("_psxx") / pn - (F.col("_psx") / pn) * (F.col("_psx") / pn)
+    pcov = F.col("_psxy") / pn - (F.col("_psx") / pn) * (F.col("_psy") / pn)
+    theta = F.when(pvar_x > 0, pcov / pvar_x)
+    xbar_pool = F.col("_psx") / pn  # pivot-frame pooled covariate mean
+    stats = pooled.select(
+        F.col(experiment_col),
+        theta.alias("_theta"),
+        xbar_pool.alias("_xbar"),
+    )
+    j = cells.join(F.broadcast(stats), experiment_col)
+    n = F.col("_n")
+    nd = n.cast("double")
+    ybar = F.col("_sy").cast("double") / nd
+    xbar = F.col("_sx").cast("double") / nd
+    mean_raw = F.col("_py") + ybar  # needs the pivot back
+    j = j.join(F.broadcast(pivots), experiment_col)
+    var_y = F.when(
+        n >= 2,
+        (F.col("_syy").cast("double") / nd - ybar * ybar)
+        * (nd / (n - 1)),
+    )
+    var_x = F.when(
+        n >= 2,
+        (F.col("_sxx").cast("double") / nd - xbar * xbar)
+        * (nd / (n - 1)),
+    )
+    cov = F.when(
+        n >= 2,
+        (F.col("_sxy").cast("double") / nd - xbar * ybar)
+        * (nd / (n - 1)),
+    )
+    t = F.col("_theta")
+    mean_adj = mean_raw - t * (xbar - F.col("_xbar"))
+    var_adj = var_y - F.lit(2.0) * t * cov + t * t * var_x
+    var_reduction = F.when(
+        var_y > 0, F.lit(1.0) - var_adj / var_y
+    )
+    return j.select(
+        F.col(experiment_col),
+        F.col(arm_col),
+        n.alias("n"),
+        (F.round(mean_raw, round_to) + F.lit(0.0)).alias("mean_raw"),
+        (F.round(mean_adj, round_to) + F.lit(0.0)).alias("mean_adj"),
+        (F.round(t, round_to) + F.lit(0.0)).alias("theta"),
+        (F.round(var_reduction, round_to) + F.lit(0.0)).alias(
+            "var_reduction"
+        ),
+    )
+
+
 def mann_whitney_u(
     df: DataFrame,
     experiment_col: str,

@@ -13,13 +13,14 @@ generation). Round 16 registers each (builder, SQL) pair and gives it
 a window slot — registration is a copy, not new work (the r13 -> r14
 -> r15 precedent).
 
-Round-16 window math (for whoever rotates next): 6 slots for
-x124–x129 (new), then the r12-stale cohort (the 48 r12-checked
+Round-16 window math (for whoever rotates next): 7 slots for
+x124–x130 (new), then the r12-stale cohort (the 48 r12-checked
 queries minus the 2 re-checked in r15: x26, q67 — i.e. 46 queries) of
-which 44 fit: defer the TWO lightest r12 queries by the r15 gate-run
-warm times (q68 0.263s, x24_source_quota 0.318s — re-verification
-value concentrates in heavy plans) to r17. 6 + 44 = 50. After that
-rotation no query is staler than r13 except q68/x24.
+which 43 fit: defer the THREE lightest r12 queries by the r15
+gate-run warm times (q68 0.263s, x24_source_quota 0.318s,
+x40_shuffle_shards 0.321s — re-verification value concentrates in
+heavy plans) to r17. 7 + 43 = 50. After that rotation no query is
+staler than r13 except q68/x24/x40.
 """
 
 from __future__ import annotations
@@ -489,6 +490,117 @@ ORDER BY experiment, arm
 """
 
 
+def x130_cuped(spark: SparkSession, sf_dir: str):
+    """CUPED-adjusted arm means (abtest.cuped_adjusted_means): event
+    value adjusted by the floor(value/10) covariate — deliberately
+    highly correlated so the anchor exercises a LARGE variance
+    reduction (the operator's whole point) plus the exact closed-form
+    moment algebra: per-(experiment, arm) pivot-disciplined
+    DECIMAL(38,12) folds with the pivots keyed per EXPERIMENT so arm
+    moments sum exactly into the pooled theta, then fixed-order IEEE
+    mean/var/cov/theta/adjustment steps mirrored in this oracle."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        cuped_adjusted_means,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        F.col("value"),
+        F.floor(F.col("value").cast("double") / F.lit(10.0))
+        .cast("double").alias("pre_metric"),
+    )
+    return cuped_adjusted_means(
+        ev, "experiment", "arm", "value", "pre_metric"
+    ).orderBy("experiment", "arm")
+
+
+X130_SQL = """
+WITH base AS (
+    SELECT event_type AS experiment,
+           CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 't1' END AS arm,
+           CAST(value AS DOUBLE) AS y,
+           CAST(FLOOR(CAST(value AS DOUBLE) / 10.0) AS DOUBLE) AS x
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+),
+pv AS (
+    SELECT experiment, MIN(y) AS py, MIN(x) AS px
+    FROM base GROUP BY experiment
+),
+cells AS (
+    SELECT b.experiment, b.arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(pv.py) AS py,
+           SUM(CAST(b.y - pv.py AS DECIMAL(38,12))) AS sy,
+           SUM(CAST(b.x - pv.px AS DECIMAL(38,12))) AS sx,
+           SUM(CAST((b.y - pv.py) * (b.y - pv.py)
+                    AS DECIMAL(38,12))) AS syy,
+           SUM(CAST((b.x - pv.px) * (b.x - pv.px)
+                    AS DECIMAL(38,12))) AS sxx,
+           SUM(CAST((b.x - pv.px) * (b.y - pv.py)
+                    AS DECIMAL(38,12))) AS sxy
+    FROM base b JOIN pv USING (experiment)
+    GROUP BY b.experiment, b.arm
+),
+pooled AS (
+    SELECT experiment,
+           CAST(SUM(n) AS DOUBLE) AS pn,
+           CAST(SUM(sy) AS DOUBLE) AS psy,
+           CAST(SUM(sx) AS DOUBLE) AS psx,
+           CAST(SUM(sxx) AS DOUBLE) AS psxx,
+           CAST(SUM(sxy) AS DOUBLE) AS psxy
+    FROM cells GROUP BY experiment
+),
+th AS (
+    SELECT experiment,
+           CASE WHEN psxx / pn - (psx / pn) * (psx / pn) > 0
+                THEN (psxy / pn - (psx / pn) * (psy / pn))
+                     / (psxx / pn - (psx / pn) * (psx / pn))
+           END AS theta,
+           psx / pn AS xbar
+    FROM pooled
+),
+armcalc AS (
+    SELECT c.experiment, c.arm, c.n, c.py,
+           CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE) AS ybar,
+           CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE) AS xbarm,
+           CASE WHEN c.n >= 2 THEN
+               (CAST(c.syy AS DOUBLE) / CAST(c.n AS DOUBLE)
+                - (CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE))
+                  * (CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE)))
+               * (CAST(c.n AS DOUBLE) / (c.n - 1))
+           END AS var_y,
+           CASE WHEN c.n >= 2 THEN
+               (CAST(c.sxx AS DOUBLE) / CAST(c.n AS DOUBLE)
+                - (CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
+                  * (CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE)))
+               * (CAST(c.n AS DOUBLE) / (c.n - 1))
+           END AS var_x,
+           CASE WHEN c.n >= 2 THEN
+               (CAST(c.sxy AS DOUBLE) / CAST(c.n AS DOUBLE)
+                - (CAST(c.sx AS DOUBLE) / CAST(c.n AS DOUBLE))
+                  * (CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE)))
+               * (CAST(c.n AS DOUBLE) / (c.n - 1))
+           END AS cov,
+           th.theta, th.xbar
+    FROM cells c JOIN th ON th.experiment = c.experiment
+)
+SELECT experiment, arm, n,
+       ROUND(py + ybar, 6) + 0.0 AS mean_raw,
+       ROUND(py + ybar - theta * (xbarm - xbar), 6) + 0.0 AS mean_adj,
+       ROUND(theta, 6) + 0.0 AS theta,
+       CASE WHEN var_y > 0 THEN
+           ROUND(1.0 - (var_y - 2.0 * theta * cov
+                        + theta * theta * var_x) / var_y, 6) + 0.0
+       END AS var_reduction
+FROM armcalc
+ORDER BY experiment, arm
+"""
+
+
 #: what r16 registers: name -> (builder, oracle_sql)
 DRAFTS = {
     "x124_roc_auc": (x124_roc_auc, X124_SQL),
@@ -497,4 +609,5 @@ DRAFTS = {
     "x127_cliffs_delta": (x127_cliffs_delta, X127_SQL),
     "x128_bootstrap_ci": (x128_bootstrap_ci, _x128_sql()),
     "x129_sprt": (x129_sprt, _x129_sql()),
+    "x130_cuped": (x130_cuped, X130_SQL),
 }

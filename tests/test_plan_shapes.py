@@ -1367,3 +1367,26 @@ def test_bootstrap_mean_ci_single_exploded_scan(spark):
     assert "Scan ExistingRDD" in p  # the materialized replicate means
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert spec.split(",")[0].strip().startswith("g"), spec
+
+
+def test_cuped_single_moment_scan(spark):
+    """x130's scale contract (staged r16): one broadcast pivot join,
+    ONE materialized (experiment, arm) moment aggregate as the only
+    corpus-sized stage (it feeds the pooled roll-up AND the per-arm
+    readout), tiny broadcast joins after; JVM-only, no cartesian, no
+    windows."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        cuped_adjusted_means,
+    )
+
+    df = spark.createDataFrame(
+        [(f"e{i % 2}", f"a{i % 2}", float(i % 7), float(i % 3))
+         for i in range(28)],
+        "exp string, arm string, y double, x double",
+    )
+    p = _plan(cuped_adjusted_means(df, "exp", "arm", "y", "x"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "windowspecdefinition" not in p
+    assert "Scan ExistingRDD" in p  # the materialized moment frame

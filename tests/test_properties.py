@@ -3245,3 +3245,99 @@ def test_sprt_bernoulli_matches_python(spark, cells, p):
             d = "continue"
         expect[(e, a)] = (n, x, r6(float(llr)) + 0.0, d)
     assert got == expect, (agg, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # experiment
+                  st.integers(0, 1),      # arm
+                  st.integers(-5, 5),     # y
+                  st.integers(-3, 3)),    # x
+        min_size=2, max_size=40,
+    ),
+)
+@SLOW
+def test_cuped_matches_python(spark, rows):
+    """CUPED-adjusted means/theta/var_reduction are bit-identical to a
+    python mirror of the exact algebra — per-experiment pivots, decimal
+    folds, fixed IEEE op order; constant covariates yield NULL theta
+    and adjusted columns (nothing to adjust with)."""
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        cuped_adjusted_means,
+    )
+
+    data = [(f"e{e}", f"a{a}", float(y), float(x)) for e, a, y, x in rows]
+    noisy = data + [
+        ("e0", "a0", None, 1.0), ("e0", "a0", 1.0, float("nan")),
+        (None, "a0", 1.0, 1.0), ("e0", None, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(noisy, "exp string, arm string, y double, x double")
+    got = {
+        (r.exp, r.arm): (r.n, r.mean_raw, r.mean_adj, r.theta,
+                         r.var_reduction)
+        for r in cuped_adjusted_means(df, "exp", "arm", "y", "x").collect()
+    }
+
+    q12 = Decimal("0.000000000001")
+    q6 = Decimal("0.000001")
+
+    def d12(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    def r6(v) -> float:
+        if v is None:
+            return None
+        return float(Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)) + 0.0
+
+    by_e = defaultdict(list)
+    for e, a, y, x in data:
+        by_e[e].append((a, y, x))
+    expect = {}
+    for e, pts in by_e.items():
+        py = min(y for _, y, _ in pts)
+        px = min(x for _, _, x in pts)
+        cells = defaultdict(lambda: [0, Decimal(0), Decimal(0), Decimal(0),
+                                     Decimal(0), Decimal(0)])
+        for a, y, x in pts:
+            c = cells[a]
+            c[0] += 1
+            c[1] += d12(y - py)
+            c[2] += d12(x - px)
+            c[3] += d12((y - py) * (y - py))
+            c[4] += d12((x - px) * (x - px))
+            c[5] += d12((x - px) * (y - py))
+        pn = float(sum(c[0] for c in cells.values()))
+        psy = float(sum((c[1] for c in cells.values()), Decimal(0)))
+        psx = float(sum((c[2] for c in cells.values()), Decimal(0)))
+        psxx = float(sum((c[4] for c in cells.values()), Decimal(0)))
+        psxy = float(sum((c[5] for c in cells.values()), Decimal(0)))
+        pvar_x = psxx / pn - (psx / pn) * (psx / pn)
+        theta = ((psxy / pn - (psx / pn) * (psy / pn)) / pvar_x
+                 if pvar_x > 0 else None)
+        xbar_pool = psx / pn
+        for a, c in cells.items():
+            n, sy, sx, syy, sxx, sxy = c
+            nd = float(n)
+            ybar = float(sy) / nd
+            xbarm = float(sx) / nd
+            mean_raw = py + ybar
+            if theta is None:
+                mean_adj = None
+            else:
+                mean_adj = mean_raw - theta * (xbarm - xbar_pool)
+            var_y = ((float(syy) / nd - ybar * ybar) * (nd / (n - 1))
+                     if n >= 2 else None)
+            var_x = ((float(sxx) / nd - xbarm * xbarm) * (nd / (n - 1))
+                     if n >= 2 else None)
+            cov = ((float(sxy) / nd - xbarm * ybar) * (nd / (n - 1))
+                   if n >= 2 else None)
+            vr = None
+            if var_y is not None and var_y > 0 and theta is not None:
+                var_adj = var_y - 2.0 * theta * cov + theta * theta * var_x
+                vr = 1.0 - var_adj / var_y
+            expect[(e, a)] = (n, r6(mean_raw), r6(mean_adj), r6(theta),
+                              r6(vr))
+    assert got == expect, (data, got, expect)
