@@ -417,14 +417,16 @@ def main() -> None:
 
     # Judge/classifier-evaluation end-to-end (the r16 staged anchors'
     # composed plans: ROC-AUC + calibration report + Cohen's kappa +
-    # Cliff's delta + bootstrap CI) — gated now so their regression
-    # history starts before registration (the stat_tests_e2e
-    # precedent).
+    # Cliff's delta + bootstrap CI + SPRT decisions + CUPED) — gated
+    # now so their regression history starts before registration (the
+    # stat_tests_e2e precedent).
     try:
         from pyspark.sql import functions as F
 
         from meshinsights_data_pipeline_spark.operators.abtest import (
             cliffs_delta,
+            cuped_adjusted_means,
+            sprt_bernoulli,
         )
         from meshinsights_data_pipeline_spark.operators.bootstrap import (
             bootstrap_mean_ci,
@@ -473,6 +475,18 @@ def main() -> None:
                              control_label="control"),
                 bootstrap_mean_ci(ev, ["event_type"], "value",
                                   "event_id", b=60),
+                sprt_bernoulli(
+                    arms.withColumn("conv", F.col("value") > 30),
+                    "experiment", "arm", "conv", p0=0.3, p1=0.35,
+                ),
+                cuped_adjusted_means(
+                    arms.withColumn(
+                        "pre_metric",
+                        F.floor(F.col("value").cast("double") / F.lit(10.0))
+                        .cast("double"),
+                    ),
+                    "experiment", "arm", "value", "pre_metric",
+                ),
             ):
                 frame.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
