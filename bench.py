@@ -753,6 +753,7 @@ def main() -> None:
             p = prev_queries.get(qname)
             if p and p > 0 and sec > 2.0 * p and sec - p > 0.25:
                 suspects.add(qname)
+        ctrl_factor = None
         if suspects:
             controls = [
                 c for c in ("x09_lang_id", "q67")
@@ -819,6 +820,20 @@ def main() -> None:
                     f"bench: ADJUDICATION {n}: sample {timings.get(n)}s, "
                     f"pin {pins[n]}s, controls x{ctrl_factor} -> {verdict}",
                     file=sys.stderr,
+                )
+        # Extras are composed pipelines too expensive to re-run
+        # interleaved, but they inflate with the same host factor the
+        # query pins measure — annotate flagged extras with the control
+        # inflation so a throttled record self-documents (the
+        # judge_eval_e2e-at-40s case: flagged during a stall, controls
+        # at 1.4x, every constituent query individually green).
+        if extra_regressions and ctrl_factor is not None and (
+            ctrl_factor >= 1.5
+        ):
+            for ename in list(extra_regressions):
+                extra_regressions[ename] += (
+                    f" [controls ran {ctrl_factor}x their expectations"
+                    f" in the same session - likely host-inflated]"
                 )
     except Exception as exc:  # noqa: BLE001 - must not kill the bench
         print(f"bench: self-adjudication failed: {exc}", file=sys.stderr)

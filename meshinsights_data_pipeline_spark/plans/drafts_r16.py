@@ -2,12 +2,15 @@
 
 The r15 driver window is consumed by the staged-r14 registration plus
 the staleness rotation (VERDICT r14 #1), so the operators added THIS
-round — the classifier/LLM-judge evaluation family: ROC-AUC via the
-exact rank-sum identity (+ exact-state streaming twin), the
-calibration report (ECE/MCE/Brier, + streaming twin), Cohen's kappa
-inter-rater agreement, and Cliff's delta effect size (sharing the
-Mann-Whitney count-table state) — ship with their anchor queries and
-DuckDB oracles staged HERE, proven green by
+round — the classifier/LLM-judge evaluation family (ROC-AUC via the
+exact rank-sum identity + exact-state streaming twin, the calibration
+report ECE/MCE/Brier + streaming twin, Cohen's kappa inter-rater
+agreement, Cliff's delta effect size sharing the Mann-Whitney
+count-table state) plus the uncertainty/decision layer (deterministic
+Poisson-bootstrap mean CIs + streaming twin, Wald SPRT anytime-valid
+sequential decisions over the A/B cell state + streaming twin, and
+CUPED covariate variance reduction) — ship with their anchor queries
+and DuckDB oracles staged HERE, proven green by
 ``tests/test_oracle_drafts.py`` (which parametrizes over every draft
 generation). Round 16 registers each (builder, SQL) pair and gives it
 a window slot — registration is a copy, not new work (the r13 -> r14
