@@ -2879,6 +2879,18 @@ def test_roc_auc_matches_python(spark, rows):
 
     from meshinsights_data_pipeline_spark.operators.mleval import roc_auc
 
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def _r6(v: float) -> float:
+        # mirror Spark's F.round: HALF_UP on the double's shortest repr
+        # (integer-ratio statistics CAN land on 6dp repr midpoints,
+        # where python's half-even round() diverges — the linkage flake)
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     data = [(f"g{g}", bool(y), float(s)) for g, y, s in rows]
     noisy = data + [
         ("g0", None, 1.0), ("g0", True, float("nan")), (None, True, 1.0)
@@ -2908,7 +2920,7 @@ def test_roc_auc_matches_python(spark, rows):
         n_p, n_n = len(pos), len(neg)
         u2 = r2p - n_p * (n_p + 1)
         # the operator's exact op order: double(u2) / (2.0 * double(prod))
-        auc = round(float(u2) / (2.0 * float(n_p * n_n)), 6) + 0.0
+        auc = _r6(float(u2) / (2.0 * float(n_p * n_n))) + 0.0
         # brute force agrees (rank-sum identity, ties counted half)
         bf = sum(
             1.0 if p > q else 0.5 if p == q else 0.0
@@ -2954,6 +2966,7 @@ def test_calibration_report_matches_python(spark, rows):
 
     q12 = Decimal("0.000000000001")
     q18 = Decimal("0.000000000000000001")
+    q6 = Decimal("0.000001")
 
     def d12(x: float) -> Decimal:
         return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
@@ -2987,11 +3000,17 @@ def test_calibration_report_matches_python(spark, rows):
                 (d12((s - float(y)) * (s - float(y))) for s, y in pts),
                 Decimal(0),
             )
+        def _r6(v: float) -> float:
+            # HALF_UP on shortest repr — mirrors Spark's F.round
+            return float(
+                Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
+            )
+
         expect[g] = (
             n,
-            round(float(e) / n, 6) + 0.0,
-            round(mce, 6) + 0.0,
-            round(float(bsum) / n, 6) + 0.0,
+            _r6(float(e) / n) + 0.0,
+            _r6(mce) + 0.0,
+            _r6(float(bsum) / n) + 0.0,
         )
     assert got == expect, (data, got, expect)
 
@@ -3016,6 +3035,18 @@ def test_cohens_kappa_matches_python(spark, rows):
         cohens_kappa,
     )
 
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def _r6(v: float) -> float:
+        # mirror Spark's F.round: HALF_UP on the double's shortest repr
+        # (integer-ratio statistics CAN land on 6dp repr midpoints,
+        # where python's half-even round() diverges — the linkage flake)
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     data = [(f"g{g}", f"l{a}", f"l{b}") for g, a, b in rows]
     noisy = data + [("g0", None, "l0"), ("g0", "l0", None), (None, "l0", "l0")]
     df = spark.createDataFrame(noisy, "g string, a string, b string")
@@ -3034,11 +3065,11 @@ def test_cohens_kappa_matches_python(spark, rows):
         ra = Counter(a for a, _ in pts)
         cb = Counter(b for _, b in pts)
         sum_rc = sum(ra[k] * cb.get(k, 0) for k in ra)
-        po = round(float(diag) / n, 6) + 0.0
-        pe = round(float(sum_rc) / float(n * n), 6) + 0.0
+        po = _r6(float(diag) / n) + 0.0
+        pe = _r6(float(sum_rc) / float(n * n)) + 0.0
         den = float(n * n - sum_rc)
         kappa = (
-            round(float(n * diag - sum_rc) / den, 6) + 0.0
+            _r6(float(n * diag - sum_rc) / den) + 0.0
             if den > 0 else None
         )
         expect[g] = (n, po, pe, kappa)
@@ -3066,6 +3097,18 @@ def test_cliffs_delta_matches_brute_force(spark, cells):
         cliffs_delta,
     )
 
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def _r6(v: float) -> float:
+        # mirror Spark's F.round: HALF_UP on the double's shortest repr
+        # (integer-ratio statistics CAN land on 6dp repr midpoints,
+        # where python's half-even round() diverges — the linkage flake)
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     agg = defaultdict(list)
     for e, a, vals in cells:
         agg[(f"e{e}", f"a{a}")] += [float(v) for v in vals]
@@ -3089,7 +3132,7 @@ def test_cliffs_delta_matches_brute_force(spark, cells):
         gt = sum(1 for x in vals for y in ctrl if x > y)
         lt = sum(1 for x in vals for y in ctrl if x < y)
         prod = len(vals) * len(ctrl)
-        delta = round(float(gt - lt) / float(prod), 6) + 0.0
+        delta = _r6(float(gt - lt) / float(prod)) + 0.0
         expect[(e, a)] = (len(ctrl), delta, True)
     assert got == expect, (dict(agg), got, expect)
 
@@ -3160,9 +3203,18 @@ def test_bootstrap_mean_ci_matches_python(spark, rows):
                 means.append(float(s) / nw)
         means.sort()
         nb = len(means)
-        sm = round(
+
+        def _r6(v: float) -> float:
+            # HALF_UP on shortest repr — mirrors Spark's F.round
+            return float(
+                Decimal(repr(v)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        sm = _r6(
             float(sum((d12(1.0 * v) for _, v in pts), Decimal(0)))
-            / len(pts), 6,
+            / len(pts)
         ) + 0.0
         if nb == 0:
             continue  # operator emits no row (inner percentile join)
@@ -3170,8 +3222,8 @@ def test_bootstrap_mean_ci_matches_python(spark, rows):
         def pct(q: float) -> float:
             pos = float(nb - 1) * q
             lo, hi = math.floor(pos), math.ceil(pos)
-            return round(
-                means[lo] + (means[hi] - means[lo]) * (pos - lo), 6
+            return _r6(
+                means[lo] + (means[hi] - means[lo]) * (pos - lo)
             ) + 0.0
 
         expect[g] = (len(pts), nb, sm, pct(0.05 / 2.0), pct(1.0 - 0.05 / 2.0))
