@@ -736,6 +736,7 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_GATE_LOG.jsonl",
         )
+        eligible: list = []
         if os.path.exists(gate_path):
             with open(gate_path) as fh:
                 for ln in fh:
@@ -745,10 +746,31 @@ def main() -> None:
                         continue
                     # full runs only (pins/partial runs have few queries),
                     # same sf only (a sf0.01 smoke run is not a baseline)
-                    if len(rec.get("queries", {})) >= 150 and (
-                        rec.get("sf") == sf
+                    if len(rec.get("queries", {})) < 150 or (
+                        rec.get("sf") != sf
                     ):
-                        prev_queries = rec["queries"]
+                        continue
+                    # ADVICE r15: a committed run that was ITSELF
+                    # host-throttled (its own adjudication saw controls
+                    # >=1.5x) must not become the baseline — an inflated
+                    # baseline desensitizes the >2x-previous detection
+                    # for the following run.
+                    adj = rec.get("adjudication", {}) or {}
+                    if any(
+                        isinstance(a, dict)
+                        and (a.get("control_inflation") or 0) >= 1.5
+                        for a in adj.values()
+                    ):
+                        continue
+                    eligible.append(rec["queries"])
+        # per-query min over the last 3 eligible full runs: the
+        # steady-state cost, robust to one run's partial stall
+        for recq in eligible[-3:]:
+            for n, v in recq.items():
+                if isinstance(v, (int, float)) and (
+                    n not in prev_queries or v < prev_queries[n]
+                ):
+                    prev_queries[n] = v
         for qname, sec in timings.items():
             p = prev_queries.get(qname)
             if p and p > 0 and sec > 2.0 * p and sec - p > 0.25:
@@ -821,6 +843,14 @@ def main() -> None:
                     f"pin {pins[n]}s, controls x{ctrl_factor} -> {verdict}",
                     file=sys.stderr,
                 )
+                # VERDICT r15 #2 (the x23-at-36.6s lesson): when the
+                # in-run adjudication refutes the sample, the headline
+                # record must carry the PIN, not the stall survivor —
+                # the raw sample stays in adjudication["sample"] above,
+                # so the committed record keeps both values and the
+                # parsed compact queries dict self-corrects.
+                if verdict != "regressed":
+                    timings[n] = pins[n]
         # Extras are composed pipelines too expensive to re-run
         # interleaved, but they inflate with the same host factor the
         # query pins measure — annotate flagged extras with the control

@@ -94,8 +94,9 @@ def bootstrap_mean_ci(
     ``n`` is the group's sample size, ``b_reps`` the number of realized
     replicates (a replicate whose Poisson weights all drew 0 — possible
     for tiny groups — is dropped deterministically, so b_reps <= b and
-    the percentile runs over the realized set; single-row groups still
-    produce a degenerate but well-defined band). ``mean`` is the plain
+    the percentile runs over the realized set; in the practically
+    unreachable ~0.368^b case where NO replicate realizes, the group
+    still appears with b_reps = 0 and NULL ci bounds). ``mean`` is the plain
     sample mean — computed INSIDE the same pass as pseudo-replicate
     b = -1 with weight 1, so the corpus is scanned exactly once with no
     diamond. Rows with NULL group keys, NULL ids, or NULL/NaN values
@@ -196,13 +197,19 @@ def bootstrap_mean_ci(
     hi_q = 1.0 - alpha / 2.0
     ci_lo = _pct(lo_q, "ci_lo")
     ci_hi = _pct(hi_q, "ci_hi").drop("_nb_drop")
+    # LEFT joins (ADVICE r16): a group whose every replicate drew total
+    # Poisson weight 0 (~0.368^b — practically unreachable, but possible
+    # for tiny groups) must surface as b_reps=0 with NULL bounds, not
+    # silently vanish from the output.
     return (
-        sample.join(ci_lo, groups)
-        .join(ci_hi, groups)
+        sample.join(ci_lo, groups, "left")
+        .join(ci_hi, groups, "left")
         .select(
             *groups,
             "n",
-            "b_reps",
+            F.coalesce(F.col("b_reps"), F.lit(0).cast("bigint")).alias(
+                "b_reps"
+            ),
             (F.round(F.col("_sample_mean"), round_to) + F.lit(0.0)).alias(
                 "mean"
             ),

@@ -422,9 +422,12 @@ hi AS (
        AND h.rk = CAST(CEIL(CAST(r.nb - 1 AS DOUBLE) * 0.975) + 1 AS BIGINT)
     WHERE r.rk = CAST(FLOOR(CAST(r.nb - 1 AS DOUBLE) * 0.975) + 1 AS BIGINT)
 )
-SELECT sample.g AS event_type, n, b_reps,
+SELECT sample.g AS event_type, n,
+       COALESCE(b_reps, 0) AS b_reps,
        ROUND(sample_mean, 6) + 0.0 AS mean, ci_lo, ci_hi
-FROM sample JOIN lo ON lo.g = sample.g JOIN hi ON hi.g = sample.g
+FROM sample
+LEFT JOIN lo ON lo.g = sample.g
+LEFT JOIN hi ON hi.g = sample.g
 ORDER BY event_type
 """
 

@@ -2675,14 +2675,18 @@ def _register_extensions() -> None:
     from meshinsights_data_pipeline_spark.plans.drafts_r15 import (
         DRAFTS as DRAFTS_R15,
     )
+    from meshinsights_data_pipeline_spark.plans.drafts_r16 import (
+        DRAFTS as DRAFTS_R16,
+    )
     from meshinsights_data_pipeline_spark.plans.extension_queries import EXTENSION_BUILDERS
 
     # DRAFTS_R14 (x104-x115, staged+oracle-proven in r13, registered
-    # r14) and DRAFTS_R15 (x116-x123, staged+oracle-proven in r14,
-    # registered r15) after EXTENSION_BUILDERS; the x04 capped
+    # r14), DRAFTS_R15 (x116-x123, staged+oracle-proven in r14,
+    # registered r15) and DRAFTS_R16 (x124-x130, staged+oracle-proven
+    # in r15, registered r16) after EXTENSION_BUILDERS; the x04 capped
     # replacement lives in extension_queries under its original name.
     for name, (fn, oracle) in {
-        **EXTENSION_BUILDERS, **DRAFTS_R14, **DRAFTS_R15
+        **EXTENSION_BUILDERS, **DRAFTS_R14, **DRAFTS_R15, **DRAFTS_R16
     }.items():
         QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=fn.__doc__ or "")
 
@@ -2875,7 +2879,45 @@ _DRIVER_WINDOW_R15 = [
     # (2) r12 fill, heaviest recorded warm time first
     "x26_dedup_clusters_star", "q67",
 ]
-_DRIVER_WINDOW = _DRIVER_WINDOW_R15
+# Round-16 window (verdict r15 #1: execute the staged rotation as
+# written in drafts_r16.py). Priority bands: (0) the 7 queries
+# REGISTERED this round (x124-x130 — staged + oracle-proven in r15,
+# never driver-checked). (1) the r12-stale cohort, recomputed from the
+# CORRECTNESS_r1-r15 union at registration time per the r15 "41 vs 40"
+# lesson: exactly 46 queries have latest driver check r12 (the 48
+# r12-checked minus x26/q67 re-checked in r15 — union math verified in
+# the registration session: freshness after r15 is 46 r12 / 50 r13 /
+# 50 r14 / 50 r15). 43 of the 46 fit: defer the THREE lightest by the
+# r15 gate-run warm time (q68 0.263s, x24_source_quota 0.318s,
+# x40_shuffle_shards 0.321s — re-verification value concentrates in
+# heavy plans) to r17, which must take them first (drafts_r17
+# docstring reserves the slots). 7 + 43 = 50. After this round no
+# registered query is staler than r13 except q68/x24/x40.
+_DRIVER_WINDOW_R16 = [
+    # (0) registered this round
+    "x124_roc_auc",
+    "x125_calibration",
+    "x126_cohens_kappa",
+    "x127_cliffs_delta",
+    "x128_bootstrap_ci",
+    "x129_sprt",
+    "x130_cuped",
+    # (1) the r12-stale cohort minus the three deferred lightest
+    "q08", "q09", "q10",
+    "q63", "q64", "q65", "q66", "q69", "q70", "q71", "q72", "q73",
+    "x27_url_dedup", "x28_pii_redact", "x30_pack_sequences",
+    "x31_dataset_split", "x35_gap_fill", "x36_profile",
+    "x38_semantic_dedup", "x42_mixture_sample", "x43_html_extract",
+    "x44_funnel", "x45_cohort_retention", "x46_numeric_profile",
+    "x47_length_ranks", "x58_dq_checks", "x59_vector_stats",
+    "x60_skew_salted_agg", "x61_grouped_percentiles", "x65_cdc_delta",
+    "x66_state_transitions", "x91_rolling_stats", "x92_mad_outliers",
+    "x93_pmi_collocations", "x94_event_paths", "x95_winsorize",
+    "x96_centroid_similarity", "x98_session_metrics",
+    "x99_linear_attribution", "x100_decay_attribution",
+    "x101_vocab_overlap", "x102_funnel_latency", "x103_rfm_scores",
+]
+_DRIVER_WINDOW = _DRIVER_WINDOW_R16
 
 
 def _rotate_for_driver() -> None:
