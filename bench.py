@@ -555,13 +555,15 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: streaming dedup failed: {exc}", file=sys.stderr)
 
-    # Streaming stat-ingest tier (VERDICT r14 #7): the hashed-state
-    # JSD + entropy twins over the documents stream and the exact-state
-    # Mann-Whitney twin over the events stream, driven through a real
-    # availableNow foreachBatch query each — the driver-visible anchor
-    # path for the r14 streaming statistical twins (x110/x119/x120's
-    # batch anchors cover the shared count stages; this covers the
-    # merge-state + epoch-report plumbing at sf0.1 scale). Same cost
+    # Streaming stat-ingest tier (VERDICT r14 #7, extended r16 per
+    # VERDICT r15 #5): the hashed-state JSD + entropy twins over the
+    # documents stream, and over the events stream the exact-state
+    # Mann-Whitney twin PLUS the four r15 judge-eval/uncertainty twins
+    # (AUC, calibration, Poisson-bootstrap CI, SPRT) — all five share
+    # ONE availableNow foreachBatch query, so the extra gates the full
+    # streaming statistical surface's merge-state + epoch-report
+    # plumbing at sf0.1 scale (the batch anchors x110/x119/x120/
+    # x124/x125/x128/x129 cover the shared count stages). Same cost
     # model as the dedup extra: a fresh checkpoint per run IS the cost,
     # min-of-2 strips one-time JIT.
     try:
@@ -579,15 +581,32 @@ def main() -> None:
             streaming_jsd_ingest,
             streaming_mann_whitney_ingest,
         )
+        from meshinsights_data_pipeline_spark.streaming.abtest import (
+            streaming_sprt_ingest,
+        )
+        from meshinsights_data_pipeline_spark.streaming.mleval import (
+            streaming_auc_ingest,
+            streaming_bootstrap_ingest,
+            streaming_calibration_ingest,
+        )
 
         stage_dir = tempfile.mkdtemp(prefix="bench_statstream_")
         try:
             docs = read_table(spark, sf_dir, "documents")
+            # one event frame feeds all five event-side twins: the MW
+            # arms, the x124 AUC labeling, the x125 score/100 framing,
+            # the x128 bootstrap id surface, and the SPRT conversions
             ev = read_table(spark, sf_dir, "events").select(
                 F.col("event_type").alias("experiment"),
                 F.when(F.col("user_id") % 2 == 0, "control")
                 .otherwise("t1").alias("arm"),
                 F.col("value"),
+                F.col("event_id"),
+                (F.col("user_id") % 2 == 0).alias("label"),
+                (F.col("value").cast("double") / F.lit(100.0)).alias(
+                    "score"
+                ),
+                (F.col("user_id") % 3 == 0).alias("converted"),
             )
             dsrc, esrc = f"{stage_dir}/docs", f"{stage_dir}/events"
             docs.write.parquet(dsrc)
@@ -609,6 +628,36 @@ def main() -> None:
                         "experiment string, arm string, _v double, _c long",
                     ),
                     f"{root}/mw_state", -1,
+                )
+                snapshot_overwrite(
+                    spark.createDataFrame(
+                        [],
+                        "experiment string, _v double, _pos long,"
+                        " _neg long",
+                    ),
+                    f"{root}/auc_state", -1,
+                )
+                snapshot_overwrite(
+                    spark.createDataFrame(
+                        [],
+                        "experiment string, _b int, _n long, _np long,"
+                        " _ssum decimal(38,12), _rsum decimal(38,12)",
+                    ),
+                    f"{root}/cal_state", -1,
+                )
+                snapshot_overwrite(
+                    spark.createDataFrame(
+                        [],
+                        "experiment string, _b int, _s decimal(38,12),"
+                        " _n_w long, _rows long",
+                    ),
+                    f"{root}/bs_state", -1,
+                )
+                snapshot_overwrite(
+                    spark.createDataFrame(
+                        [], "experiment string, arm string, n long, x long"
+                    ),
+                    f"{root}/sprt_state", -1,
                 )
                 jsd_proc = streaming_jsd_ingest(
                     docs, counts_dir=f"{root}/jsd_state",
@@ -637,11 +686,40 @@ def main() -> None:
                     ev, cells_dir=f"{root}/mw_state",
                     report_dir=f"{root}/mw_report",
                 )
+                auc_proc = streaming_auc_ingest(
+                    ev, "experiment", "label", "value",
+                    cells_dir=f"{root}/auc_state",
+                    report_dir=f"{root}/auc_report",
+                )
+                cal_proc = streaming_calibration_ingest(
+                    ev, "experiment", "score", "converted", bins=10,
+                    state_dir=f"{root}/cal_state",
+                    report_dir=f"{root}/cal_report",
+                )
+                bs_proc = streaming_bootstrap_ingest(
+                    ev, "experiment", "value", "event_id", b=60,
+                    state_dir=f"{root}/bs_state",
+                    report_dir=f"{root}/bs_report",
+                )
+                sprt_proc = streaming_sprt_ingest(
+                    ev, "experiment", "arm", "converted",
+                    p0=0.30, p1=0.36,
+                    cells_dir=f"{root}/sprt_state",
+                    report_dir=f"{root}/sprt_report",
+                )
+
+                def _event_batch(batch_df, epoch_id):
+                    mw_proc(batch_df, epoch_id)
+                    auc_proc(batch_df, epoch_id)
+                    cal_proc(batch_df, epoch_id)
+                    bs_proc(batch_df, epoch_id)
+                    sprt_proc(batch_df, epoch_id)
+
                 qe = (
                     spark.readStream.schema(
                         spark.read.parquet(esrc).schema
                     ).parquet(esrc)
-                    .writeStream.foreachBatch(mw_proc)
+                    .writeStream.foreachBatch(_event_batch)
                     .option("checkpointLocation", f"{root}/ckpt_events")
                     .trigger(availableNow=True)
                     .start()

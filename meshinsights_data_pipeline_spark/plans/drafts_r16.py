@@ -333,9 +333,10 @@ def x128_bootstrap_ci(spark: SparkSession, sf_dir: str):
     type (bootstrap.bootstrap_mean_ci, B=60) — the distribution-free
     uncertainty band the z/t readouts (x105/x116) approximate
     parametrically. Every (row, replicate) Poisson weight is a pure
-    function of (event_id, b) via the md5_int60 surface against shared
-    12-decimal Poisson(1)-CDF literals, so the resamples — and the CI —
-    are bit-identical across engines: replicate means fold w*v through
+    function of (event_id, b): ONE md5 per row spread across replicates
+    by exact-BIGINT affine maps (bootstrap.replicate_constants literals)
+    against shared 12-decimal Poisson(1)-CDF literals, so the
+    resamples — and the CI — are bit-identical across engines: replicate means fold w*v through
     DECIMAL(38,12), the sample mean rides the same single pass as
     pseudo-replicate b=-1, and the bounds are exact interpolated
     percentiles over the replicate means."""
@@ -351,33 +352,40 @@ def x128_bootstrap_ci(spark: SparkSession, sf_dir: str):
 
 def _x128_sql() -> str:
     from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        BOOT_PRIME,
         POISSON1_CDF,
+        replicate_constants,
     )
 
     w_case = "CASE " + " ".join(
         f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF)
     ) + " ELSE 6 END"
+    a_k, c_k = replicate_constants(60)
+    consts = ", ".join(
+        ["(-1, 0, 0)"]
+        + [f"({k}, {a_k[k]}, {c_k[k]})" for k in range(60)]
+    )
     return f"""
 WITH base AS (
-    SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+    SELECT event_type AS g,
+           ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+           )::BIGINT % {BOOT_PRIME} AS h,
            CAST(value AS DOUBLE) AS v
     FROM events
     WHERE event_type IS NOT NULL AND event_id IS NOT NULL
       AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 ),
 reps AS (
-    SELECT g, id, v, b
-    FROM base CROSS JOIN (SELECT unnest(range(-1, 60)) AS b) bs
+    SELECT g, h, v, b, a, c
+    FROM base CROSS JOIN (VALUES {consts}) AS t(b, a, c)
 ),
 wts AS (
     SELECT g, b, v,
            CASE WHEN b = -1 THEN 1 ELSE {w_case} END AS w
     FROM (
         SELECT *,
-               CAST(('0x' || substring(
-                         md5(id || '|' || CAST(b AS VARCHAR)), 1, 15)
-                     )::BIGINT AS DOUBLE)
-                   / 1152921504606846976.0 AS u
+               CAST((a * h + c) % {BOOT_PRIME} AS DOUBLE)
+                   / {BOOT_PRIME}.0 AS u
         FROM reps
     )
 ),

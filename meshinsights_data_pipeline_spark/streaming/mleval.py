@@ -148,7 +148,15 @@ def streaming_bootstrap_ingest(
     dec12 = "decimal(38,12)"
 
     def _batch_moments(batch_df: DataFrame) -> DataFrame:
-        # the batch operator's guards / hash / weight rules, one place
+        # the batch operator's guards / hash / weight rules, one place:
+        # ONE md5 per row, affine (a_b, c_b) literals spread it across
+        # replicates (bootstrap.replicate_constants — md5 per (id, b)
+        # measured 6x the whole twin's cost)
+        from meshinsights_data_pipeline_spark.operators.bootstrap import (
+            BOOT_PRIME,
+            replicate_constants,
+        )
+
         v = F.col(value_col).cast("double")
         keep = (
             v.isNotNull() & ~F.isnan(v)
@@ -156,16 +164,41 @@ def streaming_bootstrap_ingest(
         )
         base = batch_df.filter(keep).select(
             F.col(group_col),
-            F.col(id_col).cast("string").alias("_id"),
+            (
+                md5_int60(F.col(id_col).cast("string"))
+                % F.lit(BOOT_PRIME)
+            ).alias("_h"),
             v.alias("_v"),
         )
+        a_k, c_k = replicate_constants(int(b))
+        entries = [
+            F.struct(
+                F.lit(-1).alias("_b"),
+                F.lit(0).cast("bigint").alias("_a"),
+                F.lit(0).cast("bigint").alias("_c"),
+            )
+        ] + [
+            F.struct(
+                F.lit(k).alias("_b"),
+                F.lit(a_k[k]).cast("bigint").alias("_a"),
+                F.lit(c_k[k]).cast("bigint").alias("_c"),
+            )
+            for k in range(int(b))
+        ]
         reps = base.select(
-            group_col, "_id", "_v",
-            F.explode(F.sequence(F.lit(-1), F.lit(int(b) - 1))).alias("_b"),
+            group_col, "_h", "_v",
+            F.explode(F.array(*entries)).alias("_r"),
+        ).select(
+            group_col,
+            "_h",
+            "_v",
+            F.col("_r._b").alias("_b"),
+            F.col("_r._a").alias("_a"),
+            F.col("_r._c").alias("_c"),
         )
-        u = md5_int60(
-            F.concat_ws("|", F.col("_id"), F.col("_b").cast("string"))
-        ).cast("double") / F.lit(float(1 << 60))
+        u = (
+            (F.col("_a") * F.col("_h") + F.col("_c")) % F.lit(BOOT_PRIME)
+        ).cast("double") / F.lit(float(BOOT_PRIME))
         w = F.when(F.col("_b") == -1, F.lit(1)).otherwise(poisson_weight(u))
         return (
             reps.select(group_col, "_b", w.alias("_w"), "_v")

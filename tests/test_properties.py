@@ -3157,8 +3157,10 @@ def test_bootstrap_mean_ci_matches_python(spark, rows):
     from decimal import Decimal, ROUND_HALF_UP
 
     from meshinsights_data_pipeline_spark.operators.bootstrap import (
+        BOOT_PRIME,
         POISSON1_CDF,
         bootstrap_mean_ci,
+        replicate_constants,
     )
 
     B = 10
@@ -3178,10 +3180,11 @@ def test_bootstrap_mean_ci_matches_python(spark, rows):
     def d12(x: float) -> Decimal:
         return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
 
+    a_k, c_k = replicate_constants(B)
+
     def weight(idv: str, b: int) -> int:
-        u = int(
-            hashlib.md5(f"{idv}|{b}".encode()).hexdigest()[:15], 16
-        ) / float(2 ** 60)
+        h = int(hashlib.md5(idv.encode()).hexdigest()[:15], 16) % BOOT_PRIME
+        u = ((a_k[b] * h + c_k[b]) % BOOT_PRIME) / float(BOOT_PRIME)
         for k, t in enumerate(cdf):
             if u < t:
                 return k
@@ -3217,7 +3220,10 @@ def test_bootstrap_mean_ci_matches_python(spark, rows):
             / len(pts)
         ) + 0.0
         if nb == 0:
-            continue  # operator emits no row (inner percentile join)
+            # LEFT-joined percentile frames: the group survives with
+            # b_reps = 0 and NULL bounds (ADVICE r16)
+            expect[g] = (len(pts), 0, sm, None, None)
+            continue
 
         def pct(q: float) -> float:
             pos = float(nb - 1) * q
