@@ -322,3 +322,113 @@ def autocorrelation(
     return stats.select(
         *groups, "n", F.explode(out).alias("_r")
     ).select(*groups, F.col("_r.lag").alias("lag"), "n", "_r.acf")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_by: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per group over a
+    REGULAR series (one row per (group, ts) tick):
+    ``[*group_by, <ts_col>, <value_col>, trend, seasonal, resid]``.
+
+    The decomposition the x104 CUSUM / x108 Mann-Kendall layer sits on
+    top of: trend = centered ``period``-point moving average (defined
+    only where the full window exists — edge rows carry NULL trend and
+    NULL seasonal/resid, the textbook convention); seasonal = per-phase
+    mean of the detrended series, centered so the seasonal components
+    sum to ~0 over one period; resid = detrended - seasonal. Phase is
+    the row's position in the group's ts order modulo ``period`` — a
+    DENSE total order is the caller's contract (gap-fill first:
+    x35/x82).
+
+    ``period`` must be ODD here (the even case needs the asymmetric
+    2xMA; callers with even seasonality should resample or use
+    period+1) — this keeps the trend a single exact window fold.
+
+    Cross-engine determinism: values quantize to DECIMAL(38,12) and the
+    trend/seasonal numerators fold in DECIMAL (order-independent exact
+    sums); each stage divides ONCE as the final IEEE op and re-
+    quantizes before the next fold (the CUSUM/autocorrelation
+    discipline), so both engines see identical operands everywhere.
+
+    Scale shape: ONE entity-keyed shuffle carries the ROWS window, the
+    phase means are a |groups| x period aggregate broadcast back, and
+    nothing after the first window is corpus-sized.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    groups = list(group_by)
+    half = (period - 1) // 2
+    dec12 = "decimal(38,12)"
+    keep = F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    for g in groups:
+        keep = keep & F.col(g).isNotNull()
+    base = df.filter(keep).select(
+        *groups,
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(value_col).cast("double").cast(dec12).alias("_vd"),
+    )
+    order = Window.partitionBy(*groups).orderBy(ts_col)
+    win = order.rowsBetween(-half, half)
+    with_trend = base.select(
+        *groups,
+        ts_col,
+        "_v",
+        "_vd",
+        ((F.row_number().over(order) - F.lit(1)) % F.lit(period)).alias(
+            "_phase"
+        ),
+        F.when(
+            F.count(F.lit(1)).over(win) == F.lit(period),
+            F.sum("_vd").over(win).cast("double") / F.lit(float(period)),
+        ).alias("_trend"),
+    )
+    from meshinsights_data_pipeline_spark.operators.barrier import (
+        materialize as _materialize,
+    )
+
+    # the detrended series feeds BOTH the phase-mean aggregate and the
+    # final join; it is |groups| x ticks (small relative to whatever
+    # corpus aggregate produced the series) — materialize so the
+    # upstream scan+window runs once (the diamond-barrier lesson)
+    detr = _materialize(
+        with_trend.withColumn(
+            "_det", F.col("_v") - F.col("_trend")
+        ).withColumn("_detd", F.col("_det").cast(dec12))
+    )
+    phase_means = detr.filter(F.col("_det").isNotNull()).groupBy(
+        *groups, "_phase"
+    ).agg(
+        (F.sum("_detd").cast("double") / F.count(F.lit(1))).alias("_pm")
+    )
+    centered = phase_means.withColumn(
+        "_season",
+        F.col("_pm")
+        - F.sum(F.col("_pm").cast(dec12))
+        .over(Window.partitionBy(*groups))
+        .cast("double")
+        / F.count(F.lit(1)).over(Window.partitionBy(*groups)),
+    ).select(*groups, "_phase", "_season")
+    out = detr.join(F.broadcast(centered), [*groups, "_phase"], "left")
+    rnd = lambda c: F.round(c, round_to) + F.lit(0.0)  # noqa: E731
+    return out.select(
+        *groups,
+        ts_col,
+        F.col("_v").alias(value_col),
+        rnd(F.col("_trend")).alias("trend"),
+        rnd(
+            F.when(F.col("_trend").isNotNull(), F.col("_season"))
+        ).alias("seasonal"),
+        rnd(
+            F.when(
+                F.col("_trend").isNotNull(),
+                F.col("_det") - F.col("_season"),
+            )
+        ).alias("resid"),
+    )

@@ -31,5 +31,355 @@ from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.session import read_table
 
+_H60 = "(('0x' || substring(md5({s}), 1, 15))::BIGINT)"
+_NORM = (
+    "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+def x131_hll_cardinality(spark: SparkSession, sf_dir: str):
+    """Per-source HLL approximate COUNT(DISTINCT text) at p=8 (m=256
+    registers — constant state per source vs the corpus-keyed shuffle
+    an exact distinct needs at 100 TB). Register index/rank come from
+    one md5 per row; the rank is a generated integer-comparison chain
+    (never IEEE log2), the harmonic sum folds as exact scaled integers
+    in DECIMAL(38,0), alpha_m is a shared 12-decimal literal, and the
+    estimate is ONE IEEE division (the linear-counting branch's single
+    ln is rounded once — out of play at sf0.01 where every source's
+    raw estimate clears 2.5m)."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hll_cardinality,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hll_cardinality(docs, ["source"], "text", p=8).orderBy(
+        "source"
+    )
+
+
+def _x131_sql() -> str:
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        _hll_alpha,
+        hll_rho_sql,
+    )
+
+    p = 8
+    m = 1 << p
+    nbits = 60 - p
+    scale = 61 - p
+    rho = hll_rho_sql(f"(h >> {p})", nbits)
+    term = "CASE rho " + " ".join(
+        f"WHEN {r} THEN {1 << (scale - r)}" for r in range(1, nbits + 2)
+    ) + " END"
+    alpha = _hll_alpha(m)
+    num = repr(float(m) * float(m) * float(1 << scale))
+    return f"""
+WITH base AS (
+    SELECT source, {_H60.format(s="text")} AS h
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+regs AS (
+    SELECT source, CAST(h % {m} AS INT) AS reg, MAX({rho}) AS rho
+    FROM base GROUP BY source, h % {m}
+),
+agg AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_registers,
+           SUM(CAST({term} AS DECIMAL(38,0))) AS zf
+    FROM regs GROUP BY source
+),
+est AS (
+    SELECT source, n_registers,
+           {alpha} * {num}
+           / CAST(zf + CAST({m} - n_registers AS DECIMAL(38,0))
+                       * {1 << scale} AS DOUBLE) AS raw
+    FROM agg
+)
+SELECT source, n_registers,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND n_registers < {m}
+                  THEN {float(m)} * ln({float(m)} / ({m} - n_registers))
+                  ELSE raw END, 4) + 0.0 AS estimate
+FROM est
+ORDER BY source
+"""
+
+
+def x132_cms_heavy_hitters(spark: SparkSession, sf_dir: str):
+    """Count-min frequency estimates per source for the corpus's exact
+    top-15 tokens (sketch.cms_counts depth=4 x width=1024 — constant
+    counter state per source regardless of vocabulary size; the
+    upper-bound point estimate is min over 4 affine bucket rows from
+    ONE md5 per token occurrence, the bootstrap hash-once lesson).
+    Items come from the exact x32-style vocabulary top-15 (count desc,
+    token asc) so the anchor checks sketch-vs-truth on the heaviest
+    keys, where CMS is tight."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+    from meshinsights_data_pipeline_spark.operators.text import (
+        normalized_text,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "source",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    items = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("token").asc())
+        .limit(15)
+        .select("token")
+    )
+    state = cms_counts(toks, ["source"], "token", depth=4, width=1024)
+    return cms_estimate(
+        state, ["source"], items, "token", depth=4, width=1024
+    ).orderBy("source", "token")
+
+
+def _x132_sql() -> str:
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        SKETCH_PRIME,
+        cms_row_constants,
+    )
+
+    depth, width = 4, 1024
+    a_r, c_r = cms_row_constants(depth)
+    consts = ", ".join(
+        f"({r}, {a_r[r]}, {c_r[r]})" for r in range(depth)
+    )
+    norm = _NORM.format(col="text")
+    h = _H60.format(s="token")
+    return f"""
+WITH toks AS (
+    SELECT source, unnest(string_split({norm}, ' ')) AS token
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+tt AS (SELECT source, token FROM toks WHERE token <> ''),
+items AS (
+    SELECT token FROM tt GROUP BY token
+    ORDER BY COUNT(*) DESC, token ASC LIMIT 15
+),
+hashed AS (
+    SELECT source, {h} % {SKETCH_PRIME} AS hh FROM tt
+),
+state AS (
+    SELECT source, r, (a * hh + c) % {SKETCH_PRIME} % {width} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM hashed CROSS JOIN (VALUES {consts}) AS t(r, a, c)
+    GROUP BY source, r, (a * hh + c) % {SKETCH_PRIME} % {width}
+),
+probes AS (
+    SELECT token, r,
+           (a * ({h} % {SKETCH_PRIME}) + c) % {SKETCH_PRIME} % {width}
+               AS bucket
+    FROM items CROSS JOIN (VALUES {consts}) AS t(r, a, c)
+),
+grid AS (
+    SELECT g.source, p.token, p.r, p.bucket
+    FROM (SELECT DISTINCT source FROM state) g CROSS JOIN probes p
+)
+SELECT gsource AS source, gtoken AS token, estimate
+FROM (
+    SELECT grid.source AS gsource, grid.token AS gtoken,
+           MIN(COALESCE(state.c, 0)) AS estimate
+    FROM grid LEFT JOIN state
+        ON state.source = grid.source AND state.r = grid.r
+       AND state.bucket = grid.bucket
+    GROUP BY grid.source, grid.token
+)
+ORDER BY source, token
+"""
+
+
+def x133_kmv_overlap(spark: SparkSession, sf_dir: str):
+    """Estimated pairwise source overlap (Jaccard / union /
+    intersection cardinalities) from bottom-128 KMV sketches of the
+    raw text values (sketch.kmv_pairwise_overlap) — the x57 exact
+    overlap matrix's 100 TB shape: sketches are |S| x k rows, the pair
+    stage |S|^2 x k, and the corpus is hashed once and never joined
+    against itself. Estimators are the Beyer et al. (k-1)/h_k form —
+    exact-integer operands, one IEEE division, rounded once."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        kmv_pairwise_overlap,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kmv_pairwise_overlap(docs, "source", "text", k=128).orderBy(
+        "source_a", "source_b"
+    )
+
+
+def _x133_sql() -> str:
+    k = 128
+    h = _H60.format(s="text")
+    two60 = "1152921504606846976.0"
+    return f"""
+WITH dist AS (
+    SELECT DISTINCT source, {h} AS h
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM dist
+    ) WHERE rk <= {k}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+u AS (
+    SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.source = p.sb
+    ) GROUP BY sa, sb, h
+),
+usk AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY sa, sb ORDER BY h) AS rk
+        FROM u
+    ) WHERE rk <= {k}
+),
+agg AS (
+    SELECT sa, sb,
+           CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+           MAX(h) AS hk
+    FROM usk GROUP BY sa, sb
+),
+est AS (
+    SELECT sa, sb, n_union_sketch,
+           CAST(n_both AS DOUBLE) / n_union_sketch AS jac,
+           CASE WHEN n_union_sketch < {k}
+                THEN CAST(n_union_sketch AS DOUBLE)
+                ELSE {float(k - 1)} * {two60} / CAST(hk AS DOUBLE)
+           END AS u_est
+    FROM agg
+)
+SELECT sa AS source_a, sb AS source_b, n_union_sketch,
+       ROUND(jac, 4) + 0.0 AS jaccard_est,
+       ROUND(u_est, 4) + 0.0 AS union_est,
+       ROUND(jac * u_est, 4) + 0.0 AS intersection_est
+FROM est
+ORDER BY source_a, source_b
+"""
+
+
+def x134_seasonal_decompose(spark: SparkSession, sf_dir: str):
+    """Classical additive seasonal decomposition (period 7) of the
+    daily event-value total per event type (trend.seasonal_decompose):
+    trend = centered 7-day moving average over exact DECIMAL folds,
+    seasonal = centered per-weekday-phase means of the detrended
+    series, resid = what the x104/x108 alarm layer should actually
+    watch. Edge days (no full window) carry NULL trend/seasonal/resid
+    — the textbook convention, LEFT-join preserved."""
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        seasonal_decompose,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    daily = (
+        ev.filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v)
+        )
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(v.cast("decimal(38,12)")).cast("double").alias("_dv")
+        )
+    )
+    return seasonal_decompose(
+        daily, ["event_type"], "day", "_dv", period=7
+    ).select(
+        "event_type",
+        "day",
+        F.col("_dv").alias("value"),
+        "trend",
+        "seasonal",
+        "resid",
+    ).orderBy("event_type", "day")
+
+
+X134_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+base AS (
+    SELECT event_type, day, v, CAST(v AS DECIMAL(38,12)) AS vd
+    FROM daily
+),
+wt AS (
+    SELECT event_type, day, v,
+           (ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY day) - 1) % 7 AS phase,
+           CASE WHEN COUNT(*) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                THEN CAST(SUM(vd) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+                    / 7.0
+           END AS trend
+    FROM base
+),
+det AS (
+    SELECT *, v - trend AS detr,
+           CAST(v - trend AS DECIMAL(38,12)) AS detd
+    FROM wt
+),
+pm AS (
+    SELECT event_type, phase,
+           CAST(SUM(detd) AS DOUBLE) / COUNT(*) AS pmean
+    FROM det WHERE detr IS NOT NULL GROUP BY event_type, phase
+),
+cen AS (
+    SELECT event_type, phase,
+           pmean - CAST(SUM(CAST(pmean AS DECIMAL(38,12))) OVER (
+                       PARTITION BY event_type) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY event_type) AS season
+    FROM pm
+)
+SELECT et AS event_type, day, value, trend, seasonal, resid
+FROM (
+    SELECT d.event_type AS et, d.day AS day, d.v AS value,
+           ROUND(d.trend, 6) + 0.0 AS trend,
+           ROUND(CASE WHEN d.trend IS NOT NULL THEN c.season END, 6)
+               + 0.0 AS seasonal,
+           ROUND(CASE WHEN d.trend IS NOT NULL
+                      THEN d.detr - c.season END, 6) + 0.0 AS resid
+    FROM det d LEFT JOIN cen c
+        ON c.event_type = d.event_type AND c.phase = d.phase
+)
+ORDER BY event_type, day
+"""
+
+
 #: what r17 registers: name -> (builder, oracle_sql)
-DRAFTS: dict = {}
+DRAFTS: dict = {
+    "x131_hll_cardinality": (x131_hll_cardinality, _x131_sql()),
+    "x132_cms_heavy_hitters": (x132_cms_heavy_hitters, _x132_sql()),
+    "x133_kmv_overlap": (x133_kmv_overlap, _x133_sql()),
+    "x134_seasonal_decompose": (x134_seasonal_decompose, X134_SQL),
+}

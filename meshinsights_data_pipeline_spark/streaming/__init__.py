@@ -47,6 +47,10 @@ from meshinsights_data_pipeline_spark.streaming.mleval import (
     streaming_bootstrap_ingest,
     streaming_calibration_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.sketch import (
+    streaming_cms_ingest,
+    streaming_hll_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.survival import (
     streaming_km_ingest,
 )
@@ -130,6 +134,8 @@ __all__ = [
     "streaming_abtest_ingest",
     "streaming_chi2_ingest",
     "streaming_auc_ingest",
+    "streaming_cms_ingest",
+    "streaming_hll_ingest",
     "streaming_bootstrap_ingest",
     "streaming_calibration_ingest",
     "streaming_mann_whitney_ingest",

@@ -20,9 +20,12 @@ from meshinsights_data_pipeline_spark.plans.drafts_r15 import (
 from meshinsights_data_pipeline_spark.plans.drafts_r16 import (
     DRAFTS as DRAFTS_R16,
 )
+from meshinsights_data_pipeline_spark.plans.drafts_r17 import (
+    DRAFTS as DRAFTS_R17,
+)
 from tests.oracle_harness import compare
 
-DRAFTS = {**DRAFTS_R14, **DRAFTS_R15, **DRAFTS_R16}
+DRAFTS = {**DRAFTS_R14, **DRAFTS_R15, **DRAFTS_R16, **DRAFTS_R17}
 SF_DIR = "/root/testdata/sf0.01"
 
 

@@ -1390,3 +1390,46 @@ def test_cuped_single_moment_scan(spark):
     assert "EvalPython" not in p
     assert "windowspecdefinition" not in p
     assert "Scan ExistingRDD" in p  # the materialized moment frame
+
+
+def test_hll_cardinality_single_scan_no_python(spark, sf_smoke):
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hll_cardinality,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    p = _plan(hll_cardinality(docs, ["source"], "text", p=8))
+    assert p.count("Scan parquet") == 1  # corpus read once
+    assert "EvalPython" not in p  # JVM-side end to end
+    # two exchanges: the (group, register) combine and the tiny
+    # per-group estimate fold — nothing corpus-keyed
+    assert p.count("Exchange") <= 2
+
+
+def test_cms_counts_single_scan_single_shuffle(spark, sf_smoke):
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        cms_counts,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    p = _plan(cms_counts(docs, ["source"], "text", depth=4, width=256))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1  # ONE constant-key-space shuffle
+    assert "EvalPython" not in p
+
+
+def test_kmv_overlap_materializes_sketch_single_scan(spark, sf_smoke):
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        kmv_pairwise_overlap,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    p = _plan(kmv_pairwise_overlap(docs, "source", "text", k=32))
+    # the sketch barrier: every pair-stage consumer reads the cached
+    # |S| x k sketch (InMemoryTableScan), so the corpus scan+distinct+
+    # rank pipeline runs once no matter how many consumers print its
+    # lineage (FileScan strings inside InMemoryRelation subtrees are
+    # display artifacts, not executed scans — materialize()'s eager
+    # count() built the cache before this plan ran)
+    assert "InMemoryTableScan" in p
+    assert "EvalPython" not in p

@@ -2846,3 +2846,121 @@ def test_streaming_sprt_full_parity_and_retry(spark, tmp_path):
     process(b2, 1)  # simulated micro-batch retry
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
+
+
+def test_streaming_hll_full_parity_and_retry(spark, tmp_path):
+    """HLL twin: registers are a MAX-mergeable sufficient statistic
+    (register build is a pure per-row function, max-of-maxes =
+    max-of-union), so every epoch's estimate equals hll_cardinality
+    over everything ingested — exact by construction, no hashed-state
+    caveat; a retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hll_cardinality,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_hll_ingest,
+    )
+
+    schema = "g string, v string"
+    b1 = spark.createDataFrame(
+        [("s1", f"a{i}") for i in range(300)]
+        + [("s2", f"b{i}") for i in range(40)],
+        schema)
+    b2 = spark.createDataFrame(
+        [("s1", f"a{i}") for i in range(100)]     # overlap: re-seen values
+        + [("s1", f"c{i}") for i in range(150)]
+        + [("s3", "new-group")],                  # group appears mid-stream
+        schema)
+    sdir, rdir = str(tmp_path / "state"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "g string, _reg int, _rho int"),
+        sdir, -1)
+
+    P = 6
+    process = streaming_hll_ingest(
+        b1, group_col="g", value_col="v", p=P,
+        state_dir=sdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["n_registers"], r["estimate"])
+            for r in df.collect())
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(hll_cardinality(b1, ["g"], "v", p=P))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(
+        hll_cardinality(b1.unionByName(b2), ["g"], "v", p=P))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 5
+
+
+def test_streaming_cms_full_parity_and_retry(spark, tmp_path):
+    """CMS twin: counters SUM-merge exactly, so every epoch's watch-list
+    estimates equal cms_estimate over everything ingested; a retried
+    epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_cms_ingest,
+    )
+
+    schema = "g string, v string"
+    b1 = spark.createDataFrame(
+        [("s1", f"t{i % 9}") for i in range(90)]
+        + [("s1", "hot")] * 25 + [("s2", "hot")] * 3,
+        schema)
+    b2 = spark.createDataFrame(
+        [("s1", "hot")] * 10 + [("s2", f"u{i % 4}") for i in range(20)],
+        schema)
+    sdir, rdir = str(tmp_path / "state"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame(
+            [], "g string, _row int, _bucket int, _c long"),
+        sdir, -1)
+
+    D, W = 3, 32
+    items = ["hot", "t0", "absent"]
+    process = streaming_cms_ingest(
+        b1, group_col="g", value_col="v", depth=D, width=W,
+        items=items, state_dir=sdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["v"], r["estimate"]) for r in df.collect())
+
+    def batch_est(df):
+        items_df = spark.createDataFrame([(i,) for i in items], "v string")
+        return cms_estimate(
+            cms_counts(df, ["g"], "v", depth=D, width=W),
+            ["g"], items_df, "v", depth=D, width=W)
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(batch_est(b1))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(batch_est(b1.unionByName(b2)))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
