@@ -495,6 +495,62 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: judge eval e2e failed: {exc}", file=sys.stderr)
 
+    # Sketch-profile tier (r16): the constant-memory profiling pass a
+    # 100 TB corpus runs instead of exact distinct/frequency/overlap —
+    # HLL per-source cardinality, CMS hot-token estimates over the
+    # exploded token stream, KMV pairwise source overlap — composed
+    # over sf0.1 documents and gated like the other e2e extras (the
+    # staged x131-x133 anchors cover correctness at sf0.01; this gates
+    # the composed cost at the bench tier).
+    try:
+        from pyspark.sql import functions as F
+
+        from meshinsights_data_pipeline_spark.operators.sketch import (
+            cms_counts,
+            cms_estimate,
+            hll_cardinality,
+            kmv_pairwise_overlap,
+        )
+        from meshinsights_data_pipeline_spark.operators.text import (
+            normalized_text,
+        )
+        from meshinsights_data_pipeline_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        toks = docs.filter(
+            F.col("source").isNotNull() & F.col("text").isNotNull()
+        ).select(
+            "source",
+            F.explode(
+                F.split(normalized_text(F.col("text")), " ")
+            ).alias("token"),
+        ).filter(F.col("token") != "")
+        items = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .orderBy(F.col("_cnt").desc(), F.col("token").asc())
+            .limit(15)
+            .select("token")
+        )
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for frame in (
+                hll_cardinality(docs, ["source"], "text", p=10),
+                cms_estimate(
+                    cms_counts(toks, ["source"], "token",
+                               depth=4, width=1024),
+                    ["source"], items, "token", depth=4, width=1024,
+                ),
+                kmv_pairwise_overlap(docs, "source", "text", k=128),
+            ):
+                frame.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extras_cold["sketch_profile_e2e"] = runs[0]
+        extras["sketch_profile_e2e"] = runs[1]
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: sketch profile e2e failed: {exc}", file=sys.stderr)
+
     # Streaming tier: bounded-stream exact dedup over the documents table
     # (one micro-batch run, availableNow) — the §2.10 throughput signal.
     # No warm pass: a fresh checkpoint per run IS the streaming cost

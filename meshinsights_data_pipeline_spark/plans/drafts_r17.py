@@ -44,9 +44,13 @@ def x131_hll_cardinality(spark: SparkSession, sf_dir: str):
     one md5 per row; the rank is a generated integer-comparison chain
     (never IEEE log2), the harmonic sum folds as exact scaled integers
     in DECIMAL(38,0), alpha_m is a shared 12-decimal literal, and the
-    estimate is ONE IEEE division (the linear-counting branch's single
-    ln is rounded once — out of play at sf0.01 where every source's
-    raw estimate clears 2.5m)."""
+    estimate is ONE IEEE division. At sf0.01 the per-source distinct
+    counts are small, so the Heule linear-counting branch IS exercised
+    — its single ln has a FINITE argument domain (m/V, V in 1..m-1),
+    and the staging session verified all 255 possible m=256 outputs
+    (and the m=16/64/1024 domains) bit-identical between Spark's
+    Math.log and DuckDB's ln after the round-4: the branch is
+    exhaustively deterministic cross-engine, not probabilistically."""
     from meshinsights_data_pipeline_spark.operators.sketch import (
         hll_cardinality,
     )
