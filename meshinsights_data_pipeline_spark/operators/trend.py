@@ -432,3 +432,71 @@ def seasonal_decompose(
             )
         ).alias("resid"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    group_by: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal-adjusted robust anomaly flags — the composition the
+    decomposition exists for: :func:`seasonal_decompose` first, then
+    MAD-score the RESIDUAL (the x92 robust discipline), so a spike is
+    judged against what the schedule predicts, not against the raw
+    level (a Monday peak is normal on Mondays; the same value on a
+    Sunday flags).
+
+    Returns ``[*group_by, <ts_col>, <value_col>, trend, seasonal,
+    resid, med_resid, mad_resid, score, is_anomaly]`` for every row
+    with a defined residual in groups whose residual MAD > 0 (constant
+    residuals are excluded by the ROUNDED mad, the x92 rule; edge rows
+    with NULL trend never reach scoring).
+
+    Cross-engine determinism: the residual is the decomposition's
+    already-rounded output, both medians are exact interpolated
+    percentiles (the q09/q13 parity surface), and the flag compares
+    the ROUNDED score so borderline rows decide identically.
+
+    Scale shape: the decomposition's single entity shuffle dominates;
+    the MAD layer is two aggregates over the (already materialized)
+    decomposed series with tiny broadcast joins back.
+    """
+    groups = list(group_by)
+    dec = seasonal_decompose(
+        df, groups, ts_col, value_col, period=period, round_to=round_to
+    ).filter(F.col("resid").isNotNull())
+    med = dec.groupBy(*groups).agg(F.median("resid").alias("_med_r"))
+    mad = (
+        dec.join(F.broadcast(med), groups)
+        .groupBy(*groups)
+        .agg(
+            F.min("_med_r").alias("_med_r"),
+            F.round(
+                F.median(F.abs(F.col("resid") - F.col("_med_r"))),
+                round_to,
+            ).alias("mad_resid"),
+        )
+        .filter(F.col("mad_resid") > 0)
+    )
+    score = F.round(
+        F.abs(F.col("resid") - F.col("_med_r")) / F.col("mad_resid"),
+        round_to,
+    )
+    return dec.join(F.broadcast(mad), groups).select(
+        *groups,
+        ts_col,
+        value_col,
+        "trend",
+        "seasonal",
+        "resid",
+        (F.round(F.col("_med_r"), round_to) + F.lit(0.0)).alias(
+            "med_resid"
+        ),
+        "mad_resid",
+        (score + F.lit(0.0)).alias("score"),
+        (score > F.lit(float(threshold))).alias("is_anomaly"),
+    )

@@ -380,10 +380,201 @@ ORDER BY event_type, day
 """
 
 
+def x135_hist_quantiles(spark: SparkSession, sf_dir: str):
+    """Per-event-type p50/p90/p99 estimated from the mergeable
+    fixed-bound histogram sketch (sketch.hist_bin_counts 64 bins over
+    [0, 100] + hist_quantile_estimate) — the x61/x95 exact-percentile
+    sort's 100 TB tier made a first-class operator: state is
+    |groups| x bins, merges by SUM (streaming twin shares it), error
+    bounded by the bin width. Cumulative counts are exact integers;
+    the within-bin interpolation is fixed-order IEEE with a shared
+    python-computed bin-width literal, rounded once."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hist_bin_counts,
+        hist_quantile_estimate,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    state = hist_bin_counts(
+        ev, ["event_type"], "value", 0.0, 100.0, bins=64
+    )
+    return hist_quantile_estimate(
+        state, ["event_type"], [0.5, 0.9, 0.99], 0.0, 100.0, bins=64
+    ).orderBy("event_type", "q")
+
+
+X135_SQL = """
+WITH base AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND NOT isnan(CAST(value AS DOUBLE))
+),
+binned AS (
+    SELECT event_type,
+           LEAST(63, CAST(FLOOR(
+               ((GREATEST(0.0, LEAST(100.0, v)) - 0.0) / 100.0) * 64.0
+           ) AS INT)) AS bin
+    FROM base
+),
+state AS (
+    SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+    FROM binned GROUP BY event_type, bin
+),
+cum AS (
+    SELECT event_type, bin, CAST(c AS DOUBLE) AS cd,
+           CAST(SUM(c) OVER (
+               PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cc,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM state
+),
+probes AS (
+    SELECT event_type, bin, cd, cc, n, CAST(q AS DOUBLE) AS q
+    FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qs(q)
+)
+SELECT event_type, q, n,
+       ROUND(0.0 + (CAST(bin AS DOUBLE)
+                    + (q * CAST(n AS DOUBLE) - (cc - cd)) / cd)
+                   * 1.5625, 6) + 0.0 AS estimate
+FROM probes
+WHERE q * CAST(n AS DOUBLE) > cc - cd
+  AND q * CAST(n AS DOUBLE) <= cc
+ORDER BY event_type, q
+"""
+
+
+def x136_seasonal_anomalies(spark: SparkSession, sf_dir: str):
+    """Seasonal-adjusted robust anomalies (trend.seasonal_anomalies,
+    period 7, 3-MAD): the x134 decomposition composed with the x92
+    robust scorer over the RESIDUAL — a value is judged against what
+    the weekly schedule predicts, not the raw level. All scored rows
+    are returned with the flag (not pre-filtered: at small SFs a
+    well-behaved series may flag nothing, and a zero-row anchor is
+    vacuous)."""
+    from meshinsights_data_pipeline_spark.operators.trend import (
+        seasonal_anomalies,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    daily = (
+        ev.filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v)
+        )
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(v.cast("decimal(38,12)")).cast("double").alias("_dv")
+        )
+    )
+    return seasonal_anomalies(
+        daily, ["event_type"], "day", "_dv", period=7, threshold=3.0
+    ).select(
+        "event_type",
+        "day",
+        F.col("_dv").alias("value"),
+        "trend",
+        "seasonal",
+        "resid",
+        "med_resid",
+        "mad_resid",
+        "score",
+        "is_anomaly",
+    ).orderBy("event_type", "day")
+
+
+X136_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+base AS (
+    SELECT event_type, day, v, CAST(v AS DECIMAL(38,12)) AS vd
+    FROM daily
+),
+wt AS (
+    SELECT event_type, day, v,
+           (ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY day) - 1) % 7 AS phase,
+           CASE WHEN COUNT(*) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                THEN CAST(SUM(vd) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+                    / 7.0
+           END AS trend
+    FROM base
+),
+det AS (
+    SELECT *, v - trend AS detr,
+           CAST(v - trend AS DECIMAL(38,12)) AS detd
+    FROM wt
+),
+pm AS (
+    SELECT event_type, phase,
+           CAST(SUM(detd) AS DOUBLE) / COUNT(*) AS pmean
+    FROM det WHERE detr IS NOT NULL GROUP BY event_type, phase
+),
+cen AS (
+    SELECT event_type, phase,
+           pmean - CAST(SUM(CAST(pmean AS DECIMAL(38,12))) OVER (
+                       PARTITION BY event_type) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY event_type) AS season
+    FROM pm
+),
+dec AS (
+    SELECT d.event_type AS event_type, d.day AS day, d.v AS value,
+           ROUND(d.trend, 6) + 0.0 AS trend,
+           ROUND(CASE WHEN d.trend IS NOT NULL THEN c.season END, 6)
+               + 0.0 AS seasonal,
+           ROUND(CASE WHEN d.trend IS NOT NULL
+                      THEN d.detr - c.season END, 6) + 0.0 AS resid
+    FROM det d LEFT JOIN cen c
+        ON c.event_type = d.event_type AND c.phase = d.phase
+),
+scored AS (SELECT * FROM dec WHERE resid IS NOT NULL),
+med AS (
+    SELECT event_type, median(resid) AS med_r
+    FROM scored GROUP BY event_type
+),
+mad AS (
+    SELECT s.event_type, MIN(m.med_r) AS med_r,
+           ROUND(median(abs(s.resid - m.med_r)), 6) AS mad_resid
+    FROM scored s JOIN med m USING (event_type)
+    GROUP BY s.event_type
+    HAVING ROUND(median(abs(s.resid - m.med_r)), 6) > 0
+)
+SELECT et AS event_type, day, value, trend, seasonal, resid,
+       med_resid, mad_resid, score, is_anomaly
+FROM (
+    SELECT s.event_type AS et, s.day AS day, s.value AS value,
+           s.trend AS trend, s.seasonal AS seasonal, s.resid AS resid,
+           ROUND(m.med_r, 6) + 0.0 AS med_resid,
+           m.mad_resid AS mad_resid,
+           ROUND(abs(s.resid - m.med_r) / m.mad_resid, 6) + 0.0
+               AS score,
+           ROUND(abs(s.resid - m.med_r) / m.mad_resid, 6) > 3.0
+               AS is_anomaly
+    FROM scored s JOIN mad m ON m.event_type = s.event_type
+)
+ORDER BY event_type, day
+"""
+
+
 #: what r17 registers: name -> (builder, oracle_sql)
 DRAFTS: dict = {
     "x131_hll_cardinality": (x131_hll_cardinality, _x131_sql()),
     "x132_cms_heavy_hitters": (x132_cms_heavy_hitters, _x132_sql()),
     "x133_kmv_overlap": (x133_kmv_overlap, _x133_sql()),
     "x134_seasonal_decompose": (x134_seasonal_decompose, X134_SQL),
+    "x135_hist_quantiles": (x135_hist_quantiles, X135_SQL),
+    "x136_seasonal_anomalies": (x136_seasonal_anomalies, X136_SQL),
 }

@@ -49,6 +49,7 @@ from meshinsights_data_pipeline_spark.streaming.mleval import (
 )
 from meshinsights_data_pipeline_spark.streaming.sketch import (
     streaming_cms_ingest,
+    streaming_hist_quantile_ingest,
     streaming_hll_ingest,
 )
 from meshinsights_data_pipeline_spark.streaming.survival import (
@@ -135,6 +136,7 @@ __all__ = [
     "streaming_chi2_ingest",
     "streaming_auc_ingest",
     "streaming_cms_ingest",
+    "streaming_hist_quantile_ingest",
     "streaming_hll_ingest",
     "streaming_bootstrap_ingest",
     "streaming_calibration_ingest",

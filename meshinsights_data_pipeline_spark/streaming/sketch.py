@@ -1,5 +1,6 @@
 """Incremental sketch maintenance — the streaming twins of
-``operators.sketch`` (HLL cardinality, count-min frequencies).
+``operators.sketch`` (HLL cardinality, count-min frequencies,
+fixed-bound histogram quantiles).
 
 Sketches are the canonical streaming state: both are designed as
 mergeable sufficient statistics, so the twins are exact BY
@@ -144,6 +145,71 @@ def streaming_cms_ingest(
         report = cms_estimate(
             merged, [group_col], items_df, value_col,
             depth=depth, width=width,
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
+        if idempotent:
+            from meshinsights_data_pipeline_spark.sources.layout import (
+                idempotent_epoch_append,
+            )
+
+            idempotent_epoch_append(report, report_dir, epoch_id)
+        else:
+            report.write.mode("append").parquet(report_dir)
+
+    return _process
+
+
+def streaming_hist_quantile_ingest(
+    stream: DataFrame,
+    group_col: str = "group",
+    value_col: str = "value",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    qs: list[float],
+    state_dir: str,
+    report_dir: str,
+    round_to: int = 6,
+    idempotent: bool = True,
+):
+    """foreachBatch callable: SUM-merge batch histogram counts into the
+    state, re-estimate the quantiles from the merged counts, append
+    them with the epoch id — the continuously-updated latency/size
+    percentile dashboard whose state is |groups| x bins forever.
+
+    ``lo``/``hi``/``bins`` are the state's identity (the streaming-KS
+    fixed-bounds rule: bounds MUST be explicit — data-derived bounds
+    would re-bin history). Seed the state dir with
+    ``snapshot_overwrite(empty, state_dir, -1)`` (schema
+    ``group string, _bin int, _c long``). Report rows are
+    ``[epoch, group, q, n, estimate]``.
+    """
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hist_bin_counts,
+        hist_quantile_estimate,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_before,
+        snapshot_overwrite,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_state = hist_bin_counts(
+            batch_df, [group_col], value_col, lo, hi, bins=bins
+        )
+        prev = snapshot_before(spark, state_dir, epoch_id).select(
+            group_col, "_bin", "_c"
+        )
+        merged = (
+            prev.union(batch_state)
+            .groupBy(group_col, "_bin")
+            .agg(F.sum("_c").cast("bigint").alias("_c"))
+            .localCheckpoint()  # feeds the report AND the snapshot
+        )
+        snapshot_overwrite(merged, state_dir, version=epoch_id)
+        report = hist_quantile_estimate(
+            merged, [group_col], qs, lo, hi, bins=bins, round_to=round_to
         ).withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
         if idempotent:
             from meshinsights_data_pipeline_spark.sources.layout import (

@@ -1433,3 +1433,15 @@ def test_kmv_overlap_materializes_sketch_single_scan(spark, sf_smoke):
     # count() built the cache before this plan ran)
     assert "InMemoryTableScan" in p
     assert "EvalPython" not in p
+
+
+def test_hist_bin_counts_single_scan_single_shuffle(spark, sf_smoke):
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hist_bin_counts,
+    )
+
+    ev = read_table(spark, sf_smoke, "events")
+    p = _plan(hist_bin_counts(ev, ["event_type"], "value", 0.0, 100.0, 64))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1  # ONE |groups| x bins shuffle
+    assert "EvalPython" not in p

@@ -2964,3 +2964,62 @@ def test_streaming_cms_full_parity_and_retry(spark, tmp_path):
     process(b2, 1)  # simulated micro-batch retry
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
+
+
+def test_streaming_hist_quantile_full_parity_and_retry(spark, tmp_path):
+    """Histogram-quantile twin: fixed-bound bin counts SUM-merge
+    exactly, so every epoch's quantile estimates equal
+    hist_quantile_estimate over everything ingested; a retried epoch
+    changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.sketch import (
+        hist_bin_counts,
+        hist_quantile_estimate,
+    )
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_hist_quantile_ingest,
+    )
+
+    schema = "g string, v double"
+    b1 = spark.createDataFrame(
+        [("s1", float(i % 40)) for i in range(100)]
+        + [("s2", float(i % 7)) for i in range(20)],
+        schema)
+    b2 = spark.createDataFrame(
+        [("s1", float(50 + i % 30)) for i in range(60)]
+        + [("s3", 120.0)],  # clamps into the top bin, new group
+        schema)
+    sdir, rdir = str(tmp_path / "state"), str(tmp_path / "report")
+    snapshot_overwrite(
+        spark.createDataFrame([], "g string, _bin int, _c long"),
+        sdir, -1)
+
+    LO, HI, B, QS = 0.0, 100.0, 32, [0.5, 0.9]
+    process = streaming_hist_quantile_ingest(
+        b1, group_col="g", value_col="v",
+        lo=LO, hi=HI, bins=B, qs=QS, state_dir=sdir, report_dir=rdir)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["q"], r["n"], r["estimate"]) for r in df.collect())
+
+    def batch_est(df):
+        return hist_quantile_estimate(
+            hist_bin_counts(df, ["g"], "v", LO, HI, bins=B),
+            ["g"], QS, LO, HI, bins=B)
+
+    process(b1, 0)
+    got0 = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got0 == canon(batch_est(b1))
+
+    process(b2, 1)
+    all_reports = spark.read.parquet(rdir)
+    got1 = canon(all_reports.filter(F.col("epoch") == 1))
+    assert got1 == canon(batch_est(b1.unionByName(b2)))
+    assert canon(all_reports.filter(F.col("epoch") == 0)) == got0
+
+    process(b2, 1)  # simulated micro-batch retry
+    after = spark.read.parquet(rdir)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
