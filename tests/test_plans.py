@@ -326,10 +326,11 @@ def test_driver_window_invariants():
 
 
 def test_staged_drafts_do_not_collide_with_registered():
-    """Staged next-round anchors (plans/drafts_r16.py) must not reuse a
-    registered query name — registration is a dict update, and a
-    collision would silently replace a driver-checked anchor."""
-    from meshinsights_data_pipeline_spark.plans.drafts_r16 import (
+    """Staged next-round anchors (plans/drafts_r17.py — update this
+    import at each registration) must not reuse a registered query
+    name — registration is a dict update, and a collision would
+    silently replace a driver-checked anchor."""
+    from meshinsights_data_pipeline_spark.plans.drafts_r17 import (
         DRAFTS as NEXT,
     )
     from meshinsights_data_pipeline_spark.plans.queries import QUERIES
