@@ -1039,3 +1039,236 @@ def kw_from_counts(
             h.alias("h"),
         )
     )
+
+
+def _cell_moments(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Welch-pivot-disciplined per-cell moments ``[*keys, n, p, s, sq]``
+    (n rows, pivot = cell min, DECIMAL(38,12) folds of d and d^2) —
+    the shared stage behind welch_ttest / diff_in_diff / mde_estimate.
+    NULL keys and NULL/NaN values are excluded."""
+    v = F.col(value_col).cast("double")
+    keep = v.isNotNull() & ~F.isnan(v)
+    for k in keys:
+        keep = keep & F.col(k).isNotNull()
+    base = df.filter(keep).select(*keys, v.alias("_v"))
+    pivots = base.groupBy(*keys).agg(F.min("_v").alias("_p"))
+    d = F.col("_v") - F.col("_p")
+    dec = "decimal(38,12)"
+    return (
+        base.join(F.broadcast(pivots), keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("_p").alias("p"),
+            F.sum(d.cast(dec)).cast("double").alias("s"),
+            F.sum((d * d).cast(dec)).cast("double").alias("sq"),
+        )
+    )
+
+
+def _cell_mean_var(prefix: str):
+    """mean / sample-variance columns off a _cell_moments row whose
+    columns carry ``prefix`` (fixed IEEE operand order)."""
+    n = F.col(f"{prefix}n")
+    m = F.col(f"{prefix}s") / n
+    mean = F.col(f"{prefix}p") + m
+    var = F.when(
+        n >= 2,
+        (F.col(f"{prefix}sq") / n - m * m)
+        * (n.cast("double") / (n - 1)),
+    )
+    return mean, var
+
+
+def diff_in_diff(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    control_label: str = "control",
+    pre_label: str = "pre",
+    post_label: str = "post",
+    z_crit: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences per (experiment, treatment arm): the
+    causal readout when treatment was NOT randomly assigned but both
+    arms were observed before AND after the change —
+    did = (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre),
+    the parallel-trends estimator that cancels both the arm's level
+    difference and the shared time shift. Completes the family: x105/
+    x116 assume randomized arms; this is the rollout/geo-launch tool.
+
+    Returns ``[experiment, arm, n_c_pre, n_c_post, n_t_pre, n_t_post,
+    did, se, z, significant, has_all_cells]`` for every non-control
+    arm. se is the independent-samples form sqrt(sum of var/n over the
+    FOUR cells) — NULL (and significant = false) when any cell has
+    n < 2; a missing cell (arm never observed in a period) surfaces
+    with has_all_cells = false and NULL did (the has_control
+    discipline: misconfigured feeds must be visible, not vanish).
+
+    Cross-engine determinism: the four cell moments are the Welch
+    pivot-fold (shared ``_cell_moments`` stage); did/se/z are fixed-
+    order IEEE ops, z rounded once, significance compared on the
+    ROUNDED z.
+
+    Scale shape: ONE corpus scan into the materialized (experiment,
+    arm, period) moment table (mergeable sufficient statistic);
+    everything after is |experiments x arms|-row algebra over
+    broadcast joins.
+    """
+    cells = _materialize(
+        _cell_moments(
+            df, [experiment_col, arm_col, period_col], value_col
+        )
+    )
+
+    def _slice(arm_pred, period_label: str, prefix: str) -> DataFrame:
+        out = cells.filter(
+            arm_pred & (F.col(period_col) == period_label)
+        ).select(
+            F.col(experiment_col),
+            *([F.col(arm_col).alias("_arm")] if prefix.startswith("t") else []),
+            F.col("n").alias(f"{prefix}n"),
+            F.col("p").alias(f"{prefix}p"),
+            F.col("s").alias(f"{prefix}s"),
+            F.col("sq").alias(f"{prefix}sq"),
+        )
+        return out
+
+    is_ctrl = F.col(arm_col) == control_label
+    t_pre = _slice(~is_ctrl, pre_label, "tpre_")
+    t_post = _slice(~is_ctrl, post_label, "tpost_")
+    c_pre = _slice(is_ctrl, pre_label, "cpre_")
+    c_post = _slice(is_ctrl, post_label, "cpost_")
+    j = (
+        t_post.join(t_pre, [experiment_col, "_arm"], "full")
+        .join(F.broadcast(c_pre), experiment_col, "left")
+        .join(F.broadcast(c_post), experiment_col, "left")
+    )
+    m_tpre, v_tpre = _cell_mean_var("tpre_")
+    m_tpost, v_tpost = _cell_mean_var("tpost_")
+    m_cpre, v_cpre = _cell_mean_var("cpre_")
+    m_cpost, v_cpost = _cell_mean_var("cpost_")
+    has_all = (
+        F.col("tpre_n").isNotNull()
+        & F.col("tpost_n").isNotNull()
+        & F.col("cpre_n").isNotNull()
+        & F.col("cpost_n").isNotNull()
+    )
+    did = F.when(
+        has_all, (m_tpost - m_tpre) - (m_cpost - m_cpre)
+    )
+    se = F.when(
+        has_all,
+        F.sqrt(
+            v_tpost / F.col("tpost_n")
+            + v_tpre / F.col("tpre_n")
+            + v_cpost / F.col("cpost_n")
+            + v_cpre / F.col("cpre_n")
+        ),
+    )
+    z = F.when(se > 0, F.round(did / se, round_to))
+    rnd = lambda c: F.round(c, round_to) + F.lit(0.0)  # noqa: E731
+    return j.select(
+        F.col(experiment_col),
+        F.col("_arm").alias(arm_col),
+        F.col("cpre_n").alias("n_c_pre"),
+        F.col("cpost_n").alias("n_c_post"),
+        F.col("tpre_n").alias("n_t_pre"),
+        F.col("tpost_n").alias("n_t_post"),
+        rnd(did).alias("did"),
+        rnd(se).alias("se"),
+        (z + F.lit(0.0)).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_crit)), F.lit(False)
+        ).alias("significant"),
+        has_all.alias("has_all_cells"),
+    )
+
+
+#: two-sided alpha / power -> python-computed 12-decimal z literals
+#: (statistics.NormalDist at module-authoring time — ppf never runs in
+#: either engine, the SPRT ln-constant discipline)
+MDE_Z_ALPHA = {0.05: "1.959963984540", 0.01: "2.575829303549"}
+MDE_Z_POWER = {0.8: "0.841621233573", 0.9: "1.281551565545"}
+
+
+def mde_estimate(
+    df: DataFrame,
+    experiment_col: str,
+    arm_col: str,
+    value_col: str,
+    control_label: str = "control",
+    alpha: float = 0.05,
+    power: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Minimum detectable effect per (experiment, arm) at the CURRENT
+    sample sizes and variances — the power-analysis readout upstream of
+    every test in this family (the reference's power-analysis loop's
+    "is this experiment even big enough" question):
+    mde_abs = (z_{1-alpha/2} + z_{power}) * sqrt(s_c^2/n_c + s_a^2/n_a),
+    plus mde_rel = mde_abs / mean_control (NULL exactly when the
+    unrounded control mean is 0 — a ratio to a zero baseline is
+    undefined, not infinite).
+
+    Returns ``[experiment, arm, n_control, n_arm, has_control,
+    mean_control, mde_abs, mde_rel]``. z constants come from a fixed
+    literal table (``MDE_Z_ALPHA`` / ``MDE_Z_POWER`` — python-computed
+    12-decimal strings; the inverse normal CDF never runs in either
+    engine), so unsupported alpha/power raise at wiring time instead
+    of silently diverging cross-engine. Cells with n < 2 yield NULL
+    mde; missing controls surface with has_control = false.
+
+    Scale shape: the shared ``_cell_moments`` stage (ONE corpus scan,
+    mergeable moment state), then |experiments x arms|-row algebra.
+    """
+    if alpha not in MDE_Z_ALPHA:
+        raise ValueError(
+            f"alpha must be one of {sorted(MDE_Z_ALPHA)}, got {alpha}"
+        )
+    if power not in MDE_Z_POWER:
+        raise ValueError(
+            f"power must be one of {sorted(MDE_Z_POWER)}, got {power}"
+        )
+    zsum = float(MDE_Z_ALPHA[alpha]) + float(MDE_Z_POWER[power])
+    cells = _materialize(
+        _cell_moments(df, [experiment_col, arm_col], value_col)
+    )
+
+    def _side(pred, prefix: str) -> DataFrame:
+        return cells.filter(pred).select(
+            F.col(experiment_col),
+            *([F.col(arm_col).alias("_arm")] if prefix == "a_" else []),
+            F.col("n").alias(f"{prefix}n"),
+            F.col("p").alias(f"{prefix}p"),
+            F.col("s").alias(f"{prefix}s"),
+            F.col("sq").alias(f"{prefix}sq"),
+        )
+
+    is_ctrl = F.col(arm_col) == control_label
+    arms = _side(~is_ctrl, "a_")
+    ctrl = _side(is_ctrl, "c_")
+    j = arms.join(F.broadcast(ctrl), experiment_col, "left")
+    m_c, v_c = _cell_mean_var("c_")
+    m_a, v_a = _cell_mean_var("a_")
+    mde = F.lit(zsum) * F.sqrt(
+        v_c / F.col("c_n") + v_a / F.col("a_n")
+    )
+    rnd = lambda c: F.round(c, round_to) + F.lit(0.0)  # noqa: E731
+    return j.select(
+        F.col(experiment_col),
+        F.col("_arm").alias(arm_col),
+        F.col("c_n").alias("n_control"),
+        F.col("a_n").alias("n_arm"),
+        F.col("c_n").isNotNull().alias("has_control"),
+        rnd(m_c).alias("mean_control"),
+        rnd(mde).alias("mde_abs"),
+        rnd(F.when(m_c != 0, mde / m_c)).alias("mde_rel"),
+    )

@@ -500,3 +500,88 @@ def seasonal_anomalies(
         (score + F.lit(0.0)).alias("score"),
         (score > F.lit(float(threshold))).alias("is_anomaly"),
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    group_by: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression y = intercept + slope * x,
+    with R^2: ``[*group_by, n, slope, intercept, r2]`` — the PARAMETRIC
+    companion of :func:`mann_kendall_trend`'s Theil-Sen slope (that one
+    is robust and O(n^2)-pairs; this is the closed-form O(n) fit with
+    the variance-explained readout, the one to run when the series is
+    well-behaved and n is large).
+
+    Degenerate groups: n < 2 or constant x yield NULL slope /
+    intercept / r2; constant y (with varying x) fits slope 0 exactly
+    and r2 is NULL (variance explained is undefined, not 1 — there is
+    no variance). NULL/NaN coordinates and NULL group keys are
+    excluded up front.
+
+    Cross-engine determinism: per-group moments use the Welch PIVOT
+    discipline — dx = x - min(x), dy = y - min(y) so magnitudes are
+    the group's RANGE; dx/dy fold DECIMAL(38,12), the products
+    dx*dy / dx^2 / dy^2 quantize to DECIMAL(38,6) after ONE IEEE
+    multiply (the x121 magnitude rule) and sum exactly. slope /
+    intercept / r2 are then single correctly-rounded IEEE ops in a
+    FIXED operand order, rounded once.
+
+    Scale shape: one tiny per-group min aggregate broadcast back + ONE
+    map-side-combinable moment aggregate over the corpus scan; the
+    moment table is a mergeable sufficient statistic (decimal/integer
+    sums — a streaming twin folds micro-batches into the same state).
+    """
+    groups = list(group_by)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    keep = x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    for g in groups:
+        keep = keep & F.col(g).isNotNull()
+    base = df.filter(keep).select(*groups, x.alias("_x"), y.alias("_y"))
+    pivots = base.groupBy(*groups).agg(
+        F.min("_x").alias("_px"), F.min("_y").alias("_py")
+    )
+    dx = F.col("_x") - F.col("_px")
+    dy = F.col("_y") - F.col("_py")
+    d12 = "decimal(38,12)"
+    d6 = "decimal(38,6)"
+    m = (
+        base.join(F.broadcast(pivots), groups)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("_px").alias("_px"),
+            F.min("_py").alias("_py"),
+            F.sum(dx.cast(d12)).cast("double").alias("_sx"),
+            F.sum(dy.cast(d12)).cast("double").alias("_sy"),
+            F.sum((dx * dy).cast(d6)).cast("double").alias("_sxy"),
+            F.sum((dx * dx).cast(d6)).cast("double").alias("_sxx"),
+            F.sum((dy * dy).cast(d6)).cast("double").alias("_syy"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    cov_n = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nD
+    varx_n = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nD
+    vary_n = F.col("_syy") - F.col("_sy") * F.col("_sy") / nD
+    slope = F.when((F.col("n") >= 2) & (varx_n > 0), cov_n / varx_n)
+    intercept = F.when(
+        slope.isNotNull(),
+        (F.col("_py") + F.col("_sy") / nD)
+        - slope * (F.col("_px") + F.col("_sx") / nD),
+    )
+    r2 = F.when(
+        slope.isNotNull() & (vary_n > 0),
+        (cov_n * cov_n) / (varx_n * vary_n),
+    )
+    rnd = lambda c: F.round(c, round_to) + F.lit(0.0)  # noqa: E731
+    return m.select(
+        *groups,
+        "n",
+        rnd(slope).alias("slope"),
+        rnd(intercept).alias("intercept"),
+        rnd(r2).alias("r2"),
+    )

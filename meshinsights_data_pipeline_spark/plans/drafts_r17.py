@@ -569,6 +569,298 @@ ORDER BY event_type, day
 """
 
 
+def x137_ols_trend(spark: SparkSession, sf_dir: str):
+    """Per-event-type OLS fit of the daily value total against the day
+    index (trend.ols_fit) — slope/intercept/R^2 in closed form from
+    ONE mergeable moment aggregate: the parametric companion of x108's
+    Theil-Sen (O(n) vs O(n^2) pairs, plus the variance-explained
+    readout). Welch-pivot DECIMAL folds; fixed-order IEEE algebra
+    mirrored in the oracle."""
+    from meshinsights_data_pipeline_spark.operators.trend import ols_fit
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    daily = (
+        ev.filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v)
+        )
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(v.cast("decimal(38,12)")).cast("double").alias("_dv")
+        )
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("day"), F.lit("2024-01-01").cast("date")
+            ).cast("double").alias("_xi"),
+            "_dv",
+        )
+    )
+    return ols_fit(daily, ["event_type"], "_xi", "_dv").orderBy(
+        "event_type"
+    )
+
+
+X137_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS xi,
+           CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS yv
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+pivots AS (
+    SELECT event_type, MIN(xi) AS px, MIN(yv) AS py
+    FROM daily GROUP BY event_type
+),
+m AS (
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(p.px) AS px, MIN(p.py) AS py,
+           CAST(SUM(CAST(d.xi - p.px AS DECIMAL(38,12))) AS DOUBLE)
+               AS sx,
+           CAST(SUM(CAST(d.yv - p.py AS DECIMAL(38,12))) AS DOUBLE)
+               AS sy,
+           CAST(SUM(CAST((d.xi - p.px) * (d.yv - p.py)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST((d.xi - p.px) * (d.xi - p.px)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST((d.yv - p.py) * (d.yv - p.py)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM daily d JOIN pivots p ON p.event_type = d.event_type
+    GROUP BY d.event_type
+),
+calc AS (
+    SELECT event_type, n,
+           CASE WHEN n >= 2
+                 AND sxx - sx * sx / CAST(n AS DOUBLE) > 0
+                THEN (sxy - sx * sy / CAST(n AS DOUBLE))
+                     / (sxx - sx * sx / CAST(n AS DOUBLE))
+           END AS slope,
+           sx, sy, sxy, sxx, syy, px, py
+    FROM m
+)
+SELECT event_type, n,
+       ROUND(slope, 6) + 0.0 AS slope,
+       ROUND(CASE WHEN slope IS NOT NULL THEN
+           (py + sy / CAST(n AS DOUBLE))
+           - slope * (px + sx / CAST(n AS DOUBLE)) END, 6) + 0.0
+           AS intercept,
+       ROUND(CASE WHEN slope IS NOT NULL
+                   AND syy - sy * sy / CAST(n AS DOUBLE) > 0
+             THEN (sxy - sx * sy / CAST(n AS DOUBLE))
+                  * (sxy - sx * sy / CAST(n AS DOUBLE))
+                  / ((sxx - sx * sx / CAST(n AS DOUBLE))
+                     * (syy - sy * sy / CAST(n AS DOUBLE)))
+             END, 6) + 0.0 AS r2
+FROM calc
+ORDER BY event_type
+"""
+
+_CELL_SQL = """
+    SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n, MIN(p) AS p,
+           CAST(SUM(CAST(v - p AS DECIMAL(38,12))) AS DOUBLE) AS s,
+           CAST(SUM(CAST((v - p) * (v - p) AS DECIMAL(38,12)))
+               AS DOUBLE) AS sq
+    FROM (
+        SELECT b.*, MIN(b.v) OVER (PARTITION BY {keys_b}) AS p
+        FROM ({base}) b
+    )
+    GROUP BY {keys}
+"""
+
+
+def x138_diff_in_diff(spark: SparkSession, sf_dir: str):
+    """Difference-in-differences per event type (abtest.diff_in_diff):
+    arm = user parity, period = first vs second half of the event
+    window — the parallel-trends causal readout for non-randomized
+    rollouts, from the same Welch-pivot cell-moment state as
+    x116/x139. Fixed-order IEEE did/se/z, z rounded once."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        diff_in_diff,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            "pre",
+        ).otherwise("post").alias("period"),
+        F.col("value"),
+    )
+    return diff_in_diff(
+        ev, "experiment", "arm", "period", "value"
+    ).orderBy("experiment", "arm")
+
+
+def _x138_sql() -> str:
+    base = """
+        SELECT event_type AS experiment,
+               CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 't1' END AS arm,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))
+    """
+    cells = _CELL_SQL.format(
+        keys="experiment, arm, period",
+        keys_b="b.experiment, b.arm, b.period",
+        base=base,
+    )
+    return f"""
+WITH cells AS ({cells}),
+tpost AS (SELECT experiment, arm, n, p, s, sq FROM cells
+          WHERE arm <> 'control' AND period = 'post'),
+tpre AS (SELECT experiment, arm, n, p, s, sq FROM cells
+         WHERE arm <> 'control' AND period = 'pre'),
+cpost AS (SELECT experiment, n, p, s, sq FROM cells
+          WHERE arm = 'control' AND period = 'post'),
+cpre AS (SELECT experiment, n, p, s, sq FROM cells
+         WHERE arm = 'control' AND period = 'pre'),
+j AS (
+    SELECT COALESCE(tpost.experiment, tpre.experiment) AS experiment,
+           COALESCE(tpost.arm, tpre.arm) AS arm,
+           tpost.n AS tpostn, tpost.p AS tpostp, tpost.s AS tposts,
+           tpost.sq AS tpostsq,
+           tpre.n AS tpren, tpre.p AS tprep, tpre.s AS tpres,
+           tpre.sq AS tpresq,
+           cpost.n AS cpostn, cpost.p AS cpostp, cpost.s AS cposts,
+           cpost.sq AS cpostsq,
+           cpre.n AS cpren, cpre.p AS cprep, cpre.s AS cpres,
+           cpre.sq AS cpresq
+    FROM tpost
+    FULL JOIN tpre ON tpre.experiment = tpost.experiment
+                  AND tpre.arm = tpost.arm
+    LEFT JOIN cpost
+        ON cpost.experiment = COALESCE(tpost.experiment, tpre.experiment)
+    LEFT JOIN cpre
+        ON cpre.experiment = COALESCE(tpost.experiment, tpre.experiment)
+),
+calc AS (
+    SELECT *,
+           tpostn IS NOT NULL AND tpren IS NOT NULL
+           AND cpostn IS NOT NULL AND cpren IS NOT NULL AS has_all,
+           (tpostp + tposts / tpostn) - (tprep + tpres / tpren)
+           - ((cpostp + cposts / cpostn) - (cprep + cpres / cpren))
+               AS did_raw,
+           CASE WHEN tpostn >= 2 THEN
+               (tpostsq / tpostn - (tposts / tpostn) * (tposts / tpostn))
+               * (CAST(tpostn AS DOUBLE) / (tpostn - 1)) END / tpostn
+           + CASE WHEN tpren >= 2 THEN
+               (tpresq / tpren - (tpres / tpren) * (tpres / tpren))
+               * (CAST(tpren AS DOUBLE) / (tpren - 1)) END / tpren
+           + CASE WHEN cpostn >= 2 THEN
+               (cpostsq / cpostn - (cposts / cpostn) * (cposts / cpostn))
+               * (CAST(cpostn AS DOUBLE) / (cpostn - 1)) END / cpostn
+           + CASE WHEN cpren >= 2 THEN
+               (cpresq / cpren - (cpres / cpren) * (cpres / cpren))
+               * (CAST(cpren AS DOUBLE) / (cpren - 1)) END / cpren
+               AS var_sum
+    FROM j
+)
+SELECT experiment, arm,
+       cpren AS n_c_pre, cpostn AS n_c_post,
+       tpren AS n_t_pre, tpostn AS n_t_post,
+       ROUND(CASE WHEN has_all THEN did_raw END, 6) + 0.0 AS did,
+       ROUND(CASE WHEN has_all THEN sqrt(var_sum) END, 6) + 0.0 AS se,
+       ROUND(CASE WHEN has_all AND sqrt(var_sum) > 0
+             THEN did_raw / sqrt(var_sum) END, 6) + 0.0 AS z,
+       COALESCE(abs(ROUND(CASE WHEN has_all AND sqrt(var_sum) > 0
+                          THEN did_raw / sqrt(var_sum) END, 6))
+                > 1.959964, FALSE) AS significant,
+       has_all AS has_all_cells
+FROM calc
+ORDER BY experiment, arm
+"""
+
+
+def x139_mde(spark: SparkSession, sf_dir: str):
+    """Minimum detectable effect per (event type, arm) at the observed
+    sizes/variances (abtest.mde_estimate, alpha=0.05, power=0.8) — the
+    power-analysis gate upstream of the whole x105/x116/x120 family,
+    answering "could this experiment even see the effect we care
+    about". z constants are python-computed 12-decimal literals (the
+    SPRT discipline: the inverse normal CDF never runs in either
+    engine)."""
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        mde_estimate,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("experiment"),
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("t1").alias("arm"),
+        F.col("value"),
+    )
+    return mde_estimate(ev, "experiment", "arm", "value").orderBy(
+        "experiment", "arm"
+    )
+
+
+def _x139_sql() -> str:
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        MDE_Z_ALPHA,
+        MDE_Z_POWER,
+    )
+
+    zsum = float(MDE_Z_ALPHA[0.05]) + float(MDE_Z_POWER[0.8])
+    base = """
+        SELECT event_type AS experiment,
+               CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 't1' END AS arm,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    """
+    cells = _CELL_SQL.format(
+        keys="experiment, arm", keys_b="b.experiment, b.arm", base=base
+    )
+    return f"""
+WITH cells AS ({cells}),
+arms AS (SELECT experiment, arm, n, p, s, sq FROM cells
+         WHERE arm <> 'control'),
+ctrl AS (SELECT experiment, n AS cn, p AS cp, s AS cs, sq AS csq
+         FROM cells WHERE arm = 'control'),
+j AS (
+    SELECT a.*, c.cn, c.cp, c.cs, c.csq
+    FROM arms a LEFT JOIN ctrl c ON c.experiment = a.experiment
+),
+calc AS (
+    SELECT *,
+           {zsum!r} * sqrt(
+               CASE WHEN cn >= 2 THEN
+                   (csq / cn - (cs / cn) * (cs / cn))
+                   * (CAST(cn AS DOUBLE) / (cn - 1)) END / cn
+               + CASE WHEN n >= 2 THEN
+                   (sq / n - (s / n) * (s / n))
+                   * (CAST(n AS DOUBLE) / (n - 1)) END / n
+           ) AS mde_raw,
+           cp + cs / cn AS mc
+    FROM j
+)
+SELECT experiment, arm, cn AS n_control, n AS n_arm,
+       cn IS NOT NULL AS has_control,
+       ROUND(mc, 6) + 0.0 AS mean_control,
+       ROUND(mde_raw, 6) + 0.0 AS mde_abs,
+       ROUND(CASE WHEN mc <> 0 THEN mde_raw / mc END, 6) + 0.0
+           AS mde_rel
+FROM calc
+ORDER BY experiment, arm
+"""
+
+
 #: what r17 registers: name -> (builder, oracle_sql)
 DRAFTS: dict = {
     "x131_hll_cardinality": (x131_hll_cardinality, _x131_sql()),
@@ -577,4 +869,7 @@ DRAFTS: dict = {
     "x134_seasonal_decompose": (x134_seasonal_decompose, X134_SQL),
     "x135_hist_quantiles": (x135_hist_quantiles, X135_SQL),
     "x136_seasonal_anomalies": (x136_seasonal_anomalies, X136_SQL),
+    "x137_ols_trend": (x137_ols_trend, X137_SQL),
+    "x138_diff_in_diff": (x138_diff_in_diff, _x138_sql()),
+    "x139_mde": (x139_mde, _x139_sql()),
 }

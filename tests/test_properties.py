@@ -3399,3 +3399,254 @@ def test_cuped_matches_python(spark, rows):
             expect[(e, a)] = (n, r6(mean_raw), r6(mean_adj), r6(theta),
                               r6(vr))
     assert got == expect, (data, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),       # group
+                  st.integers(0, 6),       # x
+                  st.integers(-5, 5)),     # y
+        min_size=1, max_size=14,
+    ),
+)
+@SLOW
+def test_ols_fit_matches_python(spark, rows):
+    """ols_fit is bit-identical to a python mirror of the same
+    pivot-fold procedure: dx/dy DECIMAL(38,12) folds, products
+    quantized DECIMAL(38,6) after one IEEE multiply, fixed-order
+    slope/intercept/r2 algebra, HALF_UP round-6."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meshinsights_data_pipeline_spark.operators.trend import ols_fit
+
+    data = [(f"g{g}", float(x), float(y)) for g, x, y in rows]
+    noisy = data + [
+        ("g0", float("nan"), 1.0), ("g0", 1.0, None), (None, 1.0, 1.0)
+    ]
+    df = spark.createDataFrame(noisy, "g string, x double, y double")
+    got = {
+        r.g: (r.n, r.slope, r.intercept, r.r2)
+        for r in ols_fit(df, ["g"], "x", "y").collect()
+    }
+
+    q12 = Decimal("0.000000000001")
+    q6 = Decimal("0.000001")
+
+    def dq(v, q):
+        return Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP)
+
+    def _r6(v):
+        if v is None:
+            return None
+        return float(dq(v, q6)) + 0.0
+
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, x, y in data:
+        by_g[g].append((x, y))
+    expect = {}
+    for g, pts in by_g.items():
+        n = len(pts)
+        px = min(x for x, _ in pts)
+        py = min(y for _, y in pts)
+        sx = float(sum((dq(x - px, q12) for x, _ in pts), Decimal(0)))
+        sy = float(sum((dq(y - py, q12) for _, y in pts), Decimal(0)))
+        sxy = float(sum(
+            (dq((x - px) * (y - py), q6) for x, y in pts), Decimal(0)))
+        sxx = float(sum(
+            (dq((x - px) * (x - px), q6) for x, _ in pts), Decimal(0)))
+        syy = float(sum(
+            (dq((y - py) * (y - py), q6) for _, y in pts), Decimal(0)))
+        cov_n = sxy - sx * sy / float(n)
+        varx_n = sxx - sx * sx / float(n)
+        vary_n = syy - sy * sy / float(n)
+        slope = cov_n / varx_n if n >= 2 and varx_n > 0 else None
+        inter = (
+            (py + sy / float(n)) - slope * (px + sx / float(n))
+            if slope is not None else None
+        )
+        r2 = (
+            (cov_n * cov_n) / (varx_n * vary_n)
+            if slope is not None and vary_n > 0 else None
+        )
+        expect[g] = (n, _r6(slope), _r6(inter), _r6(r2))
+    assert got == expect, (data, got, expect)
+
+
+def _cells_py(data):
+    """Python mirror of abtest._cell_moments (pivot = cell min,
+    DECIMAL(38,12) folds of d and d*d)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("0.000000000001")
+
+    def d12(v):
+        return Decimal(repr(v)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    by_key = defaultdict(list)
+    for *key, v in data:
+        by_key[tuple(key)].append(v)
+    out = {}
+    for key, vals in by_key.items():
+        p = min(vals)
+        s = float(sum((d12(v - p) for v in vals), Decimal(0)))
+        sq = float(sum((d12((v - p) * (v - p)) for v in vals), Decimal(0)))
+        out[key] = (len(vals), p, s, sq)
+    return out
+
+
+def _mean_var_py(cell):
+    n, p, s, sq = cell
+    m = s / n
+    mean = p + m
+    var = (
+        (sq / n - m * m) * (float(n) / (n - 1)) if n >= 2 else None
+    )
+    return mean, var
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1),      # arm: 0 control / 1 t1
+                  st.integers(0, 1),      # period: 0 pre / 1 post
+                  st.integers(-4, 4)),    # value
+        min_size=1, max_size=16,
+    ),
+)
+@SLOW
+def test_diff_in_diff_matches_python(spark, rows):
+    """diff_in_diff is bit-identical to a python mirror of the
+    four-cell pivot-moment algebra (fixed IEEE operand order, z
+    rounded once, significance on the rounded z)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        diff_in_diff,
+    )
+
+    data = [
+        ("e", "control" if a == 0 else "t1",
+         "pre" if pd == 0 else "post", float(v))
+        for a, pd, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "experiment string, arm string, period string, v double"
+    )
+    got = [
+        (r.experiment, r.arm, r.n_c_pre, r.n_c_post, r.n_t_pre,
+         r.n_t_post, r.did, r.se, r.z, r.significant, r.has_all_cells)
+        for r in diff_in_diff(
+            df, "experiment", "arm", "period", "v"
+        ).collect()
+    ]
+    if not any(a == "t1" for _, a, _, _ in data):
+        assert got == []
+        return
+
+    q6 = Decimal("0.000001")
+
+    def _r6(v):
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
+        ) + 0.0
+
+    cells = _cells_py(
+        [(arm, period, v) for _, arm, period, v in data]
+    )
+    tpre = cells.get(("t1", "pre"))
+    tpost = cells.get(("t1", "post"))
+    cpre = cells.get(("control", "pre"))
+    cpost = cells.get(("control", "post"))
+    has_all = all(c is not None for c in (tpre, tpost, cpre, cpost))
+    did = se = z = None
+    if has_all:
+        m_tpre, v_tpre = _mean_var_py(tpre)
+        m_tpost, v_tpost = _mean_var_py(tpost)
+        m_cpre, v_cpre = _mean_var_py(cpre)
+        m_cpost, v_cpost = _mean_var_py(cpost)
+        did = (m_tpost - m_tpre) - (m_cpost - m_cpre)
+        if None not in (v_tpre, v_tpost, v_cpre, v_cpost):
+            import math
+
+            se = math.sqrt(
+                v_tpost / tpost[0] + v_tpre / tpre[0]
+                + v_cpost / cpost[0] + v_cpre / cpre[0]
+            )
+            if se > 0:
+                z = _r6(did / se)
+    expect = [(
+        "e", "t1",
+        cpre[0] if cpre else None, cpost[0] if cpost else None,
+        tpre[0] if tpre else None, tpost[0] if tpost else None,
+        _r6(did), _r6(se), z,
+        bool(z is not None and abs(z) > 1.959964), has_all,
+    )]
+    assert got == expect, (data, got, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-4, 4)),
+        min_size=1, max_size=14,
+    ),
+)
+@SLOW
+def test_mde_estimate_matches_python(spark, rows):
+    """mde_estimate is bit-identical to a python mirror: shared cell
+    moments, z-literal sum, fixed-order IEEE mde algebra."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meshinsights_data_pipeline_spark.operators.abtest import (
+        MDE_Z_ALPHA,
+        MDE_Z_POWER,
+        mde_estimate,
+    )
+
+    data = [
+        ("e", "control" if a == 0 else "t1", float(v)) for a, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "experiment string, arm string, v double"
+    )
+    got = [
+        (r.experiment, r.arm, r.n_control, r.n_arm, r.has_control,
+         r.mean_control, r.mde_abs, r.mde_rel)
+        for r in mde_estimate(df, "experiment", "arm", "v").collect()
+    ]
+    if not any(a == "t1" for _, a, _ in data):
+        assert got == []
+        return
+
+    q6 = Decimal("0.000001")
+
+    def _r6(v):
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
+        ) + 0.0
+
+    cells = _cells_py([(arm, v) for _, arm, v in data])
+    a_cell = cells.get(("t1",))
+    c_cell = cells.get(("control",))
+    zsum = float(MDE_Z_ALPHA[0.05]) + float(MDE_Z_POWER[0.8])
+    mean_c = mde = rel = None
+    if c_cell is not None:
+        m_c, v_c = _mean_var_py(c_cell)
+        m_a, v_a = _mean_var_py(a_cell)
+        mean_c = m_c
+        if v_c is not None and v_a is not None:
+            mde = zsum * math.sqrt(v_c / c_cell[0] + v_a / a_cell[0])
+            if m_c != 0:
+                rel = mde / m_c
+    expect = [(
+        "e", "t1",
+        c_cell[0] if c_cell else None, a_cell[0],
+        c_cell is not None, _r6(mean_c), _r6(mde), _r6(rel),
+    )]
+    assert got == expect, (data, got, expect)
