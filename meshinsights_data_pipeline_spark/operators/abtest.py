@@ -344,26 +344,10 @@ def welch_ttest(
     replays the scan). Everything after the moment table is
     |experiments x arms|-row algebra.
     """
-    v = F.col(value_col).cast("double")
-    base = df.filter(
-        F.col(experiment_col).isNotNull()
-        & F.col(arm_col).isNotNull()
-        & v.isNotNull()
-        & ~F.isnan(v)
-    ).select(F.col(experiment_col), F.col(arm_col), v.alias("_v"))
-    keys = [experiment_col, arm_col]
-    pivots = base.groupBy(*keys).agg(F.min("_v").alias("_p"))
-    d = F.col("_v") - F.col("_p")
-    dec = "decimal(38,12)"
+    # the shared Welch-pivot cell-moment stage (also behind
+    # diff_in_diff / mde_estimate — one definition, one discipline)
     cells = _materialize(
-        base.join(F.broadcast(pivots), keys)
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min("_p").alias("p"),
-            F.sum(d.cast(dec)).cast("double").alias("s"),
-            F.sum((d * d).cast(dec)).cast("double").alias("sq"),
-        )
+        _cell_moments(df, [experiment_col, arm_col], value_col)
     )
 
     def _stats(frame: DataFrame, suffix: str) -> DataFrame:
