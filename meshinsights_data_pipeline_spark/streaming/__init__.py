@@ -47,6 +47,9 @@ from meshinsights_data_pipeline_spark.streaming.mleval import (
     streaming_bootstrap_ingest,
     streaming_calibration_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.ols import (
+    streaming_ols_ingest,
+)
 from meshinsights_data_pipeline_spark.streaming.sketch import (
     streaming_cms_ingest,
     streaming_hist_quantile_ingest,
@@ -137,6 +140,7 @@ __all__ = [
     "streaming_auc_ingest",
     "streaming_cms_ingest",
     "streaming_hist_quantile_ingest",
+    "streaming_ols_ingest",
     "streaming_hll_ingest",
     "streaming_bootstrap_ingest",
     "streaming_calibration_ingest",

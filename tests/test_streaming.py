@@ -3023,3 +3023,78 @@ def test_streaming_hist_quantile_full_parity_and_retry(spark, tmp_path):
     process(b2, 1)  # simulated micro-batch retry
     after = spark.read.parquet(rdir)
     assert canon(after.filter(F.col("epoch") == 1)) == got1
+
+
+def test_streaming_ols_parity_and_merge_exactness(spark, tmp_path):
+    """OLS twin: (a) with the fixed floors pinned at the group's true
+    minima, a single-group single-batch report is bit-identical to
+    trend.ols_fit (identical pivot algebra); (b) cross-batch merging is
+    exact BY CONSTRUCTION — epoch 1's report equals the twin run on the
+    union in one batch; (c) a retried epoch changes nothing."""
+    from meshinsights_data_pipeline_spark.operators.trend import ols_fit
+    from meshinsights_data_pipeline_spark.sources.layout import (
+        snapshot_overwrite,
+    )
+    from meshinsights_data_pipeline_spark.streaming import (
+        streaming_ols_ingest,
+    )
+
+    schema = "g string, x double, y double"
+    STATE = (
+        "g string, n long, sx decimal(38,12), sy decimal(38,12), "
+        "sxy decimal(38,6), sxx decimal(38,6), syy decimal(38,6)"
+    )
+    b1 = spark.createDataFrame(
+        [("s1", float(i), 2.0 + 0.5 * i + (i % 3) * 0.1)
+         for i in range(2, 12)],
+        schema)
+    b2 = spark.createDataFrame(
+        [("s1", float(i), 2.0 + 0.5 * i - (i % 2) * 0.2)
+         for i in range(12, 20)],
+        schema)
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["n"], r["slope"], r["intercept"], r["r2"])
+            for r in df.collect())
+
+    def run_twin(batches, root):
+        sdir, rdir = f"{root}/state", f"{root}/report"
+        snapshot_overwrite(spark.createDataFrame([], STATE), sdir, -1)
+        proc = streaming_ols_ingest(
+            None, group_col="g", x_col="x", y_col="y",
+            x_floor=2.0, y_floor=2.0,  # the true minima of b1 u b2
+            state_dir=sdir, report_dir=rdir)
+        for i, b in enumerate(batches):
+            proc(b, i)
+        return proc, rdir
+
+    # (a) single batch == batch operator (floors == b1's true minima:
+    # b1 x-min 2.0; y-min = 2.0 + 1.0 + 0.2 ... pin floors at b1's
+    # actual minima for the bit-parity leg)
+    xm = min(r.x for r in b1.collect())
+    ym = min(r.y for r in b1.collect())
+    root_a = str(tmp_path / "a")
+    sdir, rdir = f"{root_a}/state", f"{root_a}/report"
+    snapshot_overwrite(spark.createDataFrame([], STATE), sdir, -1)
+    proc_a = streaming_ols_ingest(
+        None, group_col="g", x_col="x", y_col="y",
+        x_floor=xm, y_floor=ym, state_dir=sdir, report_dir=rdir)
+    proc_a(b1, 0)
+    got_a = canon(spark.read.parquet(rdir).filter(F.col("epoch") == 0))
+    assert got_a == canon(ols_fit(b1, ["g"], "x", "y"))
+
+    # (b) two epochs == one-batch union under the same floors
+    proc1, rdir1 = run_twin([b1, b2], str(tmp_path / "b"))
+    got1 = canon(
+        spark.read.parquet(rdir1).filter(F.col("epoch") == 1))
+    _, rdir2 = run_twin([b1.unionByName(b2)], str(tmp_path / "c"))
+    got_union = canon(
+        spark.read.parquet(rdir2).filter(F.col("epoch") == 0))
+    assert got1 == got_union
+
+    # (c) retry idempotency
+    proc1(b2, 1)
+    after = spark.read.parquet(rdir1)
+    assert canon(after.filter(F.col("epoch") == 1)) == got1
+    assert after.count() == 2
