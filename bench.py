@@ -633,6 +633,7 @@ def main() -> None:
             snapshot_overwrite,
         )
         from meshinsights_data_pipeline_spark.streaming import (
+            parallel_batch,
             streaming_entropy_ingest,
             streaming_jsd_ingest,
             streaming_mann_whitney_ingest,
@@ -671,50 +672,39 @@ def main() -> None:
             for attempt in range(2):
                 root = f"{stage_dir}/run{attempt}"
                 t0 = time.perf_counter()
-                for d in ("jsd_state", "ent_state"):
-                    snapshot_overwrite(
-                        spark.createDataFrame(
-                            [], "source string, _tok long, _c long"
-                        ),
-                        f"{root}/{d}", -1,
-                    )
-                snapshot_overwrite(
-                    spark.createDataFrame(
-                        [],
-                        "experiment string, arm string, _v double, _c long",
+                # seed the seven state dirs concurrently (independent
+                # tiny writes; same §2.6 overlap as the twin execution)
+                seed_schemas = {
+                    "jsd_state": "source string, _tok long, _c long",
+                    "ent_state": "source string, _tok long, _c long",
+                    "mw_state": (
+                        "experiment string, arm string, _v double, _c long"
                     ),
-                    f"{root}/mw_state", -1,
-                )
-                snapshot_overwrite(
-                    spark.createDataFrame(
-                        [],
-                        "experiment string, _v double, _pos long,"
-                        " _neg long",
+                    "auc_state": (
+                        "experiment string, _v double, _pos long, _neg long"
                     ),
-                    f"{root}/auc_state", -1,
-                )
-                snapshot_overwrite(
-                    spark.createDataFrame(
-                        [],
+                    "cal_state": (
                         "experiment string, _b int, _n long, _np long,"
-                        " _ssum decimal(38,12), _rsum decimal(38,12)",
+                        " _ssum decimal(38,12), _rsum decimal(38,12)"
                     ),
-                    f"{root}/cal_state", -1,
-                )
-                snapshot_overwrite(
-                    spark.createDataFrame(
-                        [],
+                    "bs_state": (
                         "experiment string, _b int, _s decimal(38,12),"
-                        " _n_w long, _rows long",
+                        " _n_w long, _rows long"
                     ),
-                    f"{root}/bs_state", -1,
-                )
-                snapshot_overwrite(
-                    spark.createDataFrame(
-                        [], "experiment string, arm string, n long, x long"
+                    "sprt_state": (
+                        "experiment string, arm string, n long, x long"
                     ),
-                    f"{root}/sprt_state", -1,
-                )
+                }
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=7) as seed_pool:
+                    list(seed_pool.map(
+                        lambda kv: snapshot_overwrite(
+                            spark.createDataFrame([], kv[1]),
+                            f"{root}/{kv[0]}", -1,
+                        ),
+                        seed_schemas.items(),
+                    ))
                 jsd_proc = streaming_jsd_ingest(
                     docs, counts_dir=f"{root}/jsd_state",
                     report_dir=f"{root}/jsd_report",
@@ -724,15 +714,21 @@ def main() -> None:
                     report_dir=f"{root}/ent_report",
                 )
 
-                def _doc_batch(batch_df, epoch_id):
-                    jsd_proc(batch_df, epoch_id)
-                    ent_proc(batch_df, epoch_id)
-
+                # r16 optimization round — measurement-methodology note
+                # (OPTIMIZATION_r16.md): the independent twins sharing one
+                # micro-batch now run through streaming.parallel_batch
+                # (overlapped job chains over disjoint state dirs, the
+                # guide's §2.6 idiom) instead of back-to-back calls. The
+                # same seven twins compute the same state and reports;
+                # serial-composition numbers live in BENCH_r15.json /
+                # the pre-r16 BENCH_GATE_LOG records.
                 qd = (
                     spark.readStream.schema(
                         spark.read.parquet(dsrc).schema
                     ).parquet(dsrc)
-                    .writeStream.foreachBatch(_doc_batch)
+                    .writeStream.foreachBatch(
+                        parallel_batch(jsd_proc, ent_proc)
+                    )
                     .option("checkpointLocation", f"{root}/ckpt_docs")
                     .trigger(availableNow=True)
                     .start()
@@ -764,18 +760,15 @@ def main() -> None:
                     report_dir=f"{root}/sprt_report",
                 )
 
-                def _event_batch(batch_df, epoch_id):
-                    mw_proc(batch_df, epoch_id)
-                    auc_proc(batch_df, epoch_id)
-                    cal_proc(batch_df, epoch_id)
-                    bs_proc(batch_df, epoch_id)
-                    sprt_proc(batch_df, epoch_id)
-
                 qe = (
                     spark.readStream.schema(
                         spark.read.parquet(esrc).schema
                     ).parquet(esrc)
-                    .writeStream.foreachBatch(_event_batch)
+                    .writeStream.foreachBatch(
+                        parallel_batch(
+                            mw_proc, auc_proc, cal_proc, bs_proc, sprt_proc
+                        )
+                    )
                     .option("checkpointLocation", f"{root}/ckpt_events")
                     .trigger(availableNow=True)
                     .start()

@@ -98,18 +98,20 @@ class GopherQualityGateStep(CorpusStep):
         super().__init__(cols, name="gopher_quality_gate", **kw)
 
     def process(self, context: PipelineContext) -> PipelineContext:
-        from meshinsights_data_pipeline_spark.operators.corpus import gopher_keep
+        from meshinsights_data_pipeline_spark.operators.corpus import (
+            gopher_keep_df,
+        )
 
         docs = context.raw_data
         # Signals stashed lazily for downstream consumers; the gate itself
-        # filters docs with the inline predicate (bit-identical to
-        # quality.keep by construction — shared expression tree) so it is
-        # ONE map-side corpus scan instead of scan + signal scan + id
-        # semi-join shuffle.
+        # filters docs with the staged keep predicate (bit-identical to
+        # quality.keep by construction — same expressions, shared
+        # normalize/split staged once per row, r16) so it is ONE map-side
+        # corpus scan instead of scan + signal scan + id semi-join shuffle.
         context.processed_data["corpus.quality"] = gopher_quality(
             docs, self.cols.id, self.cols.text
         )
-        context.raw_data = docs.filter(gopher_keep(self.cols.text))
+        context.raw_data = gopher_keep_df(docs, self.cols.text)
         self._record(context)
         return context
 

@@ -288,14 +288,14 @@ def corpus_report(
     """
     from meshinsights_data_pipeline_spark.operators.text import (
         fingerprint,
-        quality_score,
         token_count,
+        with_quality_score,
     )
 
-    per_doc = df.select(
+    per_doc = with_quality_score(df, text_col, out_col="_wq").select(
         F.col(source_col).alias("source"),
         token_count(text_col).cast("bigint").alias("_tok"),
-        quality_score(text_col).cast("decimal(18,6)").alias("_q"),  # already round-6
+        F.col("_wq").cast("decimal(18,6)").alias("_q"),  # already round-6
         fingerprint(F.col(text_col)).alias("_fp"),
     )
     n = F.count(F.lit(1)).cast("bigint")
@@ -528,13 +528,51 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Measured 7.4s -> 5.0s warm for the signal pass on 10x sf0.1
     (500k docs, local[32]).
     """
-    n_tok, mean_wlen, alpha_ratio, stop_hits = _gopher_signal_exprs(text_col)
-    out = df.select(
+    # Staged form of _gopher_signal_exprs (r16 optimization round): in the
+    # single-projection form the normalized text (a full-text regex) and
+    # its split are embedded in every signal that references them — norm
+    # ~3x and the split ~5x per row, with no codegen CSE across the
+    # references (the lang_id lesson). Staging norm / toks / n_tok as
+    # their own multiply-referenced projections computes each once;
+    # expressions and operand order are unchanged, so the signals are
+    # bit-identical (x22's oracle proves it).
+    s2 = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_gq_norm")
+    ).select(
         F.col(id_col),
-        n_tok.alias("n_tok"),
+        "_gq_norm",
+        F.split(F.col("_gq_norm"), " ").alias("_gq_toks"),
+    )
+    s3 = s2.select(
+        F.col(id_col),
+        "_gq_norm",
+        "_gq_toks",
+        F.size("_gq_toks").alias("_gq_ntok"),
+    )
+    ntok = F.col("_gq_ntok")
+    total_chars = (F.length("_gq_norm") - (ntok - F.lit(1))).cast("bigint")
+    mean_wlen = F.round(total_chars / ntok, 6)
+    alpha = F.size(
+        F.filter(
+            F.col("_gq_toks"),
+            lambda t: F.length(
+                F.translate(t, "abcdefghijklmnopqrstuvwxyz", "")
+            )
+            < F.length(t),
+        )
+    )
+    alpha_ratio = F.round(alpha / ntok, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.col("_gq_toks"), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    out = s3.select(
+        F.col(id_col),
+        ntok.cast("bigint").alias("n_tok"),
         mean_wlen.alias("mean_wlen"),
         alpha_ratio.alias("alpha_ratio"),
-        stop_hits.alias("stop_hits"),
+        stop_hits.cast("bigint").alias("stop_hits"),
     )
     keep = (
         F.col("n_tok").between(20, 100000)
@@ -582,7 +620,11 @@ def gopher_keep(text_col: str):
     predicate is a pure map-side expression of the row's own text, so the
     gate costs one corpus scan inside whole-stage codegen — no signal
     frame, no semi-join, no shuffle (at 100 TB the join form shuffles the
-    full doc-id set twice for a verdict each row already knows)."""
+    full doc-id set twice for a verdict each row already knows).
+
+    Prefer :func:`gopher_keep_df` when filtering a DataFrame directly:
+    the inline expression re-evaluates the normalize/split per signal
+    reference; the frame form stages them once (r16)."""
     n_tok, mean_wlen, alpha_ratio, stop_hits = _gopher_signal_exprs(text_col)
     return (
         n_tok.between(20, 100000)
@@ -590,6 +632,56 @@ def gopher_keep(text_col: str):
         & (alpha_ratio >= 0.8)
         & (stop_hits >= 2)
     )
+
+
+def gopher_keep_df(df: DataFrame, text_col: str) -> DataFrame:
+    """``df`` filtered by the Gopher keep rule with the shared
+    normalize/split/count sub-expressions staged ONCE per row (r16
+    optimization round) — same predicate, same columns out, ~5x less
+    per-row string work than the inline ``filter(gopher_keep(...))``
+    form (which re-embeds the full-text regex in every signal
+    reference; no codegen CSE across them — the lang_id lesson).
+    Still one map-side corpus scan: the staged projections and the
+    filter fuse into a single whole-stage-codegen stage."""
+    base_cols = list(df.columns)
+    tmp = {}
+    for piece in ("norm", "toks", "ntok"):
+        name = f"_gk_{piece}"
+        while name in base_cols:
+            name += "_"
+        tmp[piece] = name
+    staged = df.select(
+        "*", normalized_text(F.col(text_col)).alias(tmp["norm"])
+    ).select(
+        "*", F.split(F.col(tmp["norm"]), " ").alias(tmp["toks"])
+    ).select("*", F.size(tmp["toks"]).alias(tmp["ntok"]))
+    ntok = F.col(tmp["ntok"])
+    total_chars = (
+        F.length(tmp["norm"]) - (ntok - F.lit(1))
+    ).cast("bigint")
+    mean_wlen = F.round(total_chars / ntok, 6)
+    alpha = F.size(
+        F.filter(
+            F.col(tmp["toks"]),
+            lambda t: F.length(
+                F.translate(t, "abcdefghijklmnopqrstuvwxyz", "")
+            )
+            < F.length(t),
+        )
+    )
+    alpha_ratio = F.round(alpha / ntok, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.col(tmp["toks"]), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    keep = (
+        ntok.cast("bigint").between(20, 100000)
+        & mean_wlen.between(2.0, 10.0)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits.cast("bigint") >= 2)
+    )
+    return staged.filter(keep).select(*base_cols)
 
 
 def quota_sample(
@@ -660,12 +752,14 @@ def quality_top_fraction(
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    from meshinsights_data_pipeline_spark.operators.text import quality_score
+    from meshinsights_data_pipeline_spark.operators.text import (
+        with_quality_score,
+    )
 
-    scored = df.select(
+    scored = with_quality_score(df, text_col, out_col="_wq").select(
         F.col(id_col),
         F.col(source_col).alias("source"),
-        quality_score(text_col).alias("q"),
+        F.col("_wq").alias("q"),
     )
     thresholds = scored.groupBy("source").agg(
         F.percentile(F.col("q"), F.lit(1.0 - keep_frac)).alias("_thr")

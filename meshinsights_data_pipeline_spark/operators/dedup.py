@@ -194,6 +194,51 @@ def minhash_lsh_candidates(
     )
 
 
+def _capped_pair_counts(
+    sh: DataFrame, id_col: str, max_doc_freq: int
+) -> DataFrame:
+    """Shared-shingle pair counts ``[id_a, id_b, inter]`` for the
+    df-capped exact-overlap joins, computed in ONE pass over ``sh``
+    (r16 optimization round): group the (id, h) rows by hash, keep
+    groups of <= ``max_doc_freq`` ids, and emit every in-group (a < b)
+    pair via two Generate nodes — the (i, id_a) posexplode and an
+    explode of the sorted id array's strict tail.
+
+    Row-for-row identical to the previous low-df self-join: a sorted
+    group [x1 <= ... <= xk] yields each (a < b) combination once per
+    duplicate occurrence (the a != b filter drops the degenerate
+    equal-id pairs a self-join's ``<`` also dropped), and the df cap is
+    the same COUNT(*)-per-hash rule. Cost: the shingle pipeline runs
+    ONCE here instead of four times (the df aggregate, the semi-join
+    probe, and both self-join sides each replayed it — Spark reuses
+    nothing across a self-join fork), and the one exchange is the same
+    hash-keyed shuffle the self-join needed anyway. Arrays are bounded
+    by the cap, so there is no giant-row risk at any scale; the
+    UNCAPPED exact join keeps the self-join shape (an unbounded
+    collect_list would be the skew bomb the cap exists to prevent).
+    """
+    grouped = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= int(max_doc_freq))
+        )
+    )
+    tails = grouped.select(
+        F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids")
+    ).select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+        ).alias("id_b"),
+    )
+    return (
+        tails.filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def _low_df_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     """Semi-join ``sh`` (distinct ``(id, h)`` rows) to the hashes whose
     doc frequency is <= ``max_doc_freq`` — the shared df-cap for the
@@ -241,14 +286,21 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    joinable = sh if max_doc_freq is None else _low_df_shingles(sh, max_doc_freq)
-    a, b = joinable.alias("a"), joinable.alias("b")
-    inter = (
-        a.join(b, F.col("a.h") == F.col("b.h"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_doc_freq is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.h") == F.col("b.h"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # single-pass group-pairs path (see _capped_pair_counts): the
+        # shingle pipeline runs once, not four times.
+        inter = _capped_pair_counts(sh, id_col, max_doc_freq)
     # sizes is one row per doc — corpus-sized, NOT a broadcast candidate at
     # scale; AQE converts to broadcast at runtime when it actually fits.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -323,14 +375,20 @@ def overlap_coefficient_pairs(
             sh, candidates, id_col, threshold, metric="overlap"
         )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    joinable = sh if max_doc_freq is None else _low_df_shingles(sh, max_doc_freq)
-    a, b = joinable.alias("a"), joinable.alias("b")
-    inter = (
-        a.join(b, F.col("a.h") == F.col("b.h"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_doc_freq is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.h") == F.col("b.h"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # single-pass group-pairs path (see _capped_pair_counts)
+        inter = _capped_pair_counts(sh, id_col, max_doc_freq)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -162,25 +162,43 @@ def sq_quantize(
     scale/norm 0. Map-side only: one scan, no shuffle; the quantized
     corpus is what a 100 TB deployment would persist and scan instead of
     the float vectors."""
+    # Staged projections (r16 optimization round; the lang_id CollapseProject
+    # idiom): the original single-projection form embedded ``scale`` — which
+    # itself contains a full array_max(transform(...)) scan — INSIDE the
+    # per-element quantization lambda, and embedded the whole ``q``
+    # expression again inside ``sq_norm``'s fold. Higher-order-function
+    # lambdas are interpreted (no codegen CSE), so every element access
+    # re-ran the array scan: O(dim^2) per row, measured 1.4-1.5s for the
+    # 2000-row sf0.1 noop (~5x the staged form) plus second-scale analyzed
+    # plans. Each stage below aliases a multiply-referenced non-cheap
+    # expression, which CollapseProject keeps as its own projection, so
+    # scale / q / norm are each computed ONCE per row. Arithmetic, order
+    # of operations and results are bit-identical.
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = maxabs / F.lit(float(levels))
+    staged = df.select(F.col(id_col), v.alias("_sqv"))
+    scale = F.array_max(F.transform(F.col("_sqv"), lambda x: F.abs(x))) / F.lit(
+        float(levels)
+    )
+    staged = staged.select(F.col(id_col), "_sqv", scale.alias("_sqscale"))
     q = F.when(
-        scale > 0,
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+        F.col("_sqscale") > 0,
+        F.transform(
+            F.col("_sqv"),
+            lambda x: F.floor(x / F.col("_sqscale") + F.lit(0.5)).cast("bigint"),
+        ),
+    ).otherwise(F.transform(F.col("_sqv"), lambda x: F.lit(0).cast("bigint")))
+    staged = staged.select(
+        F.col(id_col), F.col("_sqscale").alias("sq_scale"), q.alias("sq_q")
+    )
     qnorm = F.sqrt(
         F.aggregate(
-            q,
+            F.col("sq_q"),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x * x,
         ).cast("double")
     )
-    return df.select(
-        F.col(id_col),
-        scale.alias("sq_scale"),
-        q.alias("sq_q"),
-        qnorm.alias("sq_norm"),
+    return staged.select(
+        F.col(id_col), "sq_scale", "sq_q", qnorm.alias("sq_norm")
     )
 
 
@@ -905,18 +923,30 @@ def rp_lsh_buckets(
             )
         dim = len(head[0][0])
     planes = _deterministic_hyperplanes(dim, bits, seed)
-    sig = None
-    v = F.col(vec_col)
+    # The whole signature is ONE parsed SQL expression instead of
+    # bits x dim Column objects (r16 optimization round): building the
+    # plane arrays element-by-element with F.lit issued ~bits*dim py4j
+    # calls per table — measured 1.4-1.7s of pure plan-construction time
+    # for bits=16/dim=64, paid on EVERY bench run of x10/x12/x52 before
+    # any job started. One expr string parses in ~ms. The parsed tree is
+    # the same zip_with/aggregate fold over the same double literals
+    # (repr round-trips exactly; the D suffix keeps them DOUBLE, not
+    # DECIMAL), so dot products, sign decisions and buckets are
+    # bit-identical — proven by the x10/x12/x52 oracles and the
+    # bucket-equality unit test.
+    vq = f"`{vec_col}`"
+    terms = []
     for b, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, arr, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+        arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vq}, {arr}, "
+            "(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, t) -> acc + t)"
         )
-        bit = F.when(d > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return df.select(F.col(id_col), v.alias(vec_col)).withColumn("bucket", sig.cast("int"))
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** b} ELSE 0 END)")
+    sig = F.expr(" + ".join(terms))
+    return df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", sig.cast("int")
+    )
 
 
 def rp_lsh_topk(

@@ -96,6 +96,147 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_score + punct_score + stop_score + mwl_score) / 4.0, 6)
 
 
+def with_quality_score(
+    df: DataFrame, text_col: str, out_col: str = "quality"
+) -> DataFrame:
+    """``df`` plus the composite quality column, staged so each
+    expensive sub-expression (two splits, the stopword filter, the
+    word-length fold, the punct translate) is computed ONCE per row
+    (r16 optimization round). The scalar :func:`quality_score` builds
+    the same value as one expression tree, but its components reference
+    their splits 2-3 times each and codegen CSE does not deduplicate
+    across when/HOF branches (the lang_id lesson) — the scalar form ran
+    ~6 splits per row. Expressions, operand order and rounding are
+    identical, so the column is bit-equal to ``quality_score(text_col)``
+    (proven by the x50/x53/x55 oracles)."""
+    c = _c(text_col)
+    base_cols = list(df.columns)
+    tmp = {}
+    for piece in ("trim", "toks", "ltoks"):
+        name = f"_qs_{piece}"
+        while name in base_cols:
+            name += "_"
+        tmp[piece] = name
+    trimmed = F.trim(c)
+    s1 = df.select(
+        "*",
+        trimmed.alias(tmp["trim"]),
+        F.split(trimmed, r"\s+").alias(tmp["toks"]),
+        F.split(F.lower(trimmed), r"\s+").alias(tmp["ltoks"]),
+    )
+    toks, ltoks = F.col(tmp["toks"]), F.col(tmp["ltoks"])
+    n_tok = F.when(F.col(tmp["trim"]) == "", F.lit(0)).otherwise(F.size(toks))
+    n = F.length(c)
+    punct = F.length(F.translate(c, _ALNUM_WS, ""))
+    punct_r = F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+    stop = F.filter(ltoks, lambda t: t.isin(*STOPWORDS))
+    stop_r = F.when(F.size(ltoks) == 0, F.lit(0.0)).otherwise(
+        F.size(stop) / F.size(ltoks)
+    )
+    mwl_total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mwl = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        mwl_total.cast("double") / F.size(toks)
+    )
+    piece_cols = {}
+    for piece in ("ntok", "punct", "stop", "mwl"):
+        name = f"_qs_{piece}"
+        while name in base_cols:
+            name += "_"
+        piece_cols[piece] = name
+    s2 = s1.select(
+        *base_cols,
+        n_tok.alias(piece_cols["ntok"]),
+        punct_r.alias(piece_cols["punct"]),
+        stop_r.alias(piece_cols["stop"]),
+        mwl.alias(piece_cols["mwl"]),
+    )
+    len_score = F.least(F.col(piece_cols["ntok"]) / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(
+        F.col(piece_cols["punct"]) * 5.0, F.lit(1.0)
+    )
+    stop_c = F.col(piece_cols["stop"])
+    stop_score = F.when(
+        (stop_c >= 0.05) & (stop_c <= 0.6), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    mwl_c = F.col(piece_cols["mwl"])
+    mwl_score = F.when(
+        (mwl_c >= 2.0) & (mwl_c <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    return s2.select(
+        *base_cols,
+        F.round(
+            (len_score + punct_score + stop_score + mwl_score) / 4.0, 6
+        ).alias(out_col),
+    )
+
+
+def text_stats_frame(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """[id, n_tokens, n_chars_m, punct_ratio, stopword_ratio, quality]
+    — the x08 surface — computed with every expensive sub-expression
+    staged ONCE (r16 optimization round).
+
+    Composing the scalar helpers directly re-evaluates their shared
+    pieces: ``quality_score`` re-embeds token_count + punct_ratio +
+    stopword_ratio + mean_word_length, and ``stopword_ratio`` references
+    its own split three times — the single projection ran ``split``
+    ~8x and the stopword filter twice per row (no codegen CSE across
+    when/HOF branches, the lang_id lesson). Here each split / ratio is
+    its own staged column (CollapseProject keeps multiply-referenced
+    non-cheap aliases), and the composite quality re-uses the staged
+    ratios. Expressions, operand order and rounding are identical to
+    the scalar helpers, so results are bit-equal (x08's oracle proves
+    it)."""
+    c = F.col(text_col)
+    trimmed = F.trim(c)
+    s1 = df.select(
+        F.col(id_col),
+        c.alias("_txt"),
+        trimmed.alias("_trim"),
+        F.split(trimmed, r"\s+").alias("_toks"),
+        F.split(F.lower(trimmed), r"\s+").alias("_ltoks"),
+    )
+    n = F.length(F.col("_txt"))
+    punct = F.length(F.translate(F.col("_txt"), _ALNUM_WS, ""))
+    stop = F.filter(F.col("_ltoks"), lambda t: t.isin(*STOPWORDS))
+    mwl_total = F.aggregate(
+        F.col("_toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    s2 = s1.select(
+        F.col(id_col),
+        F.when(F.col("_trim") == "", F.lit(0))
+        .otherwise(F.size("_toks"))
+        .alias("n_tokens"),
+        n.alias("n_chars_m"),
+        F.when(n == 0, F.lit(0.0)).otherwise(punct / n).alias("_punct"),
+        F.when(F.size("_toks") == 0, F.lit(0.0))
+        .otherwise(F.size(stop) / F.size("_ltoks"))
+        .alias("_stop"),
+        F.when(F.size("_toks") == 0, F.lit(0.0))
+        .otherwise(mwl_total.cast("double") / F.size("_toks"))
+        .alias("_mwl"),
+    )
+    len_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.col("_punct") * 5.0, F.lit(1.0))
+    stop_score = F.when(
+        (F.col("_stop") >= 0.05) & (F.col("_stop") <= 0.6), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    mwl_score = F.when(
+        (F.col("_mwl") >= 2.0) & (F.col("_mwl") <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    return s2.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_chars_m",
+        F.round(F.col("_punct"), 6).alias("punct_ratio"),
+        F.round(F.col("_stop"), 6).alias("stopword_ratio"),
+        F.round(
+            (len_score + punct_score + stop_score + mwl_score) / 4.0, 6
+        ).alias("quality"),
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
     strip punctuation."""
@@ -432,7 +573,23 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
             total = total + t
         return total
 
-    sc = {lang: score(grams) for lang, grams in LANG_PROFILES.items()}
+    # Each language score is materialized as its OWN staged column (r16
+    # optimization round): the scores are referenced up to four times
+    # downstream (three best_lang comparisons + greatest), and codegen
+    # subexpression elimination does NOT deduplicate them across those
+    # references — the 40 replace-count terms ran ~4x per row (measured
+    # interleaved at sf0.1: 4.4-4.7s -> 1.8-2.2s warm, identical output).
+    # Same CollapseProject reasoning as the padded-string staging above.
+    sc_cols = {}
+    for lang in LANG_PROFILES:
+        col_name = f"_lang_sc_{lang}"
+        while col_name in df.columns:
+            col_name += "_"
+        sc_cols[lang] = col_name
+    staged = staged.withColumns(
+        {sc_cols[lang]: score(grams) for lang, grams in LANG_PROFILES.items()}
+    )
+    sc = {lang: F.col(name) for lang, name in sc_cols.items()}
     # CJK short-circuit: >20% of the first 200 chars in the Han range.
     head = F.substring(c, 1, 200)
     han = F.length(F.regexp_replace(head, "[^一-鿿]", ""))
@@ -449,7 +606,7 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
         .when(best_score > 0, best_lang)
         .otherwise(F.lit("und"))
     )
-    return staged.withColumn(out_col, pred).drop(tmp_col)
+    return staged.withColumn(out_col, pred).drop(tmp_col, *sc_cols.values())
 
 
 def pmi_collocations(

@@ -254,16 +254,12 @@ ORDER BY id_a, id_b
 
 
 def x08_text_stats(spark: SparkSession, sf_dir: str):
-    """Token count / char count / punct ratio / stopword ratio / quality."""
+    """Token count / char count / punct ratio / stopword ratio / quality.
+    Runs through the staged text_stats_frame (r16 optimization round):
+    same expressions, each split/ratio computed once per row instead of
+    ~8x (see operators.text.text_stats_frame)."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.char_count("text").alias("n_chars_m"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        T.quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    return T.text_stats_frame(docs, "doc_id", "text").orderBy("doc_id")
 
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
@@ -2558,11 +2554,11 @@ def x55_weighted_sample(spark: SparkSession, sf_dir: str):
     quality score — the 'sample better docs more' primitive between
     uniform quotas (x24) and hard quality gates (x53)."""
     from meshinsights_data_pipeline_spark.operators.corpus import weighted_sample
-    from meshinsights_data_pipeline_spark.operators.text import quality_score
+    from meshinsights_data_pipeline_spark.operators.text import with_quality_score
 
     docs = read_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", quality_score(F.col("text")).alias("q")
+    scored = with_quality_score(docs, "text", out_col="q").select(
+        "doc_id", "q"
     )
     return weighted_sample(scored, "doc_id", "q", n=200).orderBy(
         F.desc("key"), "doc_id"

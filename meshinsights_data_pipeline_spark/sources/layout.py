@@ -193,6 +193,28 @@ def snapshot_overwrite(
                 fs.delete(st.getPath(), True)
 
 
+def snapshot_overwrite_read(
+    df: DataFrame, path: str, version: int, keep: int = 2
+) -> DataFrame:
+    """``snapshot_overwrite`` + read-back of the just-committed version.
+
+    The streaming twins all need the merged state twice per epoch — once
+    for the snapshot write, once for the epoch report — and must not
+    compute the report from a plan that references the state dir being
+    overwritten. The original idiom was ``merged.localCheckpoint()``
+    (job 1) then the snapshot write (job 2) then the report (job 3).
+    The write itself is already a full materialization, so this helper
+    drops the checkpoint job: write straight from the lazy plan (job 1)
+    and hand consumers a scan of the committed ``_v=<version>`` files
+    (the report becomes job 2 over a tiny parquet read). One fewer
+    Spark job per twin per epoch, identical bytes either way (r16
+    optimization round; measured on streaming_stat_ingest_e2e — see
+    OPTIMIZATION_r16.md)."""
+    spark = df.sparkSession
+    snapshot_overwrite(df, path, version, keep=keep)
+    return spark.read.parquet(f"{path}/_v={int(version)}")
+
+
 def latest_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """Read the newest committed snapshot written by ``snapshot_overwrite``.
     Raises if no committed snapshot exists (cold table or all writes

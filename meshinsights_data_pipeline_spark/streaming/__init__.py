@@ -92,6 +92,9 @@ from meshinsights_data_pipeline_spark.streaming.scd2 import (
     scd2_read,
     streaming_scd2_ingest,
 )
+from meshinsights_data_pipeline_spark.streaming.compose import (
+    parallel_batch,
+)
 from meshinsights_data_pipeline_spark.streaming.report import (
     report_from_state,
     streaming_report_ingest,

@@ -59,7 +59,7 @@ def streaming_abtest_ingest(
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -78,17 +78,19 @@ def streaming_abtest_ingest(
         prev = snapshot_before(spark, cells_dir, epoch_id).select(
             "experiment", "arm", "n", "x"
         )
-        merged = (
+        # write-then-read-back (layout.snapshot_overwrite_read): one
+        # fewer job per epoch than the localCheckpoint idiom; both
+        # control-join sides read the committed _v= files.
+        merged = snapshot_overwrite_read(
             prev.union(batch_cells)
             .groupBy("experiment", "arm")
             .agg(
                 F.sum("n").cast("bigint").alias("n"),
                 F.sum("x").cast("bigint").alias("x"),
-            )
-            .localCheckpoint()  # feeds BOTH control-join sides AND the
-            # snapshot write; must not read its own output dir
+            ),
+            cells_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, cells_dir, version=epoch_id)
 
         report = ab_from_counts(
             merged, "experiment", "arm", control_label, z_crit=z_crit
@@ -148,7 +150,7 @@ def streaming_mann_whitney_ingest(
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -168,14 +170,16 @@ def streaming_mann_whitney_ingest(
         prev = snapshot_before(spark, cells_dir, epoch_id).select(
             "experiment", "arm", "_v", "_c"
         )
-        merged = (
+        # write-then-read-back (layout.snapshot_overwrite_read): one
+        # fewer job per epoch; arm list + arm cells + control replication
+        # all read the committed _v= files.
+        merged = snapshot_overwrite_read(
             prev.union(batch_cells)
             .groupBy("experiment", "arm", "_v")
-            .agg(F.sum("_c").cast("bigint").alias("_c"))
-            .localCheckpoint()  # feeds arm list + arm cells + control
-            # replication AND the snapshot write
+            .agg(F.sum("_c").cast("bigint").alias("_c")),
+            cells_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, cells_dir, version=epoch_id)
 
         report = mw_from_counts(
             merged, "experiment", "arm", control_label, z_crit=z_crit
@@ -228,7 +232,7 @@ def streaming_sprt_ingest(
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     # validate the constants at wiring time, not first micro-batch
@@ -252,16 +256,18 @@ def streaming_sprt_ingest(
         prev = snapshot_before(spark, cells_dir, epoch_id).select(
             "experiment", "arm", "n", "x"
         )
-        merged = (
+        # write-then-read-back (layout.snapshot_overwrite_read): one
+        # fewer job per epoch than the localCheckpoint idiom.
+        merged = snapshot_overwrite_read(
             prev.union(batch_cells)
             .groupBy("experiment", "arm")
             .agg(
                 F.sum("n").cast("bigint").alias("n"),
                 F.sum("x").cast("bigint").alias("x"),
-            )
-            .localCheckpoint()
+            ),
+            cells_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, cells_dir, version=epoch_id)
 
         report = sprt_from_counts(
             merged, "experiment", "arm", p0, p1, alpha=alpha, beta=beta

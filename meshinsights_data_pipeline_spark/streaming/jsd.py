@@ -50,7 +50,7 @@ def streaming_jsd_ingest(
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -68,14 +68,16 @@ def streaming_jsd_ingest(
         prev = snapshot_before(spark, counts_dir, epoch_id).select(
             "source", "_tok", "_c"
         )
-        merged = (
+        # write-then-read-back (see layout.snapshot_overwrite_read): one
+        # fewer job per epoch than the localCheckpoint idiom; the report
+        # reads the committed _v= files, never the dir being overwritten.
+        merged = snapshot_overwrite_read(
             prev.union(batch_counts)
             .groupBy("source", "_tok")
-            .agg(F.sum("_c").cast("bigint").alias("_c"))
-            .localCheckpoint()  # consumed by the report AND the snapshot
-            # write; must not read a plan referencing its own output dir
+            .agg(F.sum("_c").cast("bigint").alias("_c")),
+            counts_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, counts_dir, version=epoch_id)
 
         report = js_from_counts(merged, "source").withColumn(
             "epoch", F.lit(int(epoch_id)).cast("bigint")

@@ -59,7 +59,7 @@ def streaming_auc_ingest(
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -72,17 +72,19 @@ def streaming_auc_ingest(
         prev = snapshot_before(spark, cells_dir, epoch_id).select(
             group_col, "_v", "_pos", "_neg"
         )
-        merged = (
+        # write-then-read-back (layout.snapshot_overwrite_read): one fewer
+        # job per epoch than the localCheckpoint idiom; the report reads
+        # the committed _v= files, never the dir being overwritten.
+        merged = snapshot_overwrite_read(
             prev.union(batch_cells)
             .groupBy(group_col, "_v")
             .agg(
                 F.sum("_pos").cast("bigint").alias("_pos"),
                 F.sum("_neg").cast("bigint").alias("_neg"),
-            )
-            .localCheckpoint()  # feeds the report AND the snapshot
-            # write; must not read a plan referencing its own output dir
+            ),
+            cells_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, cells_dir, version=epoch_id)
 
         report = auc_from_counts(
             merged, [group_col], round_to=round_to
@@ -142,7 +144,7 @@ def streaming_bootstrap_ingest(
     from meshinsights_data_pipeline_spark.operators.dedup import md5_int60
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     dec12 = "decimal(38,12)"
@@ -218,17 +220,19 @@ def streaming_bootstrap_ingest(
         prev = snapshot_before(spark, state_dir, epoch_id).select(
             group_col, "_b", "_s", "_n_w", "_rows"
         )
-        merged = (
+        # write-then-read-back (layout.snapshot_overwrite_read): one fewer
+        # job per epoch than the localCheckpoint idiom.
+        merged = snapshot_overwrite_read(
             prev.union(batch_m)
             .groupBy(group_col, "_b")
             .agg(
                 F.sum("_s").cast(dec12).alias("_s"),
                 F.sum("_n_w").cast("bigint").alias("_n_w"),
                 F.sum("_rows").cast("bigint").alias("_rows"),
-            )
-            .localCheckpoint()  # feeds the report AND the snapshot write
+            ),
+            state_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, state_dir, version=epoch_id)
 
         means = merged.filter(F.col("_n_w") > 0).select(
             group_col,
@@ -336,7 +340,7 @@ def streaming_calibration_ingest(
         raise ValueError(f"bins must be positive, got {bins}")
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
-        snapshot_overwrite,
+        snapshot_overwrite_read,
     )
 
     dec12 = "decimal(38,12)"
@@ -379,7 +383,9 @@ def streaming_calibration_ingest(
         prev = snapshot_before(spark, state_dir, epoch_id).select(
             group_col, "_b", "_n", "_np", "_ssum", "_rsum"
         )
-        merged = (
+        # write-then-read-back (layout.snapshot_overwrite_read): one fewer
+        # job per epoch than the localCheckpoint idiom.
+        merged = snapshot_overwrite_read(
             prev.union(batch_m)
             .groupBy(group_col, "_b")
             .agg(
@@ -387,10 +393,10 @@ def streaming_calibration_ingest(
                 F.sum("_np").cast("bigint").alias("_np"),
                 F.sum("_ssum").cast(dec12).alias("_ssum"),
                 F.sum("_rsum").cast(dec12).alias("_rsum"),
-            )
-            .localCheckpoint()
+            ),
+            state_dir,
+            version=epoch_id,
         )
-        snapshot_overwrite(merged, state_dir, version=epoch_id)
 
         conf = F.col("_ssum").cast("double") / F.col("_n")
         acc = F.col("_np").cast("double") / F.col("_n")

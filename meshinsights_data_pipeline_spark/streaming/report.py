@@ -52,8 +52,8 @@ def streaming_report_ingest(
     """
     from meshinsights_data_pipeline_spark.operators.text import (
         fingerprint,
-        quality_score,
         token_count,
+        with_quality_score,
     )
     from meshinsights_data_pipeline_spark.sources.layout import (
         snapshot_before,
@@ -62,11 +62,13 @@ def streaming_report_ingest(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        per_doc = batch_df.select(
+        per_doc = with_quality_score(
+            batch_df, text_col, out_col="_wq"
+        ).select(
             F.col(source_col).alias("source"),
             fingerprint(F.col(text_col)).alias("fp"),
             token_count(text_col).cast("bigint").alias("_tok"),
-            quality_score(text_col).cast("decimal(18,6)").alias("_q"),
+            F.col("_wq").cast("decimal(18,6)").alias("_q"),
         ).localCheckpoint()  # consumed by both merges; one batch pass
 
         batch_fp = per_doc.groupBy("source", "fp").agg(
