@@ -778,12 +778,17 @@ def test_overlap_pairs_no_cartesian_jvm_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
-    # max_doc_freq: the cap is a LeftSemi against the low-df hash set
-    # applied BEFORE the self-join (the whole point — the expensive join
-    # never sees a high-df shingle), still no cartesian shape
+    # max_doc_freq (r16 single-pass rewrite, _capped_pair_counts): the cap
+    # is a per-hash group size filter applied BEFORE in-group pair
+    # generation — no shingle self-join at all, so the expensive join
+    # never exists; pairs come from Generate nodes over arrays bounded by
+    # the cap, and still no cartesian shape
     pc = _plan(overlap_coefficient_pairs(df, "doc_id", "text",
                                          max_doc_freq=4))
-    assert "LeftSemi" in pc
+    assert "Generate explode(slice(" in pc   # in-group (a < b) pair generation
+    assert "Generate posexplode(" in pc
+    assert "<= 4)" in pc             # the df cap gates group size
+    assert "LeftSemi" not in pc      # the old semi-join probe is gone
     assert "CartesianProduct" not in pc
     assert "EvalPython" not in pc
 
