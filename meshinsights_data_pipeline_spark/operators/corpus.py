@@ -75,38 +75,48 @@ def positional_shingle_hashes(
     """
     if n < 1:
         raise ValueError(f"shingle width n must be >= 1, got {n}")
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
-    )
     if n == 1:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+                "pos", "tok"
+            ),
+        )
         return toks.select(
             F.col(id_col),
             F.col("pos").cast("bigint").alias("pos"),
             md5_int60(F.col("tok")).alias("h"),
         )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    grams = (
-        toks.select(F.col(id_col), F.col("pos"), F.col("tok"), *leads)
-        .filter(F.col(f"t{n - 1}").isNotNull())
-        .select(
-            F.col(id_col),
-            F.col("pos").cast("bigint").alias("pos"),
-            F.concat_ws(
-                " ", F.col("tok"), *[F.col(f"t{i}") for i in range(1, n)]
-            ).alias("shingle"),
-        )
+    # r16 optimization round (guide §2.4): one overlapping-match regex —
+    # a lookahead anchored at each token start capturing the next n
+    # tokens — yields the gram at every token position, and the match
+    # index IS the 0-based token position (matches fire at consecutive
+    # token starts 0..T-n), so posexplode over the extracted array gives
+    # [pos, shingle] map-side in codegen. The previous posexplode +
+    # window-lead plan shuffled the full token stream by doc id ahead of
+    # every positional-gram consumer (duplicate_spans, winnowing, the
+    # streaming span twin). Same rewrite (and the same in-session
+    # bit-equality proof) as dedup.shingle_hashes.
+    pat = r"\b(?=(" + " ".join(["[a-z0-9]+"] * n) + r"))"
+    norm = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
     )
-    short = (
-        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("shingle"))
-        .filter(F.size(F.split(F.col("shingle"), " ")) < n)
-        .select(F.col(id_col), F.lit(0).cast("bigint").alias("pos"), "shingle")
+    arr = norm.select(
+        F.col(id_col),
+        F.col("_norm"),
+        F.regexp_extract_all(F.col("_norm"), F.lit(pat), 1).alias("_arr"),
     )
-    return grams.union(short).withColumn("h", md5_int60(F.col("shingle"))).drop(
-        "shingle"
+    return arr.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size("_arr") > 0, F.col("_arr")).otherwise(
+                F.array(F.col("_norm"))
+            )
+        ).alias("pos", "shingle"),
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        md5_int60(F.col("shingle")).alias("h"),
     )
 
 

@@ -57,9 +57,18 @@ def pagerank(
         materialize as _materialize,
     )
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # The distinct edge list feeds FOUR consumers (both legs of the node
+    # union, the out-degree aggregate, and the out_edges join), so without
+    # a barrier the caller's edge pipeline + the distinct's shuffle replay
+    # four times before the first iteration (r16: x67's lineitem-orders
+    # join measured in all four subtrees). Materialize it once; both
+    # derived barriers below then read cached blocks, and the edge cache
+    # is released as soon as they exist.
+    e = _materialize(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -73,12 +82,15 @@ def pagerank(
     nodes = _materialize(nodes)
     n_nodes = nodes.count()
     if n_nodes == 0:
+        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n_nodes
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     # [src, dst, _deg], reused every round
     out_edges = _materialize(e.join(deg, "src"))
+    # nodes and out_edges are the only frames the iteration consumes.
+    e.unpersist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         # Each contribution is a deterministic double; the fold over a

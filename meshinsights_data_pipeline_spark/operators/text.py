@@ -657,20 +657,29 @@ def bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     normalized text — the MERGEABLE sufficient statistic for PMI (counts
     sum across corpus slices), shared by :func:`pmi_collocations` and
     the streaming twin so their scores are definitionally identical."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(normalized_text(F.col(text_col)), " ")
-        ).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
+    # r16 optimization round (guide §2.4): adjacent pairs via ONE
+    # overlapping-match regex (lookahead anchored at each token start
+    # capturing "tok tok+1") — map-side in codegen, so the only shuffle
+    # left is the (a, b) count aggregate with map-side partials. The
+    # previous posexplode + window-lead plan shuffled the full token
+    # stream by doc id first (the id column's only role here was that
+    # window key). Same rewrite + bit-equality proof discipline as
+    # dedup.shingle_hashes; empty/one-token docs yield no match, exactly
+    # like the old b-isNotNull filter.
+    _ = id_col  # kept for API stability; the pairing is doc-local either way
+    pat = r"\b(?=([a-z0-9]+ [a-z0-9]+))"
+    bg = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                normalized_text(F.col(text_col)), F.lit(pat), 1
+            )
+        ).alias("bg")
+    )
     return (
-        toks.select(
-            F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
+        bg.select(
+            F.substring_index("bg", " ", 1).alias("a"),
+            F.substring_index("bg", " ", -1).alias("b"),
         )
-        .filter(F.col("b").isNotNull())
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
