@@ -1507,7 +1507,9 @@ def lm_quality_score(
     digit); ppl to 2.
     """
     h = lm_token_hashes(df, id_col, text_col)
-    bigrams = lm_bigrams(h, id_col)
+    # r16: bigrams come map-side from the text (no per-doc lag window);
+    # h still feeds the unigram counts.
+    bigrams = lm_bigrams_from_text(df, id_col, text_col)
     bc = bigrams.groupBy("h_prev", "h").agg(
         F.count(F.lit(1)).cast("bigint").alias("cb")
     )
@@ -1531,13 +1533,45 @@ def lm_token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def lm_bigrams(token_hashes: DataFrame, id_col: str) -> DataFrame:
-    """[id, h_prev, h] consecutive-token pairs (one per-doc lead window)."""
+    """[id, h_prev, h] consecutive-token pairs (one per-doc lead window).
+
+    Kept for callers that only have a positional token-hash frame; the
+    text-backed paths use :func:`lm_bigrams_from_text` (map-side, no
+    token-stream shuffle — r16 optimization round)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
         token_hashes.select(
             F.col(id_col), F.lag("h").over(w).alias("h_prev"), "h"
         )
         .filter(F.col("h_prev").isNotNull())
+    )
+
+
+def lm_bigrams_from_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """[id, h_prev, h] consecutive-token 60-bit hash pairs straight from
+    the text — the r16 map-side form of :func:`lm_bigrams`∘
+    :func:`lm_token_hashes`: ONE overlapping-match regex (lookahead at
+    each token start capturing "tok tok+1") explodes the adjacent pairs
+    in codegen, so the per-doc lag window (an Exchange + Sort + Window
+    over the full token stream) disappears from the LM-perplexity and
+    DSIR plans. Multiset equality with the window form proven
+    in-session at sf0.1 (same discipline as dedup.shingle_hashes) and
+    by the x51/x70 oracles."""
+    pat = r"\b(?=([a-z0-9]+ [a-z0-9]+))"
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                normalized_text(F.col(text_col)), F.lit(pat), 1
+            )
+        ).alias("_bg"),
+    )
+    return bg.select(
+        F.col(id_col),
+        md5_int60(F.substring_index("_bg", " ", 1)).alias("h_prev"),
+        md5_int60(F.substring_index("_bg", " ", -1)).alias("h"),
     )
 
 
@@ -1653,7 +1687,7 @@ def dsir_doc_buckets(
     identical in DuckDB (X70_SQL). Shared by the batch operator and the
     streaming twin."""
     B = int(buckets)
-    bi = lm_bigrams(lm_token_hashes(df, id_col, text_col), id_col)
+    bi = lm_bigrams_from_text(df, id_col, text_col)
     return bi.select(
         F.col(id_col),
         (((F.col("h_prev") % B) * F.lit(1000003) + (F.col("h") % B)) % B).alias(

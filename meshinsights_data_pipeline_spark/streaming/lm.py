@@ -51,7 +51,7 @@ def streaming_lm_ingest(
     Returns the callable for ``stream.writeStream.foreachBatch(...)``.
     """
     from meshinsights_data_pipeline_spark.operators.corpus import (
-        lm_bigrams,
+        lm_bigrams_from_text,
         lm_score_bigrams,
         lm_token_hashes,
     )
@@ -63,7 +63,9 @@ def streaming_lm_ingest(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         h = lm_token_hashes(batch_df, id_col, text_col).localCheckpoint()
-        bigrams = lm_bigrams(h, id_col).localCheckpoint()
+        # r16: bigrams map-side from the batch text (no per-doc lag
+        # window); h still feeds the unigram counts.
+        bigrams = lm_bigrams_from_text(batch_df, id_col, text_col).localCheckpoint()
 
         batch_uc = h.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
         prev_uc = snapshot_before(spark, unigram_dir, epoch_id).select("h", "cu")
