@@ -542,16 +542,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     hashed = toks.withColumn("h", md5_int60(F.col("tok")))
+    # r16 optimization round: sum the BIT directly instead of a ±1 CASE
+    # per (token, bit) — sum(±1) = 2*sum(bit) - n, so "votes > 0" is
+    # exactly "2*sum(bit) > n" (bit-identical signatures, one fewer
+    # conditional branch per token per bit in the map-side partials).
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"v_{b}")
         for b in range(bits)
     ]
-    per_doc = hashed.groupBy(id_col).agg(*votes)
+    per_doc = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *votes
+    )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"v_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        term = F.when(
+            F.lit(2) * F.col(f"v_{b}") > F.col("_n"), F.lit(2 ** b)
+        ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 

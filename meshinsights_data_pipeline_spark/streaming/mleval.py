@@ -198,10 +198,21 @@ def streaming_bootstrap_ingest(
             F.col("_r._a").alias("_a"),
             F.col("_r._c").alias("_c"),
         )
-        u = (
-            (F.col("_a") * F.col("_h") + F.col("_c")) % F.lit(BOOT_PRIME)
-        ).cast("double") / F.lit(float(BOOT_PRIME))
-        w = F.when(F.col("_b") == -1, F.lit(1)).otherwise(poisson_weight(u))
+        # Stage u once (r16, guide §1.2-2) — same staging as the batch
+        # operator: the CDF CASE ladder references u six times and codegen
+        # does not hoist subexpressions out of conditional branches.
+        reps = reps.select(
+            group_col,
+            "_b",
+            "_v",
+            (
+                ((F.col("_a") * F.col("_h") + F.col("_c")) % F.lit(BOOT_PRIME))
+                .cast("double") / F.lit(float(BOOT_PRIME))
+            ).alias("_u"),
+        )
+        w = F.when(F.col("_b") == -1, F.lit(1)).otherwise(
+            poisson_weight(F.col("_u"))
+        )
         return (
             reps.select(group_col, "_b", w.alias("_w"), "_v")
             .groupBy(group_col, "_b")
