@@ -46,9 +46,18 @@ def basket_pair_stats(
     lift's numerator routes through DECIMAL(38,0) so billion-basket
     corpora cannot wrap the BIGINT product (the x73 quota discipline).
     """
+    # The distinct (basket, item) frame feeds FOUR subtrees (both pair-join
+    # sides, the item marginals, the basket total); left lazy, each one
+    # replays the scan + the distinct shuffle (r16: zero ReusedExchange
+    # across the diamond in the executed x83 plan for the aggregate
+    # consumers). A lazy localCheckpoint (the duplicate_spans idiom)
+    # materializes it ONCE at the first action and every consumer reads
+    # the same executor-local blocks — no cache-manager persist of a
+    # corpus-sized frame, and at real scale the documented alternative is
+    # writing the frame to storage (same shape, same single pass).
     bi = df.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     a = bi.select(F.col("b"), F.col("i").alias("item_a"))
     c = bi.select(F.col("b"), F.col("i").alias("item_b"))
     pair_counts = (

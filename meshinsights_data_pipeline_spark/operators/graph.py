@@ -151,6 +151,12 @@ def triangle_counts(
     apex self-join, closure hash-join on the (v, w) edge key. No
     broadcast of anything graph-sized, no corpus^2 shape.
     """
+    # r16: both canonical frames below feed three subtrees each (e: the
+    # degree aggregate + two endpoint joins; e_dir: both wedge legs + the
+    # closure), so left lazy the caller's edge pipeline replays ~3x. Lazy
+    # localCheckpoints (the duplicate_spans idiom) compute each once at
+    # the first action; every consumer reads the same executor-local
+    # blocks.
     e = (
         pairs.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -158,6 +164,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("n"))
@@ -176,7 +183,7 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     # Wedges at apex u: pairs of out-neighbors (v, w) with ord(v) < ord(w);
     # the triangle closes iff the oriented edge v -> w exists.
     w1 = e_dir.select(F.col("u"), F.col("v"), F.col("dv"))
