@@ -57,18 +57,18 @@ def pagerank(
         materialize as _materialize,
     )
 
-    # The distinct edge list feeds FOUR consumers (both legs of the node
-    # union, the out-degree aggregate, and the out_edges join), so without
-    # a barrier the caller's edge pipeline + the distinct's shuffle replay
-    # four times before the first iteration (r16: x67's lineitem-orders
-    # join measured in all four subtrees). Materialize it once; both
-    # derived barriers below then read cached blocks, and the edge cache
-    # is released as soon as they exist.
-    e = _materialize(
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        ).distinct()
-    )
+    # NOTE (r16, measured twice and kept WITHOUT a barrier): the distinct
+    # edge list feeds four subtrees (both node-union legs, the out-degree
+    # aggregate, the out_edges join), but ReuseExchange already dedupes
+    # the shuffle under the distinct across them, so an explicit
+    # materialize() here ADDS a persist+count job and cache churn while
+    # saving little recompute — a bench-faithful interleaved A/B on x67
+    # (three consecutive build+noop runs per variant) measured the
+    # barrier ~1.2-1.7s SLOWER per warm run. The barrier stays on the
+    # two frames below, whose consumers span the iteration rounds.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -82,15 +82,12 @@ def pagerank(
     nodes = _materialize(nodes)
     n_nodes = nodes.count()
     if n_nodes == 0:
-        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n_nodes
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     # [src, dst, _deg], reused every round
     out_edges = _materialize(e.join(deg, "src"))
-    # nodes and out_edges are the only frames the iteration consumes.
-    e.unpersist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         # Each contribution is a deterministic double; the fold over a
