@@ -451,7 +451,16 @@ def _verified_pairs_from_candidates(
     path (multimodal.payload_neardup_pairs), and the containment path
     (overlap_coefficient_pairs with ``candidates=``). ``metric`` picks
     the score: ``jaccard`` = inter/union, ``overlap`` =
-    inter/min(|A|,|B|); the output column is named after it."""
+    inter/min(|A|,|B|); the output column is named after it.
+
+    Measured negative results (r17, so later rounds do not retry):
+    ``cands`` feeds two consumers (the roster below and the
+    intersection join), so (a) a lazy localCheckpoint on it and (b) an
+    explode-form single-scan roster were both A/B'd warm against this
+    shape — (a) ran 0.7-1.2s SLOWER per x11 run at sf0.1 AND sf1
+    (caching the pair RDD costs more than re-running the bucket join
+    over the already-materialized banded blocks), (b) was a wash. The
+    recompute-from-banded shape below is the measured optimum."""
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

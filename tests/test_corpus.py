@@ -1122,6 +1122,40 @@ def test_basket_pair_stats(spark):
     assert list(out) == [("x", "y")]
 
 
+def test_basket_pair_stats_cap_and_nulls(spark):
+    """r17 in-group rewrite invariants: max_basket_size drops an
+    over-cap basket's PAIRS but keeps it in every denominator, and a
+    null basket id contributes marginals but never pairs (the old
+    self-join's equi-key semantics)."""
+    from meshinsights_data_pipeline_spark.operators.basket import (
+        basket_pair_stats,
+    )
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z"),
+            (None, "x"), (None, "y"), (None, "y")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    # uncapped: (x,y) co-occurs in baskets 1 and 2 (null never pairs)
+    out = {(r.item_a, r.item_b): r
+           for r in basket_pair_stats(df, "b", "i", 1).collect()}
+    assert out[("x", "y")].n_ab == 2
+    # n_baskets=2 (null excluded, as countDistinct did)
+    assert out[("x", "y")].support == 1.0
+    # marginals count the null basket's distinct items: n_x=3, n_y=3
+    assert out[("x", "y")].confidence_a_b == pytest.approx(
+        round(2 / 3, 6)
+    )
+    # cap=2 removes basket 2's pairs only; denominators unchanged
+    capped = {(r.item_a, r.item_b): r
+              for r in basket_pair_stats(
+                  df, "b", "i", 1, max_basket_size=2).collect()}
+    assert capped[("x", "y")].n_ab == 1
+    assert ("x", "z") not in capped and ("y", "z") not in capped
+    assert capped[("x", "y")].support == 0.5
+    assert capped[("x", "y")].confidence_a_b == pytest.approx(
+        round(1 / 3, 6)
+    )
+
+
 def test_histogram_fixed_width(spark):
     from meshinsights_data_pipeline_spark.operators.stats import (
         histogram_fixed_width,

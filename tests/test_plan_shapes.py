@@ -727,8 +727,12 @@ def test_triangle_counts_no_cartesian(spark):
 
 
 def test_basket_pair_stats_broadcast_dims(spark):
-    """x83's scale contract: item counts and the 1-row total broadcast;
-    the only non-broadcast join is the basket-keyed pair self-join."""
+    """x83's scale contract (r17 in-group rewrite): item counts and the
+    1-row total broadcast; pairs come from per-basket Generate nodes —
+    the basket self-join (and its second shuffle + sort-merge) is gone,
+    so no SortMergeJoin and no semi/cartesian shape may appear."""
+    import re
+
     from meshinsights_data_pipeline_spark.operators.basket import (
         basket_pair_stats,
     )
@@ -740,6 +744,12 @@ def test_basket_pair_stats_broadcast_dims(spark):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "LeftSemi" not in p
+    # the two pair Generates: posexplode of the item array + the
+    # sliced strict tail (loose regexes — plan pretty-printing moves)
+    assert re.search(r"Generate posexplode", p)
+    assert re.search(r"Generate explode\(slice\(", p)
 
 
 def test_gap_fill_interpolate_no_shrinking_frame(spark):
