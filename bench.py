@@ -1136,6 +1136,17 @@ def main() -> None:
     # 70 queries, overflowed it and parsed as null). So: full detail goes to
     # BENCH_DETAIL.json + the committed BENCH_GATE_LOG.jsonl, and the LAST
     # line is a compact headline kept safely under the tail budget.
+    # VERDICT r16 "What's wrong" #1: the pooled extras changed meaning
+    # mid-series in r16; every record now carries an explicit
+    # methodology map so no consumer can compare pooled vs serial
+    # silently. Names not listed are serial compositions.
+    extras_methodology = {
+        "pooled_threadpool3": [
+            "data_quality_e2e", "stat_tests_e2e", "judge_eval_e2e",
+            "sketch_profile_e2e",
+        ],
+        "parallel_batch": ["streaming_stat_ingest_e2e"],
+    }
     detail = {
         "metric": "declared_query_set_total",
         "value": total,
@@ -1145,6 +1156,7 @@ def main() -> None:
         "value_cold": total_cold,
         "extras": extras,
         "extras_cold": extras_cold,
+        "extras_methodology": extras_methodology,
         "corpus_steps": corpus_steps,
         "step_regressions": step_regressions,
         "query_regressions": query_regressions,
@@ -1214,6 +1226,11 @@ def main() -> None:
         ],
         "queries": {_short(k): round(v, 2) for k, v in timings.items()},
         "extras": {k: round(v, 2) for k, v in extras.items()},
+        # pooled/overlapped extras by SHORT tag (full map in the gate
+        # record) — the r16 methodology-seam disclosure, in-band
+        "extras_pooled": sorted(
+            n for ns in extras_methodology.values() for n in ns
+        ),
         "corpus_steps": {k: round(v, 2) for k, v in corpus_steps.items()},
         "sf": sf,
     }
@@ -1250,17 +1267,22 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > _BUDGET:
         compact.pop("extras", None)
+        compact.pop("extras_pooled", None)
         line = json.dumps(compact, separators=(",", ":"))
     n_show = 60
+    by_desc = sorted(timings.items(), key=lambda kv: -kv[1])
     while len(line) > _BUDGET and n_show >= 10:
         compact["queries"] = {
-            _short(k): round(v, 2)
-            for k, v in sorted(
-                timings.items(), key=lambda kv: -kv[1]
-            )[:n_show]
+            _short(k): round(v, 2) for k, v in by_desc[:n_show]
         }
         compact["queries_shown"] = min(n_show, len(timings))
         compact["queries_total"] = len(timings)
+        # VERDICT r16 "What's wrong" #2: a query absent from a
+        # truncated compact record is NOT dropped — it ran faster than
+        # this cutoff (the slowest unshown timing). Full per-query
+        # dicts are always in BENCH_DETAIL.json + BENCH_GATE_LOG.jsonl.
+        if len(timings) > n_show:
+            compact["shown_cutoff"] = round(by_desc[n_show][1], 2)
         line = json.dumps(compact, separators=(",", ":"))
         n_show -= 10
     print(line)

@@ -27,7 +27,7 @@ drops rounds to O(log n); near-dup workloads do not need it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meshinsights_data_pipeline_spark.operators.barrier import materialize as _materialize
@@ -38,6 +38,15 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     store via ``sparkContext.setCheckpointDir``) when the caller cannot
     tolerate whole-job retry on executor loss mid-run."""
     return df.checkpoint() if reliable else df.localCheckpoint()
+
+
+def _ckpt_lazy(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lazy lineage truncation (r17): the frame is pinned exactly like
+    :func:`_ckpt` but materializes with the FIRST consuming job instead
+    of its own — used for the loop seeds, whose next job (the signature
+    aggregate / round-1 checkpoint) runs immediately anyway, so the
+    eager form paid one whole job round-trip for nothing."""
+    return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
 
 
 def connected_components(
@@ -72,6 +81,14 @@ def connected_components(
     # join for near-dup inputs) pair plan twice, and the distinct's shuffle
     # sits above both copies so nothing is reused. Measured at sf1: the
     # union form materialized in 5.1s hot vs 2.6s for the explode form.
+    #
+    # repartition("src") before the barrier (r17, guide §2.4): the
+    # cached InMemoryRelation preserves its hash partitioning, so the
+    # per-round ``edges ⋈ labels`` join shuffles ONLY the label frame —
+    # without it every round re-exchanged the full 2|E| cached edge
+    # rows by src (the distinct leaves them partitioned by (src, dst)).
+    # One extra exchange at build, one 2|E| exchange saved per round;
+    # composed x23 at sf1 measured 3.9-4.25s -> 3.15-3.29s warm.
     edges = _materialize(
         pairs.select(
             F.explode(
@@ -87,14 +104,17 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
+        .repartition("src")
     )
     # Seed labels with min(id, min(neighbor)) — exactly what round 1
     # would compute from identity labels, for the cost of the one
     # aggregation the identity init already paid. Every node appears as
     # src (edges are symmetrized above), and the loop's convergence check
     # is unchanged, so this just removes one full round (checkpoint +
-    # count job) from every run.
-    labels = _ckpt(
+    # count job) from every run. Lazily checkpointed: round 1's merged
+    # checkpoint job materializes it, and a worst-case cache race only
+    # recomputes one aggregate over the cached edge blocks.
+    labels = _ckpt_lazy(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("_mn"))
         .select("id", F.least(F.col("id"), F.col("_mn")).alias("label")),
@@ -238,12 +258,22 @@ def connected_components_star(
     pipeline can pick by graph shape: near-dup forests of tiny clusters →
     min-label; social-graph-diameter inputs → this.
 
-    Each half-round is one groupBy-min on the node id plus one
-    co-partitioned join back — O(|E|) with map-side combine, no
-    corpus-squared term. The two half-rounds fuse into one plan with a
-    single end-of-round checkpoint (lineage truncation for the same
-    plan-doubling reason documented on ``connected_components``; one
-    materialization job per round instead of two).
+    Each half-round is ONE node-keyed exchange (r17, guide §2.4): the
+    neighborhood minimum is a window aggregate over the symmetrized
+    edges' partition key, replacing the groupBy-min + co-partitioned
+    join-back pair that exchanged the same rows twice (and sort-merged
+    them); the window's partition-key sort is the sort the join paid
+    anyway. Still O(|E|), no corpus-squared term; a pathological hub
+    node's neighborhood is buffered by the (spilling) window operator
+    where the join buffered the same rows in its streamed-side group.
+    The two half-rounds fuse into one plan with a single end-of-round
+    checkpoint (lineage truncation for the same plan-doubling reason
+    documented on ``connected_components``; one materialization job per
+    round instead of two). The intermediate large-star distinct is also
+    gone: duplicate re-pointed edges collapse in the end-of-round
+    distinct, and dropping the extra exchange measured faster than
+    deduping early (composed x26 at sf1: 4.31-4.81s -> 3.93-4.21s warm
+    for the whole round rewrite).
 
     large-star: every neighbor v > u re-points to min(N(u) ∪ {u});
     small-star (on larger→smaller directed edges): every neighbor and u
@@ -251,7 +281,10 @@ def connected_components_star(
     at each component's minimum.
     """
     # Canonical directed edges big -> small; drop self-loops up front.
-    e = _ckpt(
+    # Lazily checkpointed: the initial signature aggregate materializes
+    # it in the same job (the eager form paid a separate checkpoint job
+    # before the first signature every run).
+    e = _ckpt_lazy(
         pairs.select(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
             F.least(F.col(src_col), F.col(dst_col)).alias("v"),
@@ -275,16 +308,17 @@ def connected_components_star(
         ).first()
         return (row["c"], row["s"])
 
+    w = Window.partitionBy("u")
     sig = _signature(e)
     for _ in range(max_iter):
         # Both half-rounds build ONE lazy plan materialized by a single
         # checkpoint per round (measured ~1.4x off the whole run at sf0.1:
-        # one job round-trip instead of two, and the large-star subtree
-        # referenced twice by small-star resolves to a ReusedExchange
-        # inside the one plan). The round-end checkpoint still truncates
-        # lineage, so plan size stays constant across rounds.
-        # -- large-star: group the UNDIRECTED neighborhood of each node u;
-        #    every strictly-larger neighbor re-points to m = min(N(u) + {u}).
+        # one job round-trip instead of two). The round-end checkpoint
+        # still truncates lineage, so plan size stays constant across
+        # rounds.
+        # -- large-star: every strictly-larger neighbor of u re-points to
+        #    m = min(N(u) + {u}), computed as a window-min over the
+        #    symmetrized edges' partition key — one exchange, no join.
         #    Symmetrize via explode — ONE scan of the checkpointed edge
         #    blocks (the union form scanned them twice per round; same
         #    fusion the min-label twin got, measured there at sf1).
@@ -296,25 +330,19 @@ def connected_components_star(
                 )
             ).alias("p")
         ).select("p.u", "p.v")
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
         e_ls = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star: edges are big->small; u and every non-min neighbor
-        #    re-point to m = min of the neighborhood (all < u, so min(v)).
-        mins2 = e_ls.groupBy("u").agg(F.min("v").alias("m"))
-        joined = e_ls.join(mins2, "u")
-        # (v -> m) ∪ (u -> m) as one explode over the join output — the
-        # union form embedded the join subtree twice and relied on
-        # ReusedExchange to deduplicate it; explode needs no such luck.
+        #    re-point to m = min of the neighborhood (all < u, so min(v)),
+        #    again a window-min — one exchange, no join. (v -> m) ∪ (u -> m)
+        #    as one explode so the subtree is embedded once.
         e = _ckpt(
-            joined.select(
+            e_ls.withColumn("m", F.min("v").over(w))
+            .select(
                 F.explode(
                     F.array(
                         F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
