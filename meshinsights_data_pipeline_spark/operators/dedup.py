@@ -555,20 +555,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     # per (token, bit) — sum(±1) = 2*sum(bit) - n, so "votes > 0" is
     # exactly "2*sum(bit) > n" (bit-identical signatures, one fewer
     # conditional branch per token per bit in the map-side partials).
+    # r17: both per-bit expression sets are built as SQL strings (one
+    # F.expr each instead of ~5 py4j Column calls per bit — the RP-LSH
+    # plan-build lesson); parsed trees identical, signatures unchanged.
     votes = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"v_{b}")
-        for b in range(bits)
+        F.expr(f"sum(shiftright(h, {bit}) & 1) AS v_{bit}")
+        for bit in range(bits)
     ]
     per_doc = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"), *votes
     )
-    sig = None
-    for b in range(bits):
-        term = F.when(
-            F.lit(2) * F.col(f"v_{b}") > F.col("_n"), F.lit(2 ** b)
-        ).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN 2 * v_{bit} > _n THEN {1 << bit}L ELSE 0L END)"
+        for bit in range(bits)
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.expr(f"CAST(({sig_sql}) AS BIGINT)").alias("simhash"),
+    )
 
 
 def simhash_candidates(

@@ -69,9 +69,12 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # Node roster via explode — ONE scan of the distinct edge subtree
+    # instead of the two a self-union embeds (r17; the components.py
+    # symmetrize fusion — the union form only avoided a double scan
+    # when ReuseExchange happened to fire).
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
     )
     # Every round's plan consumes nodes AND the edge frame; without a
@@ -86,8 +89,14 @@ def pagerank(
     teleport = (1.0 - damping) / n_nodes
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    # [src, dst, _deg], reused every round
-    out_edges = _materialize(e.join(deg, "src"))
+    # [src, dst, _deg], reused every round — LAZY persist (r17): the
+    # rounds consume it strictly sequentially inside the one terminal
+    # action, so the first round's join materializes the cache with no
+    # race and the eager count job was pure overhead (interleaved A/B:
+    # 3/4 rounds faster at sf0.1 and sf1, ~0.15s / ~0.5s warm).
+    from pyspark.storagelevel import StorageLevel
+
+    out_edges = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
         # Each contribution is a deterministic double; the fold over a

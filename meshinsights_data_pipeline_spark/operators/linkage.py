@@ -56,6 +56,7 @@ def blocked_record_linkage_fields(
     fields: list[LinkageField],
     threshold: float = 0.5,
     round_to: int = 6,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Candidate pairs within each block, scored by N-field weighted
     agreement: ``score = sum_i w_i * sim_i`` with ``sim`` per
@@ -65,6 +66,15 @@ def blocked_record_linkage_fields(
     component never pair (inner equality join semantics — NULL !=
     NULL); a NULL compare field scores 0 agreement on that field
     rather than nulling the whole score.
+
+    ``max_block_rows`` makes the small-block precondition ENFORCED
+    rather than advisory (r17, VERDICT r16 item 7): a block of k rows
+    costs k(k-1)/2 candidate pairs on one block-keyed task, so when
+    set, rows in blocks larger than the cap are excluded from pairing
+    BEFORE the self-join (one extra count aggregate on the block key —
+    the same map-side-combinable rule as the dedup df cap; a block
+    that big is a failed blocking key, not signal). ``None`` (default)
+    pairs every block, unchanged.
 
     Sound pre-filter from the weight algebra, per numeric field: even
     if every OTHER field matches perfectly (contributing its full
@@ -93,6 +103,14 @@ def blocked_record_linkage_fields(
     cols = list(dict.fromkeys(
         [id_col, *block_cols, *[f.col for f in fields]]
     ))
+    if max_block_rows is not None:
+        ok = (
+            df.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= int(max_block_rows))
+            .select(*block_cols)
+        )
+        df = df.join(ok, block_cols, "left_semi")
     a = df.select([F.col(c).alias(f"a_{c}") for c in cols])
     b = df.select([F.col(c).alias(f"b_{c}") for c in cols])
     cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols]
@@ -149,6 +167,7 @@ def blocked_record_linkage(
     w_numeric: float = 0.5,
     threshold: float = 0.5,
     round_to: int = 6,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """The classic one-string-one-numeric form (x97's oracle surface):
     ``score = w_string * (1 - lev/maxlen) + w_numeric * max(0, 1 -
@@ -172,4 +191,5 @@ def blocked_record_linkage(
         ],
         threshold=threshold,
         round_to=round_to,
+        max_block_rows=max_block_rows,
     )

