@@ -477,21 +477,28 @@ def boilerplate_ngrams(
     boiler_frac = n_boiler / n_grams, one IEEE division — bit-identical
     across engines).
 
-    Shuffle shape at 100 TB: identical to the MinHash dedup path — one
-    shuffle on the 60-bit gram hash for the document-frequency count
-    (map-side combinable), one hash-join back to the per-doc distinct gram
-    sets, one per-doc reduce. No collect, no broadcast of anything
-    corpus-sized; the doc-frequency table is only as large as the distinct
-    gram vocabulary and stays distributed.
+    Shuffle shape at 100 TB (r17, guide §2.4): ONE shuffle of the
+    distinct per-doc gram set on the 60-bit gram hash; the document
+    frequency is a window-count over that partition key, so the gram
+    pipeline runs once and there is no join. (The previous
+    aggregate-then-join-back form re-ran the whole corpus tokenize +
+    distinct for the join side — zero ReusedExchange across the fork,
+    the regexp stage visible twice in the executed plan; interleaved
+    warm A/B: sf0.1 1.36-1.49 -> 0.95-1.02 s, sf1 2.32-2.60 ->
+    1.63-2.06 s.) A pathologically hot gram's rows are buffered by the
+    (spilling) window operator instead of streamed by a join — the
+    same rows either shape colocates on one task — and the saved
+    corpus scan dwarfs that at any df. No collect, no broadcast of
+    anything corpus-sized.
     """
     from meshinsights_data_pipeline_spark.operators.dedup import shingle_hashes
 
     per_doc = shingle_hashes(df, id_col, text_col, n)  # distinct [id, h]
-    doc_freq = per_doc.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_df_docs")
+    scored = per_doc.withColumn(
+        "_df_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     return (
-        per_doc.join(doc_freq, "h")
+        scored
         .groupBy(F.col(id_col))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
@@ -797,19 +804,21 @@ def gram_novelty(
 
     Exact integer ratio (distinct grams with corpus df == 1 over
     distinct grams), rounded 6dp — bit-identical across engines. Scale
-    shape: one shingle pass (the shared shingle_hashes chain), one
-    gram-keyed count aggregate (map-side combinable), one gram-keyed
-    join of the doc-gram table to the |vocab|-row df table, one per-doc
-    aggregate. Nothing corpus^2.
+    shape (r17, guide §2.4 — the boilerplate_ngrams rewrite): ONE
+    shingle pass, the gram document frequency attached as a
+    window-count over the gram-hash partition key (the aggregate-then-
+    join-back form re-ran the whole shingle pipeline for the join
+    side), one per-doc aggregate. Nothing corpus^2.
     """
     from meshinsights_data_pipeline_spark.operators.dedup import (
         shingle_hashes,
     )
 
     sh = shingle_hashes(df, id_col, text_col, n).select(id_col, "h")
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
     return (
-        sh.join(dfreq, "h")
+        sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
@@ -1510,14 +1519,25 @@ def lm_quality_score(
     # r16: bigrams come map-side from the text (no per-doc lag window);
     # h still feeds the unigram counts.
     bigrams = lm_bigrams_from_text(df, id_col, text_col)
-    bc = bigrams.groupBy("h_prev", "h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cb")
+    # r17 (guide §2.4): the bigram count attaches as a window-count over
+    # the (h_prev, h) partition key instead of a separate aggregate
+    # joined back — the aggregate-then-join form re-ran the whole bigram
+    # tokenize pipeline for the join side (zero ReusedExchange across
+    # the fork; the train-on-self batch path is exactly the case where
+    # count source == scored stream, so the window value IS cb).
+    # Interleaved warm A/B: sf0.1 2.39-2.53 -> 1.44-1.61 s, sf1
+    # 2.91-3.29 -> 2.28-2.32 s. The streaming twin keeps the join form
+    # (its counts come from snapshot state, a genuinely different
+    # frame) via lm_score_bigrams below — both paths share
+    # _lm_score_counted so the scoring math has one definition.
+    bigrams_cb = bigrams.withColumn(
+        "cb", F.count(F.lit(1)).over(Window.partitionBy("h_prev", "h"))
     )
     uc = h.groupBy(F.col("h").alias("h_prev")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cu")
     )
     vsz = uc.agg(F.count(F.lit(1)).alias("vsz"))
-    return lm_score_bigrams(bigrams, bc, uc, vsz, id_col)
+    return _lm_score_counted(bigrams_cb, uc, vsz, id_col)
 
 
 def lm_token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1584,9 +1604,26 @@ def lm_score_bigrams(
 ) -> DataFrame:
     """Score [id, h_prev, h] rows against an add-one bigram LM given as
     count tables — bc [h_prev, h, cb], uc [h_prev, cu], vsz a one-row
-    [vsz] frame (broadcast). Shared by the batch operator (counts from
-    the same corpus) and the streaming twin (counts from accumulated
-    snapshot state)."""
+    [vsz] frame (broadcast). The streaming twin's path (counts from
+    accumulated snapshot state — a different frame than the scored
+    stream, so the join is genuinely needed); the batch operator
+    attaches cb as a window-count and both share
+    :func:`_lm_score_counted` so the scoring math has ONE definition
+    (the bit-parity rule)."""
+    return _lm_score_counted(
+        bigrams.join(bc, ["h_prev", "h"], "left"), uc, vsz, id_col
+    )
+
+
+def _lm_score_counted(
+    bigrams_cb: DataFrame,
+    uc: DataFrame,
+    vsz: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The scoring tail shared by the batch (window-count cb) and
+    streaming (joined cb, possibly NULL for unseen bigrams) paths:
+    input [id, h_prev, h, cb]."""
     logp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
         / (F.col("cu") + F.col("vsz"))
@@ -1602,7 +1639,7 @@ def lm_score_bigrams(
         F.lit(1)
     )
     return (
-        bigrams.join(bc, ["h_prev", "h"], "left")
+        bigrams_cb
         .join(uc, "h_prev")
         .crossJoin(F.broadcast(vsz))
         .groupBy(F.col(id_col))
