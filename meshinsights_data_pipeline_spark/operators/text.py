@@ -645,7 +645,16 @@ def pmi_collocations(
     Spark's TakeOrdered, a per-partition heap + driver merge of k rows —
     NEVER a global row_number window (which would single-partition-sort
     every surviving bigram); the rank column is attached after the cut,
-    over top_k rows. The corpus is scanned once.
+    over top_k rows.
+
+    Measured note (r17): the count table feeds FOUR consumers (both
+    marginals, the total, the scored join) and nothing is reused across
+    the fork, so the map-side tokenize+count pipeline executes four
+    times. A materialize barrier on the count table was A/B'd and ran
+    SLOWER at sf0.1 AND sf1 (the persist+count job round-trip exceeds
+    three codegen re-scans of the regexp stage); at a scale where the
+    tokenize pass dominates, pass a pre-materialized count table to
+    :func:`pmi_from_counts` directly — the streaming twin's path.
     """
     return pmi_from_counts(
         bigram_counts(df, id_col, text_col), min_count, top_k, round_to
